@@ -1,0 +1,211 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Core relational operators from SURVEY.md §2 expressed over the testdata
+  * star schema: scans (S1), live-view filter (S2), predicate pushdown
+  * filters (P4-P8), semi/anti joins (J1/J5), star join with broadcast dims,
+  * window latest-per-key, global top-k (O4).
+  *
+  * Determinism rules for oracle parity (DuckDB hash-compare):
+  *   - money aggregates computed in DECIMAL (exact, order-independent) and
+  *     cast to double only at the very end;
+  *   - timestamps exported as epoch milliseconds (unix_millis / epoch_ms);
+  *   - every result totally ordered by a unique key.
+  */
+object Relational {
+
+  /** Exact decimal sum of a double column, surfaced as double. */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  /** Exact decimal revenue term: extendedprice * (1 - discount). */
+  private def revenueTerm(price: Column, disc: Column): Column =
+    price.cast(DecimalType(18, 2)) * (lit(BigDecimal(1).setScale(2)) - disc.cast(DecimalType(18, 2)))
+
+  // Q1-style pricing summary: partial (map-side) aggregation + single shuffle
+  // on the two low-cardinality group keys; scales linearly in input size.
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(revenueTerm(col("l_extendedprice"), col("l_discount"))).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  // Star join: fact lineitem joined to orders, then broadcast dimension
+  // chain customer -> nation -> region. At 100 TB the fact tables shuffle
+  // on the join key once; all dims stay broadcast (region/nation are tiny,
+  // customer is ~1.5M rows per TB-scale SF but the projected two columns
+  // still fit; if not, AQE falls back to shuffle join).
+  def q2StarJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val n = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val r = Tables.region(spark, dir).select(col("r_regionkey"), col("r_name"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum(revenueTerm(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  // S1 raw scan with projection + pushed-down range predicate. The filter
+  // and the 4-column ReadSchema both reach the parquet reader.
+  def s1Scan(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") < lit("2000-01-01").cast("timestamp"))
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        graft.functions.F.epochMs(col("l_shipdate")).as("ship_ms"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  // S2 live view: tombstone-style filter plus a synthesized canonical_id
+  // kept as a plain projection so pushdown is never blocked (SURVEY §4).
+  def s2LiveView(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("value").isNotNull && col("event_type") =!= "error")
+      .select(
+        col("event_id"), col("event_id").as("canonical_id"),
+        col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+
+  // P4/P5: IN-list + range predicates (both pushed to parquet stats).
+  def p4FilterIn(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE") &&
+        col("c_acctbal") > 1000.0)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+
+  // P8 changed-since watermark predicate.
+  def p8ChangedSince(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("ts") >= lit("2024-01-25 00:00:00").cast("timestamp"))
+      .select(col("event_id"), col("user_id"), graft.functions.F.epochMs(col("ts")).as("ts_ms"))
+      .orderBy(col("event_id"))
+
+  // J1: semi-join scoping instead of a giant IN literal (SURVEY J1) —
+  // broadcastable build side, no row duplication on the probe side.
+  def j1SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    Tables.lineitem(spark, dir)
+      .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  // J5: anti-join (journal-truncate / DEL-detection shape).
+  def j5AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val bigLines = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") > 40.0).select(col("l_orderkey"))
+    Tables.orders(spark, dir)
+      .join(bigLines, col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  // Latest-row-per-key window (the single-branch core of merge dedupe A1).
+  def w1LatestPerKey(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        graft.functions.F.epochMs(col("ts")).as("ts_ms"))
+      .orderBy(col("user_id"))
+  }
+
+  // O4 global top-k: Catalyst plans TakeOrderedAndProject — per-partition
+  // heaps + single merge on the driver, no global sort.
+  def o4GlobalTopk(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q2_star_join" -> (q2StarJoin _),
+    "s1_scan" -> (s1Scan _),
+    "s2_live_view" -> (s2LiveView _),
+    "p4_filter_in" -> (p4FilterIn _),
+    "p8_changed_since" -> (p8ChangedSince _),
+    "j1_semi_join" -> (j1SemiJoin _),
+    "j5_anti_join" -> (j5AntiJoin _),
+    "w1_latest_per_key" -> (w1LatestPerKey _),
+    "o4_global_topk" -> (o4GlobalTopk _))
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_star_join" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "s1_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  epoch_ms(l_shipdate) AS ship_ms
+        |FROM lineitem WHERE l_shipdate < TIMESTAMP '2000-01-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "s2_live_view" ->
+      """SELECT event_id, event_id AS canonical_id, user_id, event_type, value
+        |FROM events WHERE value IS NOT NULL AND event_type <> 'error'
+        |ORDER BY event_id""".stripMargin,
+    "p4_filter_in" ->
+      """SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+        |FROM customer
+        |WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE') AND c_acctbal > 1000.0
+        |ORDER BY c_custkey""".stripMargin,
+    "p8_changed_since" ->
+      """SELECT event_id, user_id, epoch_ms(ts) AS ts_ms
+        |FROM events WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'
+        |ORDER BY event_id""".stripMargin,
+    "j1_semi_join" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "j5_anti_join" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 40.0)
+        |ORDER BY o_orderkey""".stripMargin,
+    "w1_latest_per_key" ->
+      """SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms
+        |FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "o4_global_topk" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)
+}
