@@ -1,0 +1,275 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{F, Hashing}
+import graft.lake.EventStatements
+import graft.ops.MergeDedupe
+
+/** Statement-store operators (SURVEY.md §2.4-2.8) exercised over the
+  * deterministic events→statements mapping, each with a DuckDB oracle that
+  * replays the identical semantics in SQL.
+  */
+object StatementOps {
+
+  private def stmts(spark: SparkSession, dir: String): DataFrame =
+    EventStatements.statements(Tables.events(spark, dir))
+
+  private val watermark = "2024-01-30 12:00:00"
+
+  /** Shared oracle prelude: the statement mapping plus the two-branch merge
+    * (twin of [[MergeDedupe.canonicalize]]) and the live tombstone filter.
+    * `mergeBody` assumes a CTE named `stmts` is already in scope.
+    */
+  private val mergeBody: String =
+    s"""nf AS (
+       |  SELECT *,
+       |    ROW_NUMBER() OVER (PARTITION BY shard,bucket,origin,id
+       |      ORDER BY last_seen DESC, deleted_at DESC NULLS LAST, value ASC, lang ASC NULLS FIRST, original_value ASC NULLS FIRST) AS rn,
+       |    MIN(first_seen) OVER (PARTITION BY shard,bucket,origin,id) AS min_fs
+       |  FROM stmts WHERE fragment = ''),
+       |fr AS (
+       |  SELECT *,
+       |    MAX(last_seen) OVER (PARTITION BY shard,bucket,origin,entity_id,prop,fragment) AS max_ls,
+       |    MIN(first_seen) OVER (PARTITION BY shard,bucket,origin,entity_id,prop,fragment) AS min_fs,
+       |    ROW_NUMBER() OVER (PARTITION BY shard,bucket,origin,entity_id,prop,fragment,id
+       |      ORDER BY last_seen DESC, deleted_at DESC NULLS LAST, value ASC, lang ASC NULLS FIRST, original_value ASC NULLS FIRST) AS rn
+       |  FROM stmts WHERE fragment <> ''),
+       |merged AS (
+       |  SELECT shard,bucket,origin,id,entity_id,"schema",prop,fragment,value,min_fs AS first_seen,last_seen,deleted_at
+       |  FROM nf WHERE rn = 1
+       |  UNION ALL
+       |  SELECT shard,bucket,origin,id,entity_id,"schema",prop,fragment,value,min_fs,last_seen,deleted_at
+       |  FROM fr WHERE rn = 1 AND last_seen = max_ls),
+       |live AS (SELECT * FROM merged WHERE deleted_at IS NULL)""".stripMargin
+
+  private val mergeCte: String =
+    s"WITH stmts AS (${EventStatements.SQL}),\n$mergeBody"
+
+  private val stmtOutCols =
+    Seq("entity_id", "prop", "fragment", "id", "origin", "value")
+
+  private def stmtOut(df: DataFrame): DataFrame =
+    df.select(
+      col("entity_id"), col("prop"), col("fragment"), col("id"),
+      col("origin"), col("value"),
+      F.epochMs(col("first_seen")).as("first_ms"),
+      F.epochMs(col("last_seen")).as("last_ms"))
+      .orderBy(stmtOutCols.map(col): _*)
+
+  private val stmtOutSql =
+    """SELECT entity_id, prop, fragment, id, origin, value,
+      |  epoch_ms(first_seen) AS first_ms, epoch_ms(last_seen) AS last_ms
+      |FROM live ORDER BY entity_id, prop, fragment, id, origin""".stripMargin
+
+  // A1: the core two-branch merge dedupe, read as the live view.
+  def a1MergeDedupe(spark: SparkSession, dir: String): DataFrame =
+    stmtOut(MergeDedupe.live(stmts(spark, dir)))
+
+  // A3: read-time canonicalization scoped to changed entities (J1 semi-join
+  // + A1), so incremental diffs see post-merge rows without a rewrite.
+  def a3ChangedCanonical(spark: SparkSession, dir: String): DataFrame =
+    stmtOut(MergeDedupe.changedCanonical(
+      stmts(spark, dir), lit(watermark).cast("timestamp")))
+
+  // A4: entity assembly — one row per entity with deterministic flattened
+  // properties (sorted "prop=value" pairs), origin set, and lifecycle range.
+  def a4EntityAssembly(spark: SparkSession, dir: String): DataFrame =
+    MergeDedupe.live(stmts(spark, dir))
+      .groupBy(col("entity_id"))
+      .agg(
+        first(col("schema")).as("schema"),
+        array_join(sort_array(collect_set(concat(col("prop"), lit("="), col("value")))), "|").as("props"),
+        countDistinct(col("prop")).as("n_props"),
+        array_join(sort_array(collect_set(col("origin"))), "|").as("origins"),
+        F.epochMs(min(col("first_seen"))).as("first_ms"),
+        F.epochMs(max(col("last_seen"))).as("last_ms"))
+      .orderBy(col("entity_id"))
+
+  // A5: exact entity count for a compiled query.
+  def a5CountEntities(spark: SparkSession, dir: String): DataFrame =
+    MergeDedupe.live(stmts(spark, dir))
+      .agg(countDistinct(col("entity_id")).as("entity_count"))
+
+  // A6: dataset statistics — per-bucket schema facets.
+  def a6Stats(spark: SparkSession, dir: String): DataFrame =
+    MergeDedupe.live(stmts(spark, dir))
+      .groupBy(col("bucket"), col("schema"))
+      .agg(countDistinct(col("entity_id")).as("entities"), count(lit(1)).as("statements"))
+      .orderBy(col("bucket"), col("schema"))
+
+  // A7: partition enumeration.
+  def a7DistinctPartitions(spark: SparkSession, dir: String): DataFrame =
+    stmts(spark, dir).select(col("shard"), col("bucket"), col("origin"))
+      .distinct().orderBy(col("shard"), col("bucket"), col("origin"))
+
+  // A10/F3: per-entity checksum over the sorted set of statement ids.
+  def a10Checksum(spark: SparkSession, dir: String): DataFrame =
+    MergeDedupe.live(stmts(spark, dir))
+      .groupBy(col("entity_id"))
+      .agg(Hashing.entityChecksum(
+        first(col("schema")), sort_array(collect_set(col("id")))).as("checksum"))
+      .orderBy(col("entity_id"))
+
+  // F1: shard assignment parity (the layout-defining hash).
+  def f1ShardAssign(spark: SparkSession, dir: String): DataFrame =
+    stmts(spark, dir).select(col("entity_id"), col("shard"))
+      .distinct().orderBy(col("entity_id"))
+
+  // F6: statement pack/unpack round trip on the journal wire format.
+  def f6PackUnpack(spark: SparkSession, dir: String): DataFrame = {
+    val sep = Hashing.Sep
+    val packed = stmts(spark, dir)
+      .withColumn("pack", concat_ws(sep,
+        col("id"), col("entity_id"), col("prop"), col("value"), col("fragment"), col("origin")))
+    packed.select(
+      col("id"), col("entity_id"), col("prop"), col("fragment"), col("origin"),
+      md5(col("pack")).as("pack_md5"),
+      split(col("pack"), sep).getItem(3).as("unpacked_value"))
+      .distinct()
+      .orderBy(col("id"), col("entity_id"), col("prop"), col("fragment"), col("origin"))
+  }
+
+  // F7: tombstone last_seen bump — a delete must win the A1 tiebreak.
+  def f7TombstoneBump(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      col("event_id"),
+      F.epochMs(coalesce(
+        when(pmod(col("event_id"), lit(97)) === 0, col("ts") + expr("INTERVAL 1 HOUR")),
+        col("ts"))).as("effective_ls"))
+      .orderBy(col("event_id"))
+
+  // ST3/F13: incremental diff ops — changed entities classified ADD (still
+  // live) vs DEL (no live rows remain), with JSON envelopes. The DEL
+  // detection is the set-difference: changed minus still-live.
+  def st3DiffOps(spark: SparkSession, dir: String): DataFrame = {
+    val s = stmts(spark, dir)
+    val changed = s
+      .filter(col("first_seen") >= lit(watermark).cast("timestamp") ||
+        col("deleted_at") >= lit(watermark).cast("timestamp"))
+      .select("entity_id").distinct()
+    val stillLive = MergeDedupe.live(s).select("entity_id").distinct()
+      .withColumn("__live", lit(1))
+    changed.join(stillLive, Seq("entity_id"), "left_outer")
+      .withColumn("op", when(col("__live").isNotNull, "ADD").otherwise("DEL"))
+      .select(col("entity_id"), col("op"),
+        concat(lit("{\"op\":\""), col("op"), lit("\",\"id\":\""), col("entity_id"), lit("\"}")).as("envelope"))
+      .orderBy(col("entity_id"))
+  }
+
+  // O5: entity ordering by a property value — per-entity sort key via
+  // aggregation, then global top-k on (key, id).
+  def o5OrderByProp(spark: SparkSession, dir: String): DataFrame = {
+    val live = MergeDedupe.live(stmts(spark, dir))
+    val keys = live.filter(col("prop") === "click")
+      .groupBy(col("entity_id")).agg(min(col("value")).as("sort_key"))
+    live.select("entity_id").distinct()
+      .join(keys, Seq("entity_id"), "left_outer")
+      .orderBy(col("sort_key").asc_nulls_last, col("entity_id"))
+      .limit(50)
+  }
+
+  // Set difference: entities appearing in the thing bucket but never in the
+  // interval bucket (reference's DEL-detection shape, §2.7).
+  def set1Except(spark: SparkSession, dir: String): DataFrame = {
+    val s = stmts(spark, dir)
+    s.filter(col("prop") === "click").select("value")
+      .except(s.filter(col("prop") === "purchase").select("value"))
+      .orderBy(col("value"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a1_merge_dedupe" -> (a1MergeDedupe _),
+    "a3_changed_canonical" -> (a3ChangedCanonical _),
+    "a4_entity_assembly" -> (a4EntityAssembly _),
+    "a5_count_entities" -> (a5CountEntities _),
+    "a6_stats" -> (a6Stats _),
+    "a7_distinct_partitions" -> (a7DistinctPartitions _),
+    "a10_checksum" -> (a10Checksum _),
+    "f1_shard_assign" -> (f1ShardAssign _),
+    "f6_pack_unpack" -> (f6PackUnpack _),
+    "f7_tombstone_bump" -> (f7TombstoneBump _),
+    "st3_diff_ops" -> (st3DiffOps _),
+    "o5_order_by_prop" -> (o5OrderByProp _),
+    "set1_except" -> (set1Except _))
+
+  val oracle: Map[String, String] = Map(
+    "a1_merge_dedupe" -> s"$mergeCte\n$stmtOutSql",
+    "a3_changed_canonical" ->
+      s"""WITH stmts0 AS (${EventStatements.SQL}),
+         |stmts AS (
+         |  SELECT * FROM stmts0 WHERE entity_id IN (
+         |    SELECT DISTINCT entity_id FROM stmts0
+         |    WHERE first_seen >= TIMESTAMP '$watermark' OR deleted_at >= TIMESTAMP '$watermark')),
+         |$mergeBody
+         |$stmtOutSql""".stripMargin,
+    "a4_entity_assembly" ->
+      s"""$mergeCte,
+         |pairs AS (SELECT DISTINCT entity_id, "schema", prop || '=' || value AS pv, prop, origin, first_seen, last_seen FROM live)
+         |SELECT entity_id,
+         |  min("schema") AS "schema",
+         |  string_agg(DISTINCT pv, '|' ORDER BY pv) AS props,
+         |  COUNT(DISTINCT prop) AS n_props,
+         |  string_agg(DISTINCT origin, '|' ORDER BY origin) AS origins,
+         |  epoch_ms(MIN(first_seen)) AS first_ms,
+         |  epoch_ms(MAX(last_seen)) AS last_ms
+         |FROM pairs GROUP BY entity_id ORDER BY entity_id""".stripMargin,
+    "a5_count_entities" ->
+      s"$mergeCte\nSELECT COUNT(DISTINCT entity_id) AS entity_count FROM live",
+    "a6_stats" ->
+      s"""$mergeCte
+         |SELECT bucket, "schema", COUNT(DISTINCT entity_id) AS entities, COUNT(*) AS statements
+         |FROM live GROUP BY bucket, "schema" ORDER BY bucket, "schema"""".stripMargin,
+    "a7_distinct_partitions" ->
+      s"""WITH stmts AS (${EventStatements.SQL})
+         |SELECT DISTINCT shard, bucket, origin FROM stmts
+         |ORDER BY shard, bucket, origin""".stripMargin,
+    "a10_checksum" ->
+      s"""$mergeCte,
+         |ids AS (SELECT DISTINCT entity_id, "schema", id FROM live)
+         |SELECT entity_id,
+         |  sha256(min("schema") || '|' || string_agg(id, ',' ORDER BY id)) AS checksum
+         |FROM ids GROUP BY entity_id ORDER BY entity_id""".stripMargin,
+    "f1_shard_assign" ->
+      s"""WITH stmts AS (${EventStatements.SQL})
+         |SELECT DISTINCT entity_id, shard FROM stmts ORDER BY entity_id""".stripMargin,
+    "f6_pack_unpack" ->
+      s"""WITH stmts AS (${EventStatements.SQL}),
+         |packed AS (
+         |  SELECT *, id || chr(31) || entity_id || chr(31) || prop || chr(31) || value || chr(31) || fragment || chr(31) || origin AS pack
+         |  FROM stmts)
+         |SELECT DISTINCT id, entity_id, prop, fragment, origin,
+         |  md5(pack) AS pack_md5,
+         |  string_split(pack, chr(31))[4] AS unpacked_value
+         |FROM packed ORDER BY id, entity_id, prop, fragment, origin""".stripMargin,
+    "f7_tombstone_bump" ->
+      """SELECT event_id,
+        |  epoch_ms(COALESCE(CASE WHEN event_id % 97 = 0 THEN ts + INTERVAL 1 HOUR END, ts)) AS effective_ls
+        |FROM events ORDER BY event_id""".stripMargin,
+    "st3_diff_ops" ->
+      s"""$mergeCte,
+         |changed AS (
+         |  SELECT DISTINCT entity_id FROM stmts
+         |  WHERE first_seen >= TIMESTAMP '$watermark' OR deleted_at >= TIMESTAMP '$watermark'),
+         |still_live AS (SELECT DISTINCT entity_id FROM live)
+         |SELECT c.entity_id,
+         |  CASE WHEN s.entity_id IS NOT NULL THEN 'ADD' ELSE 'DEL' END AS op,
+         |  '{"op":"' || CASE WHEN s.entity_id IS NOT NULL THEN 'ADD' ELSE 'DEL' END || '","id":"' || c.entity_id || '"}' AS envelope
+         |FROM changed c LEFT JOIN still_live s ON c.entity_id = s.entity_id
+         |ORDER BY c.entity_id""".stripMargin,
+    "o5_order_by_prop" ->
+      s"""$mergeCte,
+         |keys AS (SELECT entity_id, MIN(value) AS sort_key FROM live WHERE prop = 'click' GROUP BY entity_id),
+         |ents AS (SELECT DISTINCT entity_id FROM live)
+         |SELECT e.entity_id, k.sort_key
+         |FROM ents e LEFT JOIN keys k ON e.entity_id = k.entity_id
+         |ORDER BY k.sort_key ASC NULLS LAST, e.entity_id LIMIT 50""".stripMargin,
+    "set1_except" ->
+      s"""WITH stmts AS (${EventStatements.SQL})
+         |SELECT value FROM stmts WHERE prop = 'click'
+         |EXCEPT
+         |SELECT value FROM stmts WHERE prop = 'purchase'
+         |ORDER BY value""".stripMargin)
+}
