@@ -1,0 +1,59 @@
+package graft.lake
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Statement
+
+/** Write-ahead journal: a parquet staging area under `_graft/journal` that
+  * absorbs many small writer batches and drains into the main table as one
+  * partitioned append (reference S13/ST1, storage/journal/sql.py — there a
+  * SQL table with `(id, fragment)` upsert; here upsert-on-drain: last
+  * writer wins per `(id, fragment, origin)` by `last_seen`, matching the
+  * reference's dedupe_key semantics in logic/entities/buffer.py:23-241).
+  *
+  * Durability ordering matches the reference's yield→write→delete: staged
+  * files are only deleted after the table append commits, so a crash
+  * mid-drain re-appends rows — which the idempotent merge collapses.
+  */
+class Journal(spark: SparkSession, rootStr: String) {
+
+  private val root = new Path(rootStr, "_graft/journal")
+  private val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+
+  def write(df: DataFrame): Unit =
+    df.select(Statement.columns.map(col): _*)
+      .write.mode("append").parquet(root.toString)
+
+  private def stagedFiles(): Seq[Path] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).map(_.getPath).filter(_.getName.endsWith(".parquet")).toSeq
+
+  def count(): Long = {
+    val files = stagedFiles()
+    if (files.isEmpty) 0L
+    else spark.read.schema(Statement.schema).parquet(files.map(_.toString): _*).count()
+  }
+
+  /** Drain the journal into the store: last-writer-wins upsert per
+    * `(id, fragment, origin)`, tombstone `last_seen` bump (F7: a delete
+    * must win the merge tiebreak), one sorted partitioned append, then
+    * delete exactly the staged files that were read.
+    */
+  def drain(store: StatementStore): Long = {
+    val files = stagedFiles()
+    if (files.isEmpty) return store.version
+    val staged = spark.read.schema(Statement.schema).parquet(files.map(_.toString): _*)
+    val w = Window.partitionBy(col("id"), col("fragment"), col("origin"))
+      .orderBy(col("last_seen").desc, col("deleted_at").desc_nulls_last)
+    val upserted = staged
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .withColumn("last_seen", coalesce(col("deleted_at"), col("last_seen")))
+    val v = store.append(upserted)
+    files.foreach(f => fs.delete(f, false))
+    v
+  }
+}

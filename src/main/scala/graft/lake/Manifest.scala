@@ -1,0 +1,84 @@
+package graft.lake
+
+import scala.collection.mutable
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Monotonic snapshot manifest replacing the reference's Delta transaction
+  * log (SURVEY.md §7: no Delta jars in this runtime). Each version file
+  * `_graft/manifest/v%012d.txt` records the action plus the complete set of
+  * live data files (paths relative to the table root). Readers resolve the
+  * max version; writers commit under the exclusive fence.
+  *
+  * This gives us what delta-rs gave the reference: snapshot isolation for
+  * readers, a version counter for incremental-diff state, vacuum-able
+  * unreferenced files, and time travel by version. The manifest is O(files)
+  * per commit — at 100 TB with ~1 GB files that is ~10⁵ lines, fine for a
+  * text file; beyond that the format would switch to checkpointed deltas
+  * exactly as Delta does.
+  */
+object Manifest {
+
+  private val DirName = "_graft/manifest"
+
+  private def dir(root: Path) = new Path(root, DirName)
+
+  private def versionOf(p: Path): Option[Long] = {
+    val n = p.getName
+    if (n.startsWith("v") && n.endsWith(".txt"))
+      scala.util.Try(n.substring(1, n.length - 4).toLong).toOption
+    else None
+  }
+
+  def currentVersion(fs: FileSystem, root: Path): Long = {
+    val d = dir(root)
+    if (!fs.exists(d)) -1L
+    else fs.listStatus(d).flatMap(s => versionOf(s.getPath)).foldLeft(-1L)(math.max)
+  }
+
+  /** Live file set (relative paths) at `version`, or the current one. */
+  def liveFiles(fs: FileSystem, root: Path, version: Long = -1L): Set[String] = {
+    val v = if (version >= 0) version else currentVersion(fs, root)
+    if (v < 0) return Set.empty
+    val p = new Path(dir(root), f"v$v%012d.txt")
+    val in = fs.open(p)
+    try {
+      val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      lines.drop(1).filter(_.nonEmpty).toSet // line 0 is the action tag
+    } finally in.close()
+  }
+
+  /** Commit a new version with the given complete live-file set. Caller
+    * must hold the table fence. Returns the new version number.
+    */
+  def commit(fs: FileSystem, root: Path, files: Set[String], action: String): Long = {
+    val v = currentVersion(fs, root) + 1
+    val d = dir(root)
+    if (!fs.exists(d)) fs.mkdirs(d)
+    val tmp = new Path(d, f".v$v%012d.txt.tmp")
+    val out = fs.create(tmp, true)
+    try {
+      out.write((action +: files.toSeq.sorted).mkString("\n").getBytes("UTF-8"))
+    } finally out.close()
+    if (!fs.rename(tmp, new Path(d, f"v$v%012d.txt")))
+      throw new IllegalStateException(s"manifest commit race at version $v")
+    v
+  }
+
+  /** All data files physically present under the table root (relative),
+    * excluding manifest/lock/hidden files.
+    */
+  def physicalFiles(fs: FileSystem, root: Path): Set[String] = {
+    val out = mutable.Set.empty[String]
+    val it = fs.listFiles(root, true)
+    val rootUri = root.toUri.getPath.stripSuffix("/")
+    while (it.hasNext) {
+      val f = it.next().getPath
+      val rel = f.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+      val name = f.getName
+      val hidden = rel.split('/').exists(seg => seg.startsWith("_") || seg.startsWith("."))
+      if (!hidden && !name.equals(".LOCK") && name.endsWith(".parquet")) out += rel
+    }
+    out.toSet
+  }
+}

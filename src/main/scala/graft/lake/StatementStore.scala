@@ -1,0 +1,149 @@
+package graft.lake
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Statement
+import graft.ops.MergeDedupe
+
+/** The statement table: Hive-partitioned parquet part files under
+  * `shard=x/bucket=y/origin=z/` directories and a snapshot [[Manifest]], giving
+  * the Delta-like behaviors the reference relies on (append, partition
+  * rewrite, compact, vacuum, version counter, destroy) without Delta jars
+  * (reference: storage/parquet.py; SURVEY.md §2.1, §7).
+  *
+  * Scale design: every operation is a single distributed job over only the
+  * files it touches. Readers are snapshot-isolated by the manifest (a merge
+  * never yanks files out from under a running scan — old files stay on disk
+  * until vacuum). Writers serialize on the table fence, appends create
+  * unique part files so concurrent readers are safe. Partition-grain dirty
+  * tags keep merge incremental: clean partitions are carried over by
+  * reference, not rewritten.
+  */
+class StatementStore(val spark: SparkSession, val rootStr: String, val shards: Int = 16) {
+
+  val root = new Path(rootStr)
+  private val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+  val tags = new Tags(fs, root)
+
+  def version: Long = Manifest.currentVersion(fs, root)
+
+  /** S1: raw physical rows of a snapshot — tombstones and pre-merge
+    * duplicates included. Deliberately a plain file scan so predicates and
+    * projections push all the way to parquet row-group stats.
+    */
+  def rawAt(v: Long): DataFrame = {
+    val files = Manifest.liveFiles(fs, root, v)
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Statement.schema)
+    else
+      spark.read.schema(Statement.schema)
+        .option("basePath", root.toString)
+        .parquet(files.toSeq.sorted.map(f => s"$rootStr/$f"): _*)
+  }
+
+  def raw: DataFrame = rawAt(-1L)
+
+  /** S2: live view — tombstone filter + synthesized canonical_id, kept
+    * windowless so pushdown is never blocked. Only guaranteed
+    * duplicate-free after [[merge]], exactly like the reference.
+    */
+  def live: DataFrame =
+    raw.filter(col("deleted_at").isNull)
+      .withColumn("canonical_id", col("entity_id"))
+
+  /** Canonical read regardless of merge state (A1 applied at read time). */
+  def canonical: DataFrame = MergeDedupe.live(raw)
+
+  private def partitionOf(rel: String): String =
+    rel.split('/').take(Statement.partitionColumns.length).mkString("/")
+
+  /** S3: partitioned append. Batch rows are clustered by the 7-key order
+    * inside each written file (reference O1) so later merges and
+    * entity-contiguous scans stay cheap. Dirty tags are stamped before the
+    * manifest commit — crash-safe ordering: a lost commit leaves dirt, a
+    * lost tag at worst re-merges a clean partition.
+    */
+  def append(df: DataFrame): Long = Locks.withLock(fs, root) {
+    val before = Manifest.physicalFiles(fs, root)
+    df.select(Statement.columns.map(col): _*)
+      .repartition(Statement.partitionColumns.map(col): _*)
+      .sortWithinPartitions(
+        Statement.appendSortColumns.map(col) :+ col("last_seen").desc: _*)
+      .write
+      .partitionBy(Statement.partitionColumns: _*)
+      .mode("append")
+      .parquet(rootStr)
+    val fresh = Manifest.physicalFiles(fs, root) -- before
+    fresh.map(partitionOf).foreach(p => tags.touch(s"dirty/$p"))
+    Manifest.commit(fs, root, Manifest.liveFiles(fs, root) ++ fresh, "append")
+  }
+
+  /** A2: merge rewrite of dirty partitions only (or all with `force`).
+    * Tombstones inside the grace window survive physically so they keep
+    * shadowing late re-imports (ST4). Clean partitions carry over by
+    * reference in the new manifest — zero IO for them.
+    */
+  def merge(graceCutoff: Option[Column] = None, force: Boolean = false): Long =
+    Locks.withLock(fs, root) {
+      val liveSet = Manifest.liveFiles(fs, root)
+      val dirty: Set[String] =
+        if (force) liveSet.map(partitionOf)
+        else tags.list("dirty/").map(_.stripPrefix("dirty/")).toSet
+      if (dirty.isEmpty) return version
+      val dirtyFiles = liveSet.filter(f => dirty.contains(partitionOf(f)))
+      if (dirtyFiles.isEmpty) return version
+      val scoped = spark.read.schema(Statement.schema)
+        .option("basePath", root.toString)
+        .parquet(dirtyFiles.toSeq.sorted.map(f => s"$rootStr/$f"): _*)
+      val merged = graceCutoff match {
+        case Some(cut) => MergeDedupe.withGrace(scoped, cut)
+        case None => MergeDedupe.canonicalize(scoped).filter(col("deleted_at").isNull)
+      }
+      val before = Manifest.physicalFiles(fs, root)
+      merged.select(Statement.columns.map(col): _*)
+        .repartition(Statement.partitionColumns.map(col): _*)
+        .sortWithinPartitions(
+          col("entity_id"), col("fragment"), col("prop"), col("id"), col("last_seen").desc)
+        .write.partitionBy(Statement.partitionColumns: _*)
+        .mode("append").parquet(rootStr)
+      val fresh = Manifest.physicalFiles(fs, root) -- before
+      dirty.foreach(p => tags.delete(s"dirty/$p"))
+      Manifest.commit(fs, root, (liveSet -- dirtyFiles) ++ fresh, "merge")
+    }
+
+  /** S6: bin-pack partitions that have fragmented into more than
+    * `maxFilesPerPartition` files. Old files become vacuum-able.
+    */
+  def compact(maxFilesPerPartition: Int = 4): Long = Locks.withLock(fs, root) {
+    val liveSet = Manifest.liveFiles(fs, root)
+    val crowded = liveSet.groupBy(partitionOf).filter(_._2.size > maxFilesPerPartition)
+    if (crowded.isEmpty) return version
+    val files = crowded.values.flatten.toSet
+    val before = Manifest.physicalFiles(fs, root)
+    spark.read.schema(Statement.schema).option("basePath", root.toString)
+      .parquet(files.toSeq.sorted.map(f => s"$rootStr/$f"): _*)
+      .select(Statement.columns.map(col): _*)
+      .repartition(Statement.partitionColumns.map(col): _*)
+      .sortWithinPartitions(
+        col("entity_id"), col("fragment"), col("prop"), col("id"), col("last_seen").desc)
+      .write.partitionBy(Statement.partitionColumns: _*)
+      .mode("append").parquet(rootStr)
+    val fresh = Manifest.physicalFiles(fs, root) -- before
+    Manifest.commit(fs, root, (liveSet -- files) ++ fresh, "compact")
+  }
+
+  /** S7: delete files no snapshot ≥ `keepVersions` back references. */
+  def vacuum(): Seq[String] = Locks.withLock(fs, root) {
+    val referenced = Manifest.liveFiles(fs, root)
+    val orphans = (Manifest.physicalFiles(fs, root) -- referenced).toSeq.sorted
+    orphans.foreach(f => fs.delete(new Path(root, f), false))
+    orphans
+  }
+
+  /** S8: soft-drop — remove the manifest (data files stay for forensics). */
+  def destroy(): Unit = Locks.withLock(fs, root) {
+    fs.delete(new Path(root, "_graft/manifest"), true)
+  }
+}

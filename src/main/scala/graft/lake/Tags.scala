@@ -1,0 +1,55 @@
+package graft.lake
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Freshness tags: key → mtime files driving incremental skipping
+  * (reference ST2, storage/tags.py:44-69, core/conventions/tag.py). A
+  * producer `touch`es its tag after writing; a consumer `isLatest(target,
+  * deps)` skips work when its own tag is newer than every dependency's.
+  * Partition-grain keys (e.g. `statements/dirty/shard=0/bucket=thing`)
+  * let the merge driver rewrite only dirty partitions.
+  */
+class Tags(fs: FileSystem, root: Path) {
+
+  private def pathOf(key: String): Path =
+    new Path(new Path(root, "_graft/tags"), key.replace('=', '~'))
+
+  def touch(key: String, ts: Long = System.currentTimeMillis()): Unit = {
+    val p = pathOf(key)
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    try out.writeBytes(ts.toString) finally out.close()
+    fs.setTimes(p, ts, -1)
+  }
+
+  def mtime(key: String): Option[Long] = {
+    val p = pathOf(key)
+    if (fs.exists(p)) Some(fs.getFileStatus(p).getModificationTime) else None
+  }
+
+  def delete(key: String): Unit = fs.delete(pathOf(key), false)
+
+  /** True when `target` exists and is at least as new as every dependency
+    * that exists. A missing target is never latest; missing deps don't
+    * invalidate (matching the reference's semantics of "nothing newer").
+    */
+  def isLatest(target: String, deps: Seq[String]): Boolean =
+    mtime(target) match {
+      case None => false
+      case Some(t) => deps.flatMap(mtime).forall(_ <= t)
+    }
+
+  def list(prefix: String): Seq[String] = {
+    val base = new Path(root, "_graft/tags")
+    if (!fs.exists(base)) return Seq.empty
+    val it = fs.listFiles(base, true)
+    val buf = scala.collection.mutable.ListBuffer.empty[String]
+    val baseLen = base.toUri.getPath.length + 1
+    while (it.hasNext) {
+      val p = it.next().getPath.toUri.getPath
+      val key = p.substring(math.min(baseLen, p.length)).replace('~', '=')
+      if (key.startsWith(prefix)) buf += key
+    }
+    buf.toList
+  }
+}

@@ -1,0 +1,113 @@
+package graft.model
+
+/** Embedded mini FollowTheMoney ontology: the schema inheritance lattice,
+  * property→type map, caption-property lists, and schema→bucket routing the
+  * engine needs (reference consumes the `followthemoney` library for this —
+  * SURVEY.md §1.3; bucket routing docs/architecture.md:99).
+  *
+  * Driver-side lookup data only — broadcast-friendly plain maps, no
+  * Catalyst involvement. The set below covers the schemas the reference's
+  * own tests exercise; extending it is data, not code.
+  */
+object FtmModel {
+
+  /** schema → parent schemas (multiple inheritance, like FtM). */
+  val parents: Map[String, Seq[String]] = Map(
+    "Thing" -> Seq.empty,
+    "Interval" -> Seq.empty,
+    "Analyzable" -> Seq.empty,
+    "LegalEntity" -> Seq("Thing"),
+    "Person" -> Seq("LegalEntity"),
+    "Company" -> Seq("Organization", "Asset"),
+    "Organization" -> Seq("LegalEntity"),
+    "Asset" -> Seq("Thing"),
+    "Document" -> Seq("Thing", "Analyzable"),
+    "Pages" -> Seq("Document"),
+    "Folder" -> Seq("Document"),
+    "PlainText" -> Seq("Document"),
+    "Table" -> Seq("Document"),
+    "Image" -> Seq("Document"),
+    "Audio" -> Seq("Document"),
+    "Video" -> Seq("Document"),
+    "HyperText" -> Seq("Document"),
+    "Email" -> Seq("Document", "Interval"),
+    "Event" -> Seq("Interval", "Analyzable"),
+    "Ownership" -> Seq("Interval"),
+    "Membership" -> Seq("Interval"),
+    "Page" -> Seq.empty,
+    "Mention" -> Seq.empty)
+
+  /** All ancestors of a schema including itself. */
+  def ancestors(schema: String): Set[String] = {
+    def walk(s: String, acc: Set[String]): Set[String] =
+      if (acc(s)) acc
+      else parents.getOrElse(s, Seq.empty).foldLeft(acc + s)((a, p) => walk(p, a))
+    walk(schema, Set.empty)
+  }
+
+  /** All schemas that are-a `schema` (descendant expansion, reference P3). */
+  def descendants(schema: String): Set[String] =
+    parents.keySet.filter(s => ancestors(s).contains(schema))
+
+  /** Most specific schema of a set: one whose ancestor set contains every
+    * other member. Falls back to the least common ancestor when the set is
+    * incomparable (reference logic/entities/aggregate.py:19-28).
+    */
+  def mostSpecific(schemas: Set[String]): String = {
+    if (schemas.isEmpty) return "Thing"
+    if (schemas.size == 1) return schemas.head
+    schemas.find(s => schemas.forall(o => ancestors(s).contains(o))) match {
+      case Some(s) => s
+      case None =>
+        val common = schemas.map(ancestors).reduce(_ intersect _)
+        if (common.isEmpty) "Thing"
+        // deepest common ancestor; break ties by name for determinism
+        else common.toSeq.sortBy(s => (-ancestors(s).size, s)).head
+    }
+  }
+
+  /** Caption properties in preference order (first populated wins). */
+  val captionProps: Map[String, Seq[String]] = Map.empty.withDefaultValue(
+    Seq("name", "title", "fileName", "email"))
+
+  /** Coarse physical bucket for a schema (partition routing). */
+  def bucketOf(schema: String): String = {
+    val a = ancestors(schema)
+    if (schema == "Page") "page"
+    else if (schema == "Pages") "pages"
+    else if (schema == "Mention") "mention"
+    else if (a.contains("Document")) "document"
+    else if (a.contains("Thing")) "thing"
+    else "interval"
+  }
+
+  /** Property → FtM type name (drives `prop_type` and lang nulling). */
+  val propTypes: Map[String, String] = Map(
+    "name" -> "name", "title" -> "string", "fileName" -> "string",
+    "email" -> "email", "country" -> "country", "nationality" -> "country",
+    "birthDate" -> "date", "incorporationDate" -> "date", "date" -> "date",
+    "startDate" -> "date", "endDate" -> "date",
+    "contentHash" -> "checksum", "parent" -> "entity", "owner" -> "entity",
+    "asset" -> "entity", "member" -> "entity", "organization" -> "entity",
+    "bodyText" -> "text", "indexText" -> "text",
+    "mimeType" -> "mimetype", "fileSize" -> "number", "amount" -> "number")
+    .withDefaultValue("string")
+
+  /** Types whose values carry no language (lang gets nulled on import). */
+  val nonLinguistic: Set[String] =
+    Set("date", "country", "email", "checksum", "entity", "mimetype", "number", "url")
+
+  /** mimetype → document schema routing (reference helpers/file.py:64-100). */
+  def schemaForMime(mime: String): String = mime match {
+    case m if m.startsWith("image/") => "Image"
+    case m if m.startsWith("audio/") => "Audio"
+    case m if m.startsWith("video/") => "Video"
+    case "application/pdf" => "Pages"
+    case "text/html" => "HyperText"
+    case m if m.startsWith("text/") => "PlainText"
+    case "application/vnd.ms-excel" | "text/csv" => "Table"
+    case "message/rfc822" => "Email"
+    case "inode/directory" => "Folder"
+    case _ => "Document"
+  }
+}

@@ -159,6 +159,18 @@ object StatementOps {
       .orderBy(col("entity_id"))
   }
 
+  // S3/S5/A2 end to end through the physical store: partitioned append into
+  // a manifest-versioned table, merge rewrite (fragment supersession +
+  // tombstone reap), snapshot read-back. The merged table must read back
+  // exactly what read-time canonicalization (a1) computes — same oracle.
+  def s3StoreRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_e2e").toString
+    val store = new graft.lake.StatementStore(spark, tmp, EventStatements.Shards)
+    store.append(stmts(spark, dir))
+    store.merge()
+    stmtOut(store.raw)
+  }
+
   // O5: entity ordering by a property value — per-entity sort key via
   // aggregation, then global top-k on (key, id).
   def o5OrderByProp(spark: SparkSession, dir: String): DataFrame = {
@@ -182,6 +194,7 @@ object StatementOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_merge_dedupe" -> (a1MergeDedupe _),
+    "s3_store_roundtrip" -> (s3StoreRoundtrip _),
     "a3_changed_canonical" -> (a3ChangedCanonical _),
     "a4_entity_assembly" -> (a4EntityAssembly _),
     "a5_count_entities" -> (a5CountEntities _),
@@ -197,6 +210,7 @@ object StatementOps {
 
   val oracle: Map[String, String] = Map(
     "a1_merge_dedupe" -> s"$mergeCte\n$stmtOutSql",
+    "s3_store_roundtrip" -> s"$mergeCte\n$stmtOutSql",
     "a3_changed_canonical" ->
       s"""WITH stmts0 AS (${EventStatements.SQL}),
          |stmts AS (

@@ -1,0 +1,147 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.model.FtmModel
+
+/** The engine's query language: a filter tree + order + slice compiled onto
+  * statement DataFrames (reference: ftmq `Query` / RQL wire format,
+  * api/dependencies.py:78-167; compile funnel storage/parquet.py:185-195).
+  *
+  * Two filter grains, exactly like the reference:
+  *  - statement-grain predicates (dataset/origin/schema/entity_id/...)
+  *    become plain pushdown-friendly `Column` filters;
+  *  - property predicates (`P(name = "Jane")`) are entity-grain: the
+  *    entities with ANY matching statement are selected, then ALL their
+  *    statements returned — a distinct-ids semi-join (J2), never an IN
+  *    literal.
+  *
+  * Schema filters fold into a `bucket IN (...)` partition prune (P2) plus
+  * a descendant-expanded `schema IN (...)` row filter (P3).
+  */
+object FtmQuery {
+
+  sealed trait Comparator
+  case object EqOp extends Comparator
+  case object NotOp extends Comparator
+  case object InOp extends Comparator
+  case object NotInOp extends Comparator
+  case object GteOp extends Comparator
+  case object LteOp extends Comparator
+  case object GtOp extends Comparator
+  case object LtOp extends Comparator
+  case object LikeOp extends Comparator
+  case object NullOp extends Comparator
+  case object NotNullOp extends Comparator
+
+  /** Statement-grain predicate on a physical column. */
+  case class M(field: String, op: Comparator, values: Seq[String] = Seq.empty)
+  /** Entity-grain predicate on a property value. */
+  case class P(prop: String, op: Comparator, values: Seq[String] = Seq.empty)
+
+  case class Query(
+      schemata: Option[String] = None, // expands to descendants
+      origin: Option[String] = None,
+      statementFilters: Seq[M] = Seq.empty,
+      propFilters: Seq[P] = Seq.empty,
+      orderByProp: Option[(String, Boolean)] = None, // (prop, descending)
+      limit: Option[Int] = None,
+      offset: Int = 0)
+
+  /** DoS bounds mirroring the reference API caps (core/settings.py:89-93). */
+  val MaxFilterLeaves = 20
+  val MaxInValues = 10000
+
+  private def compare(c: Column, op: Comparator, values: Seq[String]): Column = op match {
+    case EqOp => c === values.head
+    case NotOp => c =!= values.head
+    case InOp => c.isin(values: _*)
+    case NotInOp => !c.isin(values: _*)
+    case GteOp => c >= values.head
+    case LteOp => c <= values.head
+    case GtOp => c > values.head
+    case LtOp => c < values.head
+    case LikeOp => c.like(values.head)
+    case NullOp => c.isNull
+    case NotNullOp => c.isNotNull
+  }
+
+  private def validate(q: Query): Unit = {
+    val leaves = q.statementFilters.size + q.propFilters.size
+    require(leaves <= MaxFilterLeaves, s"too many filter leaves: $leaves")
+    (q.statementFilters.map(_.values) ++ q.propFilters.map(_.values)).foreach { vs =>
+      require(vs.size <= MaxInValues, s"too many IN values: ${vs.size}")
+    }
+  }
+
+  /** Compile the query against a live statement DataFrame. Returns the
+    * matching statements (all statements of matching entities).
+    */
+  def compile(q: Query, live: DataFrame): DataFrame = {
+    validate(q)
+    var df = live
+
+    q.schemata.foreach { s =>
+      val desc = FtmModel.descendants(s)
+      val buckets = desc.map(FtmModel.bucketOf)
+      // derived bucket prune reaches partition pruning; schema filter
+      // narrows rows within surviving partitions
+      df = df.filter(col("bucket").isin(buckets.toSeq: _*) &&
+        col("schema").isin(desc.toSeq: _*))
+    }
+    q.origin.foreach(o => df = df.filter(col("origin") === o))
+    q.statementFilters.foreach(m => df = df.filter(compare(col(m.field), m.op, m.values)))
+
+    if (q.propFilters.nonEmpty) {
+      // J2 two-phase: entity ids with ANY statement matching EVERY prop
+      // predicate, then left-semi back to all their statements.
+      val idSets = q.propFilters.map { p =>
+        live.filter(col("prop") === p.prop && compare(col("value"), p.op, p.values))
+          .select("entity_id").distinct()
+      }
+      val ids = idSets.reduce(_.intersect(_))
+      df = df.join(broadcast(ids), Seq("entity_id"), "left_semi")
+    }
+    df
+  }
+
+  /** Entity-grain execution: matching entity ids in query order, sliced.
+    * Sorted/sliced queries run as ONE global plan (reference O4's
+    * `_needs_global` split): Catalyst turns orderBy+limit into a
+    * distributed top-k, never a full global sort.
+    */
+  def entityIds(q: Query, live: DataFrame): DataFrame = {
+    val matched = compile(q, live)
+    val ids = matched.select("entity_id").distinct()
+    val sortCols: Seq[Column] = q.orderByProp match {
+      case Some((_, desc)) => Seq(
+        if (desc) col("__key").desc_nulls_last else col("__key").asc_nulls_last,
+        col("entity_id"))
+      case None => Seq(col("entity_id"))
+    }
+    val keyed = q.orderByProp match {
+      case Some((prop, _)) =>
+        val keys = matched.filter(col("prop") === prop)
+          .groupBy("entity_id").agg(min(col("value")).as("__key"))
+        ids.join(keys, Seq("entity_id"), "left_outer")
+      case None => ids
+    }
+    val ordered = keyed.orderBy(sortCols: _*)
+    // slice: limit first (distributed top-k), then drop the offset prefix
+    // with a row_number over the already-tiny top-(offset+n) result.
+    val sliced = q.limit match {
+      case Some(n) => ordered.limit(q.offset + n)
+      case None => ordered
+    }
+    val out =
+      if (q.offset > 0)
+        sliced
+          .withColumn("__rn", row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy(sortCols: _*)))
+          .filter(col("__rn") > q.offset)
+          .orderBy(sortCols: _*)
+      else sliced
+    out.select("entity_id")
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.model.{FtmModel, Statement}
+import graft.ops.{EntityAssembly, Explode, MergeDedupe}
+import graft.query.FtmQuery
+import graft.query.FtmQuery._
+
+class QueryAssemblySpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def stmt(entity: String, schema: String, prop: String, value: String,
+      origin: String = "o1", dataset: String = "ds"): Statement =
+    Statement(
+      shard = "0", id = s"$entity-$prop-$value", entity_id = entity,
+      dataset = dataset, bucket = FtmModel.bucketOf(schema), origin = origin,
+      source = None, schema = schema, prop = prop,
+      prop_type = FtmModel.propTypes(prop), value = value,
+      original_value = None, lang = None, external = false,
+      first_seen = ts("2024-01-01 00:00:00"), last_seen = ts("2024-01-02 00:00:00"),
+      fragment = "", deleted_at = None)
+
+  private def fixture = {
+    import spark.implicits._
+    Seq(
+      stmt("p1", "Person", "name", "Alice"),
+      stmt("p1", "Person", "nationality", "de"),
+      stmt("p1", "Person", "name", "Alicia", origin = "o2"),
+      stmt("p2", "Person", "name", "Bob"),
+      stmt("c1", "Company", "name", "Acme"),
+      stmt("d1", "Pages", "fileName", "report.pdf"),
+      stmt("d1", "Pages", "contentHash", "abc123")).toDS().toDF()
+  }
+
+  test("schema lattice: descendants, most-specific, buckets") {
+    assert(FtmModel.descendants("Document").contains("Pages"))
+    assert(FtmModel.descendants("LegalEntity") == Set("LegalEntity", "Person", "Company", "Organization"))
+    assert(FtmModel.mostSpecific(Set("Thing", "LegalEntity", "Person")) == "Person")
+    // incomparable set falls back to deepest common ancestor
+    assert(FtmModel.mostSpecific(Set("Person", "Company")) == "LegalEntity")
+    assert(FtmModel.bucketOf("Pages") == "pages")
+    assert(FtmModel.bucketOf("Person") == "thing")
+    assert(FtmModel.bucketOf("Membership") == "interval")
+  }
+
+  test("schemata filter expands to descendants and prunes buckets") {
+    val q = Query(schemata = Some("Document"))
+    val out = FtmQuery.compile(q, fixture)
+    assert(out.select("entity_id").distinct().collect().map(_.getString(0)).toSet == Set("d1"))
+  }
+
+  test("property filter is entity-grain: all statements of matching entities") {
+    val q = Query(propFilters = Seq(P("name", EqOp, Seq("Alice"))))
+    val out = FtmQuery.compile(q, fixture)
+    // p1 matches via name=Alice; ALL of p1's statements return, including
+    // the other-origin name and the nationality
+    assert(out.count() == 3)
+  }
+
+  test("origin filter restricts statements, order/slice paginate entities") {
+    val q = Query(origin = Some("o1"))
+    assert(FtmQuery.compile(q, fixture).count() == 6)
+
+    val ordered = FtmQuery.entityIds(
+      Query(schemata = Some("LegalEntity"),
+        orderByProp = Some(("name", false)), limit = Some(2)), fixture)
+    assert(ordered.collect().map(_.getString(0)).toSeq == Seq("c1", "p1")) // Acme, Alice
+
+    val page2 = FtmQuery.entityIds(
+      Query(schemata = Some("LegalEntity"),
+        orderByProp = Some(("name", false)), limit = Some(2), offset = 2), fixture)
+    assert(page2.collect().map(_.getString(0)).toSeq == Seq("p2")) // Bob
+  }
+
+  test("filter-leaf and IN-value caps are enforced") {
+    val tooMany = (1 to 21).map(i => M("prop", EqOp, Seq(s"v$i")))
+    intercept[IllegalArgumentException] {
+      FtmQuery.compile(Query(statementFilters = tooMany), fixture)
+    }
+  }
+
+  test("entity assembly: caption, most-specific schema, property fold, origins") {
+    val entities = EntityAssembly.assemble(fixture)
+    val byId = entities.collect().map(e => e.id -> e).toMap
+    val p1 = byId("p1")
+    assert(p1.caption == "Alice")
+    assert(p1.schema == "Person")
+    assert(p1.properties("name").toSet == Set("Alice", "Alicia"))
+    assert(p1.origins == Seq("o1", "o2"))
+    // fileName is in the caption preference list for documents
+    assert(byId("d1").caption == "report.pdf")
+  }
+
+  test("explode round-trips through assembly") {
+    import spark.implicits._
+    val payloads = Seq(
+      Explode.EntityPayload("p9.sig", "Person",
+        Map("name" -> Seq("Zed"), "nationality" -> Seq("fr", "de")))).toDS()
+    val stmts = Explode.explode(payloads, "ds", "o1", shards = 4, now = ts("2024-01-01 00:00:00"))
+    // 3 prop rows + 1 BASE_ID checksum row; namespace stripped from the id
+    assert(stmts.count() == 4)
+    assert(stmts.select("entity_id").distinct().collect().head.getString(0) == "p9")
+    val asm = EntityAssembly.assemble(MergeDedupe.live(stmts)).collect().head
+    assert(asm.caption == "Zed")
+    assert(asm.properties("nationality").toSet == Set("fr", "de"))
+    // BASE_ID row drives last_change, and is not exposed as a property
+    assert(!asm.properties.contains("id"))
+  }
+}

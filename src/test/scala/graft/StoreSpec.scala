@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.lake.{Journal, StatementStore}
+import graft.model.Statement
+
+/** Store lifecycle: append → snapshot versions → merge → compact → vacuum,
+  * plus journal drain (reference tests/test_storage_parquet.py and
+  * tests/test_storage_journal.py shapes).
+  */
+class StoreSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def mkStatements(n: Int, origin: String, lastSeen: String) = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      val entity = s"e${i % 7}"
+      Statement(
+        shard = f"${i % 7 % 4}%01x", id = s"id$i-$origin", entity_id = entity,
+        dataset = "ds", bucket = if (i % 2 == 0) "thing" else "interval",
+        origin = origin, source = None, schema = "Person", prop = "name",
+        prop_type = "string", value = s"v$i", original_value = None,
+        lang = None, external = false,
+        first_seen = ts("2024-01-01 00:00:00"), last_seen = ts(lastSeen),
+        fragment = if (i % 3 == 0) "" else s"f${i % 2}",
+        deleted_at = None)
+    }.toDS().toDF()
+  }
+
+  test("append/read/merge/compact/vacuum lifecycle with snapshot versions") {
+    val dir = Files.createTempDirectory("graft-store").toString
+    val store = new StatementStore(spark, dir, shards = 4)
+
+    assert(store.version == -1L)
+    assert(store.raw.count() == 0)
+
+    val v0 = store.append(mkStatements(20, "o1", "2024-01-02 00:00:00"))
+    assert(v0 == 0L && store.raw.count() == 20)
+
+    // same origin, one day later: fragment groups get superseded rows and
+    // non-fragment rows repeat their content ids
+    val v1 = store.append(mkStatements(20, "o1", "2024-01-03 00:00:00"))
+    val v1b = store.append(mkStatements(20, "o2", "2024-01-03 00:00:00"))
+    assert(v1b == 2L && store.raw.count() == 60)
+
+    // snapshot isolation: old version still reads 20 rows
+    assert(store.rawAt(0).count() == 20)
+
+    // partition columns survive the round trip with string types
+    val parts = store.raw.select("shard", "bucket", "origin").distinct().collect()
+    assert(parts.forall(r => r.getString(0).length == 1))
+
+    // merge: 13 o1 fragment rows from day 2 are superseded by day 3; the
+    // 7 o1 non-fragment rows collapse on their repeated content ids
+    val v2 = store.merge()
+    assert(v2 > v1b)
+    val afterMerge = store.raw.count()
+    assert(afterMerge == 40)
+
+    // dirty tags cleared → immediate re-merge is a no-op version-wise
+    assert(store.merge() == v2)
+
+    // compact everything into fewer files; rowcount is unchanged
+    store.append(mkStatements(5, "o1", "2024-01-04 00:00:00"))
+    store.append(mkStatements(5, "o1", "2024-01-05 00:00:00"))
+    val before = store.raw.count()
+    store.compact(maxFilesPerPartition = 1)
+    assert(store.raw.count() == before)
+
+    // vacuum removes unreferenced files but current snapshot still reads
+    val removed = store.vacuum()
+    assert(removed.nonEmpty)
+    assert(store.raw.count() == before)
+  }
+
+  test("journal write/drain: last-writer-wins upsert + tombstone bump") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-journal").toString
+    val store = new StatementStore(spark, dir, shards = 4)
+    val journal = new Journal(spark, dir)
+
+    val s1 = Statement("0", "idA", "e1", "ds", "thing", "o1", None, "Person",
+      "name", "string", "Alice", None, None, external = false,
+      ts("2024-01-01 00:00:00"), ts("2024-01-01 00:00:00"), "", None)
+    // same (id, fragment, origin), newer — wins
+    val s2 = s1.copy(value = "Alice2", last_seen = ts("2024-01-02 00:00:00"))
+    // tombstone with deleted_at after last_seen — bump applies
+    val s3 = Statement("0", "idB", "e2", "ds", "thing", "o1", None, "Person",
+      "name", "string", "Bob", None, None, external = false,
+      ts("2024-01-01 00:00:00"), ts("2024-01-01 00:00:00"), "",
+      Some(ts("2024-01-05 00:00:00")))
+
+    journal.write(Seq(s1).toDS().toDF())
+    journal.write(Seq(s2, s3).toDS().toDF())
+    assert(journal.count() == 3)
+
+    journal.drain(store)
+    assert(journal.count() == 0)
+
+    val rows = store.raw.collect()
+    assert(rows.length == 2)
+    val byId = rows.map(r => r.getAs[String]("id") -> r).toMap
+    assert(byId("idA").getAs[String]("value") == "Alice2")
+    // F7: tombstone's last_seen bumped to deleted_at
+    assert(byId("idB").getAs[Timestamp]("last_seen") == ts("2024-01-05 00:00:00"))
+
+    // drained journal is idempotent: second drain is a no-op
+    val v = store.version
+    journal.drain(store)
+    assert(store.version == v)
+  }
+}
