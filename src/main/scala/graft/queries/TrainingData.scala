@@ -1,0 +1,297 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedupe.Dedupe
+import graft.multimodal.Multimodal
+import graft.similarity.Similarity
+import graft.text.TextFunctions
+
+/** Training-data pipeline operators over the documents/embeddings tables:
+  * text analysis, exact + near dedupe (MinHash/LSH, SimHash, Jaccard),
+  * embedding similarity search (brute-force + bucketed ANN), multimodal
+  * metadata plumbing. All hashes/scores are integer arithmetic or
+  * single-step IEEE doubles, so every query is DuckDB-hash-checkable.
+  */
+object TrainingData {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+
+  // ---- text analysis ----
+
+  def t1LangId(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"), col("lang"),
+      TextFunctions.langId(col("text")).as("predicted"),
+      TextFunctions.markerHits(col("text"), TextFunctions.langMarkers.head._2).as("en_hits"))
+      .orderBy(col("doc_id"))
+
+  def t2Quality(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"),
+      TextFunctions.distinctTokenCount(col("text")).as("n_distinct"),
+      TextFunctions.typeTokenRatio(col("text")).as("ttr"),
+      TextFunctions.qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+
+  def t3Tokens(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_measured"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"),
+      TextFunctions.subwordCount(col("text")).as("n_subwords"))
+      .orderBy(col("doc_id"))
+
+  def t4Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      TextFunctions.fingerprint(col("text")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  // ---- dedupe ----
+
+  private def prefixKey = md5(array_join(slice(split(col("text"), " "), 1, 5), " "))
+
+  def d1ExactDup(spark: SparkSession, dir: String): DataFrame =
+    Dedupe.exactDupGroups(docs(spark, dir), "doc_id", prefixKey)
+      .orderBy(col("dup_key"))
+
+  private val MinhashK = 8
+
+  private def docShingles = TextFunctions.shingles(col("text"), 3)
+
+  def d2Minhash(spark: SparkSession, dir: String): DataFrame =
+    Dedupe.minhashSignature(docs(spark, dir), "doc_id", docShingles, MinhashK)
+      .orderBy(col("doc_id"))
+
+  def d2bLshPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = Dedupe.minhashSignature(docs(spark, dir), "doc_id", docShingles, MinhashK)
+    Dedupe.lshCandidatePairs(sig, "doc_id", MinhashK, rowsPerBand = 2)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  def d3Simhash(spark: SparkSession, dir: String): DataFrame =
+    Dedupe.simhash32(docs(spark, dir), "doc_id",
+      array_distinct(TextFunctions.tokens(col("text"))))
+      .orderBy(col("doc_id"))
+
+  def d4JaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val sig = Dedupe.minhashSignature(d, "doc_id", docShingles, MinhashK)
+    val cand = Dedupe.lshCandidatePairs(sig, "doc_id", MinhashK, rowsPerBand = 2)
+    Dedupe.jaccardPairs(d, "doc_id", docShingles, cand)
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // ---- embedding similarity ----
+
+  def d5EmbedDup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairs(emb(spark, dir), "vec_id", "label", 0.35)
+      .orderBy(col("label"), col("id_a"), col("id_b"))
+
+  def sim1TopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    Similarity.bruteForceTopK(e, "vec_id", e.filter(col("vec_id") < 10), 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def sim2AnnBucket(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    Similarity.bucketedTopK(e, "vec_id", e.filter(col("vec_id") < 20), 3, bits = 4)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ---- multimodal plumbing ----
+
+  def mm1MediaMeta(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.withMetadata(
+      docs(spark, dir).withColumn("payload", col("text").cast("binary")),
+      "doc_id", "payload")
+      .withColumn("fake_feature",
+        conv(substring(col("sha"), 1, 4), 16, 10).cast("long"))
+      .orderBy(col("media_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_langid" -> (t1LangId _),
+    "t2_quality" -> (t2Quality _),
+    "t3_tokens" -> (t3Tokens _),
+    "t4_fingerprint" -> (t4Fingerprint _),
+    "d1_exact_dup" -> (d1ExactDup _),
+    "d2_minhash" -> (d2Minhash _),
+    "d2b_lsh_pairs" -> (d2bLshPairs _),
+    "d3_simhash" -> (d3Simhash _),
+    "d4_jaccard_pairs" -> (d4JaccardPairs _),
+    "d5_embed_dup" -> (d5EmbedDup _),
+    "sim1_topk" -> (sim1TopK _),
+    "sim2_ann_bucket" -> (sim2AnnBucket _),
+    "mm1_media_meta" -> (mm1MediaMeta _))
+
+  // ---- DuckDB oracle twins ----
+
+  private val tokH = "(('0x'||substr(md5(w),1,8))::BIGINT)"
+
+  private val sigCte =
+    s"""sig AS (
+       |  SELECT doc_id,
+       |    MIN(($tokH*3+12345) % 4294967311) AS mh0,
+       |    MIN(($tokH*5+12346) % 4294967311) AS mh1,
+       |    MIN(($tokH*7+12347) % 4294967311) AS mh2,
+       |    MIN(($tokH*9+12348) % 4294967311) AS mh3,
+       |    MIN(($tokH*11+12349) % 4294967311) AS mh4,
+       |    MIN(($tokH*13+12350) % 4294967311) AS mh5,
+       |    MIN(($tokH*15+12351) % 4294967311) AS mh6,
+       |    MIN(($tokH*17+12352) % 4294967311) AS mh7
+       |  FROM (SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, greatest(len(string_split(text,' '))-2, 1)),
+       |    i -> array_to_string((string_split(text,' '))[i:i+2], ' ')))) AS w FROM documents)
+       |  GROUP BY doc_id)""".stripMargin
+
+  private val bandedCte =
+    """banded AS (
+      |  SELECT doc_id, 0 AS band, md5(mh0::VARCHAR||','||mh1::VARCHAR) AS bucket FROM sig
+      |  UNION ALL SELECT doc_id, 1, md5(mh2::VARCHAR||','||mh3::VARCHAR) FROM sig
+      |  UNION ALL SELECT doc_id, 2, md5(mh4::VARCHAR||','||mh5::VARCHAR) FROM sig
+      |  UNION ALL SELECT doc_id, 3, md5(mh6::VARCHAR||','||mh7::VARCHAR) FROM sig),
+      |cand AS (
+      |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      |  FROM banded l JOIN banded r
+      |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id)""".stripMargin
+
+  private val qCte =
+    """q AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |p AS (
+      |  SELECT vec_id, label, qv,
+      |    list_sum(list_transform(list_zip(qv, qv), z -> CAST(z[1] AS BIGINT)*z[2])) AS nrm
+      |  FROM q)""".stripMargin
+
+  private val simExpr =
+    "CAST(list_sum(list_transform(list_zip(a.qv, b.qv), z -> CAST(z[1] AS BIGINT)*z[2])) AS DOUBLE) / sqrt(CAST(a.nrm*b.nrm AS DOUBLE))"
+
+  val oracle: Map[String, String] = Map(
+    "t1_langid" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    len(list_intersect(list_distinct(string_split(text,' ')), ['the','a','is','of','and','fast','slow'])) AS en,
+        |    len(list_intersect(list_distinct(string_split(text,' ')), ['der','die','das','und','ist'])) AS de,
+        |    len(list_intersect(list_distinct(string_split(text,' ')), ['el','la','los','es','y'])) AS es,
+        |    len(list_intersect(list_distinct(string_split(text,' ')), ['le','la','les','est','et'])) AS fr,
+        |    len(list_intersect(list_distinct(string_split(text,' ')), ['的','是','在'])) AS zh
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE WHEN greatest(en,de,es,fr,zh) = 0 THEN 'und'
+        |       WHEN en = greatest(en,de,es,fr,zh) THEN 'en'
+        |       WHEN de = greatest(en,de,es,fr,zh) THEN 'de'
+        |       WHEN es = greatest(en,de,es,fr,zh) THEN 'es'
+        |       WHEN fr = greatest(en,de,es,fr,zh) THEN 'fr'
+        |       ELSE 'zh' END AS predicted,
+        |  en AS en_hits
+        |FROM scored ORDER BY doc_id""".stripMargin,
+    "t2_quality" ->
+      """SELECT doc_id,
+        |  len(string_split(text,' ')) AS n_tokens,
+        |  len(list_distinct(string_split(text,' '))) AS n_distinct,
+        |  CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / CAST(len(string_split(text,' ')) AS DOUBLE) AS ttr,
+        |  CAST(0.5 AS DOUBLE) * (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / CAST(len(string_split(text,' ')) AS DOUBLE))
+        |    + CAST(0.5 AS DOUBLE) * least(CAST(1.0 AS DOUBLE), CAST(len(string_split(text,' ')) AS DOUBLE) / CAST(100.0 AS DOUBLE)) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t3_tokens" ->
+      """SELECT doc_id,
+        |  length(text) AS n_chars_measured,
+        |  len(string_split(text,' ')) AS n_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_subwords
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t4_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d1_exact_dup" ->
+      """SELECT md5(array_to_string((string_split(text,' '))[1:5], ' ')) AS dup_key,
+        |  COUNT(*) AS group_size,
+        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY CAST(doc_id AS VARCHAR)) AS members
+        |FROM documents
+        |GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY dup_key""".stripMargin,
+    "d2_minhash" ->
+      s"WITH $sigCte\nSELECT * FROM sig ORDER BY doc_id",
+    "d2b_lsh_pairs" ->
+      s"WITH $sigCte,\n$bandedCte\nSELECT id_a, id_b FROM cand ORDER BY id_a, id_b",
+    "d3_simhash" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tokH AS h
+         |  FROM (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS w FROM documents)),
+         |votes AS (
+         |  SELECT doc_id, bit, SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM toks, (SELECT unnest(generate_series(0,31)) AS bit)
+         |  GROUP BY doc_id, bit)
+         |SELECT doc_id,
+         |  SUM(CASE WHEN v >= 0 THEN (1::BIGINT << bit) ELSE 0::BIGINT END) AS simhash
+         |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d4_jaccard_pairs" ->
+      s"""WITH $sigCte,
+         |$bandedCte,
+         |toks AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, greatest(len(string_split(text,' '))-2, 1)),
+         |    i -> array_to_string((string_split(text,' '))[i:i+2], ' ')))) AS w FROM documents),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.id_a, c.id_b, COUNT(*) AS i
+         |  FROM cand c JOIN toks ta ON ta.doc_id = c.id_a
+         |              JOIN toks tb ON tb.doc_id = c.id_b AND tb.w = ta.w
+         |  GROUP BY c.id_a, c.id_b)
+         |SELECT c.id_a, c.id_b,
+         |  CAST(COALESCE(i.i,0) AS DOUBLE) / CAST(sa.n + sb.n - COALESCE(i.i,0) AS DOUBLE) AS jaccard
+         |FROM cand c
+         |LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+         |JOIN sizes sa ON sa.doc_id = c.id_a
+         |JOIN sizes sb ON sb.doc_id = c.id_b
+         |WHERE CAST(COALESCE(i.i,0) AS DOUBLE) / CAST(sa.n + sb.n - COALESCE(i.i,0) AS DOUBLE) >= 0.5
+         |ORDER BY c.id_a, c.id_b""".stripMargin,
+    "d5_embed_dup" ->
+      s"""WITH $qCte
+         |SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b
+         |FROM p a JOIN p b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE $simExpr > 0.35
+         |ORDER BY a.label, id_a, id_b""".stripMargin,
+    "sim1_topk" ->
+      s"""WITH $qCte,
+         |scored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY $simExpr DESC, b.vec_id) AS rank
+         |  FROM p a JOIN p b ON a.vec_id < 10 AND b.vec_id <> a.vec_id)
+         |SELECT query_id, neighbor_id, rank FROM scored
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "sim2_ann_bucket" ->
+      s"""WITH $qCte,
+         |bkt AS (
+         |  SELECT *,
+         |    (CASE WHEN qv[1] >= 0 THEN 1 ELSE 0 END) + (CASE WHEN qv[2] >= 0 THEN 2 ELSE 0 END)
+         |    + (CASE WHEN qv[3] >= 0 THEN 4 ELSE 0 END) + (CASE WHEN qv[4] >= 0 THEN 8 ELSE 0 END) AS b
+         |  FROM p),
+         |scored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY $simExpr DESC, b.vec_id) AS rank
+         |  FROM bkt a JOIN bkt b ON a.b = b.b AND a.vec_id < 20 AND b.vec_id <> a.vec_id)
+         |SELECT query_id, neighbor_id, rank FROM scored
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "mm1_media_meta" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |  octet_length(CAST(text AS BLOB)) AS byte_len,
+        |  sha256(text) AS sha,
+        |  CASE WHEN substr(lower(hex(CAST(text AS BLOB))),1,8) LIKE '89504e47%' THEN 'png'
+        |       WHEN substr(lower(hex(CAST(text AS BLOB))),1,4) LIKE 'ffd8%' THEN 'jpeg'
+        |       WHEN substr(lower(hex(CAST(text AS BLOB))),1,6) LIKE '494433%' THEN 'mp3'
+        |       WHEN substr(lower(hex(CAST(text AS BLOB))),1,6) LIKE '000000%' THEN 'mp4'
+        |       ELSE 'bin' END AS format,
+        |  ('0x'||substr(sha256(text),1,4))::BIGINT AS fake_feature
+        |FROM documents ORDER BY media_id""".stripMargin)
+}

@@ -1,0 +1,108 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Determinism design: components are quantized to integers
+  * (`round(x * 10000)`), so dot products and norms are exact integer sums
+  * — every term and every partial is < 2^53, hence bit-identical in any
+  * summation order and in any engine. The only floating-point steps are
+  * one multiply, one sqrt and one divide on those exact integers, which
+  * IEEE-754 pins to a single result. Cosine ordering is therefore stable
+  * across Spark and DuckDB, making ANN results hash-comparable.
+  *
+  * Scale shape: brute-force top-k is the verification baseline (full scan
+  * per query — only for small query sets); the bucketed variant is the
+  * 100 TB path: sign-LSH buckets from the leading components, candidate
+  * search within buckets only. Swapping the bucket function for trained
+  * IVF centroids is a drop-in.
+  */
+object Similarity {
+
+  val Scale = 10000
+
+  /** Quantize a float-array embedding to an exact integer vector. */
+  def quantize(emb: Column): Column =
+    transform(emb, x => round(x.cast("double") * Scale).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Deterministic cosine from quantized vectors. */
+  def cosineQ(qa: Column, qb: Column, na: Column, nb: Column): Column =
+    dotQ(qa, qb).cast("double") / sqrt((na * nb).cast("double"))
+
+  /** Normalized table: (id, label, q, n) with quantized vector + norm². */
+  def prepared(emb: DataFrame, idCol: String): DataFrame =
+    emb.withColumn("__q", quantize(col("embedding")))
+      .withColumn("__n", dotQ(col("__q"), col("__q")))
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest
+    * neighbors over the whole corpus. The corpus side streams once per
+    * plan (broadcast the small query side); ranking is a per-query window
+    * top-k, not a global sort.
+    */
+  def bruteForceTopK(emb: DataFrame, idCol: String, queries: DataFrame, k: Int): DataFrame = {
+    val corpus = prepared(emb, idCol)
+      .select(col(idCol).as("neighbor_id"), col("__q").as("__qc"), col("__n").as("__nc"))
+    val qs = prepared(queries, idCol)
+      .select(col(idCol).as("query_id"), col("__q").as("__qq"), col("__n").as("__nq"))
+    val scored = corpus.join(broadcast(qs), col("query_id") =!= col("neighbor_id"))
+      .withColumn("__sim", cosineQ(col("__qq"), col("__qc"), col("__nq"), col("__nc")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** Sign-LSH bucket key from the first `bits` quantized components. */
+  def signBucket(q: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      when(element_at(q, i + 1) >= 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Bucketed ANN: candidates restricted to the query's bucket. Recall is
+    * approximate by construction; the shuffle is (bucket) -> candidates,
+    * linear in corpus size instead of quadratic.
+    */
+  def bucketedTopK(emb: DataFrame, idCol: String, queries: DataFrame,
+      k: Int, bits: Int): DataFrame = {
+    val corpus = prepared(emb, idCol)
+      .withColumn("__bkt", signBucket(col("__q"), bits))
+      .select(col(idCol).as("neighbor_id"), col("__bkt"), col("__q").as("__qc"), col("__n").as("__nc"))
+    val qs = prepared(queries, idCol)
+      .withColumn("__bkt", signBucket(col("__q"), bits))
+      .select(col(idCol).as("query_id"), col("__bkt"), col("__q").as("__qq"), col("__n").as("__nq"))
+    val scored = corpus.join(broadcast(qs), Seq("__bkt"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__sim", cosineQ(col("__qq"), col("__qc"), col("__nq"), col("__nc")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** Near-duplicate pairs by embedding cosine above `threshold`, blocked
+    * by an equality column (e.g. a cluster label or LSH bucket) so the
+    * pair space is per-block, not global.
+    */
+  def nearDupPairs(emb: DataFrame, idCol: String, blockCol: String,
+      threshold: Double): DataFrame = {
+    val p = prepared(emb, idCol)
+      .select(col(idCol), col(blockCol), col("__q"), col("__n"))
+    val a = p.select(col(blockCol), col(idCol).as("id_a"),
+      col("__q").as("__qa"), col("__n").as("__na"))
+    val b = p.select(col(blockCol), col(idCol).as("id_b"),
+      col("__q").as("__qb"), col("__n").as("__nb"))
+    a.join(b, Seq(blockCol))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosineQ(col("__qa"), col("__qb"), col("__na"), col("__nb")) > threshold)
+      .select(col(blockCol), col("id_a"), col("id_b"))
+  }
+}

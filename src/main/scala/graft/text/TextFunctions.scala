@@ -1,0 +1,93 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, token statistics, quality scoring, language-ID heuristic,
+  * document fingerprinting. All pure `functions._` column expressions —
+  * codegen'd, no UDFs, fully pushdown/AQE friendly, and each one has an
+  * exact DuckDB-SQL twin for the oracle harness.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens (the corpus is single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** Distinct n-word shingles (default 3): the discriminative term set for
+    * MinHash/Jaccard near-dup detection. Short texts (< n tokens) yield a
+    * single shingle covering the whole text.
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = tokens(text)
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** BPE-ish subword count: alpha runs, digit runs, and single other chars.
+    * A cheap proxy for LLM token budgeting at corpus scale.
+    */
+  val SubwordPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  def subwordCount(text: Column): Column = regexp_count(text, lit(SubwordPattern))
+
+  /** Normalized-text fingerprint: lowercase, collapse whitespace, trim,
+    * md5. Two documents differing only in case/spacing collide.
+    */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** Type-token ratio — low values flag boilerplate/repetition. */
+  def typeTokenRatio(text: Column): Column =
+    distinctTokenCount(text).cast("double") / tokenCount(text).cast("double")
+
+  /** Mean token length: non-space chars over tokens. */
+  def meanTokenLen(text: Column): Column =
+    (length(text) - (tokenCount(text) - lit(1))).cast("double") /
+      tokenCount(text).cast("double")
+
+  /** Composite quality score in [0,1]: lexical diversity + length credit.
+    * Deterministic double arithmetic (single divisions, least(), no
+    * accumulation order dependence).
+    */
+  def qualityScore(text: Column): Column =
+    lit(0.5) * typeTokenRatio(text) +
+      lit(0.5) * least(lit(1.0), tokenCount(text).cast("double") / lit(100.0))
+
+  /** Marker-token hit count: how many of `markers` occur in the text's
+    * token set.
+    */
+  def markerHits(text: Column, markers: Seq[String]): Column =
+    size(array_intersect(array_distinct(tokens(text)),
+      array(markers.map(lit): _*)))
+
+  /** Language-ID heuristic: argmax of per-language marker-token hits with
+    * a fixed preference order on ties; 'und' when nothing matches. The
+    * marker lists are data, not code — swap in real stopword profiles for
+    * natural corpora.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is", "of", "and", "fast", "slow"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "es", "y"),
+    "fr" -> Seq("le", "la", "les", "est", "et"),
+    "zh" -> Seq("的", "是", "在"))
+
+  def langId(text: Column): Column = {
+    val scored = langMarkers.map { case (l, m) => (l, markerHits(text, m)) }
+    // fold in preference order: later candidates must strictly beat the
+    // incumbent, so ties resolve to the earlier language.
+    val (bestLang, _) = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+      case ((accLang, accScore), (l, s)) =>
+        (when(s > accScore, lit(l)).otherwise(accLang),
+          when(s > accScore, s).otherwise(accScore))
+    }
+    val maxScore = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    when(maxScore === 0, "und").otherwise(bestLang)
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedupe.Dedupe
+import graft.multimodal.Multimodal
+import graft.similarity.Similarity
+import graft.text.TextFunctions
+
+class TrainingDataSpec extends SparkSpec {
+
+  private def docsDf = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+      (3L, "completely different words appear in this sentence here"),
+      (4L, "the quick brown fox jumps over the lazy dog") // exact dup of 1
+    ).toDF("doc_id", "text")
+  }
+
+  test("minhash+LSH surfaces the near/exact dup pair, jaccard verifies") {
+    val sh = TextFunctions.shingles(col("text"), 3)
+    val sig = Dedupe.minhashSignature(docsDf, "doc_id", sh, 8)
+    val cand = Dedupe.lshCandidatePairs(sig, "doc_id", 8, 2)
+    val pairs = cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // exact dup always collides
+    val j = Dedupe.jaccardPairs(docsDf, "doc_id", sh, cand)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 4L)) == 1.0)
+    j.get((1L, 2L)).foreach(v => assert(v > 0.4 && v < 1.0))
+    // doc 3 shares no shingle with anything
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical docs equal, near-dups hamming-close") {
+    val sh = Dedupe.simhash32(docsDf, "doc_id", array_distinct(TextFunctions.tokens(col("text"))))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(4L))
+    val hamming = java.lang.Long.bitCount(sh(1L) ^ sh(2L))
+    val hammingFar = java.lang.Long.bitCount(sh(1L) ^ sh(3L))
+    assert(hamming < hammingFar)
+  }
+
+  test("quality/langid/fingerprint column functions behave") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat is on the mat and the dog is fast"),
+      (2L, "der hund ist und die katze das"),
+      (3L, "xyzzy plugh")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+      TextFunctions.langId(col("text")).as("lang"),
+      TextFunctions.qualityScore(col("text")).as("q"),
+      TextFunctions.fingerprint(col("text")).as("fp")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("lang") == "en")
+    assert(out(2L).getAs[String]("lang") == "de")
+    assert(out(3L).getAs[String]("lang") == "und")
+    assert(out(1L).getAs[Double]("q") > 0 && out(1L).getAs[Double]("q") <= 1.0)
+    // fingerprint ignores case/extra spaces
+    val fp2 = Seq((9L, "  THE cat is on the mat  and the dog is fast ")).toDF("doc_id", "text")
+      .select(TextFunctions.fingerprint(col("text"))).collect().head.getString(0)
+    assert(fp2 == out(1L).getAs[String]("fp"))
+  }
+
+  test("multimodal: metadata sniffs magic bytes, feature pipeline is deterministic") {
+    import spark.implicits._
+    val png = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 1, 2, 3)
+    val jpeg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte, 9, 9)
+    val df = Seq((1L, png), (2L, jpeg)).toDF("media_id", "payload")
+    val meta = Multimodal.withMetadata(df, "media_id", "payload")
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("format")).toMap
+    assert(meta(1L) == "png" && meta(2L) == "jpeg")
+
+    val feats = Multimodal.extractFeatures(df, "media_id", "payload").collect()
+      .map(f => f.media_id -> f).toMap
+    assert(feats(1L).format == "png" && feats(1L).feature.length == 8)
+    // deterministic: second run identical
+    val again = Multimodal.extractFeatures(df, "media_id", "payload").collect()
+      .map(f => f.media_id -> f.feature).toMap
+    assert(again(1L) == feats(1L).feature && again(2L) == feats(2L).feature)
+  }
+
+  test("brute-force topk: rank 1 is the true argmax; bucketed ANN ⊆ brute-force candidates") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 0),
+      (1L, Seq(0.9f, 0.1f, 0f, 0f), 0),
+      (2L, Seq(0f, 1f, 0f, 0f), 0),
+      (3L, Seq(-1f, 0f, 0f, 0f), 0)).toDF("vec_id", "embedding", "label")
+    val top = Similarity.bruteForceTopK(vecs, "vec_id", vecs.filter(col("vec_id") === 0), 2)
+      .collect().map(r => (r.getLong(1), r.getInt(2)))
+    assert(top.head == (1L, 1)) // closest is vec 1
+    val ann = Similarity.bucketedTopK(vecs, "vec_id", vecs.filter(col("vec_id") === 0), 2, bits = 2)
+      .collect().map(_.getLong(1)).toSet
+    assert(ann.contains(1L)) // same-signs bucket keeps the true neighbor
+    assert(!ann.contains(3L)) // opposite-sign vector is in another bucket
+  }
+}
