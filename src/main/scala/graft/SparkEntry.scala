@@ -19,12 +19,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.StatementOps.queries ++
-      graft.queries.TrainingData.queries
+      graft.queries.TrainingData.queries ++
+      graft.queries.StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
       graft.queries.StatementOps.oracle ++
-      graft.queries.TrainingData.oracle
+      graft.queries.TrainingData.oracle ++
+      graft.queries.StreamingOps.oracle
 }

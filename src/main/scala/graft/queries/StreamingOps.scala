@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Exports
+import graft.streaming.EventStream
+
+/** Streaming/incremental operators (SURVEY.md §2.9) and export round trips
+  * (S9-S12), each oracle-checked: the streaming window agg must equal the
+  * batch SQL twin; the CSV/JSON round trips must reproduce their source.
+  */
+object StreamingOps {
+
+  // Tumbling-window aggregation, batch form.
+  def st1WindowAgg(spark: SparkSession, dir: String): DataFrame =
+    EventStream.windowAggBatch(Tables.events(spark, dir))
+      .orderBy(col("window_ms"), col("event_type"))
+
+  // The same aggregation executed as a real Structured Streaming query
+  // (file source → watermark → window → memory sink, Trigger.AvailableNow).
+  def st0StreamWindow(spark: SparkSession, dir: String): DataFrame =
+    EventStream.windowAggStreaming(spark, dir)
+      .orderBy(col("window_ms"), col("event_type"))
+
+  // Sessionization (30-minute inactivity gap), batch gaps-and-islands.
+  def st2Sessionize(spark: SparkSession, dir: String): DataFrame =
+    EventStream.sessionizeBatch(Tables.events(spark, dir), gapMinutes = 30)
+      .orderBy(col("user_id"), col("session_seq"))
+
+  // S9/S10: sorted CSV export and re-import round trip.
+  def s9CsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    Exports.csvExport(docs, tmp, sortCol = "doc_id")
+    Exports.csvImport(spark, tmp, docs.schema)
+      .orderBy(col("doc_id"))
+  }
+
+  // S11/S12: JSON-lines export and re-import round trip over assembled
+  // entity rows (the a4 flattened form — shares a4's oracle semantics).
+  def s11JsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val entities = StatementOps.a4EntityAssembly(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_json").toString
+    Exports.jsonExport(entities, tmp, sortCol = "entity_id")
+    Exports.jsonImport(spark, tmp, entities.schema)
+      .orderBy(col("entity_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st1_window_agg" -> (st1WindowAgg _),
+    "st0_stream_window" -> (st0StreamWindow _),
+    "st2_sessionize" -> (st2Sessionize _),
+    "s9_csv_roundtrip" -> (s9CsvRoundtrip _),
+    "s11_json_roundtrip" -> (s11JsonRoundtrip _))
+
+  private val windowSql =
+    """SELECT epoch_ms(date_trunc('hour', ts)) AS window_ms, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events GROUP BY 1, 2 ORDER BY window_ms, event_type""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "st1_window_agg" -> windowSql,
+    "st0_stream_window" -> windowSql,
+    "st2_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |b AS (
+        |  SELECT *, CASE WHEN prev IS NULL OR epoch_ms(ts) - epoch_ms(prev) > 1800000
+        |    THEN 1 ELSE 0 END AS brk FROM g),
+        |s AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS session_seq FROM b)
+        |SELECT user_id, session_seq, COUNT(*) AS n_events,
+        |  epoch_ms(MIN(ts)) AS start_ms, epoch_ms(MAX(ts)) AS end_ms
+        |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+    "s9_csv_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
+    "s11_json_roundtrip" -> StatementOps.oracle("a4_entity_assembly"))
+}

