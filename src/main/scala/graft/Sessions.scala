@@ -8,16 +8,27 @@ object Sessions {
   /** Configs required for correctness (UTC parity with the DuckDB oracle,
     * nanosecond-timestamp reads) and for sane local-mode execution.
     */
-  def configure(b: SparkSession.Builder, cpus: String): SparkSession.Builder =
-    b.config("spark.sql.shuffle.partitions", cpus)
+  def configure(b: SparkSession.Builder, cpus: String): SparkSession.Builder = {
+    // Shuffle/spill files on tmpfs: local-mode shuffles create O(maps ×
+    // reducers) small files, and this host's disk has bursty metadata
+    // latency that stalls otherwise-idle executors. On a real cluster this
+    // is the usual fast-local-disk requirement for shuffle storage.
+    val localDir = new java.io.File("/dev/shm/spark-local")
+    val shuffleBase =
+      if (localDir.isDirectory || localDir.mkdirs()) localDir.getAbsolutePath
+      else System.getProperty("java.io.tmpdir")
+    b.config("spark.local.dir", shuffleBase)
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.ui.enabled", "false")
+  }
 
   def local(appName: String): SparkSession = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
     val s = configure(
       SparkSession.builder().master(s"local[$cpus]").appName(appName), cpus)
       .getOrCreate()

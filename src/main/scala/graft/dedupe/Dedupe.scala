@@ -1,6 +1,7 @@
 package graft.dedupe
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact
@@ -26,12 +27,38 @@ object Dedupe {
   /** MinHash family member j (affine universal hashing mod P). */
   def hashParams(j: Int): (Long, Long) = (2L * j + 3L, 12345L + j)
 
-  /** Per-document MinHash signature columns mh0..mh{k-1} over the given
-    * distinct term set (unigram tokens or shingles). One explode + one groupBy — linear, no joins.
+  /** Distinct n-word shingle rows (id, __tok), built shuffle-first: one
+    * cheap posexplode in the scan stage, then the window/concat work runs
+    * AFTER the hash exchange on the id — parallelism is data-size-shaped,
+    * not file-count-shaped, and nothing re-evaluates `split` per element
+    * (the array-lambda formulation did, catastrophically). Documents
+    * shorter than n tokens yield no rows.
     */
-  def minhashSignature(df: DataFrame, idCol: String, terms: Column, k: Int): DataFrame = {
-    val toks = df.select(col(idCol), explode(terms).as("__tok"))
-      .withColumn("__h", tokenHash(col("__tok")))
+  def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val toks = df.select(col(idCol),
+      posexplode(split(col(textCol), " ")).as(Seq("__pos", "__w")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    // NB: position 0 must be the row's own column — lead(c, 0) falls off
+    // Spark's O(1) offset-frame fast path and turns quadratic per group
+    val parts = col("__w") +: (1 until n).map(i => lead(col("__w"), i).over(w))
+    toks
+      .withColumn("__tok", concat_ws(" ", parts: _*))
+      .withColumn("__last", parts.last)
+      .filter(col("__last").isNotNull)
+      .select(col(idCol), col("__tok"))
+      .dropDuplicates(idCol, "__tok")
+  }
+
+  /** Exploded distinct unigram-token rows (id, __tok). */
+  def tokenRows(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("__tok"))
+      .dropDuplicates(idCol, "__tok")
+
+  /** Per-document MinHash signature columns mh0..mh{k-1} over exploded
+    * term rows. One groupBy — linear, no joins.
+    */
+  def minhashSignatureFromTerms(terms: DataFrame, idCol: String, k: Int): DataFrame = {
+    val toks = terms.withColumn("__h", tokenHash(col("__tok")))
     val aggs = (0 until k).map { j =>
       val (a, b) = hashParams(j)
       min((col("__h") * a + b) % P).as(s"mh$j")
@@ -39,22 +66,41 @@ object Dedupe {
     toks.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Column-expression convenience (small inputs / tests). */
+  def minhashSignature(df: DataFrame, idCol: String, terms: Column, k: Int): DataFrame =
+    minhashSignatureFromTerms(
+      df.select(col(idCol), explode(terms).as("__tok")), idCol, k)
+
   /** LSH banding: split the k signature columns into bands of `rowsPerBand`
     * and emit one bucket key per band. Documents sharing any band bucket
     * become candidate pairs — the join runs on (band, bucket) keys, never
     * the full cross product.
     */
   def lshCandidatePairs(sig: DataFrame, idCol: String, k: Int, rowsPerBand: Int): DataFrame = {
+    val spark = sig.sparkSession
+    import spark.implicits._
     val bands = k / rowsPerBand
     val banded = (0 until bands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"mh$j"))
-      sig.select(col(idCol), lit(b).as("band"),
+      sig.select(col(idCol).cast("long"), lit(b).as("band"),
         md5(concat_ws(",", cols: _*)).as("bucket"))
     }.reduce(_ unionByName _)
-    banded.as("l").join(banded.as("r"),
-      col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
-        col(s"l.$idCol") < col(s"r.$idCol"))
-      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
+    // group per bucket and emit pairs in-task instead of a self-join: one
+    // shuffle on (band, bucket), pair generation is a local loop bounded
+    // by bucket size (cap oversized buckets — a bucket that collects a
+    // large fraction of the corpus carries no discriminating signal)
+    val maxBucket = 10000
+    banded.as[(Long, Int, String)]
+      .groupByKey { case (_, band, bucket) => (band, bucket) }
+      .flatMapGroups { (_: (Int, String), rows: Iterator[(Long, Int, String)]) =>
+        val ids = rows.map(_._1).toArray.sorted
+        if (ids.length > maxBucket) Iterator.empty
+        else for {
+          i <- ids.indices.iterator
+          j <- (i + 1 until ids.length).iterator
+        } yield (ids(i), ids(j))
+      }
+      .toDF("id_a", "id_b")
       .distinct()
   }
 
@@ -62,9 +108,11 @@ object Dedupe {
     * sign of the summed ±1 votes from each token's hash bit. Hamming-close
     * SimHashes ⇒ similar token sets. Integer-only — engine-portable.
     */
-  def simhash32(df: DataFrame, idCol: String, terms: Column): DataFrame = {
-    val toks = df.select(col(idCol), explode(terms).as("__tok"))
-      .withColumn("__h", tokenHash(col("__tok")))
+  def simhash32(df: DataFrame, idCol: String, terms: Column): DataFrame =
+    simhash32FromTerms(df.select(col(idCol), explode(terms).as("__tok")), idCol)
+
+  def simhash32FromTerms(terms: DataFrame, idCol: String): DataFrame = {
+    val toks = terms.withColumn("__h", tokenHash(col("__tok")))
     toks
       .select(col(idCol), col("__h"), explode(sequence(lit(0), lit(31))).as("__bit"))
       .withColumn("__vote",
@@ -88,6 +136,19 @@ object Dedupe {
         array_join(sort_array(collect_list(col("__id"))), ",").as("members"))
       .filter(col("group_size") > 1)
 
+  /** Full near-dup pipeline: one token materialization feeds signature,
+    * banding, and verification. Returns verified pairs with jaccard >=
+    * `threshold`, ordered.
+    */
+  def nearDupJaccard(docs: DataFrame, idCol: String, termRows: DataFrame,
+      k: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    val toks = graft.functions.F.materialize(termRows)
+    val sig = minhashSignatureFromTerms(toks, idCol, k)
+    val cand = graft.functions.F.materialize(lshCandidatePairs(sig, idCol, k, rowsPerBand))
+    jaccardPairsPre(toks.select(col(idCol).as("__id"), col("__tok")), cand)
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Verified Jaccard over distinct token sets for candidate pairs
     * (id_a, id_b): |A∩B| / |A∪B| via an exploded token join — shuffles
     * only the tokens of candidate documents. The single final division is
@@ -95,7 +156,15 @@ object Dedupe {
     */
   def jaccardPairs(docs: DataFrame, idCol: String, terms: Column,
       pairs: DataFrame): DataFrame = {
-    val toks = docs.select(col(idCol).as("__id"), explode(terms).as("__tok"))
+    // toks feeds three consumers (sizes, both join sides) — persist so the
+    // explode pipeline runs once, not three times
+    val toks = graft.functions.F.materialize(
+      docs.select(col(idCol).as("__id"), explode(terms).as("__tok"))
+        .dropDuplicates("__id", "__tok"))
+    jaccardPairsPre(toks, pairs)
+  }
+
+  private def jaccardPairsPre(toks: DataFrame, pairs: DataFrame): DataFrame = {
     val sizes = toks.groupBy("__id").agg(count(lit(1)).as("__n"))
     val ta = toks.select(col("__id").as("id_a"), col("__tok"))
     val tb = toks.select(col("__id").as("id_b"), col("__tok"))

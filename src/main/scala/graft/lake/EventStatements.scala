@@ -25,7 +25,11 @@ object EventStatements {
 
   val Shards = 16
 
-  def statements(events: DataFrame): DataFrame = {
+  def statements(events0: DataFrame): DataFrame = {
+    // the content-hash projection is the expensive part; repartition first
+    // so it parallelizes across cores even when the source is one file
+    val events = events0.repartition(
+      events0.sparkSession.sparkContext.defaultParallelism)
     val entityId = concat(lit("u"), col("user_id"))
     val valueS = col("value").cast(DecimalType(10, 2)).cast("string")
     val prop = col("event_type")

@@ -50,7 +50,8 @@ object Relational {
     val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
     val n = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
     val r = Tables.region(spark, dir).select(col("r_regionkey"), col("r_name"))
-    li.join(o, col("l_orderkey") === col("o_orderkey"))
+    li.join(broadcast(o.select(col("o_orderkey"), col("o_custkey"))),
+        col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
@@ -103,7 +104,7 @@ object Relational {
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"))
     Tables.lineitem(spark, dir)
-      .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .join(broadcast(urgent), col("l_orderkey") === col("o_orderkey"), "left_semi")
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
       .orderBy(col("l_returnflag"))

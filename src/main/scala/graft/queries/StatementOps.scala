@@ -174,7 +174,9 @@ object StatementOps {
   // O5: entity ordering by a property value — per-entity sort key via
   // aggregation, then global top-k on (key, id).
   def o5OrderByProp(spark: SparkSession, dir: String): DataFrame = {
-    val live = MergeDedupe.live(stmts(spark, dir))
+    // the canonicalized view feeds both the sort-key aggregate and the
+    // entity enumeration — stage it so the dedupe windows run once
+    val live = F.materialize(MergeDedupe.live(stmts(spark, dir)))
     val keys = live.filter(col("prop") === "click")
       .groupBy(col("entity_id")).agg(min(col("value")).as("sort_key"))
     live.select("entity_id").distinct()

@@ -64,31 +64,29 @@ object TrainingData {
 
   private val MinhashK = 8
 
-  private def docShingles = TextFunctions.shingles(col("text"), 3)
+  private def docShingleRows(spark: SparkSession, dir: String): DataFrame =
+    Dedupe.shingleRows(docs(spark, dir), "doc_id", "text", 3)
 
   def d2Minhash(spark: SparkSession, dir: String): DataFrame =
-    Dedupe.minhashSignature(docs(spark, dir), "doc_id", docShingles, MinhashK)
+    Dedupe.minhashSignatureFromTerms(docShingleRows(spark, dir), "doc_id", MinhashK)
       .orderBy(col("doc_id"))
 
   def d2bLshPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sig = Dedupe.minhashSignature(docs(spark, dir), "doc_id", docShingles, MinhashK)
+    val sig = graft.functions.F.materialize(
+      Dedupe.minhashSignatureFromTerms(docShingleRows(spark, dir), "doc_id", MinhashK))
     Dedupe.lshCandidatePairs(sig, "doc_id", MinhashK, rowsPerBand = 2)
       .orderBy(col("id_a"), col("id_b"))
   }
 
   def d3Simhash(spark: SparkSession, dir: String): DataFrame =
-    Dedupe.simhash32(docs(spark, dir), "doc_id",
-      array_distinct(TextFunctions.tokens(col("text"))))
+    Dedupe.simhash32FromTerms(
+      Dedupe.tokenRows(docs(spark, dir), "doc_id", "text"), "doc_id")
       .orderBy(col("doc_id"))
 
-  def d4JaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
-    val sig = Dedupe.minhashSignature(d, "doc_id", docShingles, MinhashK)
-    val cand = Dedupe.lshCandidatePairs(sig, "doc_id", MinhashK, rowsPerBand = 2)
-    Dedupe.jaccardPairs(d, "doc_id", docShingles, cand)
-      .filter(col("jaccard") >= 0.5)
+  def d4JaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedupe.nearDupJaccard(docs(spark, dir), "doc_id", docShingleRows(spark, dir),
+      MinhashK, rowsPerBand = 2, threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
-  }
 
   // ---- embedding similarity ----
 
