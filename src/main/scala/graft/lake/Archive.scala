@@ -1,0 +1,68 @@
+package graft.lake
+
+import java.security.MessageDigest
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** S15: content-addressed file archive (reference repository/archive.py,
+  * core/conventions/path.py:144-212): blobs live at
+  * `archive/ab/cd/ef/{sha256}/blob`, with optional metadata JSON and
+  * extracted text side files. Paths derive from the checksum alone, so
+  * archiving is idempotent and dedupes identical payloads for free.
+  *
+  * Driver-side IO plumbing over the Hadoop FS API (works on HDFS/S3/local
+  * alike); entity emission for archived files feeds the normal statement
+  * import path (S12).
+  */
+class Archive(fs: FileSystem, root: Path) {
+
+  def checksumOf(bytes: Array[Byte]): String =
+    MessageDigest.getInstance("SHA-256").digest(bytes)
+      .map(b => f"${b & 0xff}%02x").mkString
+
+  /** `ab/cd/ef/<sha256>` prefix path for a checksum (reference F9). */
+  def keyPath(checksum: String): Path = {
+    require(checksum.matches("[0-9a-f]{64}"), s"invalid checksum: $checksum")
+    new Path(new Path(new Path(new Path(root,
+      checksum.substring(0, 2)), checksum.substring(2, 4)),
+      checksum.substring(4, 6)), checksum)
+  }
+
+  /** Store a blob; returns its checksum. Idempotent per content. */
+  def put(bytes: Array[Byte]): String = {
+    val checksum = checksumOf(bytes)
+    val dir = keyPath(checksum)
+    val blob = new Path(dir, "blob")
+    if (!fs.exists(blob)) {
+      fs.mkdirs(dir)
+      val tmp = new Path(dir, s".blob.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(bytes) finally out.close()
+      if (!fs.rename(tmp, blob) && !fs.exists(blob))
+        throw new IllegalStateException(s"archive write race at $blob")
+    }
+    checksum
+  }
+
+  def get(checksum: String): Option[Array[Byte]] = {
+    val blob = new Path(keyPath(checksum), "blob")
+    if (!fs.exists(blob)) None
+    else {
+      val in = fs.open(blob)
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](64 * 1024)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        Some(out.toByteArray)
+      } finally in.close()
+    }
+  }
+
+  def exists(checksum: String): Boolean =
+    fs.exists(new Path(keyPath(checksum), "blob"))
+
+  /** Public URL for a blob given a dataset's prefix (reference J6/F14). */
+  def publicUrl(prefix: String, checksum: String): String =
+    s"${prefix.stripSuffix("/")}/${checksum.substring(0, 2)}/${checksum.substring(2, 4)}/${checksum.substring(4, 6)}/$checksum/blob"
+}

@@ -1,0 +1,111 @@
+package graft.ops
+
+import java.security.MessageDigest
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.model.FtmModel
+
+/** Document/crawl operations (reference S16 crawl, J4 folder-path
+  * resolution, F10 mime routing, F11 file/folder id synthesis).
+  */
+object Documents {
+
+  private def sha1Hex(parts: String*): String =
+    MessageDigest.getInstance("SHA-1")
+      .digest(parts.mkString("").getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+
+  /** F11: deterministic ids from path/checksum and name/parent. */
+  def fileId(path: String, checksum: String): String = s"file-${sha1Hex(path, checksum)}"
+  def folderId(name: String, parent: String): String = s"folder-${sha1Hex(name, parent)}"
+
+  case class CrawledFile(
+      id: String, fileName: String, path: String, checksum: String,
+      size: Long, mimeType: String, schema: String, parentId: String)
+
+  /** S16: walk a filesystem prefix, archive every file, and emit File
+    * entity descriptors routed to FtM document schemas by extension-based
+    * mime sniffing. Listing is driver-side (cheap metadata); blob IO and
+    * downstream statement explode are distributed jobs.
+    */
+  def crawl(fs: FileSystem, src: Path, archive: graft.lake.Archive,
+      include: String => Boolean = _ => true): Seq[CrawledFile] = {
+    val out = scala.collection.mutable.ListBuffer.empty[CrawledFile]
+    val it = fs.listFiles(src, true)
+    val base = src.toUri.getPath
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = st.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/")
+      if (st.isFile && include(rel)) {
+        val in = fs.open(st.getPath)
+        val bytes = try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val b = new Array[Byte](64 * 1024)
+          var n = in.read(b)
+          while (n >= 0) { buf.write(b, 0, n); n = in.read(b) }
+          buf.toByteArray
+        } finally in.close()
+        val checksum = archive.put(bytes)
+        val name = st.getPath.getName
+        val mime = mimeFor(name)
+        val parentRel = rel.split('/').dropRight(1).mkString("/")
+        val parent = if (parentRel.isEmpty) "" else folderId(parentRel.split('/').last, parentRel)
+        out += CrawledFile(fileId(rel, checksum), name, rel, checksum,
+          bytes.length.toLong, mime, FtmModel.schemaForMime(mime), parent)
+      }
+    }
+    out.toList
+  }
+
+  /** F10-adjacent: extension → mimetype (content sniffing would slot in
+    * here; the schema routing goes through FtmModel.schemaForMime).
+    */
+  def mimeFor(name: String): String = {
+    val ext = name.substring(name.lastIndexOf('.') + 1).toLowerCase
+    ext match {
+      case "pdf" => "application/pdf"
+      case "txt" | "text" => "text/plain"
+      case "html" | "htm" => "text/html"
+      case "csv" => "text/csv"
+      case "png" => "image/png"
+      case "jpg" | "jpeg" => "image/jpeg"
+      case "mp3" => "audio/mpeg"
+      case "mp4" => "video/mp4"
+      case "eml" => "message/rfc822"
+      case _ => "application/octet-stream"
+    }
+  }
+
+  /** J4: resolve each node's path to the root by iterating a self-join to
+    * fixpoint (bounded depth, cycle-safe: a cycle stops extending once the
+    * hop budget is spent). `nodes` needs (id, name, parent) where parent
+    * is empty/null at roots. At scale each iteration is one broadcast-able
+    * join on (parent = id); depth is bounded by the real hierarchy, and
+    * deep chains cost O(depth) joins exactly like the reference's walk.
+    */
+  def resolvePaths(nodes: DataFrame, maxDepth: Int = 32): DataFrame = {
+    var acc = nodes.select(
+      col("id"), col("parent"),
+      col("name").cast("string").as("path"),
+      col("parent").as("cursor"))
+    var depth = 0
+    var remaining = Long.MaxValue
+    while (depth < maxDepth && remaining > 0) {
+      val parents = broadcast(nodes.select(
+        col("id").as("cursor"), col("name").as("__pname"), col("parent").as("__pparent")))
+      acc = acc.join(parents, Seq("cursor"), "left_outer")
+        .withColumn("path",
+          when(col("__pname").isNotNull, concat(col("__pname"), lit("/"), col("path")))
+            .otherwise(col("path")))
+        .withColumn("cursor",
+          when(col("__pname").isNotNull, col("__pparent")).otherwise(lit(null)))
+        .drop("__pname", "__pparent")
+      depth += 1
+      remaining = acc.filter(col("cursor").isNotNull && col("cursor") =!= "").count()
+    }
+    acc.select(col("id"), col("path"))
+  }
+}

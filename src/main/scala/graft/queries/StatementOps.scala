@@ -185,6 +185,22 @@ object StatementOps {
       .limit(50)
   }
 
+  // J4: parent-chain path resolution to the root via iterative self-join
+  // (region <- nation <- customer plays the folder hierarchy).
+  def j4ParentChain(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(spark, dir).select(
+      concat(lit("r"), col("r_regionkey")).as("id"),
+      col("r_name").as("name"), lit("").as("parent"))
+    val n = Tables.nation(spark, dir).select(
+      concat(lit("n"), col("n_nationkey")).as("id"),
+      col("n_name").as("name"), concat(lit("r"), col("n_regionkey")).as("parent"))
+    val c = Tables.customer(spark, dir).select(
+      concat(lit("c"), col("c_custkey")).as("id"),
+      col("c_name").as("name"), concat(lit("n"), col("c_nationkey")).as("parent"))
+    graft.ops.Documents.resolvePaths(r.unionByName(n).unionByName(c))
+      .orderBy(col("id"))
+  }
+
   // Set difference: entities appearing in the thing bucket but never in the
   // interval bucket (reference's DEL-detection shape, §2.7).
   def set1Except(spark: SparkSession, dir: String): DataFrame = {
@@ -208,6 +224,7 @@ object StatementOps {
     "f7_tombstone_bump" -> (f7TombstoneBump _),
     "st3_diff_ops" -> (st3DiffOps _),
     "o5_order_by_prop" -> (o5OrderByProp _),
+    "j4_parent_chain" -> (j4ParentChain _),
     "set1_except" -> (set1Except _))
 
   val oracle: Map[String, String] = Map(
@@ -282,6 +299,28 @@ object StatementOps {
          |SELECT e.entity_id, k.sort_key
          |FROM ents e LEFT JOIN keys k ON e.entity_id = k.entity_id
          |ORDER BY k.sort_key ASC NULLS LAST, e.entity_id LIMIT 50""".stripMargin,
+    "j4_parent_chain" ->
+      """WITH nodes AS (
+        |  SELECT 'r'||r_regionkey AS id, r_name AS path FROM region
+        |  UNION ALL
+        |  SELECT 'n'||n_nationkey, r_name||'/'||n_name
+        |  FROM nation JOIN region ON n_regionkey = r_regionkey
+        |  UNION ALL
+        |  SELECT 'c'||c_custkey, r_name||'/'||n_name||'/'||c_name
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |                JOIN region ON n_regionkey = r_regionkey)
+        |SELECT id, path FROM nodes ORDER BY id""".stripMargin,
+    "j4_parent_chain" ->
+      """WITH nodes AS (
+        |  SELECT 'r'||r_regionkey AS id, r_name AS path FROM region
+        |  UNION ALL
+        |  SELECT 'n'||n_nationkey, r_name||'/'||n_name
+        |  FROM nation JOIN region ON n_regionkey = r_regionkey
+        |  UNION ALL
+        |  SELECT 'c'||c_custkey, r_name||'/'||n_name||'/'||c_name
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |                JOIN region ON n_regionkey = r_regionkey)
+        |SELECT id, path FROM nodes ORDER BY id""".stripMargin,
     "set1_except" ->
       s"""WITH stmts AS (${EventStatements.SQL})
          |SELECT value FROM stmts WHERE prop = 'click'

@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+
+import graft.lake.Archive
+import graft.ops.Documents
+
+class ArchivePlanSpec extends SparkSpec {
+
+  test("archive: content-addressed put/get is idempotent and validated") {
+    val dir = Files.createTempDirectory("graft-archive").toString
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val archive = new Archive(fs, root)
+
+    val payload = "hello lakehouse".getBytes("UTF-8")
+    val c1 = archive.put(payload)
+    val c2 = archive.put(payload) // same content → same key, no rewrite
+    assert(c1 == c2 && c1.length == 64)
+    assert(archive.get(c1).map(new String(_, "UTF-8")).contains("hello lakehouse"))
+    assert(archive.exists(c1))
+    assert(archive.get("0" * 64).isEmpty)
+    intercept[IllegalArgumentException] { archive.keyPath("not-a-checksum") }
+    // ab/cd/ef nesting (reference F9 path convention)
+    assert(archive.keyPath(c1).toString.endsWith(
+      s"${c1.take(2)}/${c1.slice(2, 4)}/${c1.slice(4, 6)}/$c1"))
+    assert(archive.publicUrl("https://x/files", c1).contains(s"/${c1.take(2)}/"))
+  }
+
+  test("crawl archives files and routes mimetypes to document schemas") {
+    val src = Files.createTempDirectory("graft-src")
+    Files.createDirectories(src.resolve("sub"))
+    Files.write(src.resolve("a.txt"), "plain text".getBytes)
+    Files.write(src.resolve("sub/b.pdf"), "%PDF-1.4 fake".getBytes)
+    val arDir = Files.createTempDirectory("graft-ar")
+    val fs = new Path(arDir.toString).getFileSystem(spark.sessionState.newHadoopConf())
+    val archive = new Archive(fs, new Path(arDir.toString))
+
+    val crawled = Documents.crawl(fs, new Path(src.toString), archive)
+      .map(f => f.fileName -> f).toMap
+    assert(crawled.keySet == Set("a.txt", "b.pdf"))
+    assert(crawled("a.txt").schema == "PlainText")
+    assert(crawled("b.pdf").schema == "Pages")
+    assert(crawled("b.pdf").parentId.startsWith("folder-"))
+    assert(archive.exists(crawled("a.txt").checksum))
+    // ids are deterministic in (path, checksum)
+    assert(crawled("a.txt").id ==
+      Documents.fileId("a.txt", crawled("a.txt").checksum))
+  }
+
+  test("resolvePaths walks parent chains and survives cycles") {
+    import spark.implicits._
+    val nodes = Seq(
+      ("root", "", "top"),
+      ("mid", "root", "docs"),
+      ("leaf", "mid", "report.pdf"),
+      // a cycle: x -> y -> x
+      ("x", "y", "a"), ("y", "x", "b")).toDF("id", "parent", "name0")
+      .withColumnRenamed("name0", "name")
+      .select($"id", $"name", $"parent")
+    val paths = Documents.resolvePaths(nodes, maxDepth = 8)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(paths("leaf") == "top/docs/report.pdf")
+    assert(paths("mid") == "top/docs")
+    // cycle: bounded, no hang; path contains the loop up to the budget
+    assert(paths.contains("x"))
+  }
+
+  // ---- physical-plan shape assertions (the explain audit, executable) ----
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf001).queryExecution.executedPlan.toString
+
+  test("s1_scan pushes its filter and prunes columns at the parquet scan") {
+    val p = plan("s1_scan")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"), p)
+    // only the 4 needed columns reach the reader
+    assert(p.contains("ReadSchema") && !p.contains("l_comment") && !p.contains("l_extendedprice"), p)
+  }
+
+  test("q2_star_join broadcasts every dimension") {
+    val p = plan("q2_star_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("o4_global_topk plans a distributed top-k, not a global sort") {
+    val p = plan("o4_global_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("j1_semi_join stays a broadcast left-semi") {
+    val p = plan("j1_semi_join")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+  }
+
+  test("a1_merge_dedupe windows get the rank-limit pushdown") {
+    val p = plan("a1_merge_dedupe")
+    // WindowGroupLimit = Catalyst pre-filters each group to the top row
+    // before the full window evaluation (rank pushdown for rn = 1)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("Window"), p)
+  }
+}
