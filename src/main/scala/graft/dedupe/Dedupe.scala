@@ -165,13 +165,18 @@ object Dedupe {
   }
 
   private def jaccardPairsPre(toks: DataFrame, pairs: DataFrame): DataFrame = {
+    // candidate-pair-bounded sides (pairs, inter) broadcast: LSH keeps the
+    // candidate set rare by construction, and AQE falls back to a shuffle
+    // join if a pathological corpus inflates it. sizes is per-document —
+    // NOT broadcast (it scales with the corpus); its joins key on ids and
+    // shuffle only candidate rows.
     val sizes = toks.groupBy("__id").agg(count(lit(1)).as("__n"))
     val ta = toks.select(col("__id").as("id_a"), col("__tok"))
     val tb = toks.select(col("__id").as("id_b"), col("__tok"))
-    val inter = pairs.join(ta, Seq("id_a")).join(tb, Seq("id_b", "__tok"))
+    val inter = ta.join(broadcast(pairs), Seq("id_a")).join(tb, Seq("id_b", "__tok"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("__inter"))
     pairs
-      .join(inter, Seq("id_a", "id_b"), "left_outer")
+      .join(broadcast(inter), Seq("id_a", "id_b"), "left_outer")
       .na.fill(0L, Seq("__inter"))
       .join(sizes.select(col("__id").as("id_a"), col("__n").as("__na")), Seq("id_a"))
       .join(sizes.select(col("__id").as("id_b"), col("__n").as("__nb")), Seq("id_b"))

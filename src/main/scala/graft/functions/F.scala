@@ -26,6 +26,9 @@ object F {
       if (shm.isDirectory || shm.mkdirs()) shm.toPath
       else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
     val tmp = java.nio.file.Files.createTempDirectory(base, "stage").toString
+    // stage tables are session-scoped: reclaim the tmpfs space on exit
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scala.util.Try(org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp)))))
     df.write.mode("overwrite").parquet(tmp)
     df.sparkSession.read.parquet(tmp)
   }
