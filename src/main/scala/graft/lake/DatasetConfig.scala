@@ -1,0 +1,68 @@
+package graft.lake
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Per-dataset configuration (reference DatasetModel / config.yml,
+  * model/dataset.py:13-39): name, shard count, export compression, public
+  * URL prefix. Persisted as a properties file under the table root with
+  * versioned snapshots, and `shards` is immutable after first write — the
+  * physical layout depends on it (reference docs/architecture.md:119-129).
+  */
+case class DatasetConfig(
+    name: String,
+    shards: Int = 16,
+    compression: String = "gzip",
+    publicUrlPrefix: Option[String] = None)
+
+object DatasetConfig {
+
+  private def dir(root: Path) = new Path(root, "_graft/config")
+
+  def save(fs: FileSystem, root: Path, cfg: DatasetConfig): Unit = {
+    require(cfg.name.matches("[a-z0-9][a-z0-9_-]*"), s"invalid dataset name: ${cfg.name}")
+    require(cfg.shards > 0, "shards must be positive")
+    load(fs, root).foreach { existing =>
+      require(existing.shards == cfg.shards,
+        s"shards is immutable after first write: ${existing.shards} != ${cfg.shards}")
+    }
+    val d = dir(root)
+    fs.mkdirs(d)
+    val version = fs.listStatus(d).count(_.getPath.getName.startsWith("config-v"))
+    val body = Seq(
+      s"name=${cfg.name}",
+      s"shards=${cfg.shards}",
+      s"compression=${cfg.compression}",
+      s"publicUrlPrefix=${cfg.publicUrlPrefix.getOrElse("")}").mkString("\n")
+    for (p <- Seq(new Path(d, "config"), new Path(d, f"config-v$version%06d"))) {
+      val out = fs.create(p, true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  def load(fs: FileSystem, root: Path): Option[DatasetConfig] = {
+    val p = new Path(dir(root), "config")
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val props = try {
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .flatMap { l =>
+          l.split("=", 2) match {
+            case Array(k, v) => Some(k -> v)
+            case _ => None
+          }
+        }.toMap
+    } finally in.close()
+    Some(DatasetConfig(
+      props.getOrElse("name", "dataset"),
+      props.getOrElse("shards", "16").toInt,
+      props.getOrElse("compression", "gzip"),
+      Some(props.getOrElse("publicUrlPrefix", "")).filter(_.nonEmpty)))
+  }
+
+  /** Count of persisted config snapshots (reference VersionStore). */
+  def versions(fs: FileSystem, root: Path): Int = {
+    val d = dir(root)
+    if (!fs.exists(d)) 0
+    else fs.listStatus(d).count(_.getPath.getName.startsWith("config-v"))
+  }
+}

@@ -185,6 +185,22 @@ object StatementOps {
       .limit(50)
   }
 
+  // P1/P5/J2: the ftmq-style Query AST compiled against the live view —
+  // statement-grain origin/prop filters plus an entity-grain property
+  // predicate that semi-joins back to ALL statements of matching entities.
+  def p1QueryCompile(spark: SparkSession, dir: String): DataFrame = {
+    import graft.query.FtmQuery
+    import graft.query.FtmQuery._
+    val live = MergeDedupe.live(stmts(spark, dir))
+    val q = Query(
+      origin = Some("src0"),
+      statementFilters = Seq(M("prop", InOp, Seq("click", "view", "purchase"))),
+      propFilters = Seq(P("click", GteOp, Seq("50"))))
+    FtmQuery.compile(q, live)
+      .select(col("entity_id"), col("prop"), col("value"), col("origin"), col("fragment"), col("id"))
+      .orderBy(col("entity_id"), col("prop"), col("value"), col("fragment"), col("id"))
+  }
+
   // J4: parent-chain path resolution to the root via iterative self-join
   // (region <- nation <- customer plays the folder hierarchy).
   def j4ParentChain(spark: SparkSession, dir: String): DataFrame = {
@@ -225,6 +241,7 @@ object StatementOps {
     "st3_diff_ops" -> (st3DiffOps _),
     "o5_order_by_prop" -> (o5OrderByProp _),
     "j4_parent_chain" -> (j4ParentChain _),
+    "p1_query_compile" -> (p1QueryCompile _),
     "set1_except" -> (set1Except _))
 
   val oracle: Map[String, String] = Map(
@@ -299,6 +316,16 @@ object StatementOps {
          |SELECT e.entity_id, k.sort_key
          |FROM ents e LEFT JOIN keys k ON e.entity_id = k.entity_id
          |ORDER BY k.sort_key ASC NULLS LAST, e.entity_id LIMIT 50""".stripMargin,
+    "p1_query_compile" ->
+      s"""$mergeCte,
+         |matched AS (
+         |  SELECT DISTINCT entity_id FROM live
+         |  WHERE prop = 'click' AND value >= '50')
+         |SELECT entity_id, prop, value, origin, fragment, id
+         |FROM live
+         |WHERE origin = 'src0' AND prop IN ('click','view','purchase')
+         |  AND entity_id IN (SELECT entity_id FROM matched)
+         |ORDER BY entity_id, prop, value, fragment, id""".stripMargin,
     "j4_parent_chain" ->
       """WITH nodes AS (
         |  SELECT 'r'||r_regionkey AS id, r_name AS path FROM region
@@ -310,6 +337,16 @@ object StatementOps {
         |  FROM customer JOIN nation ON c_nationkey = n_nationkey
         |                JOIN region ON n_regionkey = r_regionkey)
         |SELECT id, path FROM nodes ORDER BY id""".stripMargin,
+    "p1_query_compile" ->
+      s"""$mergeCte,
+         |matched AS (
+         |  SELECT DISTINCT entity_id FROM live
+         |  WHERE prop = 'click' AND value >= '50')
+         |SELECT entity_id, prop, value, origin, fragment, id
+         |FROM live
+         |WHERE origin = 'src0' AND prop IN ('click','view','purchase')
+         |  AND entity_id IN (SELECT entity_id FROM matched)
+         |ORDER BY entity_id, prop, value, fragment, id""".stripMargin,
     "j4_parent_chain" ->
       """WITH nodes AS (
         |  SELECT 'r'||r_regionkey AS id, r_name AS path FROM region

@@ -78,6 +78,26 @@ class StoreSpec extends SparkSpec {
     assert(store.raw.count() == before)
   }
 
+  test("dataset config: persisted snapshots, immutable shard count") {
+    import org.apache.hadoop.fs.Path
+    import graft.lake.DatasetConfig
+    val dir = Files.createTempDirectory("graft-cfg").toString
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(DatasetConfig.load(fs, root).isEmpty)
+    DatasetConfig.save(fs, root, DatasetConfig("my_ds", shards = 8))
+    DatasetConfig.save(fs, root, DatasetConfig("my_ds", shards = 8, compression = "zstd"))
+    val cfg = DatasetConfig.load(fs, root).get
+    assert(cfg.shards == 8 && cfg.compression == "zstd")
+    assert(DatasetConfig.versions(fs, root) == 2)
+    intercept[IllegalArgumentException] {
+      DatasetConfig.save(fs, root, DatasetConfig("my_ds", shards = 4))
+    }
+    intercept[IllegalArgumentException] {
+      DatasetConfig.save(fs, root, DatasetConfig("Bad Name!", shards = 8))
+    }
+  }
+
   test("journal write/drain: last-writer-wins upsert + tombstone bump") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-journal").toString
