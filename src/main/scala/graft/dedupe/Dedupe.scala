@@ -165,11 +165,14 @@ object Dedupe {
   }
 
   private def jaccardPairsPre(toks: DataFrame, pairs: DataFrame): DataFrame = {
-    // candidate-pair-bounded sides (pairs, inter) broadcast: LSH keeps the
-    // candidate set rare by construction, and AQE falls back to a shuffle
-    // join if a pathological corpus inflates it. sizes is per-document —
-    // NOT broadcast (it scales with the corpus); its joins key on ids and
-    // shuffle only candidate rows.
+    // candidate-pair-bounded sides (pairs, inter) broadcast: the LSH
+    // band/bucket stage caps bucket size (10k) so the candidate set is
+    // bounded by construction — that bound is what licenses the explicit
+    // hint (a broadcast() hint is honored unconditionally; an oversized
+    // build side fails rather than degrading, so only hint sizes bounded
+    // by construction). sizes is per-document — NOT broadcast (it scales
+    // with the corpus); its joins key on ids and shuffle only candidate
+    // rows.
     val sizes = toks.groupBy("__id").agg(count(lit(1)).as("__n"))
     val ta = toks.select(col("__id").as("id_a"), col("__tok"))
     val tb = toks.select(col("__id").as("id_b"), col("__tok"))

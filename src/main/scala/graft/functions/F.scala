@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Shared scalar helpers used across query definitions. */
@@ -13,6 +13,26 @@ object F {
     */
   def epochMs(c: Column): Column = unix_millis(c.cast("timestamp"))
 
+  /** Root directory for stage tables. Cluster-safe by construction:
+    *
+    *  - explicit override via `spark.graft.stage.dir` always wins (set it
+    *    to a shared-FS path, e.g. `<table>/_graft/stage`, on a cluster);
+    *  - `local[*]` masters default to node-local tmpfs (`/dev/shm`) — the
+    *    single-JVM fast path;
+    *  - any non-local master defaults to `spark.sql.warehouse.dir`, which
+    *    on a real deployment points at the shared filesystem every
+    *    executor can read. A node-local path here would shred the staged
+    *    table across executors' private disks.
+    */
+  def stageRoot(spark: SparkSession): String =
+    spark.conf.getOption("spark.graft.stage.dir").getOrElse {
+      if (spark.sparkContext.isLocal) {
+        val shm = new java.io.File("/dev/shm/graft-stage")
+        if (shm.isDirectory || shm.mkdirs()) shm.getAbsolutePath
+        else System.getProperty("java.io.tmpdir")
+      } else spark.conf.get("spark.sql.warehouse.dir") + "/_graft_stage"
+    }
+
   /** Materialize an intermediate as a temp parquet stage table and read it
     * back — the multi-consumer reuse pattern. Chosen over `.persist()`:
     * an explicit stage table has predictable cost (one columnar write +
@@ -20,16 +40,16 @@ object F {
     * block-manager cache path is erratically slow. At cluster scale this
     * is the same pattern as a checkpoint/stage table in a pipeline DAG.
     */
-  def materialize(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val shm = new java.io.File("/dev/shm/graft-stage")
-    val base =
-      if (shm.isDirectory || shm.mkdirs()) shm.toPath
-      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-    val tmp = java.nio.file.Files.createTempDirectory(base, "stage").toString
-    // stage tables are session-scoped: reclaim the tmpfs space on exit
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      scala.util.Try(org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp)))))
+  def materialize(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val tmp = s"${stageRoot(spark)}/stage-${java.util.UUID.randomUUID().toString}"
+    // stage tables are session-scoped: reclaim the space on exit via the
+    // table's own filesystem (works for shared-FS schemes, not just file:)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => scala.util.Try {
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }))
     df.write.mode("overwrite").parquet(tmp)
-    df.sparkSession.read.parquet(tmp)
+    spark.read.parquet(tmp)
   }
 }

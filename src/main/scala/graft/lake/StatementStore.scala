@@ -59,6 +59,38 @@ class StatementStore(val spark: SparkSession, val rootStr: String, val shards: I
   private def partitionOf(rel: String): String =
     rel.split('/').take(Statement.partitionColumns.length).mkString("/")
 
+  /** Write a batch partitioned + sorted into a unique staging dir, then
+    * move the part files into the table layout. The listing is scoped to
+    * the staged batch — O(batch files), never a full table tree-walk
+    * (which at high commit counts is O(table files) of driver FS calls
+    * per append). Part-file names carry the job UUID, so moves can't
+    * collide with existing files. Returns the fresh relative paths.
+    */
+  private def writeStaged(df: DataFrame, sortCols: Seq[Column]): Set[String] = {
+    val stage = new Path(root, s"_graft/ingest/${java.util.UUID.randomUUID().toString}")
+    df.select(Statement.columns.map(col): _*)
+      .repartition(Statement.partitionColumns.map(col): _*)
+      .sortWithinPartitions(sortCols: _*)
+      .write.partitionBy(Statement.partitionColumns: _*)
+      .mode("overwrite").parquet(stage.toString)
+    val stageBase = stage.toUri.getPath.stripSuffix("/")
+    val fresh = scala.collection.mutable.Set.empty[String]
+    val it = fs.listFiles(stage, true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet")) {
+        val rel = f.toUri.getPath.stripPrefix(stageBase).stripPrefix("/")
+        val dest = new Path(root, rel)
+        fs.mkdirs(dest.getParent)
+        if (!fs.rename(f, dest))
+          throw new IllegalStateException(s"staged write move failed: $rel")
+        fresh += rel
+      }
+    }
+    fs.delete(stage, true)
+    fresh.toSet
+  }
+
   /** S3: partitioned append. Batch rows are clustered by the 7-key order
     * inside each written file (reference O1) so later merges and
     * entity-contiguous scans stay cheap. Dirty tags are stamped before the
@@ -66,16 +98,8 @@ class StatementStore(val spark: SparkSession, val rootStr: String, val shards: I
     * lost tag at worst re-merges a clean partition.
     */
   def append(df: DataFrame): Long = Locks.withLock(fs, root) {
-    val before = Manifest.physicalFiles(fs, root)
-    df.select(Statement.columns.map(col): _*)
-      .repartition(Statement.partitionColumns.map(col): _*)
-      .sortWithinPartitions(
-        Statement.appendSortColumns.map(col) :+ col("last_seen").desc: _*)
-      .write
-      .partitionBy(Statement.partitionColumns: _*)
-      .mode("append")
-      .parquet(rootStr)
-    val fresh = Manifest.physicalFiles(fs, root) -- before
+    val fresh = writeStaged(df,
+      Statement.appendSortColumns.map(col) :+ col("last_seen").desc)
     fresh.map(partitionOf).foreach(p => tags.touch(s"dirty/$p"))
     Manifest.commit(fs, root, Manifest.liveFiles(fs, root) ++ fresh, "append")
   }
@@ -101,14 +125,8 @@ class StatementStore(val spark: SparkSession, val rootStr: String, val shards: I
         case Some(cut) => MergeDedupe.withGrace(scoped, cut)
         case None => MergeDedupe.canonicalize(scoped).filter(col("deleted_at").isNull)
       }
-      val before = Manifest.physicalFiles(fs, root)
-      merged.select(Statement.columns.map(col): _*)
-        .repartition(Statement.partitionColumns.map(col): _*)
-        .sortWithinPartitions(
-          col("entity_id"), col("fragment"), col("prop"), col("id"), col("last_seen").desc)
-        .write.partitionBy(Statement.partitionColumns: _*)
-        .mode("append").parquet(rootStr)
-      val fresh = Manifest.physicalFiles(fs, root) -- before
+      val fresh = writeStaged(merged, Seq(
+        col("entity_id"), col("fragment"), col("prop"), col("id"), col("last_seen").desc))
       dirty.foreach(p => tags.delete(s"dirty/$p"))
       Manifest.commit(fs, root, (liveSet -- dirtyFiles) ++ fresh, "merge")
     }
@@ -121,16 +139,10 @@ class StatementStore(val spark: SparkSession, val rootStr: String, val shards: I
     val crowded = liveSet.groupBy(partitionOf).filter(_._2.size > maxFilesPerPartition)
     if (crowded.isEmpty) return version
     val files = crowded.values.flatten.toSet
-    val before = Manifest.physicalFiles(fs, root)
-    spark.read.schema(Statement.schema).option("basePath", root.toString)
+    val packed = spark.read.schema(Statement.schema).option("basePath", root.toString)
       .parquet(files.toSeq.sorted.map(f => s"$rootStr/$f"): _*)
-      .select(Statement.columns.map(col): _*)
-      .repartition(Statement.partitionColumns.map(col): _*)
-      .sortWithinPartitions(
-        col("entity_id"), col("fragment"), col("prop"), col("id"), col("last_seen").desc)
-      .write.partitionBy(Statement.partitionColumns: _*)
-      .mode("append").parquet(rootStr)
-    val fresh = Manifest.physicalFiles(fs, root) -- before
+    val fresh = writeStaged(packed, Seq(
+      col("entity_id"), col("fragment"), col("prop"), col("id"), col("last_seen").desc))
     Manifest.commit(fs, root, (liveSet -- files) ++ fresh, "compact")
   }
 

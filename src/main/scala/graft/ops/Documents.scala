@@ -82,30 +82,50 @@ object Documents {
   /** J4: resolve each node's path to the root by iterating a self-join to
     * fixpoint (bounded depth, cycle-safe: a cycle stops extending once the
     * hop budget is spent). `nodes` needs (id, name, parent) where parent
-    * is empty/null at roots. At scale each iteration is one broadcast-able
-    * join on (parent = id); depth is bounded by the real hierarchy, and
-    * deep chains cost O(depth) joins exactly like the reference's walk.
+    * is empty/null at roots (reference walk: repository/documents.py:53-86).
+    *
+    * Scale shape: the join side is the *parent candidates only* (nodes
+    * referenced as someone's parent — folders, a tiny fraction of a
+    * document corpus), staged once; AQE broadcasts it when it fits. The
+    * frontier (rows still walking) is re-materialized each iteration, so
+    * lineage stays one-join deep — no O(depth²) recompute, no nested
+    * BroadcastHashJoin pyramid — and shrinks as chains complete, so each
+    * iteration touches only unresolved rows.
     */
   def resolvePaths(nodes: DataFrame, maxDepth: Int = 32): DataFrame = {
-    var acc = nodes.select(
-      col("id"), col("parent"),
-      col("name").cast("string").as("path"),
-      col("parent").as("cursor"))
+    import graft.functions.F
+    val hasCursor = col("cursor").isNotNull && col("cursor") =!= ""
+    val parents = F.materialize(
+      nodes.join(
+        nodes.filter(col("parent").isNotNull && col("parent") =!= "")
+          .select(col("parent").as("id")).distinct(),
+        Seq("id"), "left_semi")
+        .select(col("id").as("cursor"), col("name").as("__pname"),
+          col("parent").as("__pparent")))
+
+    var frontier = F.materialize(nodes.select(
+      col("id"), col("name").cast("string").as("path"), col("parent").as("cursor")))
+    val finished = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var depth = 0
-    var remaining = Long.MaxValue
-    while (depth < maxDepth && remaining > 0) {
-      val parents = broadcast(nodes.select(
-        col("id").as("cursor"), col("name").as("__pname"), col("parent").as("__pparent")))
-      acc = acc.join(parents, Seq("cursor"), "left_outer")
-        .withColumn("path",
-          when(col("__pname").isNotNull, concat(col("__pname"), lit("/"), col("path")))
-            .otherwise(col("path")))
-        .withColumn("cursor",
-          when(col("__pname").isNotNull, col("__pparent")).otherwise(lit(null)))
-        .drop("__pname", "__pparent")
+    var walking = frontier.filter(hasCursor).count()
+    finished += frontier.filter(!hasCursor).select(col("id"), col("path"))
+    while (depth < maxDepth && walking > 0) {
+      frontier = F.materialize(
+        frontier.filter(hasCursor)
+          .join(parents, Seq("cursor"), "left_outer")
+          .withColumn("path",
+            when(col("__pname").isNotNull, concat(col("__pname"), lit("/"), col("path")))
+              .otherwise(col("path")))
+          .withColumn("cursor",
+            when(col("__pname").isNotNull, col("__pparent")).otherwise(lit(null)))
+          .drop("__pname", "__pparent"))
+      finished += frontier.filter(!hasCursor).select(col("id"), col("path"))
+      walking = frontier.filter(hasCursor).count()
       depth += 1
-      remaining = acc.filter(col("cursor").isNotNull && col("cursor") =!= "").count()
     }
-    acc.select(col("id"), col("path"))
+    // hop budget spent: whatever is still walking (cycles, over-deep
+    // chains) resolves with the path accumulated so far
+    finished += frontier.filter(hasCursor).select(col("id"), col("path"))
+    finished.reduce(_.unionByName(_))
   }
 }

@@ -88,13 +88,16 @@ object MergeDedupe {
 
   /** A3: read-time canonicalization of only the entities changed since a
     * watermark — diffs match a post-merge read without rewriting anything.
-    * The changed-id scope is a semi-join (never a giant IN literal): the
-    * distinct-id side is tiny relative to the table and broadcastable.
+    * The changed-id scope is a semi-join (never a giant IN literal). No
+    * broadcast hint: the changed-id set is unbounded — after a bulk
+    * re-import EVERY entity is "changed" — so the plan must degrade to a
+    * shuffle join; AQE promotes it to broadcast at runtime when the side
+    * is actually small.
     */
   def changedCanonical(raw: DataFrame, watermark: Column): DataFrame = {
     val changedIds = raw
       .filter(col("first_seen") >= watermark || col("deleted_at") >= watermark)
       .select("entity_id").distinct()
-    live(raw.join(broadcast(changedIds), Seq("entity_id"), "left_semi"))
+    live(raw.join(changedIds, Seq("entity_id"), "left_semi"))
   }
 }

@@ -191,7 +191,10 @@ object StatementOps {
   def p1QueryCompile(spark: SparkSession, dir: String): DataFrame = {
     import graft.query.FtmQuery
     import graft.query.FtmQuery._
-    val live = MergeDedupe.live(stmts(spark, dir))
+    // the canonicalized live view feeds the statement-filter chain AND the
+    // entity-grain prop-filter subquery — stage it once (same pattern as
+    // o5OrderByProp) so the dedupe windows don't run 3×
+    val live = F.materialize(MergeDedupe.live(stmts(spark, dir)))
     val q = Query(
       origin = Some("src0"),
       statementFilters = Seq(M("prop", InOp, Seq("click", "view", "purchase"))),
@@ -316,27 +319,6 @@ object StatementOps {
          |SELECT e.entity_id, k.sort_key
          |FROM ents e LEFT JOIN keys k ON e.entity_id = k.entity_id
          |ORDER BY k.sort_key ASC NULLS LAST, e.entity_id LIMIT 50""".stripMargin,
-    "p1_query_compile" ->
-      s"""$mergeCte,
-         |matched AS (
-         |  SELECT DISTINCT entity_id FROM live
-         |  WHERE prop = 'click' AND value >= '50')
-         |SELECT entity_id, prop, value, origin, fragment, id
-         |FROM live
-         |WHERE origin = 'src0' AND prop IN ('click','view','purchase')
-         |  AND entity_id IN (SELECT entity_id FROM matched)
-         |ORDER BY entity_id, prop, value, fragment, id""".stripMargin,
-    "j4_parent_chain" ->
-      """WITH nodes AS (
-        |  SELECT 'r'||r_regionkey AS id, r_name AS path FROM region
-        |  UNION ALL
-        |  SELECT 'n'||n_nationkey, r_name||'/'||n_name
-        |  FROM nation JOIN region ON n_regionkey = r_regionkey
-        |  UNION ALL
-        |  SELECT 'c'||c_custkey, r_name||'/'||n_name||'/'||c_name
-        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
-        |                JOIN region ON n_regionkey = r_regionkey)
-        |SELECT id, path FROM nodes ORDER BY id""".stripMargin,
     "p1_query_compile" ->
       s"""$mergeCte,
          |matched AS (

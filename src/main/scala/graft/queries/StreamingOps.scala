@@ -73,8 +73,8 @@ object StreamingOps {
         |  SELECT *, CASE WHEN prev IS NULL OR epoch_ms(ts) - epoch_ms(prev) > 1800000
         |    THEN 1 ELSE 0 END AS brk FROM g),
         |s AS (
-        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS UNBOUNDED PRECEDING) AS session_seq FROM b)
+        |  SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM b)
         |SELECT user_id, session_seq, COUNT(*) AS n_events,
         |  epoch_ms(MIN(ts)) AS start_ms, epoch_ms(MAX(ts)) AS end_ms
         |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,

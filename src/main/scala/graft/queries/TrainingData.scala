@@ -231,7 +231,7 @@ object TrainingData {
          |  FROM toks, (SELECT unnest(generate_series(0,31)) AS bit)
          |  GROUP BY doc_id, bit)
          |SELECT doc_id,
-         |  SUM(CASE WHEN v >= 0 THEN (1::BIGINT << bit) ELSE 0::BIGINT END) AS simhash
+         |  CAST(SUM(CASE WHEN v >= 0 THEN (1::BIGINT << bit) ELSE 0::BIGINT END) AS BIGINT) AS simhash
          |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d4_jaccard_pairs" ->
       s"""WITH $sigCte,

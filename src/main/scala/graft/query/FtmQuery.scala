@@ -100,8 +100,12 @@ object FtmQuery {
         live.filter(col("prop") === p.prop && compare(col("value"), p.op, p.values))
           .select("entity_id").distinct()
       }
+      // No broadcast hint: the matching-id set is unbounded (a predicate
+      // matching most of a 100 TB corpus selects billions of ids). AQE
+      // converts the shuffle join to a broadcast one at runtime when the
+      // built side turns out small, and degrades gracefully when it isn't.
       val ids = idSets.reduce(_.intersect(_))
-      df = df.join(broadcast(ids), Seq("entity_id"), "left_semi")
+      df = df.join(ids, Seq("entity_id"), "left_semi")
     }
     df
   }
