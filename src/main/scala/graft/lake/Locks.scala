@@ -10,28 +10,59 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * is atomic on HDFS and local FS (and conditional-put on modern object
   * stores). Retry backoff is linear, bounded ≈ retries²/2 seconds like the
   * reference's.
+  *
+  * Crashed-writer recovery (reference tests/test_integration_unlock.py):
+  * a lock whose file is older than `staleAfterMs` is considered abandoned
+  * and stolen — without this, one crashed writer bricks the table until a
+  * human removes `.LOCK`. The TTL is far above any legitimate hold time
+  * (writers only hold the fence across a manifest commit plus one write
+  * job); [[unlock]] is the explicit operator override.
   */
 object Locks {
 
-  def withLock[T](fs: FileSystem, root: Path, maxRetries: Int = 22)(body: => T): T = {
-    val lockPath = new Path(root, ".LOCK")
+  /** Default abandoned-lock TTL: 15 minutes. */
+  val DefaultStaleMs: Long = 15L * 60 * 1000
+
+  private def lockPath(root: Path) = new Path(root, ".LOCK")
+
+  /** Explicit operator unlock — removes the fence unconditionally. */
+  def unlock(fs: FileSystem, root: Path): Boolean =
+    fs.delete(lockPath(root), false)
+
+  /** True if a fence file currently exists. */
+  def isLocked(fs: FileSystem, root: Path): Boolean =
+    fs.exists(lockPath(root))
+
+  def withLock[T](fs: FileSystem, root: Path, maxRetries: Int = 22,
+      staleAfterMs: Long = DefaultStaleMs)(body: => T): T = {
+    val lp = lockPath(root)
     var attempt = 0
     var acquired = false
     while (!acquired) {
       try {
-        val out = fs.create(lockPath, false)
+        val out = fs.create(lp, false)
         out.writeBytes(s"pid=${ProcessHandle.current().pid()} ts=${System.currentTimeMillis()}")
         out.close()
         acquired = true
       } catch {
         case _: java.io.IOException =>
-          attempt += 1
-          if (attempt > maxRetries)
-            throw new IllegalStateException(s"could not acquire $lockPath after $maxRetries retries")
-          Thread.sleep(200L * attempt)
+          // steal abandoned locks: a crashed writer never deletes its
+          // fence; its file's mtime stops advancing. Both stealers race
+          // on create(overwrite=false) afterwards, so exactly one wins.
+          val stale = try {
+            System.currentTimeMillis() - fs.getFileStatus(lp).getModificationTime > staleAfterMs
+          } catch { case _: java.io.IOException => false } // already gone
+          if (stale) {
+            fs.delete(lp, false)
+          } else {
+            attempt += 1
+            if (attempt > maxRetries)
+              throw new IllegalStateException(s"could not acquire $lp after $maxRetries retries")
+            Thread.sleep(200L * attempt)
+          }
       }
     }
     try body
-    finally fs.delete(lockPath, false)
+    finally fs.delete(lp, false)
   }
 }

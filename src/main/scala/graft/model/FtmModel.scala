@@ -35,7 +35,9 @@ object FtmModel {
     "Ownership" -> Seq("Interval"),
     "Membership" -> Seq("Interval"),
     "Page" -> Seq.empty,
-    "Mention" -> Seq.empty)
+    "Mention" -> Seq.empty,
+    "Address" -> Seq("Thing"),
+    "Payment" -> Seq("Interval"))
 
   /** All ancestors of a schema including itself. */
   def ancestors(schema: String): Set[String] = {
@@ -66,9 +68,38 @@ object FtmModel {
     }
   }
 
-  /** Caption properties in preference order (first populated wins). */
-  val captionProps: Map[String, Seq[String]] = Map.empty.withDefaultValue(
-    Seq("name", "title", "fileName", "email"))
+  /** Per-schema caption declarations (first populated property wins —
+    * reference schema.caption via logic/entities/aggregate.py:134-137;
+    * lists mirror the published FtM model's caption fields).
+    */
+  private val ownCaption: Map[String, Seq[String]] = Map(
+    "Thing" -> Seq("name"),
+    "LegalEntity" -> Seq("name"),
+    "Person" -> Seq("name", "lastName", "firstName"),
+    "Organization" -> Seq("name"),
+    "Company" -> Seq("name"),
+    "Document" -> Seq("fileName", "title", "name"),
+    "Email" -> Seq("subject", "fileName", "title"),
+    "Address" -> Seq("full"),
+    "Event" -> Seq("name"),
+    "Asset" -> Seq("name"))
+
+  /** Caption properties in preference order for a schema: the schema's own
+    * declaration, else the nearest ancestor's (breadth-first up the
+    * lattice), else the default `name`.
+    */
+  def captionProps(schema: String): Seq[String] = {
+    @annotation.tailrec
+    def bfs(frontier: Seq[String], seen: Set[String]): Seq[String] =
+      frontier.flatMap(ownCaption.get) match {
+        case hit +: _ => hit
+        case _ =>
+          val next = frontier.flatMap(s => parents.getOrElse(s, Seq.empty))
+            .distinct.filterNot(seen)
+          if (next.isEmpty) Seq("name") else bfs(next, seen ++ next)
+      }
+    bfs(Seq(schema), Set(schema))
+  }
 
   /** Coarse physical bucket for a schema (partition routing). */
   def bucketOf(schema: String): String = {

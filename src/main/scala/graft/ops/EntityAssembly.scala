@@ -35,10 +35,12 @@ object EntityAssembly {
 
   // not `private`: the Catalyst-generated deserializer must access it
   case class StmtLite(
-      entity_id: String, schema: String, prop: String, value: String,
-      dataset: String, origin: String, first_seen: Timestamp, last_seen: Timestamp)
+      canonical_id: String, entity_id: String, schema: String, prop: String,
+      value: String, dataset: String, origin: String,
+      first_seen: Timestamp, last_seen: Timestamp)
 
-  def fold(entityId: String, stmts: Iterator[StmtLite]): EntityDoc = {
+  def fold(canonicalId: String, stmts: Iterator[StmtLite],
+      captionFor: String => Seq[String] = FtmModel.captionProps): EntityDoc = {
     val all = stmts.toVector
     val schema = FtmModel.mostSpecific(all.map(_.schema).toSet)
     val nonBase0 = all.filterNot(_.prop == Statement.BaseId)
@@ -46,31 +48,46 @@ object EntityAssembly {
     val props = nonBase0.groupBy(_.prop).map { case (p, rows) =>
       p -> rows.map(_.value).distinct.sorted.toSeq
     }
-    val caption = FtmModel.captionProps(schema).iterator
+    // first populated caption property wins; value pick is the sorted min
+    // (reference aggregate.py:134-137: next(iter(sorted(values))))
+    val caption = captionFor(schema).iterator
       .flatMap(p => props.get(p).flatMap(_.headOption))
       .nextOption().getOrElse(schema)
+    // referents: source entity ids folded into this canonical entity
+    // (reference aggregate.py:100-102 — ids differing from the group id)
+    val referents = all.map(_.entity_id).distinct.filterNot(_ == canonicalId).sorted
     val baseRows = all.filter(_.prop == Statement.BaseId)
     val firstSeen = nonBase.map(_.first_seen).minBy(_.getTime)
     val lastSeen = nonBase.map(_.last_seen).maxBy(_.getTime)
     val lastChange =
       if (baseRows.nonEmpty) baseRows.map(_.first_seen).maxBy(_.getTime) else lastSeen
     EntityDoc(
-      entityId, caption, schema, props,
-      Seq.empty,
+      canonicalId, caption, schema, props,
+      referents,
       all.map(_.dataset).distinct.sorted,
       all.map(_.origin).distinct.sorted,
       firstSeen, lastSeen, lastChange)
   }
 
-  /** Assemble live statements (post-dedupe) into entity documents. */
-  def assemble(live: DataFrame): Dataset[EntityDoc] = {
+  /** Assemble live statements (post-dedupe) into entity documents, grouped
+    * by `canonical_id` when the view carries one (this store synthesizes
+    * `canonical_id = entity_id`, so referents are empty unless an upstream
+    * resolver rewrote the column — same contract as the reference).
+    */
+  def assemble(live: DataFrame,
+      captionFor: String => Seq[String] = FtmModel.captionProps): Dataset[EntityDoc] = {
     val spark = live.sparkSession
     import spark.implicits._
+    val canonical =
+      if (live.columns.contains("canonical_id"))
+        coalesce(col("canonical_id"), col("entity_id"))
+      else col("entity_id")
     live.select(
+      canonical.as("canonical_id"),
       col("entity_id"), col("schema"), col("prop"), col("value"),
       col("dataset"), col("origin"), col("first_seen"), col("last_seen"))
       .as[StmtLite]
-      .groupByKey(_.entity_id)
-      .mapGroups((id, it) => fold(id, it))
+      .groupByKey(_.canonical_id)
+      .mapGroups((id, it) => fold(id, it, captionFor))
   }
 }

@@ -81,12 +81,36 @@ object StatementOps {
       .groupBy(col("entity_id"))
       .agg(
         first(col("schema")).as("schema"),
+        min(when(col("prop") === "name", col("value"))).as("__cap"),
         array_join(sort_array(collect_set(concat(col("prop"), lit("="), col("value")))), "|").as("props"),
         countDistinct(col("prop")).as("n_props"),
         array_join(sort_array(collect_set(col("origin"))), "|").as("origins"),
         F.epochMs(min(col("first_seen"))).as("first_ms"),
         F.epochMs(max(col("last_seen"))).as("last_ms"))
+      // caption: first populated caption prop (Event declares `name`),
+      // else the schema label — reference aggregate.py:134-137
+      .withColumn("caption", coalesce(col("__cap"), col("schema")))
+      .drop("__cap")
       .orderBy(col("entity_id"))
+
+  // A4 canonical-grain twin: statements regrouped under a synthetic
+  // canonical_id (a resolver decision folding ~3 source entities into one)
+  // so `referents` and the caption pick have real work — the mechanism the
+  // reference exposes when canonical_id != entity_id (aggregate.py:100-102).
+  def a4bAssemblyCanonical(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.EntityAssembly
+    val live = MergeDedupe.live(stmts(spark, dir))
+      .withColumn("canonical_id",
+        concat(lit("g"), pmod(substring(col("entity_id"), 2, 100).cast("long"), lit(50))))
+    EntityAssembly.assemble(live, _ => Seq("click", "view")).toDF()
+      .select(
+        col("id"), col("caption"), col("schema"),
+        array_join(col("referents"), "|").as("referents"),
+        array_join(col("origins"), "|").as("origins"),
+        F.epochMs(col("first_seen")).as("first_ms"),
+        F.epochMs(col("last_seen")).as("last_ms"))
+      .orderBy(col("id"))
+  }
 
   // A5: exact entity count for a compiled query.
   def a5CountEntities(spark: SparkSession, dir: String): DataFrame =
@@ -234,6 +258,7 @@ object StatementOps {
     "s3_store_roundtrip" -> (s3StoreRoundtrip _),
     "a3_changed_canonical" -> (a3ChangedCanonical _),
     "a4_entity_assembly" -> (a4EntityAssembly _),
+    "a4b_assembly_canonical" -> (a4bAssemblyCanonical _),
     "a5_count_entities" -> (a5CountEntities _),
     "a6_stats" -> (a6Stats _),
     "a7_distinct_partitions" -> (a7DistinctPartitions _),
@@ -260,15 +285,42 @@ object StatementOps {
          |$stmtOutSql""".stripMargin,
     "a4_entity_assembly" ->
       s"""$mergeCte,
-         |pairs AS (SELECT DISTINCT entity_id, "schema", prop || '=' || value AS pv, prop, origin, first_seen, last_seen FROM live)
-         |SELECT entity_id,
+         |pairs AS (SELECT DISTINCT entity_id, "schema", prop || '=' || value AS pv, prop, origin, first_seen, last_seen FROM live),
+         |cap AS (SELECT entity_id, MIN(CASE WHEN prop = 'name' THEN value END) AS c FROM live GROUP BY entity_id)
+         |SELECT p.entity_id,
          |  min("schema") AS "schema",
+         |  COALESCE(MIN(c.c), min("schema")) AS caption,
          |  string_agg(DISTINCT pv, '|' ORDER BY pv) AS props,
          |  COUNT(DISTINCT prop) AS n_props,
          |  string_agg(DISTINCT origin, '|' ORDER BY origin) AS origins,
          |  epoch_ms(MIN(first_seen)) AS first_ms,
          |  epoch_ms(MAX(last_seen)) AS last_ms
-         |FROM pairs GROUP BY entity_id ORDER BY entity_id""".stripMargin,
+         |FROM pairs p LEFT JOIN cap c ON p.entity_id = c.entity_id
+         |GROUP BY p.entity_id ORDER BY p.entity_id""".stripMargin,
+    "a4b_assembly_canonical" ->
+      s"""$mergeCte,
+         |grp AS (
+         |  SELECT *, 'g' || CAST(CAST(substr(entity_id, 2) AS BIGINT) % 50 AS VARCHAR) AS cid
+         |  FROM live),
+         |caps AS (
+         |  SELECT cid, prop, MIN(value) AS mv FROM grp GROUP BY cid, prop),
+         |cap AS (
+         |  SELECT cid, COALESCE(
+         |    MAX(CASE WHEN prop = 'click' THEN mv END),
+         |    MAX(CASE WHEN prop = 'view' THEN mv END), 'Event') AS caption
+         |  FROM caps GROUP BY cid),
+         |refs AS (
+         |  SELECT cid, string_agg(DISTINCT entity_id, '|' ORDER BY entity_id) AS referents
+         |  FROM grp GROUP BY cid),
+         |spans AS (
+         |  SELECT cid, min("schema") AS "schema",
+         |    string_agg(DISTINCT origin, '|' ORDER BY origin) AS origins,
+         |    epoch_ms(MIN(first_seen)) AS first_ms,
+         |    epoch_ms(MAX(last_seen)) AS last_ms
+         |  FROM grp GROUP BY cid)
+         |SELECT s.cid AS id, c.caption, s."schema", r.referents, s.origins, s.first_ms, s.last_ms
+         |FROM spans s JOIN cap c ON s.cid = c.cid JOIN refs r ON s.cid = r.cid
+         |ORDER BY s.cid""".stripMargin,
     "a5_count_entities" ->
       s"$mergeCte\nSELECT COUNT(DISTINCT entity_id) AS entity_count FROM live",
     "a6_stats" ->

@@ -78,6 +78,55 @@ class StoreSpec extends SparkSpec {
     assert(store.raw.count() == before)
   }
 
+  test("stale-lock recovery: a crashed writer's fence is stolen; fresh locks are honored") {
+    import org.apache.hadoop.fs.Path
+    import graft.lake.Locks
+    val dir = Files.createTempDirectory("graft-lock").toString
+    val store = new StatementStore(spark, dir, shards = 4)
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+
+    // simulate a crashed writer: a fence file nobody will ever delete,
+    // with an mtime far in the past
+    val lock = new Path(root, ".LOCK")
+    val out = fs.create(lock, false)
+    out.writeBytes("pid=0 ts=0")
+    out.close()
+    fs.setTimes(lock, System.currentTimeMillis() - 60L * 60 * 1000, -1)
+
+    // append steals the stale lock and succeeds instead of bricking
+    val v = store.append(mkStatements(5, "o1", "2024-01-02 00:00:00"))
+    assert(v == 0L && store.raw.count() == 5)
+    assert(!Locks.isLocked(fs, root))
+
+    // a FRESH lock is NOT stolen: bounded retries then failure
+    val out2 = fs.create(lock, false)
+    out2.writeBytes("pid=live ts=now")
+    out2.close()
+    intercept[IllegalStateException] {
+      Locks.withLock(fs, root, maxRetries = 1)(())
+    }
+    // explicit operator unlock clears it
+    assert(Locks.unlock(fs, root))
+    val v2 = store.append(mkStatements(5, "o2", "2024-01-02 00:00:00"))
+    assert(v2 == 1L)
+  }
+
+  test("destroy soft-drops the table: manifest gone, data files remain") {
+    val dir = Files.createTempDirectory("graft-destroy").toString
+    val store = new StatementStore(spark, dir, shards = 4)
+    store.append(mkStatements(10, "o1", "2024-01-02 00:00:00"))
+    assert(store.raw.count() == 10)
+    store.destroy()
+    // S8 semantics: version counter reset, reads see an empty table...
+    assert(store.version == -1L)
+    assert(store.raw.count() == 0)
+    // ...but the physical parquet stays on disk for forensics
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    assert(graft.lake.Manifest.physicalFiles(fs, new Path(dir)).nonEmpty)
+  }
+
   test("dataset config: persisted snapshots, immutable shard count") {
     import org.apache.hadoop.fs.Path
     import graft.lake.DatasetConfig
