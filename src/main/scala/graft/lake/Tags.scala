@@ -22,6 +22,26 @@ class Tags(fs: FileSystem, root: Path) {
     fs.setTimes(p, ts, -1)
   }
 
+  /** Store an arbitrary string value under a tag key (the reference's
+    * TagStore doubles as a tiny KV store for e.g. diff watermark state).
+    */
+  def put(key: String, value: String): Unit = {
+    val p = pathOf(key)
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    try out.write(value.getBytes("UTF-8")) finally out.close()
+  }
+
+  def get(key: String): Option[String] = {
+    val p = pathOf(key)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    }
+  }
+
   def mtime(key: String): Option[Long] = {
     val p = pathOf(key)
     if (fs.exists(p)) Some(fs.getFileStatus(p).getModificationTime) else None

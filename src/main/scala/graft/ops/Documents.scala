@@ -79,6 +79,47 @@ object Documents {
     }
   }
 
+  /** Document table for export (reference repository/documents.py:88-129):
+    * one row per live Document-schema entity carrying a `contentHash`,
+    * excluding Folders, with folder paths resolved via the parent chain
+    * (J4) and `public_url` attached when a prefix is configured (J6/F14).
+    *
+    * `live` is statement-grain; the fold to document-grain is one
+    * aggregation keyed on entity_id. Folder path resolution runs over the
+    * folder entities only — a tiny fraction of a document corpus.
+    */
+  def documentsTable(live: DataFrame, publicUrlPrefix: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, min, when, first, concat_ws, lit}
+    val docSchemas = (FtmModel.descendants("Document") - "Folder").toSeq
+    def prop(p: String) = min(when(col("prop") === p, col("value")))
+    val docs = live.filter(col("schema").isin(docSchemas: _*))
+      .groupBy(col("entity_id").as("id"))
+      .agg(
+        first(col("schema")).as("schema"),
+        prop("fileName").as("file_name"),
+        prop("mimeType").as("mime_type"),
+        prop("fileSize").as("size"),
+        prop("contentHash").as("content_hash"),
+        prop("parent").as("parent"))
+      .filter(col("content_hash").isNotNull)
+    val folders = live.filter(col("schema") === "Folder")
+      .groupBy(col("entity_id").as("id"))
+      .agg(prop("fileName").as("name"), prop("parent").as("parent"))
+    val paths = resolvePaths(folders).withColumnRenamed("id", "parent")
+      .withColumnRenamed("path", "path")
+    val withPath = docs.join(paths, Seq("parent"), "left_outer")
+    val withUrl = publicUrlPrefix match {
+      case Some(prefix) => withPath.withColumn("public_url",
+        concat_ws("/", lit(prefix.stripSuffix("/")),
+          col("content_hash").substr(1, 2), col("content_hash").substr(3, 2),
+          col("content_hash").substr(5, 2), col("content_hash"), lit("blob")))
+      case None => withPath.withColumn("public_url", lit(null).cast("string"))
+    }
+    withUrl.select(
+      col("id"), col("schema"), col("file_name"), col("mime_type"),
+      col("size"), col("content_hash"), col("path"), col("public_url"))
+  }
+
   /** J4: resolve each node's path to the root by iterating a self-join to
     * fixpoint (bounded depth, cycle-safe: a cycle stops extending once the
     * hop budget is spent). `nodes` needs (id, name, parent) where parent

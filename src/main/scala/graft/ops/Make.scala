@@ -25,9 +25,14 @@ object Make {
 
   /** Export pipeline with freshness gating: each artifact records the
     * store version it was built from; artifacts current for the version
-    * are skipped (reference ST2 / operation/export.py:37-199).
+    * are skipped (reference ST2 / operation/export.py:37-199). The full
+    * artifact set mirrors the reference's MakeOperation: statements.csv →
+    * entities.ftm.json (+ incremental diff) → documents.csv →
+    * statistics.json → index.json (operation/make.py:14-26).
     */
-  def make(store: StatementStore, journal: Journal, outDir: String): Seq[String] = {
+  def make(store: StatementStore, journal: Journal, outDir: String,
+      publicUrlPrefix: Option[String] = None,
+      datasetName: String = "dataset"): Seq[String] = {
     optimize(store, journal)
     val v = store.version
     val done = scala.collection.mutable.ListBuffer.empty[String]
@@ -50,6 +55,17 @@ object Make {
     gated("entities.ftm.json") {
       Exports.jsonExport(
         EntityAssembly.assemble(store.live).toDF(), s"$outDir/entities.ftm.json", "id")
+      // incremental diff rides the entities export (reference
+      // _export_entities: export + export_diff); stateful — initial run
+      // emits the full ADD copy, later runs only the window's ADD/MOD/DEL
+      Diff.exportDiff(store, outDir)
+    }
+    gated("documents.csv") {
+      // reference short-circuits document-free datasets with one cheap
+      // count before any per-partition work (documents.py:118-123)
+      val docs = Documents.documentsTable(store.live, publicUrlPrefix)
+      if (!docs.isEmpty)
+        Exports.csvExport(docs, s"$outDir/documents.csv", sortCol = "id")
     }
     gated("statistics.json") {
       store.live.groupBy(col("bucket"), col("schema"))
@@ -58,6 +74,39 @@ object Make {
         .coalesce(1)
         .write.mode("overwrite").json(s"$outDir/statistics.json")
     }
+    gated("index.json") {
+      writeIndex(store, outDir, datasetName, publicUrlPrefix)
+    }
     done.toList
+  }
+
+  /** index.json: the dataset's catalog entry — config, version, entity
+    * count, per-schema facets, and the resource list of published
+    * artifacts (reference catalog.py:40-125, operation/export.py:96-131).
+    * Driver-side: one small JSON file, not a data artifact.
+    */
+  private def writeIndex(store: StatementStore, outDir: String,
+      datasetName: String, publicUrlPrefix: Option[String]): Unit = {
+    val entityCount = store.live.select(countDistinct(col("entity_id")))
+      .collect()(0).getLong(0)
+    val facets = store.live.groupBy(col("schema"))
+      .agg(countDistinct(col("entity_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val hconf = store.spark.sessionState.newHadoopConf()
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val outFs = outPath.getFileSystem(hconf)
+    val artifacts = Seq("statements.csv", "entities.ftm.json",
+      "documents.csv", "statistics.json")
+      .filter(a => outFs.exists(new org.apache.hadoop.fs.Path(outPath, a)))
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val resources = artifacts.map { a =>
+      val url = publicUrlPrefix.map(p => s"${p.stripSuffix("/")}/$a")
+      s"""{"name":${q(a)},"path":${q(a)}${url.map(u => s""","url":${q(u)}""").getOrElse("")}}"""
+    }.mkString("[", ",", "]")
+    val schemata = facets.map { case (s, n) => s"${q(s)}:$n" }.mkString("{", ",", "}")
+    val json =
+      s"""{"name":${q(datasetName)},"version":${store.version},"entity_count":$entityCount,"schemata":$schemata,"resources":$resources}"""
+    val out = outFs.create(new org.apache.hadoop.fs.Path(outPath, "index.json"), true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
   }
 }

@@ -183,6 +183,13 @@ object StatementOps {
       .orderBy(col("entity_id"))
   }
 
+  // ST3 stateful half: the ADD/MOD/DEL classification the diff operation
+  // writes as envelopes — DEL when canonicalization leaves no live rows,
+  // MOD when the entity predates the window, ADD when entirely new.
+  def st4DiffClassify(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Diff.classify(stmts(spark, dir), lit(watermark).cast("timestamp"))
+      .orderBy(col("entity_id"))
+
   // S3/S5/A2 end to end through the physical store: partitioned append into
   // a manifest-versioned table, merge rewrite (fragment supersession +
   // tombstone reap), snapshot read-back. The merged table must read back
@@ -267,6 +274,7 @@ object StatementOps {
     "f6_pack_unpack" -> (f6PackUnpack _),
     "f7_tombstone_bump" -> (f7TombstoneBump _),
     "st3_diff_ops" -> (st3DiffOps _),
+    "st4_diff_classify" -> (st4DiffClassify _),
     "o5_order_by_prop" -> (o5OrderByProp _),
     "j4_parent_chain" -> (j4ParentChain _),
     "p1_query_compile" -> (p1QueryCompile _),
@@ -363,6 +371,23 @@ object StatementOps {
          |  CASE WHEN s.entity_id IS NOT NULL THEN 'ADD' ELSE 'DEL' END AS op,
          |  '{"op":"' || CASE WHEN s.entity_id IS NOT NULL THEN 'ADD' ELSE 'DEL' END || '","id":"' || c.entity_id || '"}' AS envelope
          |FROM changed c LEFT JOIN still_live s ON c.entity_id = s.entity_id
+         |ORDER BY c.entity_id""".stripMargin,
+    "st4_diff_classify" ->
+      s"""$mergeCte,
+         |chg AS (
+         |  SELECT DISTINCT entity_id FROM stmts
+         |  WHERE first_seen >= TIMESTAMP '$watermark' OR deleted_at >= TIMESTAMP '$watermark'),
+         |born AS (
+         |  SELECT entity_id, MIN(first_seen) AS b FROM stmts
+         |  WHERE entity_id IN (SELECT entity_id FROM chg) GROUP BY entity_id),
+         |lv AS (SELECT DISTINCT entity_id FROM live)
+         |SELECT c.entity_id,
+         |  CASE WHEN l.entity_id IS NULL THEN 'DEL'
+         |       WHEN b.b < TIMESTAMP '$watermark' THEN 'MOD'
+         |       ELSE 'ADD' END AS op
+         |FROM chg c
+         |LEFT JOIN lv l ON c.entity_id = l.entity_id
+         |JOIN born b ON c.entity_id = b.entity_id
          |ORDER BY c.entity_id""".stripMargin,
     "o5_order_by_prop" ->
       s"""$mergeCte,

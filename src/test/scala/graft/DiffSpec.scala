@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.lake.StatementStore
+import graft.model.Statement
+import graft.ops.Diff
+
+/** Stateful incremental diff export (reference repository/diff.py:66-145
+  * and the supersession-without-merge scenario of
+  * tests/test_repository_entities.py:263-312).
+  */
+class DiffSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def stmt(id: String, entity: String, value: String,
+      fragment: String, firstSeen: String, lastSeen: String,
+      deletedAt: Option[String] = None, prop: String = "name") =
+    Statement(
+      shard = "0", id = id, entity_id = entity, dataset = "ds",
+      bucket = "thing", origin = "o1", source = None, schema = "Person",
+      prop = prop, prop_type = "string", value = value,
+      original_value = None, lang = None, external = false,
+      first_seen = ts(firstSeen), last_seen = ts(lastSeen),
+      fragment = fragment, deleted_at = deletedAt.map(ts))
+
+  test("diff export: initial full copy, then ADD/MOD/DEL with watermark state") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-diff").toString
+    val out = Files.createTempDirectory("graft-diff-out").toString
+    val store = new StatementStore(spark, dir, shards = 4)
+
+    // empty store: nothing to diff
+    assert(Diff.exportDiff(store, out).isEmpty)
+
+    // epoch 1: jane + john
+    store.append(Seq(
+      stmt("idJane", "jane", "Jane", "", "2024-01-01 00:00:00", "2024-01-01 00:00:00"),
+      stmt("idJohn", "john", "John", "f1", "2024-01-01 00:00:00", "2024-01-01 00:00:00")
+    ).toDS().toDF())
+
+    val label1 = Diff.exportDiff(store, out, ts("2024-06-01 00:00:00").getTime)
+    assert(label1.contains("20240601T000000Z"))
+    val initial = spark.read.json(s"$out/diffs/entities.ftm.json/${label1.get}.delta.json")
+    assert(initial.count() == 2)
+    assert(initial.select("op").distinct().collect().map(_.getString(0)).toSeq == Seq("ADD"))
+
+    // unchanged store version → no-op
+    assert(Diff.exportDiff(store, out, ts("2024-06-02 00:00:00").getTime).isEmpty)
+
+    // epoch 2: delete jane (tombstone, last_seen bumped); supersede john's
+    // name WITHOUT merging (fresh fragment emission); bob is brand new
+    store.append(Seq(
+      stmt("idJane", "jane", "Jane", "", "2024-01-01 00:00:00",
+        "2024-07-01 00:00:00", deletedAt = Some("2024-07-01 00:00:00")),
+      stmt("idJohn2", "john", "Johnny", "f1", "2024-07-01 00:00:00", "2024-07-01 00:00:00"),
+      stmt("idBob", "bob", "Bob", "", "2024-07-01 00:00:00", "2024-07-01 00:00:00")
+    ).toDS().toDF())
+
+    val label2 = Diff.exportDiff(store, out, ts("2024-08-01 00:00:00").getTime)
+    assert(label2.nonEmpty && label2 != label1)
+    val delta = spark.read.json(s"$out/diffs/entities.ftm.json/${label2.get}.delta.json")
+    val ops = delta.select(col("entity.id"), col("op")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(ops == Map("jane" -> "DEL", "john" -> "MOD", "bob" -> "ADD"))
+
+    // supersession applied at read time: the MOD envelope carries only the
+    // new value even though no merge ran
+    val johnProps = delta.filter(col("entity.id") === "john")
+      .select(col("entity.properties.name")).collect()(0).getSeq[String](0)
+    assert(johnProps == Seq("Johnny"))
+    // DEL envelopes are id-only
+    val janeRow = delta.filter(col("entity.id") === "jane").select("entity.caption")
+    assert(janeRow.collect()(0).isNullAt(0))
+
+    // state advanced: running again with no new writes is a no-op
+    assert(Diff.exportDiff(store, out, ts("2024-09-01 00:00:00").getTime).isEmpty)
+  }
+}

@@ -49,21 +49,56 @@ class StreamingMakeSpec extends SparkSpec {
     val store = new StatementStore(spark, dir, shards = 4)
     val journal = new Journal(spark, dir)
 
+    val checksum = "ab" * 32
     val stmts = Seq(
       model.Statement("0", "idA", "e1", "ds", "thing", "o1", None, "Person",
         "name", "string", "Alice", None, None, external = false,
+        ts("2024-01-01 00:00:00"), ts("2024-01-01 00:00:00"), "", None),
+      // a document (with folder parent) so documents.csv has content
+      model.Statement("0", "idD1", "doc1", "ds", "document", "o1", None, "PlainText",
+        "fileName", "string", "a.txt", None, None, external = false,
+        ts("2024-01-01 00:00:00"), ts("2024-01-01 00:00:00"), "", None),
+      model.Statement("0", "idD2", "doc1", "ds", "document", "o1", None, "PlainText",
+        "contentHash", "checksum", checksum, None, None, external = false,
+        ts("2024-01-01 00:00:00"), ts("2024-01-01 00:00:00"), "", None),
+      model.Statement("0", "idD3", "doc1", "ds", "document", "o1", None, "PlainText",
+        "parent", "entity", "fold1", None, None, external = false,
+        ts("2024-01-01 00:00:00"), ts("2024-01-01 00:00:00"), "", None),
+      model.Statement("0", "idF1", "fold1", "ds", "document", "o1", None, "Folder",
+        "fileName", "string", "docs", None, None, external = false,
         ts("2024-01-01 00:00:00"), ts("2024-01-01 00:00:00"), "", None)).toDS().toDF()
     journal.write(stmts)
 
-    val first = Make.make(store, journal, out)
-    assert(first.toSet == Set("statements.csv", "entities.ftm.json", "statistics.json"))
+    val first = Make.make(store, journal, out,
+      publicUrlPrefix = Some("https://example.org/archive"))
+    assert(first.toSet == Set("statements.csv", "entities.ftm.json",
+      "documents.csv", "statistics.json", "index.json"))
     assert(new java.io.File(s"$out/entities.ftm.json").exists())
+
+    // all 5 reference artifacts exist; initial diff rode the entity export
+    assert(new java.io.File(s"$out/documents.csv").exists())
+    assert(new java.io.File(s"$out/index.json").exists())
+    assert(new java.io.File(s"$out/diffs/entities.ftm.json").listFiles().nonEmpty)
+
+    // documents.csv carries path + public url from the parent chain
+    val docs = spark.read.option("header", "true").csv(s"$out/documents.csv").collect()
+    assert(docs.length == 1)
+    val doc = docs(0)
+    assert(doc.getAs[String]("id") == "doc1")
+    assert(doc.getAs[String]("path") == "docs")
+    assert(doc.getAs[String]("public_url") ==
+      s"https://example.org/archive/ab/ab/ab/$checksum/blob")
+
+    // index.json lists the artifacts and the entity count
+    val idx = scala.io.Source.fromFile(s"$out/index.json").mkString
+    assert(idx.contains("\"entity_count\":3") && idx.contains("documents.csv"))
 
     // unchanged store → every export skipped
     assert(Make.make(store, journal, out).isEmpty)
 
     // new data → exports rebuild
-    journal.write(stmts.withColumn("id", org.apache.spark.sql.functions.lit("idB"))
+    journal.write(stmts.limit(1)
+      .withColumn("id", org.apache.spark.sql.functions.lit("idB"))
       .withColumn("entity_id", org.apache.spark.sql.functions.lit("e2")))
     assert(Make.make(store, journal, out).nonEmpty)
   }
