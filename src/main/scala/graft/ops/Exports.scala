@@ -52,4 +52,67 @@ object Exports {
   /** S12 source side: JSON-lines with explicit schema. */
   def jsonImport(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** F12: single-file sorted artifact with optional gz/zst compression —
+    * the byte-reproducible file downstream mirrors checksum (reference
+    * logic/compress.py, core/conventions/path.py:235-238).
+    *
+    * The sort is distributed (range partition + in-partition sort); only
+    * the final concat streams through the driver, sequentially in part
+    * order, so driver memory stays O(buffer) regardless of artifact size.
+    * Determinism: `java.util.zip.GZIPOutputStream` writes a zeroed MTIME
+    * header (the reference sets mtime=0 explicitly for the same reason)
+    * and zstd frames carry no timestamp, so identical rows → identical
+    * bytes on every run.
+    */
+  def singleFileCsv(df: DataFrame, dest: String, sortCol: String = "entity_id",
+      compression: String = "none"): Unit = {
+    val parts = dest + ".parts"
+    df.repartitionByRange(col(sortCol))
+      .sortWithinPartitions(col(sortCol))
+      .write.mode(SaveMode.Overwrite)
+      .option("header", "false")
+      .option("quote", "\"").option("escape", "\"")
+      .csv(parts)
+    val header = df.columns.mkString("", ",", "\n")
+    concatParts(df.sparkSession, parts, dest, compression, Some(header))
+  }
+
+  /** F12 twin for JSON-lines artifacts. */
+  def singleFileJson(df: DataFrame, dest: String, sortCol: String,
+      compression: String = "none"): Unit = {
+    val parts = dest + ".parts"
+    df.repartitionByRange(col(sortCol))
+      .sortWithinPartitions(col(sortCol))
+      .write.mode(SaveMode.Overwrite)
+      .json(parts)
+    concatParts(df.sparkSession, parts, dest, compression, None)
+  }
+
+  private def concatParts(spark: SparkSession, partsDir: String, dest: String,
+      compression: String, header: Option[String]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val destPath = new Path(dest)
+    val fs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new Path(partsDir))
+      .map(_.getPath).filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val rawOut = fs.create(destPath, true)
+    val out: java.io.OutputStream = compression match {
+      case "gzip" | "gz" => new java.util.zip.GZIPOutputStream(rawOut)
+      case "zstd" | "zst" => new com.github.luben.zstd.ZstdOutputStream(rawOut)
+      case _ => rawOut
+    }
+    try {
+      header.foreach(h => out.write(h.getBytes("UTF-8")))
+      val buf = new Array[Byte](256 * 1024)
+      files.foreach { f =>
+        val in = fs.open(f)
+        try {
+          var n = in.read(buf)
+          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        } finally in.close()
+      }
+    } finally out.close()
+    fs.delete(new Path(partsDir), true)
+  }
 }

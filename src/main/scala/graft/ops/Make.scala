@@ -68,9 +68,7 @@ object Make {
         Exports.csvExport(docs, s"$outDir/documents.csv", sortCol = "id")
     }
     gated("statistics.json") {
-      store.live.groupBy(col("bucket"), col("schema"))
-        .agg(countDistinct(col("entity_id")).as("entities"),
-          count(lit(1)).as("statements"))
+      Stats.facets(store.live)
         .coalesce(1)
         .write.mode("overwrite").json(s"$outDir/statistics.json")
     }

@@ -38,10 +38,10 @@ object StatementOps {
        |      ORDER BY last_seen DESC, deleted_at DESC NULLS LAST, value ASC, lang ASC NULLS FIRST, original_value ASC NULLS FIRST) AS rn
        |  FROM stmts WHERE fragment <> ''),
        |merged AS (
-       |  SELECT shard,bucket,origin,id,entity_id,"schema",prop,fragment,value,min_fs AS first_seen,last_seen,deleted_at
+       |  SELECT shard,bucket,origin,id,entity_id,"schema",prop,prop_type,fragment,value,min_fs AS first_seen,last_seen,deleted_at
        |  FROM nf WHERE rn = 1
        |  UNION ALL
-       |  SELECT shard,bucket,origin,id,entity_id,"schema",prop,fragment,value,min_fs,last_seen,deleted_at
+       |  SELECT shard,bucket,origin,id,entity_id,"schema",prop,prop_type,fragment,value,min_fs,last_seen,deleted_at
        |  FROM fr WHERE rn = 1 AND last_seen = max_ls),
        |live AS (SELECT * FROM merged WHERE deleted_at IS NULL)""".stripMargin
 
@@ -117,12 +117,10 @@ object StatementOps {
     MergeDedupe.live(stmts(spark, dir))
       .agg(countDistinct(col("entity_id")).as("entity_count"))
 
-  // A6: dataset statistics — per-bucket schema facets.
+  // A6: dataset statistics — per-bucket schema facets + country facets.
   def a6Stats(spark: SparkSession, dir: String): DataFrame =
-    MergeDedupe.live(stmts(spark, dir))
-      .groupBy(col("bucket"), col("schema"))
-      .agg(countDistinct(col("entity_id")).as("entities"), count(lit(1)).as("statements"))
-      .orderBy(col("bucket"), col("schema"))
+    graft.ops.Stats.facets(MergeDedupe.live(stmts(spark, dir)))
+      .orderBy(col("facet"), col("key"))
 
   // A7: partition enumeration.
   def a7DistinctPartitions(spark: SparkSession, dir: String): DataFrame =
@@ -333,8 +331,14 @@ object StatementOps {
       s"$mergeCte\nSELECT COUNT(DISTINCT entity_id) AS entity_count FROM live",
     "a6_stats" ->
       s"""$mergeCte
-         |SELECT bucket, "schema", COUNT(DISTINCT entity_id) AS entities, COUNT(*) AS statements
-         |FROM live GROUP BY bucket, "schema" ORDER BY bucket, "schema"""".stripMargin,
+         |SELECT * FROM (
+         |  SELECT 'schemata' AS facet, bucket || '/' || "schema" AS key,
+         |    COUNT(DISTINCT entity_id) AS entities, COUNT(*) AS statements
+         |  FROM live GROUP BY bucket, "schema"
+         |  UNION ALL
+         |  SELECT 'countries', value, COUNT(DISTINCT entity_id), COUNT(*)
+         |  FROM live WHERE prop_type = 'country' GROUP BY value)
+         |ORDER BY facet, key""".stripMargin,
     "a7_distinct_partitions" ->
       s"""WITH stmts AS (${EventStatements.SQL})
          |SELECT DISTINCT shard, bucket, origin FROM stmts
