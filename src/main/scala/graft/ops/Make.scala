@@ -32,7 +32,8 @@ object Make {
     */
   def make(store: StatementStore, journal: Journal, outDir: String,
       publicUrlPrefix: Option[String] = None,
-      datasetName: String = "dataset"): Seq[String] = {
+      datasetName: String = "dataset",
+      compression: String = "none"): Seq[String] = {
     optimize(store, journal)
     val v = store.version
     val done = scala.collection.mutable.ListBuffer.empty[String]
@@ -47,14 +48,24 @@ object Make {
         done += name
       }
     }
+    // single-file artifacts (the byte-reproducible files downstream
+    // mirrors checksum — reference operation/export.py); the distributed
+    // sort happens in executors, only the final concat is driver-streamed
+    val suffix = compression match {
+      case "gzip" | "gz" => ".gz"
+      case "zstd" | "zst" => ".zst"
+      case _ => ""
+    }
     gated("statements.csv") {
-      Exports.csvExport(store.raw.select(
+      Exports.singleFileCsv(store.raw.select(
         col("id"), col("entity_id"), col("prop"), col("value"),
-        col("fragment"), col("origin"), col("schema")), s"$outDir/statements.csv")
+        col("fragment"), col("origin"), col("schema")),
+        s"$outDir/statements.csv$suffix", compression = compression)
     }
     gated("entities.ftm.json") {
-      Exports.jsonExport(
-        EntityAssembly.assemble(store.live).toDF(), s"$outDir/entities.ftm.json", "id")
+      Exports.singleFileJson(
+        EntityAssembly.assemble(store.live).toDF(),
+        s"$outDir/entities.ftm.json$suffix", "id", compression = compression)
       // incremental diff rides the entities export (reference
       // _export_entities: export + export_diff); stateful — initial run
       // emits the full ADD copy, later runs only the window's ADD/MOD/DEL
@@ -65,7 +76,8 @@ object Make {
       // count before any per-partition work (documents.py:118-123)
       val docs = Documents.documentsTable(store.live, publicUrlPrefix)
       if (!docs.isEmpty)
-        Exports.csvExport(docs, s"$outDir/documents.csv", sortCol = "id")
+        Exports.singleFileCsv(docs, s"$outDir/documents.csv$suffix",
+          sortCol = "id", compression = compression)
     }
     gated("statistics.json") {
       Stats.facets(store.live)
@@ -93,8 +105,8 @@ object Make {
     val hconf = store.spark.sessionState.newHadoopConf()
     val outPath = new org.apache.hadoop.fs.Path(outDir)
     val outFs = outPath.getFileSystem(hconf)
-    val artifacts = Seq("statements.csv", "entities.ftm.json",
-      "documents.csv", "statistics.json")
+    val artifacts = Seq("statements.csv", "entities.ftm.json", "documents.csv")
+      .flatMap(a => Seq(a, s"$a.gz", s"$a.zst")).appended("statistics.json")
       .filter(a => outFs.exists(new org.apache.hadoop.fs.Path(outPath, a)))
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val resources = artifacts.map { a =>

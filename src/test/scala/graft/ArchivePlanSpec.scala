@@ -103,4 +103,38 @@ class ArchivePlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
     assert(p.contains("Window"), p)
   }
+
+  test("entity-grain prop-filter semi-join is AQE-chosen, not hint-forced") {
+    import graft.query.FtmQuery
+    import graft.query.FtmQuery._
+    import org.apache.spark.sql.functions.col
+    val live = graft.ops.MergeDedupe.live(
+      graft.lake.EventStatements.statements(Tables.events(spark, sf001)))
+    val df = FtmQuery.compile(
+      Query(propFilters = Seq(P("click", GteOp, Seq("50")))), live)
+    // no static hint anywhere in the analyzed plan: the id side is
+    // unbounded, the join strategy must be a runtime decision
+    assert(!df.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      df.queryExecution.analyzed.toString)
+    df.collect()
+    // at this scale AQE promotes the small id side to a broadcast join
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("isFinalPlan=true"), finalPlan)
+    assert(finalPlan.contains("BroadcastHashJoin") && finalPlan.contains("LeftSemi"),
+      finalPlan)
+  }
+
+  test("resolvePaths output has bounded lineage: no join pyramid in the final plan") {
+    import spark.implicits._
+    val nodes = Seq(
+      ("root", "", "top"), ("mid", "root", "docs"), ("leaf", "mid", "x"))
+      .toDF("id", "parent", "name")
+      .select($"id", $"name", $"parent")
+    val resolved = Documents.resolvePaths(nodes, maxDepth = 8)
+    // every iteration staged its frontier, so the returned plan is a
+    // union of staged-parquet scans — zero joins, depth-independent
+    val p = resolved.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Union"), p)
+  }
 }
