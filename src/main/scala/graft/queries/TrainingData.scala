@@ -106,6 +106,13 @@ object TrainingData {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  def sim3IvfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    Similarity.ivfTopK(e, "vec_id", e.filter(col("vec_id") < 10), k = 3,
+      nlist = 8, nprobe = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ---- multimodal plumbing ----
 
   def mm1MediaMeta(spark: SparkSession, dir: String): DataFrame =
@@ -129,6 +136,7 @@ object TrainingData {
     "d5_embed_dup" -> (d5EmbedDup _),
     "sim1_topk" -> (sim1TopK _),
     "sim2_ann_bucket" -> (sim2AnnBucket _),
+    "sim3_ivf_topk" -> (sim3IvfTopK _),
     "mm1_media_meta" -> (mm1MediaMeta _))
 
   // ---- DuckDB oracle twins ----
@@ -279,6 +287,30 @@ object TrainingData {
          |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
          |    ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY $simExpr DESC, b.vec_id) AS rank
          |  FROM bkt a JOIN bkt b ON a.b = b.b AND a.vec_id < 20 AND b.vec_id <> a.vec_id)
+         |SELECT query_id, neighbor_id, rank FROM scored
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "sim3_ivf_topk" ->
+      s"""WITH $qCte,
+         |cents AS (SELECT vec_id AS cid, qv AS kv, nrm AS knrm FROM p WHERE vec_id < 8),
+         |corpus_assign AS (
+         |  SELECT vec_id, qv, nrm, cid FROM (
+         |    SELECT p.vec_id, p.qv, p.nrm, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+         |        CAST(list_sum(list_transform(list_zip(p.qv, c.kv), z -> CAST(z[1] AS BIGINT)*z[2])) AS DOUBLE) / sqrt(CAST(p.nrm*c.knrm AS DOUBLE)) DESC,
+         |        c.cid) AS crn
+         |    FROM p CROSS JOIN cents c) WHERE crn = 1),
+         |query_assign AS (
+         |  SELECT vec_id, qv, nrm, cid FROM (
+         |    SELECT p.vec_id, p.qv, p.nrm, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+         |        CAST(list_sum(list_transform(list_zip(p.qv, c.kv), z -> CAST(z[1] AS BIGINT)*z[2])) AS DOUBLE) / sqrt(CAST(p.nrm*c.knrm AS DOUBLE)) DESC,
+         |        c.cid) AS crn
+         |    FROM p CROSS JOIN cents c WHERE p.vec_id < 10) WHERE crn <= 2),
+         |scored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY $simExpr DESC, b.vec_id) AS rank
+         |  FROM query_assign a JOIN corpus_assign b
+         |    ON a.cid = b.cid AND b.vec_id <> a.vec_id)
          |SELECT query_id, neighbor_id, rank FROM scored
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "mm1_media_meta" ->

@@ -88,6 +88,51 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** IVF ANN: inverted-file search with a coarse quantizer. Centroids
+    * here are the first `nlist` corpus vectors by id — deterministic, so
+    * the SQL oracle replays the identical assignment; a production
+    * deployment swaps in trained k-means centroids, and the assignment /
+    * probe machinery below is unchanged.
+    *
+    * Scale shape: assignment is one broadcast of `nlist` centroids
+    * against a single corpus scan (linear, no shuffle of the corpus
+    * itself beyond the list key); each query probes only its `nprobe`
+    * nearest lists, shrinking the candidate set by ~nlist/nprobe versus
+    * a full scan. The scoring join keys on the list id.
+    */
+  def ivfTopK(emb: DataFrame, idCol: String, queries: DataFrame, k: Int,
+      nlist: Int, nprobe: Int): DataFrame = {
+    val prep = prepared(emb, idCol)
+    val cents = prep.filter(col(idCol) < nlist)
+      .select(col(idCol).as("__cid"), col("__q").as("__qk"), col("__n").as("__nk"))
+    // nearest-`keep` centroid lists for each vector; centroid side is
+    // nlist rows by construction — the one place a hint is justified
+    def assign(df: DataFrame, idAs: String, keep: Int): DataFrame = {
+      val scored = df.join(broadcast(cents))
+        .withColumn("__csim", cosineQ(col("__q"), col("__qk"), col("__n"), col("__nk")))
+      val w = Window.partitionBy(col(idAs)).orderBy(col("__csim").desc, col("__cid"))
+      scored.withColumn("__crn", row_number().over(w))
+        .filter(col("__crn") <= keep)
+        .drop("__qk", "__nk", "__csim", "__crn")
+    }
+    val corpus = assign(
+      prep.select(col(idCol).as("neighbor_id"), col("__q"), col("__n")),
+      "neighbor_id", 1)
+      .withColumnRenamed("__q", "__qc").withColumnRenamed("__n", "__nc")
+    val qs = assign(
+      prepared(queries, idCol).select(col(idCol).as("query_id"), col("__q"), col("__n")),
+      "query_id", nprobe)
+      .withColumnRenamed("__q", "__qq").withColumnRenamed("__n", "__nq")
+    val scored = corpus.join(broadcast(qs), Seq("__cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__sim", cosineQ(col("__qq"), col("__qc"), col("__nq"), col("__nc")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** Near-duplicate pairs by embedding cosine above `threshold`, blocked
     * by an equality column (e.g. a cluster label or LSH bucket) so the
     * pair space is per-block, not global.

@@ -55,6 +55,12 @@ object EventStream {
       .outputMode(OutputMode.Complete())
       .format("memory")
       .queryName(name)
+      // checkpoint on the session stage root (tmpfs under a local master):
+      // state-store commits are many tiny files and this host's disk has
+      // bursty metadata latency; a cluster deployment sets
+      // spark.graft.stage.dir to shared storage
+      .option("checkpointLocation",
+        s"${graft.functions.F.stageRoot(spark)}/ckpt-$name")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
