@@ -31,10 +31,20 @@ object Make {
     * statistics.json → index.json (operation/make.py:14-26).
     */
   def make(store: StatementStore, journal: Journal, outDir: String,
-      publicUrlPrefix: Option[String] = None,
-      datasetName: String = "dataset",
-      compression: String = "none"): Seq[String] = {
+      publicUrlPrefixOpt: Option[String] = None,
+      datasetNameOpt: Option[String] = None,
+      compressionOpt: Option[String] = None): Seq[String] = {
     optimize(store, journal)
+    // explicit arguments win; otherwise the persisted dataset config
+    // supplies name / codec / public prefix (reference DatasetModel)
+    val cfg = {
+      val root = new org.apache.hadoop.fs.Path(store.rootStr)
+      graft.lake.DatasetConfig.load(
+        root.getFileSystem(store.spark.sessionState.newHadoopConf()), root)
+    }
+    val publicUrlPrefix = publicUrlPrefixOpt.orElse(cfg.flatMap(_.publicUrlPrefix))
+    val datasetName = datasetNameOpt.orElse(cfg.map(_.name)).getOrElse("dataset")
+    val compression = compressionOpt.getOrElse("none")
     val v = store.version
     val done = scala.collection.mutable.ListBuffer.empty[String]
     def gated(name: String)(body: => Unit): Unit = {

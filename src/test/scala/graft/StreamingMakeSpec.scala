@@ -70,7 +70,7 @@ class StreamingMakeSpec extends SparkSpec {
     journal.write(stmts)
 
     val first = Make.make(store, journal, out,
-      publicUrlPrefix = Some("https://example.org/archive"))
+      publicUrlPrefixOpt = Some("https://example.org/archive"))
     assert(first.toSet == Set("statements.csv", "entities.ftm.json",
       "documents.csv", "statistics.json", "index.json"))
     assert(new java.io.File(s"$out/entities.ftm.json").exists())

@@ -96,4 +96,38 @@ class TrainingDataSpec extends SparkSpec {
     assert(ann.contains(1L)) // same-signs bucket keeps the true neighbor
     assert(!ann.contains(3L)) // opposite-sign vector is in another bucket
   }
+
+  test("QuantizedCosine: codegen and interpreted paths agree with the scala twin") {
+    import spark.implicits._
+    import graft.functions.QuantizedCosine
+    val rows = Seq(
+      (Array(10000L, 0L, 3L), Array(9000L, 1000L, -3L)),
+      (Array(-5L, -5L, -5L), Array(5L, 5L, 5L)),
+      (Array(1L, 2L, 3L), Array(1L, 2L, 3L))).toDF("a", "b")
+      .withColumn("na", Similarity.dotQ(col("a"), col("a")))
+      .withColumn("nb", Similarity.dotQ(col("b"), col("b")))
+    val expected = rows.collect().map { r =>
+      Similarity.cosineOf(r.getSeq[Long](0).toArray, r.getSeq[Long](1).toArray,
+        r.getLong(2), r.getLong(3))
+    }
+    // wholestage codegen path
+    val gen = rows.select(
+      QuantizedCosine(col("a"), col("b"), col("na"), col("nb"))).collect().map(_.getDouble(0))
+    assert(gen.toSeq == expected.toSeq)
+    // interpreted eval path (codegen off) must be bit-identical
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = rows.select(
+        QuantizedCosine(col("a"), col("b"), col("na"), col("nb"))).collect().map(_.getDouble(0))
+      assert(interp.toSeq == expected.toSeq)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    // null inputs → null out
+    val n = Seq((Option.empty[Array[Long]], Array(1L))).toDF("a", "b")
+      .select(QuantizedCosine(col("a"), col("b"), lit(1L), lit(1L))).collect()
+    assert(n(0).isNullAt(0))
+  }
 }
