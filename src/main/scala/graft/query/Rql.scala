@@ -1,0 +1,159 @@
+package graft.query
+
+import graft.query.FtmQuery._
+
+/** RQL wire-format parser for the query funnel (reference: ftmq
+  * `Query.from_rql` consumed by api/dependencies.py:78-167 — the HTTP
+  * body carries the filter tree as an RQL string; order/limit/offset ride
+  * as sibling fields because RQL does not serialize them).
+  *
+  * Grammar (conjunctive subset, like the reference's query semantics):
+  *
+  *   expr   := call
+  *   call   := name '(' args ')'
+  *   args   := arg (',' arg)*
+  *   arg    := call | '(' atoms ')' | atom
+  *
+  * Calls: `and(e...)`, `eq|ne|gt|gte|lt|lte|like(key, value)`,
+  * `in|not_in(key, (v...))`, `null|not_null(key)`.
+  *
+  * Key routing mirrors ftmq: reserved statement-grain fields become
+  * M-filters (`origin` and `schema` map onto the dedicated Query slots so
+  * bucket pruning and descendant expansion still fire); any other key is
+  * an entity-grain property filter (P). The DoS caps are enforced by
+  * `FtmQuery.compile` on the resulting AST, so no wire string can smuggle
+  * an unbounded IN list past the boundary.
+  */
+object Rql {
+
+  private val ReservedFields = Set(
+    "entity_id", "canonical_id", "dataset", "origin", "bucket", "prop",
+    "value", "lang", "external", "fragment", "id")
+
+  sealed private trait Node
+  private case class Call(name: String, args: Seq[Node]) extends Node
+  private case class Atom(value: String) extends Node
+  private case class Tuple(values: Seq[String]) extends Node
+
+  private class Parser(s: String) {
+    private var i = 0
+    private def ws(): Unit = while (i < s.length && s(i).isWhitespace) i += 1
+    private def expect(c: Char): Unit = {
+      ws()
+      if (i >= s.length || s(i) != c) fail(s"expected '$c'")
+      i += 1
+    }
+    private def fail(msg: String) =
+      throw new IllegalArgumentException(s"invalid RQL at offset $i: $msg")
+
+    private def atomText(): String = {
+      ws()
+      val start = i
+      while (i < s.length && !",()".contains(s(i))) i += 1
+      val t = s.substring(start, i).trim
+      if (t.isEmpty) fail("empty token")
+      t
+    }
+
+    def parseCall(): Call = {
+      val name = atomText()
+      expect('(')
+      val args = scala.collection.mutable.ListBuffer.empty[Node]
+      ws()
+      if (i < s.length && s(i) != ')') {
+        args += parseArg()
+        ws()
+        while (i < s.length && s(i) == ',') { i += 1; args += parseArg(); ws() }
+      }
+      expect(')')
+      Call(name, args.toList)
+    }
+
+    private def parseArg(): Node = {
+      ws()
+      if (i < s.length && s(i) == '(') {
+        i += 1
+        val vals = scala.collection.mutable.ListBuffer.empty[String]
+        ws()
+        if (i < s.length && s(i) != ')') {
+          vals += atomText()
+          ws()
+          while (i < s.length && s(i) == ',') { i += 1; vals += atomText(); ws() }
+        }
+        expect(')')
+        Tuple(vals.toList)
+      } else {
+        val save = i
+        val t = atomText()
+        ws()
+        if (i < s.length && s(i) == '(') { i = save; parseCall() }
+        else Atom(t)
+      }
+    }
+
+    def atEnd: Boolean = { ws(); i >= s.length }
+  }
+
+  private def comparatorOf(name: String): Comparator = name match {
+    case "eq" => EqOp
+    case "ne" | "neq" => NotOp
+    case "gt" => GtOp
+    case "gte" | "ge" => GteOp
+    case "lt" => LtOp
+    case "lte" | "le" => LteOp
+    case "like" => LikeOp
+    case "in" => InOp
+    case "not_in" | "out" => NotInOp
+    case "null" => NullOp
+    case "not_null" => NotNullOp
+    case other => throw new IllegalArgumentException(s"unsupported RQL operator: $other")
+  }
+
+  private def key(n: Node): String = n match {
+    case Atom(v) => v
+    case _ => throw new IllegalArgumentException("filter key must be an atom")
+  }
+
+  private def values(n: Node): Seq[String] = n match {
+    case Atom(v) => Seq(v)
+    case Tuple(vs) => vs
+    case _ => throw new IllegalArgumentException("filter value must be atom or tuple")
+  }
+
+  /** Parse an RQL string plus the sibling sort/slice fields into a Query. */
+  def parse(rql: String, orderBy: Option[String] = None,
+      limit: Option[Int] = None, offset: Int = 0): Query = {
+    val p = new Parser(rql)
+    val root = p.parseCall()
+    if (!p.atEnd) throw new IllegalArgumentException("trailing input after RQL expression")
+    val leaves = root match {
+      case Call("and", args) => args.map {
+        case c: Call => c
+        case _ => throw new IllegalArgumentException("and() arguments must be calls")
+      }
+      case c => Seq(c)
+    }
+    var q = Query()
+    leaves.foreach { case Call(name, args) =>
+      val op = comparatorOf(name)
+      val k = key(args.head)
+      val vs = if (op == NullOp || op == NotNullOp) Seq.empty[String]
+        else values(args(1))
+      (k, op) match {
+        case ("origin", EqOp) => q = q.copy(origin = Some(vs.head))
+        case ("schema", EqOp) | ("schemata", EqOp) =>
+          q = q.copy(schemata = Some(vs.head))
+        case _ if ReservedFields.contains(k) =>
+          q = q.copy(statementFilters = q.statementFilters :+ M(k, op, vs))
+        case _ =>
+          q = q.copy(propFilters = q.propFilters :+ P(k, op, vs))
+      }
+    }
+    val ordered = orderBy match {
+      case Some(o) if o.startsWith("-") => q.copy(orderByProp = Some((o.drop(1), true)))
+      case Some(o) => q.copy(orderByProp = Some((o, false)))
+      case None => q
+    }
+    ordered.copy(limit = limit, offset = offset)
+  }
+}

@@ -59,6 +59,39 @@ class QueryAssemblySpec extends SparkSpec {
     assert(out.count() == 3)
   }
 
+  test("RQL wire strings parse into the same query AST the API builds") {
+    import graft.query.Rql
+    // reserved fields route to M/origin/schemata slots; other keys are
+    // entity-grain property filters
+    val q = Rql.parse(
+      "and(eq(origin,o1),eq(schema,Person),eq(name,Alice))",
+      orderBy = Some("-name"), limit = Some(5), offset = 2)
+    assert(q.origin.contains("o1") && q.schemata.contains("Person"))
+    assert(q.propFilters == Seq(P("name", EqOp, Seq("Alice"))))
+    assert(q.orderByProp.contains(("name", true)) && q.limit.contains(5) && q.offset == 2)
+    // wire query compiles identically to the hand-built AST
+    val hand = Query(origin = Some("o1"), schemata = Some("Person"),
+      propFilters = Seq(P("name", EqOp, Seq("Alice"))))
+    val viaWire = FtmQuery.compile(q.copy(orderByProp = None, limit = None, offset = 0), fixture)
+    val viaAst = FtmQuery.compile(hand, fixture)
+    assert(viaWire.collect().toSet == viaAst.collect().toSet)
+
+    // in-lists, null checks, comparator aliases
+    val q2 = Rql.parse("and(in(entity_id,(p1,p2)),not_null(value),gte(click,50))")
+    assert(q2.statementFilters == Seq(
+      M("entity_id", InOp, Seq("p1", "p2")), M("value", NotNullOp, Seq.empty)))
+    assert(q2.propFilters == Seq(P("click", GteOp, Seq("50"))))
+    // single leaf without and()
+    assert(Rql.parse("eq(name,Bob)").propFilters == Seq(P("name", EqOp, Seq("Bob"))))
+    // malformed input fails loudly, like the reference's 422 path
+    intercept[IllegalArgumentException](Rql.parse("and(eq(name,Bob)") )
+    intercept[IllegalArgumentException](Rql.parse("or(eq(a,b),eq(c,d))"))
+    intercept[IllegalArgumentException](Rql.parse("eq(name,Bob)trailing"))
+    // the DoS caps still guard the compiled wire query
+    val wide = (1 to 25).map(i => s"eq(p$i,v)").mkString("and(", ",", ")")
+    intercept[IllegalArgumentException](FtmQuery.compile(Rql.parse(wide), fixture))
+  }
+
   test("origin filter restricts statements, order/slice paginate entities") {
     val q = Query(origin = Some("o1"))
     assert(FtmQuery.compile(q, fixture).count() == 6)
