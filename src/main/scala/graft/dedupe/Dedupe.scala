@@ -149,6 +149,43 @@ object Dedupe {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over verified near-dup pairs → one cluster id
+    * (the component's min member id) per document: the canonical-pick
+    * step of a dedup pipeline ("keep one doc per duplicate cluster").
+    *
+    * Min-label propagation: every node starts labeled with itself; each
+    * round takes the min of its own and its neighbors' labels, with the
+    * label state re-staged per round — flat lineage, no plan growth,
+    * every round one join + one aggregation (the large-scale connected-
+    * components shape). Converges in diameter rounds; duplicate clusters
+    * have tiny diameters, and `maxRounds` bounds adversarial chains.
+    */
+  def dupClusters(pairs: DataFrame, maxRounds: Int = 16): DataFrame = {
+    import graft.functions.F
+    val edges = F.materialize(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    var labels = F.materialize(
+      edges.select(col("src").as("id")).distinct().withColumn("lbl", col("id")))
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      val nbr = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min(col("lbl")).as("__nlbl"))
+      val next = F.materialize(
+        labels.join(nbr, Seq("id"), "left_outer")
+          .select(col("id"),
+            least(col("lbl"), coalesce(col("__nlbl"), col("lbl"))).as("lbl")))
+      changed = next
+        .join(labels.withColumnRenamed("lbl", "__old"), Seq("id"))
+        .filter(col("lbl") =!= col("__old")).count()
+      labels = next
+      round += 1
+    }
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   /** Verified Jaccard over distinct token sets for candidate pairs
     * (id_a, id_b): |A∩B| / |A∪B| via an exploded token join — shuffles
     * only the tokens of candidate documents. The single final division is

@@ -88,6 +88,16 @@ object TrainingData {
       MinhashK, rowsPerBand = 2, threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
 
+  // Dedup canonical-pick: connected components over the verified pairs,
+  // one cluster id per doc ("keep one per cluster" is then a trivial
+  // filter doc_id = cluster_id).
+  def d6DupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedupe.nearDupJaccard(docs(spark, dir), "doc_id",
+      docShingleRows(spark, dir), MinhashK, rowsPerBand = 2, threshold = 0.5)
+      .select(col("id_a"), col("id_b"))
+    Dedupe.dupClusters(pairs).orderBy(col("doc_id"))
+  }
+
   // ---- embedding similarity ----
 
   def d5EmbedDup(spark: SparkSession, dir: String): DataFrame =
@@ -133,6 +143,7 @@ object TrainingData {
     "d2b_lsh_pairs" -> (d2bLshPairs _),
     "d3_simhash" -> (d3Simhash _),
     "d4_jaccard_pairs" -> (d4JaccardPairs _),
+    "d6_dup_clusters" -> (d6DupClusters _),
     "d5_embed_dup" -> (d5EmbedDup _),
     "sim1_topk" -> (sim1TopK _),
     "sim2_ann_bucket" -> (sim2AnnBucket _),
@@ -262,6 +273,35 @@ object TrainingData {
          |JOIN sizes sb ON sb.doc_id = c.id_b
          |WHERE CAST(COALESCE(i.i,0) AS DOUBLE) / CAST(sa.n + sb.n - COALESCE(i.i,0) AS DOUBLE) >= 0.5
          |ORDER BY c.id_a, c.id_b""".stripMargin,
+    "d6_dup_clusters" ->
+      s"""WITH RECURSIVE $sigCte,
+         |$bandedCte,
+         |toks AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, greatest(len(string_split(text,' '))-2, 1)),
+         |    i -> array_to_string((string_split(text,' '))[i:i+2], ' ')))) AS w FROM documents),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.id_a, c.id_b, COUNT(*) AS i
+         |  FROM cand c JOIN toks ta ON ta.doc_id = c.id_a
+         |              JOIN toks tb ON tb.doc_id = c.id_b AND tb.w = ta.w
+         |  GROUP BY c.id_a, c.id_b),
+         |verified AS (
+         |  SELECT c.id_a, c.id_b
+         |  FROM cand c
+         |  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+         |  JOIN sizes sa ON sa.doc_id = c.id_a
+         |  JOIN sizes sb ON sb.doc_id = c.id_b
+         |  WHERE CAST(COALESCE(i.i,0) AS DOUBLE) / CAST(sa.n + sb.n - COALESCE(i.i,0) AS DOUBLE) >= 0.5),
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM verified
+         |  UNION ALL SELECT id_b, id_a FROM verified),
+         |reach(src, dst) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+         |SELECT src AS doc_id, MIN(dst) AS cluster_id
+         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
     "d5_embed_dup" ->
       s"""WITH $qCte
          |SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b

@@ -97,6 +97,19 @@ class TrainingDataSpec extends SparkSpec {
     assert(!ann.contains(3L)) // opposite-sign vector is in another bucket
   }
 
+  test("dupClusters: components get min-id labels, chains converge, parts stay apart") {
+    import spark.implicits._
+    import graft.dedupe.Dedupe
+    // component {1,2,3,4} as a chain (diameter 3), component {10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedupe.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    // canonical pick: keep one doc per cluster
+    val keep = got.filter { case (id, c) => id == c }.keySet
+    assert(keep == Set(1L, 10L))
+  }
+
   test("QuantizedCosine: codegen and interpreted paths agree with the scala twin") {
     import spark.implicits._
     import graft.functions.QuantizedCosine
