@@ -104,10 +104,18 @@ class StatementStore(val spark: SparkSession, val rootStr: String, val shards: I
     Manifest.commit(fs, root, Manifest.liveFiles(fs, root) ++ fresh, "append")
   }
 
+  /** Default tombstone grace: 30 days, like the reference
+    * (core/settings.py:31) — tombstones younger than this survive the
+    * merge physically so they keep shadowing late re-imports.
+    */
+  val DefaultGraceDays = 30
+
   /** A2: merge rewrite of dirty partitions only (or all with `force`).
     * Tombstones inside the grace window survive physically so they keep
     * shadowing late re-imports (ST4). Clean partitions carry over by
-    * reference in the new manifest — zero IO for them.
+    * reference in the new manifest — zero IO for them. Pass
+    * `graceCutoff = Some(lit(null))`-style explicit cutoffs to override;
+    * the default reaps only tombstones older than [[DefaultGraceDays]].
     */
   def merge(graceCutoff: Option[Column] = None, force: Boolean = false): Long =
     Locks.withLock(fs, root) {
@@ -121,10 +129,9 @@ class StatementStore(val spark: SparkSession, val rootStr: String, val shards: I
       val scoped = spark.read.schema(Statement.schema)
         .option("basePath", root.toString)
         .parquet(dirtyFiles.toSeq.sorted.map(f => s"$rootStr/$f"): _*)
-      val merged = graceCutoff match {
-        case Some(cut) => MergeDedupe.withGrace(scoped, cut)
-        case None => MergeDedupe.canonicalize(scoped).filter(col("deleted_at").isNull)
-      }
+      val cutoff = graceCutoff.getOrElse(
+        current_timestamp() - expr(s"INTERVAL $DefaultGraceDays DAYS"))
+      val merged = MergeDedupe.withGrace(scoped, cutoff)
       val fresh = writeStaged(merged, Seq(
         col("entity_id"), col("fragment"), col("prop"), col("id"), col("last_seen").desc))
       dirty.foreach(p => tags.delete(s"dirty/$p"))
