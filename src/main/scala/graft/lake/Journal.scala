@@ -23,9 +23,25 @@ class Journal(spark: SparkSession, rootStr: String) {
   private val root = new Path(rootStr, "_graft/journal")
   private val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
 
+  /** Reference parity: auto-flush threshold, 1M journal rows
+    * (repository/entities/main.py:110).
+    */
+  val AutoFlushRows = 1000000L
+
   def write(df: DataFrame): Unit =
     df.select(Statement.columns.map(col): _*)
       .write.mode("append").parquet(root.toString)
+
+  /** Write a batch and drain into `store` once the staged row count
+    * crosses the threshold — callers with many small batches never grow
+    * the journal unboundedly (reference auto-flush). The count is a
+    * parquet-footer read over the staging dir, not a data scan.
+    */
+  def writeAutoFlush(df: DataFrame, store: StatementStore,
+      threshold: Long = AutoFlushRows): Unit = {
+    write(df)
+    if (count() >= threshold) drain(store)
+  }
 
   private def stagedFiles(): Seq[Path] =
     if (!fs.exists(root)) Seq.empty

@@ -109,6 +109,68 @@ object Diff {
       .sortWithinPartitions(col("entity.id"))
       .write.mode("overwrite").json(dir)
 
+  private val DocStateKey = "diffs/documents-current"
+
+  /** Documents diff (reference repository/documents.py:131-173): CSV rows
+    * with an `op` column — ADD for documents whose `contentHash` changed
+    * in the window and that still resolve to a live document, DEL for
+    * changed ids with no document left. Initial run = full documents
+    * table as ADD rows. Same `{ts}:{version}` state protocol as the
+    * entities diff, under its own key.
+    */
+  def exportDocumentsDiff(store: StatementStore, outDir: String,
+      publicUrlPrefix: Option[String] = None,
+      nowMs: Long = System.currentTimeMillis()): Option[String] = {
+    val v = store.version
+    if (v < 0) return None
+    val label = tsLabel(nowMs)
+    val dest = s"$outDir/diffs/documents.csv/$label.diff.csv"
+    val docSchemas = (graft.model.FtmModel.descendants("Document") - "Folder").toSeq
+
+    store.tags.get(DocStateKey) match {
+      case None =>
+        val d = Documents.documentsTable(store.live, publicUrlPrefix)
+          .withColumn("op", lit("ADD"))
+        Exports.singleFileCsv(d, dest, sortCol = "id")
+        store.tags.put(DocStateKey, s"$label:$v")
+        Some(label)
+
+      case Some(state) =>
+        val Array(lastLabel, lastV) = state.split(":", 2)
+        if (v <= lastV.toLong) return None
+        val since = lit(new java.sql.Timestamp(parseLabel(lastLabel)))
+        val raw = store.raw
+        // changed document ids: contentHash statements touched in the
+        // window (reference _get_changed_ids(prop="contentHash"))
+        val changed = graft.functions.F.materialize(raw
+          .filter((col("first_seen") >= since || col("deleted_at") >= since) &&
+            col("prop") === "contentHash" && col("schema").isin(docSchemas: _*))
+          .select("entity_id").distinct())
+        if (changed.isEmpty) {
+          store.tags.put(DocStateKey, s"$label:$v")
+          return None
+        }
+        val scopedLive = MergeDedupe.live(
+          raw.join(changed, Seq("entity_id"), "left_semi"))
+        val present = Documents.documentsTable(scopedLive, publicUrlPrefix)
+        val adds = present.withColumn("op", lit("ADD"))
+        val dels = changed
+          .join(present.select(col("id").as("entity_id")), Seq("entity_id"), "left_anti")
+          .select(col("entity_id").as("id"),
+            lit(null).cast("string").as("schema"),
+            lit(null).cast("string").as("file_name"),
+            lit(null).cast("string").as("mime_type"),
+            lit(null).cast("string").as("size"),
+            lit(null).cast("string").as("content_hash"),
+            lit(null).cast("string").as("path"),
+            lit(null).cast("string").as("public_url"),
+            lit("DEL").as("op"))
+        Exports.singleFileCsv(adds.unionByName(dels), dest, sortCol = "id")
+        store.tags.put(DocStateKey, s"$label:$v")
+        Some(label)
+    }
+  }
+
   /** Run one diff export against `outDir`. Returns the diff's timestamp
     * label, or None when there was nothing to do.
     */

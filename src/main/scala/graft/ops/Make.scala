@@ -85,9 +85,11 @@ object Make {
       // reference short-circuits document-free datasets with one cheap
       // count before any per-partition work (documents.py:118-123)
       val docs = Documents.documentsTable(store.live, publicUrlPrefix)
-      if (!docs.isEmpty)
+      if (!docs.isEmpty) {
         Exports.singleFileCsv(docs, s"$outDir/documents.csv$suffix",
           sortCol = "id", compression = compression)
+        Diff.exportDocumentsDiff(store, outDir, publicUrlPrefix)
+      }
     }
     gated("statistics.json") {
       Stats.facets(store.live)

@@ -80,4 +80,55 @@ class DiffSpec extends SparkSpec {
     // state advanced: running again with no new writes is a no-op
     assert(Diff.exportDiff(store, out, ts("2024-09-01 00:00:00").getTime).isEmpty)
   }
+
+  test("documents diff: full ADD copy, then contentHash-scoped ADD/DEL") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-docdiff").toString
+    val out = Files.createTempDirectory("graft-docdiff-out").toString
+    val store = new StatementStore(spark, dir, shards = 4)
+    val sum1 = "11" * 32
+    val sum2 = "22" * 32
+
+    def doc(entity: String, checksum: String, firstSeen: String,
+        deletedAt: Option[String] = None) = Seq(
+      stmt(s"id-$entity-name", entity, s"$entity.txt", "", firstSeen, firstSeen,
+        deletedAt, prop = "fileName"),
+      stmt(s"id-$entity-hash-$checksum", entity, checksum, "", firstSeen, firstSeen,
+        deletedAt, prop = "contentHash"))
+      .map(_.copy(schema = "PlainText", bucket = "document"))
+
+    store.append((doc("d1", sum1, "2024-01-01 00:00:00") ++
+      doc("d2", sum1, "2024-01-01 00:00:00")).toDS().toDF())
+
+    val l1 = Diff.exportDocumentsDiff(store, out,
+      Some("https://x/files"), ts("2024-06-01 00:00:00").getTime)
+    assert(l1.nonEmpty)
+    val initial = spark.read.option("header", "true")
+      .csv(s"$out/diffs/documents.csv/${l1.get}.diff.csv")
+    assert(initial.count() == 2)
+    assert(initial.select("op").distinct().collect().map(_.getString(0)).toSeq == Seq("ADD"))
+
+    // no change → no-op
+    assert(Diff.exportDocumentsDiff(store, out, None,
+      ts("2024-06-02 00:00:00").getTime).isEmpty)
+
+    // d1's content changes (new checksum statement supersedes by recency in
+    // the live doc fold); d2 is deleted (tombstones on its statements)
+    store.append((
+      Seq(stmt(s"id-d1-hash-$sum2", "d1", sum2, "", "2024-07-01 00:00:00",
+        "2024-07-01 00:00:00", prop = "contentHash")
+        .copy(schema = "PlainText", bucket = "document")) ++
+      doc("d2", sum1, "2024-01-01 00:00:00", deletedAt = Some("2024-07-01 00:00:00"))
+        .map(s => s.copy(last_seen = ts("2024-07-01 00:00:00")))
+      ).toDS().toDF())
+
+    val l2 = Diff.exportDocumentsDiff(store, out, None,
+      ts("2024-08-01 00:00:00").getTime)
+    assert(l2.nonEmpty)
+    val delta = spark.read.option("header", "true")
+      .csv(s"$out/diffs/documents.csv/${l2.get}.diff.csv")
+    val ops = delta.select("id", "op").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(ops == Map("d1" -> "ADD", "d2" -> "DEL"))
+  }
 }

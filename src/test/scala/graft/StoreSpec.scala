@@ -183,4 +183,21 @@ class StoreSpec extends SparkSpec {
     journal.drain(store)
     assert(store.version == v)
   }
+
+  test("journal auto-flush drains when the staged row count crosses the threshold") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-autoflush").toString
+    val store = new StatementStore(spark, dir, shards = 4)
+    val journal = new Journal(spark, dir)
+    val s = Statement("0", "idA", "e1", "ds", "thing", "o1", None, "Person",
+      "name", "string", "Alice", None, None, external = false,
+      ts("2024-01-01 00:00:00"), ts("2024-01-01 00:00:00"), "", None)
+    // below threshold: stays staged
+    journal.writeAutoFlush(Seq(s).toDS().toDF(), store, threshold = 3)
+    assert(journal.count() == 1 && store.raw.count() == 0)
+    // crossing it: drains into the store and clears the journal
+    journal.writeAutoFlush(Seq(s.copy(id = "idB"), s.copy(id = "idC")).toDS().toDF(),
+      store, threshold = 3)
+    assert(journal.count() == 0 && store.raw.count() == 3)
+  }
 }
