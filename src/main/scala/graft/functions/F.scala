@@ -13,6 +13,16 @@ object F {
     */
   def epochMs(c: Column): Column = unix_millis(c.cast("timestamp"))
 
+  /** F4 columnar twin of [[graft.ops.Explode.stripNamespace]]: drop a
+    * trailing `.sig` namespace; ids with no dot, a leading dot only, or
+    * nothing before the dot pass through unchanged.
+    */
+  def stripNamespace(id: Column): Column = {
+    val suffix = substring_index(id, ".", -1)
+    val keep = length(id) - length(suffix) - 1
+    when(keep > 0, id.substr(lit(1), keep)).otherwise(id)
+  }
+
   /** Root directory for stage tables. Cluster-safe by construction:
     *
     *  - explicit override via `spark.graft.stage.dir` always wins (set it

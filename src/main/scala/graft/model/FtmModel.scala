@@ -128,6 +128,21 @@ object FtmModel {
   val nonLinguistic: Set[String] =
     Set("date", "country", "email", "checksum", "entity", "mimetype", "number", "url")
 
+  /** Columnar twin of [[schemaForMime]] for statement-volume routing. */
+  def schemaForMimeCol(mime: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    when(mime.startsWith("image/"), "Image")
+      .when(mime.startsWith("audio/"), "Audio")
+      .when(mime.startsWith("video/"), "Video")
+      .when(mime === "application/pdf", "Pages")
+      .when(mime === "text/html", "HyperText")
+      .when(mime === "application/vnd.ms-excel" || mime === "text/csv", "Table")
+      .when(mime.startsWith("text/"), "PlainText")
+      .when(mime === "message/rfc822", "Email")
+      .when(mime === "inode/directory", "Folder")
+      .otherwise("Document")
+  }
+
   /** mimetype → document schema routing (reference helpers/file.py:64-100). */
   def schemaForMime(mime: String): String = mime match {
     case m if m.startsWith("image/") => "Image"
@@ -135,8 +150,10 @@ object FtmModel {
     case m if m.startsWith("video/") => "Video"
     case "application/pdf" => "Pages"
     case "text/html" => "HyperText"
-    case m if m.startsWith("text/") => "PlainText"
+    // Table before the text/ prefix: text/csv routes to Table
+    // (reference MIME_SCHEMAS checks the CSV family first)
     case "application/vnd.ms-excel" | "text/csv" => "Table"
+    case m if m.startsWith("text/") => "PlainText"
     case "message/rfc822" => "Email"
     case "inode/directory" => "Folder"
     case _ => "Document"

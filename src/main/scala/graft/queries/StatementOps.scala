@@ -173,6 +173,32 @@ object StatementOps {
         col("ts"))).as("effective_ls"))
       .orderBy(col("event_id"))
 
+  // F4: namespace strip over synthesized `id.sig` shapes, covering the
+  // edge cases (no dot, leading dot, trailing dot, multi-dot).
+  def f4NamespaceStrip(spark: SparkSession, dir: String): DataFrame = {
+    val raw = when(pmod(col("event_id"), lit(4)) === 0, concat(lit("u"), col("user_id")))
+      .when(pmod(col("event_id"), lit(4)) === 1,
+        concat(lit("u"), col("user_id"), lit("."),
+          substring(md5(col("event_id").cast("string")), 1, 8)))
+      .when(pmod(col("event_id"), lit(4)) === 2, concat(lit(".u"), col("user_id")))
+      .otherwise(concat(lit("u"), col("user_id"), lit(".")))
+    Tables.events(spark, dir).select(
+      col("event_id"), raw.as("raw_id"), F.stripNamespace(raw).as("entity_id"))
+      .orderBy(col("event_id"))
+  }
+
+  // F10: mimetype → document schema routing at statement volume.
+  def f10MimeSchema(spark: SparkSession, dir: String): DataFrame = {
+    val mimes = array(Seq("application/pdf", "text/plain", "text/html",
+      "text/csv", "image/png", "audio/mpeg", "video/mp4", "message/rfc822",
+      "application/octet-stream", "inode/directory").map(lit): _*)
+    val mime = element_at(mimes, (pmod(col("event_id"), lit(10)) + 1).cast("int"))
+    Tables.events(spark, dir).select(
+      col("event_id"), mime.as("mime"),
+      graft.model.FtmModel.schemaForMimeCol(mime).as("doc_schema"))
+      .orderBy(col("event_id"))
+  }
+
   // ST3/F13: incremental diff ops — changed entities classified ADD (still
   // live) vs DEL (no live rows remain), with JSON envelopes. The DEL
   // detection is the set-difference: changed minus still-live.
@@ -281,6 +307,8 @@ object StatementOps {
     "f1_shard_assign" -> (f1ShardAssign _),
     "f6_pack_unpack" -> (f6PackUnpack _),
     "f7_tombstone_bump" -> (f7TombstoneBump _),
+    "f4_namespace_strip" -> (f4NamespaceStrip _),
+    "f10_mime_schema" -> (f10MimeSchema _),
     "st3_diff_ops" -> (st3DiffOps _),
     "st4_diff_classify" -> (st4DiffClassify _),
     "o5_order_by_prop" -> (o5OrderByProp _),
@@ -375,6 +403,41 @@ object StatementOps {
       """SELECT event_id,
         |  epoch_ms(COALESCE(CASE WHEN event_id % 97 = 0 THEN ts + INTERVAL 1 HOUR END, ts)) AS effective_ls
         |FROM events ORDER BY event_id""".stripMargin,
+    "f4_namespace_strip" ->
+      """WITH raw AS (
+        |  SELECT event_id,
+        |    CASE
+        |      WHEN event_id % 4 = 0 THEN 'u' || user_id
+        |      WHEN event_id % 4 = 1 THEN 'u' || user_id || '.' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)
+        |      WHEN event_id % 4 = 2 THEN '.u' || user_id
+        |      ELSE 'u' || user_id || '.'
+        |    END AS raw_id
+        |  FROM events)
+        |SELECT event_id, raw_id,
+        |  CASE WHEN length(raw_id) - length(string_split(raw_id, '.')[-1]) - 1 > 0
+        |    THEN substr(raw_id, 1, length(raw_id) - length(string_split(raw_id, '.')[-1]) - 1)
+        |    ELSE raw_id END AS entity_id
+        |FROM raw ORDER BY event_id""".stripMargin,
+    "f10_mime_schema" ->
+      """WITH m AS (
+        |  SELECT event_id,
+        |    (['application/pdf','text/plain','text/html','text/csv','image/png',
+        |      'audio/mpeg','video/mp4','message/rfc822','application/octet-stream',
+        |      'inode/directory'])[(event_id % 10) + 1] AS mime
+        |  FROM events)
+        |SELECT event_id, mime,
+        |  CASE
+        |    WHEN mime LIKE 'image/%' THEN 'Image'
+        |    WHEN mime LIKE 'audio/%' THEN 'Audio'
+        |    WHEN mime LIKE 'video/%' THEN 'Video'
+        |    WHEN mime = 'application/pdf' THEN 'Pages'
+        |    WHEN mime = 'text/html' THEN 'HyperText'
+        |    WHEN mime IN ('application/vnd.ms-excel', 'text/csv') THEN 'Table'
+        |    WHEN mime LIKE 'text/%' THEN 'PlainText'
+        |    WHEN mime = 'message/rfc822' THEN 'Email'
+        |    WHEN mime = 'inode/directory' THEN 'Folder'
+        |    ELSE 'Document' END AS doc_schema
+        |FROM m ORDER BY event_id""".stripMargin,
     "st3_diff_ops" ->
       s"""$mergeCte,
          |changed AS (
