@@ -1,0 +1,111 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import org.apache.spark.sql.functions._
+
+import graft.model.Statement
+import graft.ops.MergeDedupe
+
+/** Property-based invariants for the core operators (plain scalacheck
+  * generators with pinned seeds — the scalatest bridge artifact is not in
+  * the offline cache): merge idempotence, cluster labeling vs a reference
+  * union-find, and column/scala twin agreement for the scalar kernels.
+  */
+class PropertySpec extends SparkSpec {
+
+  private def ts(epochSec: Long) = new Timestamp(epochSec * 1000)
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).map(i => g.pureApply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val genStatement: Gen[Statement] = for {
+    e <- Gen.choose(0, 5)
+    p <- Gen.oneOf("name", "click", "view")
+    v <- Gen.choose(0, 9)
+    frag <- Gen.oneOf("", "f0", "f1")
+    fs <- Gen.choose(1700000000L, 1700000500L)
+    ls <- Gen.choose(1700000000L, 1700000500L)
+    del <- Gen.option(Gen.choose(1700000000L, 1700000500L))
+  } yield Statement(
+    shard = (e % 2).toString, id = s"id-$e-$p-$v", entity_id = s"e$e",
+    dataset = "ds", bucket = "thing", origin = "o1", source = None,
+    schema = "Person", prop = p, prop_type = "string", value = v.toString,
+    original_value = None, lang = None, external = false,
+    first_seen = ts(fs), last_seen = ts(ls), fragment = frag,
+    deleted_at = del.map(ts))
+
+  test("merge dedupe is idempotent on arbitrary statement batches") {
+    import spark.implicits._
+    samples(Gen.listOfN(40, genStatement), 5).foreach { stmts =>
+      val df = stmts.toDS().toDF()
+      val once = MergeDedupe.canonicalize(df)
+      val twice = MergeDedupe.canonicalize(once)
+      val a = once.collect().map(_.toString).sorted.toSeq
+      val b = twice.collect().map(_.toString).sorted.toSeq
+      assert(a == b, s"not idempotent for batch: ${stmts.take(3)}…")
+    }
+  }
+
+  test("dupClusters matches a reference union-find on random edge lists") {
+    import spark.implicits._
+    val genEdges = Gen.listOfN(12,
+      Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 9L)))
+    samples(genEdges, 5).foreach { edges0 =>
+      val edges = edges0.filter(p => p._1 != p._2)
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      if (edges.nonEmpty) {
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val roots = nodes.map(n => n -> find(n)).toMap
+        val minOf = roots.groupBy(_._2).map { case (r, m) => r -> m.keys.min }
+        val expected = nodes.map(n => n -> minOf(roots(n))).toMap
+
+        val got = graft.dedupe.Dedupe.dupClusters(edges.toDF("id_a", "id_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expected, s"edges: $edges")
+      }
+    }
+  }
+
+  test("stripNamespace column twin agrees with the scala function") {
+    import spark.implicits._
+    val genId = Gen.listOfN(8,
+      Gen.frequency(4 -> Gen.alphaNumChar, 1 -> Gen.const('.'))).map(_.mkString)
+    val ids = samples(Gen.listOfN(30, genId), 5).flatten.distinct
+    val got = ids.toDF("id")
+      .select(col("id"), graft.functions.F.stripNamespace(col("id")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    ids.foreach { id =>
+      assert(got(id) == graft.ops.Explode.stripNamespace(id), s"mismatch for '$id'")
+    }
+  }
+
+  test("QuantizedCosine column agrees with the scala twin on random vectors") {
+    import spark.implicits._
+    val genVec = Gen.listOfN(6, Gen.choose(-10000L, 10000L)).map(_.toArray)
+      .suchThat(_.exists(_ != 0L))
+    val pairs = samples(Gen.zip(genVec, genVec), 20)
+    val df = pairs.toDF("a", "b")
+      .withColumn("na", graft.similarity.Similarity.dotQ(col("a"), col("a")))
+      .withColumn("nb", graft.similarity.Similarity.dotQ(col("b"), col("b")))
+    val got = df.select(graft.functions.QuantizedCosine(
+      col("a"), col("b"), col("na"), col("nb"))).collect().map(_.getDouble(0))
+    val expected = pairs.map { case (a, b) =>
+      graft.similarity.Similarity.cosineOf(a, b,
+        a.map(x => x * x).sum, b.map(x => x * x).sum)
+    }
+    assert(got.toSeq == expected.toSeq)
+  }
+}
