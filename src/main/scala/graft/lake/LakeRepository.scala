@@ -1,0 +1,95 @@
+package graft.lake
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.model.FtmModel
+import graft.ops.{Diff, EntityAssembly, Explode, Make, MergeDedupe, Stats}
+import graft.query.FtmQuery
+
+/** The reference's public repository surface in one facade (reference
+  * EntityRepository, repository/entities/main.py): writes go through the
+  * journal WAL and flush into the statement store; reads compile the
+  * ftmq-style Query against the canonical live view and assemble entity
+  * documents; deletes write tombstones whose `last_seen` bump at drain
+  * time makes them win the merge tiebreak; maintenance and exports
+  * delegate to [[graft.ops.Make]] / [[graft.ops.Diff]].
+  *
+  * A user of the reference maps their calls 1:1:
+  * `writer.add_entity` → [[addEntities]], `flush` → [[flush]],
+  * `query` → [[query]]/[[queryIds]], `delete_entity` → [[deleteEntity]],
+  * `get_statistics` → [[statistics]], `optimize`/`make`/`export_diff` →
+  * the synonymous methods.
+  */
+class LakeRepository(val spark: SparkSession, val rootStr: String,
+    val dataset: String = "dataset", val shards: Int = 16) {
+
+  val store = new StatementStore(spark, rootStr, shards)
+  val journal = new Journal(spark, rootStr)
+
+  private def nowTs(): Timestamp =
+    // second truncation like the reference's pinned last_seen
+    new Timestamp(System.currentTimeMillis() / 1000 * 1000)
+
+  /** Import entity payloads (S12 explode + BASE_ID rows) into the journal;
+    * drains automatically past the WAL threshold.
+    */
+  def addEntities(entities: Dataset[Explode.EntityPayload],
+      origin: String = "default", now: Timestamp = nowTs()): Unit =
+    journal.writeAutoFlush(
+      Explode.explode(entities, dataset, origin, shards, now), store)
+
+  /** Drain the journal into the statement store. */
+  def flush(): Long = journal.drain(store)
+
+  /** Tombstone every live statement of an entity. The journal drain bumps
+    * `last_seen = deleted_at` (F7) so the tombstones shadow their rows
+    * through the next merge's grace window.
+    */
+  def deleteEntity(entityId: String, now: Timestamp = nowTs()): Unit =
+    journal.write(
+      store.raw.filter(col("entity_id") === entityId && col("deleted_at").isNull)
+        .withColumn("deleted_at", lit(now)))
+
+  /** Canonical live view (A1 at read time — correct even before merge). */
+  def live: DataFrame =
+    MergeDedupe.live(store.raw).withColumn("canonical_id", col("entity_id"))
+
+  /** All statements of entities matching the query (reference statement
+    * iteration). */
+  def statements(q: FtmQuery.Query): DataFrame = FtmQuery.compile(q, live)
+
+  /** Matching entity ids in query order, sliced (reference O4/O5 path). */
+  def queryIds(q: FtmQuery.Query): DataFrame = FtmQuery.entityIds(q, live)
+
+  /** Assembled entity documents for a query. Ordering/slicing semantics:
+    * when the query sorts or slices, the id page is computed first
+    * (distributed top-k) and the assembly runs over that page only.
+    */
+  def query(q: FtmQuery.Query, flushFirst: Boolean = false): Dataset[EntityAssembly.EntityDoc] = {
+    if (flushFirst) flush()
+    val lv = live
+    val scope =
+      if (q.orderByProp.isDefined || q.limit.isDefined || q.offset > 0)
+        lv.join(queryIds(q), Seq("entity_id"), "left_semi")
+      else FtmQuery.compile(q, lv)
+    EntityAssembly.assemble(scope)
+  }
+
+  /** Exact entity count for a query (A5). */
+  def count(q: FtmQuery.Query): Long =
+    statements(q).agg(countDistinct(col("entity_id"))).collect()(0).getLong(0)
+
+  /** Dataset statistics facets (A6). */
+  def statistics: DataFrame = Stats.facets(live)
+
+  def optimize(): Long = Make.optimize(store, journal)
+
+  def make(outDir: String): Seq[String] =
+    Make.make(store, journal, outDir, datasetNameOpt = Some(dataset))
+
+  def exportDiff(outDir: String): Option[String] = Diff.exportDiff(store, outDir)
+}
