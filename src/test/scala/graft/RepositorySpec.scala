@@ -66,4 +66,61 @@ class RepositorySpec extends SparkSpec {
     // the tombstones exist physically until merge reaps them
     assert(repo.store.raw.filter("deleted_at IS NOT NULL").count() > 0)
   }
+
+  test("e2e: crawl -> archive -> import file entities -> make artifacts") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    import graft.lake.Archive
+    import graft.ops.Documents
+
+    // a small source tree with a nested folder
+    val src = Files.createTempDirectory("graft-e2e-src")
+    Files.createDirectories(src.resolve("reports"))
+    Files.write(src.resolve("readme.txt"), "hello plain text".getBytes)
+    Files.write(src.resolve("reports/q1.pdf"), "%PDF-1.4 q1".getBytes)
+    Files.write(src.resolve("reports/q2.csv"), "a,b\n1,2\n".getBytes)
+
+    val arDir = Files.createTempDirectory("graft-e2e-ar").toString
+    val fs = new Path(arDir).getFileSystem(spark.sessionState.newHadoopConf())
+    val archive = new Archive(fs, new Path(arDir))
+
+    // S16 crawl: archive every file, route mime -> schema
+    val crawled = Documents.crawl(fs, new Path(src.toString), archive)
+    assert(crawled.map(_.schema).toSet == Set("PlainText", "Pages", "Table"))
+
+    // crawled files -> File entity payloads (+ folder entities), imported
+    // through the normal explode path
+    val folderIds = crawled.map(_.parentId).filter(_.nonEmpty).distinct
+    val folders = folderIds.map(fid => graft.ops.Explode.EntityPayload(
+      fid, "Folder", Map("fileName" -> Seq("reports"))))
+    val files = crawled.map(f => graft.ops.Explode.EntityPayload(
+      f.id, f.schema, Map(
+        "fileName" -> Seq(f.fileName),
+        "mimeType" -> Seq(f.mimeType),
+        "fileSize" -> Seq(f.size.toString),
+        "contentHash" -> Seq(f.checksum)) ++
+        (if (f.parentId.nonEmpty) Map("parent" -> Seq(f.parentId)) else Map.empty)))
+
+    val dir = Files.createTempDirectory("graft-e2e-repo").toString
+    val repo = new LakeRepository(spark, dir, dataset = "docs", shards = 4)
+    repo.addEntities((files ++ folders).toDS(), now = ts("2024-01-01 00:00:00"))
+    repo.flush()
+
+    // document queries work through the descendant filter
+    assert(repo.count(Query(schemata = Some("Document"))) == 4) // 3 files + folder
+    assert(repo.count(Query(propFilters = Seq(P("contentHash", NotNullOp)))) == 3)
+
+    // make emits the full artifact set with resolved paths + public urls
+    val out = Files.createTempDirectory("graft-e2e-out").toString
+    val made = repo.make(out)
+    assert(made.toSet == Set("statements.csv", "entities.ftm.json",
+      "documents.csv", "statistics.json", "index.json"))
+    val docs = spark.read.option("header", "true").csv(s"$out/documents.csv")
+      .collect().map(r => r.getAs[String]("file_name") -> r).toMap
+    assert(docs.keySet == Set("readme.txt", "q1.pdf", "q2.csv"))
+    assert(docs("q1.pdf").getAs[String]("path") == "reports")
+    assert(docs("q2.csv").getAs[String]("schema") == "Table")
+    val idx = scala.io.Source.fromFile(s"$out/index.json").mkString
+    assert(idx.contains("\"name\":\"docs\"") && idx.contains("documents.csv"))
+  }
 }
