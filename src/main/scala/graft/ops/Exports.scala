@@ -53,6 +53,34 @@ object Exports {
   def jsonImport(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** S10 statements source: read a statements.csv and RE-DERIVE the
+    * columns the store owns — content-hash `id`, model `prop_type`, and
+    * the shard assignment — rather than trusting the file's values
+    * (reference helpers/statements.py:147-179 re-derives id + prop_type
+    * on import; `external` is parsed from "true"/"1"). `fragment` and the
+    * lifecycle timestamps are preserved as-is.
+    */
+  def statementsCsvImport(spark: SparkSession, path: String,
+      shards: Int): DataFrame = {
+    import graft.functions.Hashing
+    import graft.model.{FtmModel, Statement}
+    // read `external` as text so both "true" and "1" spellings parse
+    val readSchema = StructType(Statement.schema.map {
+      case f if f.name == "external" => f.copy(dataType = org.apache.spark.sql.types.StringType)
+      case f => f
+    })
+    val typeMap = typedLit(FtmModel.propTypes.toMap)
+    csvImport(spark, path, readSchema)
+      .withColumn("external", lower(coalesce(col("external"), lit("false"))).isin("true", "1"))
+      .withColumn("prop_type",
+        when(col("prop") === Statement.BaseId, "checksum")
+          .otherwise(coalesce(element_at(typeMap, col("prop")), lit("string"))))
+      .withColumn("id", Hashing.statementKey(
+        col("dataset"), col("entity_id"), col("prop"), col("value")))
+      .withColumn("shard", Hashing.shardOf(col("entity_id"), shards))
+      .select(Statement.columns.map(col): _*)
+  }
+
   /** F12: single-file sorted artifact with optional gz/zst compression —
     * the byte-reproducible file downstream mirrors checksum (reference
     * logic/compress.py, core/conventions/path.py:235-238).

@@ -67,9 +67,10 @@ object Make {
       case _ => ""
     }
     gated("statements.csv") {
-      Exports.singleFileCsv(store.raw.select(
-        col("id"), col("entity_id"), col("prop"), col("value"),
-        col("fragment"), col("origin"), col("schema")),
+      // full reference column set (model/statement.py:90-112) so the
+      // artifact round-trips through statementsCsvImport
+      Exports.singleFileCsv(
+        store.raw.select(graft.model.Statement.columns.map(col): _*),
         s"$outDir/statements.csv$suffix", compression = compression)
     }
     gated("entities.ftm.json") {

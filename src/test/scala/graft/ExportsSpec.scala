@@ -51,4 +51,34 @@ class ExportsSpec extends SparkSpec {
     Exports.singleFileJson(df, s"$base/out.json.gz", "entity_id", "gzip")
     assert(spark.read.json(s"$base/out.json.gz").count() == 1000)
   }
+
+  test("statements csv import re-derives id, prop_type, and shard") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    import graft.model.Statement
+    val ts = Timestamp.valueOf("2024-01-01 00:00:00")
+    val stmts = Seq(
+      Statement("WRONG", "WRONG-ID", "e1", "ds", "thing", "o1", None, "Person",
+        "name", "WRONG-TYPE", "Alice", None, None, external = false, ts, ts, "", None),
+      Statement("WRONG", "WRONG-ID2", "e1", "ds", "thing", "o1", None, "Person",
+        Statement.BaseId, "WRONG-TYPE", "abc", None, None, external = true, ts, ts, "f1", None))
+    val base = java.nio.file.Files.createTempDirectory("graft-stmtcsv").toString
+    Exports.csvExport(stmts.toDS().toDF(), s"$base/statements.csv")
+    val back = Exports.statementsCsvImport(spark, s"$base/statements.csv", shards = 4)
+      .collect().map(r => r.getAs[String]("prop") -> r).toMap
+    val name = back("name")
+    // derived columns are recomputed, never trusted from the file
+    val expectedId = Seq(("ds", "e1", "name", "Alice")).toDF("d", "e", "p", "v")
+      .select(graft.functions.Hashing.statementKey(
+        col("d"), col("e"), col("p"), col("v"))).collect()(0).getString(0)
+    assert(name.getAs[String]("id") == expectedId)
+    assert(name.getAs[String]("prop_type") == "name")
+    assert(name.getAs[String]("shard") != "WRONG")
+    val baseRow = back(Statement.BaseId)
+    assert(baseRow.getAs[String]("prop_type") == "checksum")
+    assert(baseRow.getAs[Boolean]("external"))
+    // preserved columns survive untouched
+    assert(baseRow.getAs[String]("fragment") == "f1")
+    assert(name.getAs[Timestamp]("first_seen") == ts)
+  }
 }
