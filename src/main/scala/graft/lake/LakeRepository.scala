@@ -73,7 +73,7 @@ class LakeRepository(val spark: SparkSession, val rootStr: String,
     if (flushFirst) flush()
     val lv = live
     val scope =
-      if (q.orderByProp.isDefined || q.limit.isDefined || q.offset > 0)
+      if (q.orderByProps.nonEmpty || q.limit.isDefined || q.offset > 0)
         lv.join(queryIds(q), Seq("entity_id"), "left_semi")
       else FtmQuery.compile(q, lv)
     EntityAssembly.assemble(scope)

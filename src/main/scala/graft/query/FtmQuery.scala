@@ -45,7 +45,7 @@ object FtmQuery {
       origin: Option[String] = None,
       statementFilters: Seq[M] = Seq.empty,
       propFilters: Seq[P] = Seq.empty,
-      orderByProp: Option[(String, Boolean)] = None, // (prop, descending)
+      orderByProps: Seq[(String, Boolean)] = Seq.empty, // (prop, descending), significance order
       limit: Option[Int] = None,
       offset: Int = 0)
 
@@ -118,19 +118,21 @@ object FtmQuery {
   def entityIds(q: Query, live: DataFrame): DataFrame = {
     val matched = compile(q, live)
     val ids = matched.select("entity_id").distinct()
-    val sortCols: Seq[Column] = q.orderByProp match {
-      case Some((_, desc)) => Seq(
-        if (desc) col("__key").desc_nulls_last else col("__key").asc_nulls_last,
-        col("entity_id"))
-      case None => Seq(col("entity_id"))
-    }
-    val keyed = q.orderByProp match {
-      case Some((prop, _)) =>
-        val keys = matched.filter(col("prop") === prop)
-          .groupBy("entity_id").agg(min(col("value")).as("__key"))
+    // one sort key per order prop (min value per entity, reference O5);
+    // all keys come out of ONE aggregation pass, not one scan per prop
+    val sortCols: Seq[Column] =
+      q.orderByProps.zipWithIndex.map { case ((_, desc), i) =>
+        if (desc) col(s"__key$i").desc_nulls_last else col(s"__key$i").asc_nulls_last
+      } :+ col("entity_id")
+    val keyed =
+      if (q.orderByProps.isEmpty) ids
+      else {
+        val keyAggs = q.orderByProps.zipWithIndex.map { case ((prop, _), i) =>
+          min(when(col("prop") === prop, col("value"))).as(s"__key$i")
+        }
+        val keys = matched.groupBy("entity_id").agg(keyAggs.head, keyAggs.tail: _*)
         ids.join(keys, Seq("entity_id"), "left_outer")
-      case None => ids
-    }
+      }
     val ordered = keyed.orderBy(sortCols: _*)
     // slice: limit first (distributed top-k), then drop the offset prefix
     // with a row_number over the already-tiny top-(offset+n) result.

@@ -120,8 +120,12 @@ object Rql {
     case _ => throw new IllegalArgumentException("filter value must be atom or tuple")
   }
 
-  /** Parse an RQL string plus the sibling sort/slice fields into a Query. */
-  def parse(rql: String, orderBy: Option[String] = None,
+  /** Parse an RQL string plus the sibling sort/slice fields into a Query.
+    * Multi-value `orderBy` follows the reference: the FIRST value's `-`
+    * prefix sets the direction for every column
+    * (api/dependencies.py:159-162).
+    */
+  def parse(rql: String, orderBy: Seq[String] = Seq.empty,
       limit: Option[Int] = None, offset: Int = 0): Query = {
     val p = new Parser(rql)
     val root = p.parseCall()
@@ -149,11 +153,13 @@ object Rql {
           q = q.copy(propFilters = q.propFilters :+ P(k, op, vs))
       }
     }
-    val ordered = orderBy match {
-      case Some(o) if o.startsWith("-") => q.copy(orderByProp = Some((o.drop(1), true)))
-      case Some(o) => q.copy(orderByProp = Some((o, false)))
-      case None => q
-    }
+    val ordered =
+      if (orderBy.isEmpty) q
+      else {
+        val descending = orderBy.head.startsWith("-")
+        q.copy(orderByProps =
+          orderBy.map(o => (o.stripPrefix("-"), descending)))
+      }
     ordered.copy(limit = limit, offset = offset)
   }
 }

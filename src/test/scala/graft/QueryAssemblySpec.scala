@@ -65,14 +65,14 @@ class QueryAssemblySpec extends SparkSpec {
     // entity-grain property filters
     val q = Rql.parse(
       "and(eq(origin,o1),eq(schema,Person),eq(name,Alice))",
-      orderBy = Some("-name"), limit = Some(5), offset = 2)
+      orderBy = Seq("-name"), limit = Some(5), offset = 2)
     assert(q.origin.contains("o1") && q.schemata.contains("Person"))
     assert(q.propFilters == Seq(P("name", EqOp, Seq("Alice"))))
-    assert(q.orderByProp.contains(("name", true)) && q.limit.contains(5) && q.offset == 2)
+    assert(q.orderByProps == Seq(("name", true)) && q.limit.contains(5) && q.offset == 2)
     // wire query compiles identically to the hand-built AST
     val hand = Query(origin = Some("o1"), schemata = Some("Person"),
       propFilters = Seq(P("name", EqOp, Seq("Alice"))))
-    val viaWire = FtmQuery.compile(q.copy(orderByProp = None, limit = None, offset = 0), fixture)
+    val viaWire = FtmQuery.compile(q.copy(orderByProps = Seq.empty, limit = None, offset = 0), fixture)
     val viaAst = FtmQuery.compile(hand, fixture)
     assert(viaWire.collect().toSet == viaAst.collect().toSet)
 
@@ -98,13 +98,20 @@ class QueryAssemblySpec extends SparkSpec {
 
     val ordered = FtmQuery.entityIds(
       Query(schemata = Some("LegalEntity"),
-        orderByProp = Some(("name", false)), limit = Some(2)), fixture)
+        orderByProps = Seq(("name", false)), limit = Some(2)), fixture)
     assert(ordered.collect().map(_.getString(0)).toSeq == Seq("c1", "p1")) // Acme, Alice
 
     val page2 = FtmQuery.entityIds(
       Query(schemata = Some("LegalEntity"),
-        orderByProp = Some(("name", false)), limit = Some(2), offset = 2), fixture)
+        orderByProps = Seq(("name", false)), limit = Some(2), offset = 2), fixture)
     assert(page2.collect().map(_.getString(0)).toSeq == Seq("p2")) // Bob
+
+    // multi-prop ordering: nationality first (only p1 has one, nulls
+    // last), then name breaks the ties among the rest
+    val multi = FtmQuery.entityIds(
+      Query(schemata = Some("LegalEntity"),
+        orderByProps = Seq(("nationality", false), ("name", false))), fixture)
+    assert(multi.collect().map(_.getString(0)).toSeq == Seq("p1", "c1", "p2"))
   }
 
   test("filter-leaf and IN-value caps are enforced") {

@@ -47,7 +47,7 @@ class RepositorySpec extends SparkSpec {
     // ordered page: by name descending, first page of 2
     val page = repo.query(Query(
       schemata = Some("LegalEntity"),
-      orderByProp = Some(("name", false)), limit = Some(2)))
+      orderByProps = Seq(("name", false)), limit = Some(2)))
       .collect().map(_.id).toSet
     assert(page == Set("acme", "jane")) // Acme Corp < Jane Doe < John Doe
 
