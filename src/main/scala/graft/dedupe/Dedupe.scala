@@ -126,6 +126,28 @@ object Dedupe {
       .agg(sum(col("__bitval")).as("simhash"))
   }
 
+  /** SimHash near-dup pairs: byte-banded candidate generation (two
+    * 32-bit hashes within hamming distance 3 must agree on at least one
+    * of their 4 bytes — pigeonhole), verified by `bit_count(a xor b)`.
+    * The shuffle carries (band, byte) keys only — linear like LSH, never
+    * the quadratic pair space; the verify join touches candidates only.
+    */
+  def simhashPairs(sig: DataFrame, idCol: String, maxHamming: Int = 3): DataFrame = {
+    val bands = sig.select(col(idCol).as("__id"), col("simhash"),
+      explode(sequence(lit(0), lit(3))).as("__band"))
+      .withColumn("__byte", expr("(simhash >> (__band * 8)) & 255"))
+    val l = bands.select(col("__band"), col("__byte"),
+      col("__id").as("id_a"), col("simhash").as("__sa"))
+    val r = bands.select(col("__band"), col("__byte"),
+      col("__id").as("id_b"), col("simhash").as("__sb"))
+    l.join(r, Seq("__band", "__byte"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("__sa").bitwiseXOR(col("__sb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Exact-duplicate groups by an arbitrary key expression: groups with
     * >1 member, with sorted member lists. Pure hash aggregation.
     */

@@ -83,6 +83,14 @@ object TrainingData {
       Dedupe.tokenRows(docs(spark, dir), "doc_id", "text"), "doc_id")
       .orderBy(col("doc_id"))
 
+  def d3bSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = Dedupe.simhash32FromTerms(
+      Dedupe.tokenRows(docs(spark, dir), "doc_id", "text"), "doc_id")
+    Dedupe.simhashPairs(sig, "doc_id", maxHamming = 3)
+      .withColumn("hamming", col("hamming").cast("int"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   def d4JaccardPairs(spark: SparkSession, dir: String): DataFrame =
     Dedupe.nearDupJaccard(docs(spark, dir), "doc_id", docShingleRows(spark, dir),
       MinhashK, rowsPerBand = 2, threshold = 0.5)
@@ -142,6 +150,7 @@ object TrainingData {
     "d2_minhash" -> (d2Minhash _),
     "d2b_lsh_pairs" -> (d2bLshPairs _),
     "d3_simhash" -> (d3Simhash _),
+    "d3b_simhash_pairs" -> (d3bSimhashPairs _),
     "d4_jaccard_pairs" -> (d4JaccardPairs _),
     "d6_dup_clusters" -> (d6DupClusters _),
     "d5_embed_dup" -> (d5EmbedDup _),
@@ -252,6 +261,29 @@ object TrainingData {
          |SELECT doc_id,
          |  CAST(SUM(CASE WHEN v >= 0 THEN (1::BIGINT << bit) ELSE 0::BIGINT END) AS BIGINT) AS simhash
          |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d3b_simhash_pairs" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tokH AS h
+         |  FROM (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS w FROM documents)),
+         |votes AS (
+         |  SELECT doc_id, bit, SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM toks, (SELECT unnest(generate_series(0,31)) AS bit)
+         |  GROUP BY doc_id, bit),
+         |sh AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(CASE WHEN v >= 0 THEN (1::BIGINT << bit) ELSE 0::BIGINT END) AS BIGINT) AS simhash
+         |  FROM votes GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, simhash, b, (simhash >> (b*8)) & 255 AS byte
+         |  FROM sh, (SELECT unnest(generate_series(0,3)) AS b)),
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+         |    l.simhash AS sa, r.simhash AS sb
+         |  FROM bands l JOIN bands r
+         |    ON l.b = r.b AND l.byte = r.byte AND l.doc_id < r.doc_id)
+         |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
     "d4_jaccard_pairs" ->
       s"""WITH $sigCte,
          |$bandedCte,
