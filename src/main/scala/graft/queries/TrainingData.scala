@@ -54,6 +54,10 @@ object TrainingData {
       TextFunctions.fingerprint(col("text")).as("fingerprint"))
       .orderBy(col("doc_id"))
 
+  def t5RollingFingerprint(spark: SparkSession, dir: String): DataFrame =
+    TextFunctions.rollingFingerprint(docs(spark, dir), "doc_id", "text", k = 8)
+      .orderBy(col("doc_id"))
+
   // ---- dedupe ----
 
   private def prefixKey = md5(array_join(slice(split(col("text"), " "), 1, 5), " "))
@@ -146,6 +150,7 @@ object TrainingData {
     "t2_quality" -> (t2Quality _),
     "t3_tokens" -> (t3Tokens _),
     "t4_fingerprint" -> (t4Fingerprint _),
+    "t5_rolling_fingerprint" -> (t5RollingFingerprint _),
     "d1_exact_dup" -> (d1ExactDup _),
     "d2_minhash" -> (d2Minhash _),
     "d2b_lsh_pairs" -> (d2bLshPairs _),
@@ -240,6 +245,17 @@ object TrainingData {
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t5_rolling_fingerprint" ->
+      """WITH rolls AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, greatest(len(ws)-2, 1)),
+        |    i -> ((('0x'||substr(md5(ws[i]),1,8))::BIGINT)*4096
+        |        + (('0x'||substr(md5(ws[i+1]),1,8))::BIGINT)*64
+        |        + (('0x'||substr(md5(ws[i+2]),1,8))::BIGINT)) % 1000003)) AS r
+        |  FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents))
+        |SELECT doc_id,
+        |  array_to_string(list_sort(list_distinct(list(r)))[1:8], ',') AS sketch
+        |FROM rolls WHERE r IS NOT NULL GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d1_exact_dup" ->
       """SELECT md5(array_to_string((string_split(text,' '))[1:5], ' ')) AS dup_key,
         |  COUNT(*) AS group_size,

@@ -42,6 +42,33 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
+  /** Rolling-hash fingerprint sketch: polynomial hash over each word
+    * trigram window (Rabin-Karp shape, base 64 over md5-derived token
+    * hashes, mod a prime), then the min-`k` distinct window hashes as
+    * the document's sketch. Two documents sharing long runs share window
+    * hashes, so sketch overlap survives edits far from the runs — the
+    * fuzzy-matching property the flat md5 fingerprint lacks. Built on
+    * the same shuffle-first positional window as shingling.
+    */
+  def rollingFingerprint(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int = 8): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val P = 1000003L
+    val toks = docs.select(col(idCol),
+      posexplode(split(col(textCol), " ")).as(Seq("__pos", "__w")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val h0 = graft.dedupe.Dedupe.tokenHash(col("__w"))
+    val h1 = graft.dedupe.Dedupe.tokenHash(lead(col("__w"), 1).over(w))
+    val h2 = graft.dedupe.Dedupe.tokenHash(lead(col("__w"), 2).over(w))
+    toks
+      .withColumn("__roll", (h0 * 4096L + h1 * 64L + h2) % P)
+      .filter(col("__roll").isNotNull)
+      .groupBy(col(idCol))
+      .agg(array_join(transform(
+        slice(sort_array(collect_set(col("__roll"))), 1, k),
+        _.cast("string")), ",").as("sketch"))
+  }
+
   /** Type-token ratio — low values flag boilerplate/repetition. */
   def typeTokenRatio(text: Column): Column =
     distinctTokenCount(text).cast("double") / tokenCount(text).cast("double")
