@@ -37,6 +37,8 @@ object TrainingData {
       TextFunctions.tokenCount(col("text")).as("n_tokens"),
       TextFunctions.distinctTokenCount(col("text")).as("n_distinct"),
       TextFunctions.typeTokenRatio(col("text")).as("ttr"),
+      TextFunctions.punctRatio(col("text")).as("punct_ratio"),
+      TextFunctions.stopwordRatio(col("text")).as("stopword_ratio"),
       TextFunctions.qualityScore(col("text")).as("quality"))
       .orderBy(col("doc_id"))
 
@@ -232,6 +234,9 @@ object TrainingData {
         |  len(string_split(text,' ')) AS n_tokens,
         |  len(list_distinct(string_split(text,' '))) AS n_distinct,
         |  CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / CAST(len(string_split(text,' ')) AS DOUBLE) AS ttr,
+        |  CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio,
+        |  CAST(len(list_filter(string_split(text,' '), t -> t IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'))) AS DOUBLE)
+        |    / CAST(len(string_split(text,' ')) AS DOUBLE) AS stopword_ratio,
         |  CAST(0.5 AS DOUBLE) * (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / CAST(len(string_split(text,' ')) AS DOUBLE))
         |    + CAST(0.5 AS DOUBLE) * least(CAST(1.0 AS DOUBLE), CAST(len(string_split(text,' ')) AS DOUBLE) / CAST(100.0 AS DOUBLE)) AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -36,6 +36,24 @@ object TextFunctions {
 
   def subwordCount(text: Column): Column = regexp_count(text, lit(SubwordPattern))
 
+  /** Punctuation ratio: non-alnum non-space chars over all chars. High
+    * values flag markup/noise documents.
+    */
+  def punctRatio(text: Column): Column =
+    regexp_count(text, lit("[^a-z0-9 ]")).cast("double") / length(text).cast("double")
+
+  /** Tiny English stopword list for the density heuristic — natural prose
+    * sits in a mid band; keyword-stuffed or non-linguistic text falls out
+    * of it.
+    */
+  val Stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as")
+
+  def stopwordRatio(text: Column): Column =
+    size(filter(tokens(text), t => t.isInCollection(Stopwords))).cast("double") /
+      tokenCount(text).cast("double")
+
   /** Normalized-text fingerprint: lowercase, collapse whitespace, trim,
     * md5. Two documents differing only in case/spacing collide.
     */
