@@ -118,6 +118,17 @@ object TrainingData {
     Similarity.nearDupPairs(emb(spark, dir), "vec_id", "label", 0.35)
       .orderBy(col("label"), col("id_a"), col("id_b"))
 
+  // Label-free twin: blocks come from the embedding itself (sign-LSH over
+  // the leading components) — the 100 TB path when no cluster label
+  // exists. Same per-block pair loop, same quantized arithmetic.
+  def d5bEmbedDupLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).withColumn("__bkt",
+      Similarity.signBucket(Similarity.quantize(col("embedding")), 6))
+    Similarity.nearDupPairs(e, "vec_id", "__bkt", 0.35)
+      .withColumnRenamed("__bkt", "bucket")
+      .orderBy(col("bucket"), col("id_a"), col("id_b"))
+  }
+
   def sim1TopK(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     Similarity.bruteForceTopK(e, "vec_id", e.filter(col("vec_id") < 10), 5)
@@ -161,6 +172,7 @@ object TrainingData {
     "d4_jaccard_pairs" -> (d4JaccardPairs _),
     "d6_dup_clusters" -> (d6DupClusters _),
     "d5_embed_dup" -> (d5EmbedDup _),
+    "d5b_embed_dup_lsh" -> (d5bEmbedDupLsh _),
     "sim1_topk" -> (sim1TopK _),
     "sim2_ann_bucket" -> (sim2AnnBucket _),
     "sim3_ivf_topk" -> (sim3IvfTopK _),
@@ -361,6 +373,18 @@ object TrainingData {
          |FROM p a JOIN p b ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE $simExpr > 0.35
          |ORDER BY a.label, id_a, id_b""".stripMargin,
+    "d5b_embed_dup_lsh" ->
+      s"""WITH $qCte,
+         |bkt AS (
+         |  SELECT *,
+         |    (CASE WHEN qv[1] >= 0 THEN 1 ELSE 0 END) + (CASE WHEN qv[2] >= 0 THEN 2 ELSE 0 END)
+         |    + (CASE WHEN qv[3] >= 0 THEN 4 ELSE 0 END) + (CASE WHEN qv[4] >= 0 THEN 8 ELSE 0 END)
+         |    + (CASE WHEN qv[5] >= 0 THEN 16 ELSE 0 END) + (CASE WHEN qv[6] >= 0 THEN 32 ELSE 0 END) AS bucket
+         |  FROM p)
+         |SELECT a.bucket, a.vec_id AS id_a, b.vec_id AS id_b
+         |FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE $simExpr > 0.35
+         |ORDER BY a.bucket, id_a, id_b""".stripMargin,
     "sim1_topk" ->
       s"""WITH $qCte,
          |scored AS (

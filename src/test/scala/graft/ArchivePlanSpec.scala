@@ -104,6 +104,24 @@ class ArchivePlanSpec extends SparkSpec {
     assert(p.contains("Window"), p)
   }
 
+  test("LSH candidate generation never plans a cartesian pair space") {
+    val p = plan("d2b_lsh_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("live-view scan keeps the tombstone filter pushdown-eligible") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft-plan-live").toString
+    val store = new graft.lake.StatementStore(spark, tmp, 4)
+    store.append(graft.lake.EventStatements.statements(Tables.events(spark, sf001)))
+    val p = store.live.filter(col("prop") === "click")
+      .queryExecution.executedPlan.toString
+    // windowless view: both predicates reach the parquet reader
+    assert(p.contains("PushedFilters") && p.contains("IsNull(deleted_at)"), p)
+    assert(p.contains("EqualTo(prop,click)"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("entity-grain prop-filter semi-join is AQE-chosen, not hint-forced") {
     import graft.query.FtmQuery
     import graft.query.FtmQuery._
