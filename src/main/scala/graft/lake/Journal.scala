@@ -53,6 +53,17 @@ class Journal(spark: SparkSession, rootStr: String) {
     else spark.read.schema(Statement.schema).parquet(files.map(_.toString): _*).count()
   }
 
+  /** Read the staged (not yet drained) rows — the journal's live content.
+    * Empty-schema DataFrame when nothing is staged.
+    */
+  def staged(): DataFrame = {
+    val files = stagedFiles()
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Statement.schema)
+    else spark.read.schema(Statement.schema).parquet(files.map(_.toString): _*)
+  }
+
   /** Drain the journal into the store: last-writer-wins upsert per
     * `(id, fragment, origin)`, tombstone `last_seen` bump (F7: a delete
     * must win the merge tiebreak), one sorted partitioned append, then

@@ -45,18 +45,45 @@ class LakeRepository(val spark: SparkSession, val rootStr: String,
   /** Drain the journal into the statement store. */
   def flush(): Long = journal.drain(store)
 
-  /** Tombstone every live statement of an entity. The journal drain bumps
-    * `last_seen = deleted_at` (F7) so the tombstones shadow their rows
-    * through the next merge's grace window.
+  /** Tombstone every live statement of an entity — stored AND still
+    * staged in the journal (an unflushed re-import must not survive its
+    * own delete). The journal drain bumps `last_seen = deleted_at` (F7)
+    * so the tombstones shadow their rows through the next merge's grace
+    * window.
     */
   def deleteEntity(entityId: String, now: Timestamp = nowTs()): Unit =
     journal.write(
-      store.raw.filter(col("entity_id") === entityId && col("deleted_at").isNull)
+      store.raw.unionByName(journal.staged())
+        .filter(col("entity_id") === entityId && col("deleted_at").isNull)
+        .dropDuplicates("id", "fragment", "origin")
         .withColumn("deleted_at", lit(now)))
 
   /** Canonical live view (A1 at read time — correct even before merge). */
   def live: DataFrame =
     MergeDedupe.live(store.raw).withColumn("canonical_id", col("entity_id"))
+
+  /** J3 single-entity lookup: parquet ∪ unflushed journal with the
+    * journal overriding per `(id, fragment, origin)` dedupe key
+    * (reference repository/entities/main.py:483-527) — a writer sees its
+    * own unflushed changes. The journal side gets the F7 tombstone bump
+    * exactly as the drain would apply it, so an unflushed delete hides
+    * the entity here too.
+    */
+  def getEntity(entityId: String): Option[EntityAssembly.EntityDoc] = {
+    import org.apache.spark.sql.expressions.Window
+    val fromStore = store.raw.filter(col("entity_id") === entityId)
+      .withColumn("__prio", lit(0))
+    val fromJournal = journal.staged().filter(col("entity_id") === entityId)
+      .withColumn("last_seen", coalesce(col("deleted_at"), col("last_seen")))
+      .withColumn("__prio", lit(1))
+    val w = Window.partitionBy(col("id"), col("fragment"), col("origin"))
+      .orderBy(col("__prio").desc, col("last_seen").desc)
+    val overridden = fromStore.unionByName(fromJournal)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", "__prio")
+    EntityAssembly.assemble(MergeDedupe.live(overridden))
+      .collect().headOption
+  }
 
   /** All statements of entities matching the query (reference statement
     * iteration). */

@@ -67,6 +67,35 @@ class RepositorySpec extends SparkSpec {
     assert(repo.store.raw.filter("deleted_at IS NOT NULL").count() > 0)
   }
 
+  test("getEntity: unflushed journal rows override parquet (J3)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-getent").toString
+    val repo = new LakeRepository(spark, dir, dataset = "test", shards = 4)
+    repo.addEntities(Seq(
+      EntityPayload("jane", "Person", Map("name" -> Seq("Jane Doe")))).toDS(),
+      now = ts("2024-01-01 00:00:00"))
+    repo.flush()
+    assert(repo.getEntity("jane").exists(_.caption == "Jane Doe"))
+
+    // re-import with a changed name, NOT flushed: the journal overrides
+    // (same content-hashed prop row id only if value equal — here the new
+    // value adds a statement; the newer last_seen wins assembly's caption
+    // pick via sorted-min, so assert on the property set)
+    repo.addEntities(Seq(
+      EntityPayload("jane", "Person", Map("name" -> Seq("Jane A. Doe")))).toDS(),
+      now = ts("2024-02-01 00:00:00"))
+    assert(repo.journal.count() > 0)
+    val merged = repo.getEntity("jane").get
+    assert(merged.properties("name").contains("Jane A. Doe"))
+
+    // unflushed delete hides the entity from the lookup
+    repo.deleteEntity("jane", ts("2024-03-01 00:00:00"))
+    assert(repo.journal.count() > 0)
+    assert(repo.getEntity("jane").isEmpty)
+    // but the store itself still has the live rows until flush
+    assert(repo.count(graft.query.FtmQuery.Query()) == 1)
+  }
+
   test("e2e: crawl -> archive -> import file entities -> make artifacts") {
     import spark.implicits._
     import org.apache.hadoop.fs.Path
