@@ -184,6 +184,27 @@ class StoreSpec extends SparkSpec {
     assert(store.version == v)
   }
 
+  test("default merge grace: fresh tombstones survive, stale ones are reaped") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-grace").toString
+    val store = new StatementStore(spark, dir, shards = 4)
+    val now = System.currentTimeMillis()
+    def tomb(id: String, ageDays: Int) = {
+      val del = new Timestamp(now - ageDays * 24L * 3600 * 1000)
+      Statement("0", id, s"e-$id", "ds", "thing", "o1", None, "Person",
+        "name", "string", "v", None, None, external = false,
+        ts("2024-01-01 00:00:00"), del, "", Some(del))
+    }
+    store.append(Seq(tomb("fresh", 1), tomb("stale", 60)).toDS().toDF())
+    store.merge() // default grace: 30 days
+    val ids = store.raw.collect().map(_.getAs[String]("id")).toSet
+    // the 1-day-old tombstone keeps shadowing late re-imports; the
+    // 60-day-old one is reaped (reference ST4, 30-day default)
+    assert(ids == Set("fresh"))
+    // reads never see tombstones either way
+    assert(store.live.count() == 0)
+  }
+
   test("journal auto-flush drains when the staged row count crosses the threshold") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-autoflush").toString
