@@ -195,14 +195,15 @@ object Dedupe {
       val nbr = edges
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min(col("lbl")).as("__nlbl"))
+      // the convergence flag rides the staged write — one cheap aggregate
+      // over the staged parquet instead of a join-per-round
+      val newLbl = least(col("lbl"), coalesce(col("__nlbl"), col("lbl")))
       val next = F.materialize(
         labels.join(nbr, Seq("id"), "left_outer")
-          .select(col("id"),
-            least(col("lbl"), coalesce(col("__nlbl"), col("lbl"))).as("lbl")))
-      changed = next
-        .join(labels.withColumnRenamed("lbl", "__old"), Seq("id"))
-        .filter(col("lbl") =!= col("__old")).count()
-      labels = next
+          .select(col("id"), newLbl.as("lbl"),
+            (newLbl =!= col("lbl")).cast("long").as("__chg")))
+      changed = next.agg(coalesce(sum(col("__chg")), lit(0L))).collect()(0).getLong(0)
+      labels = next.drop("__chg")
       round += 1
     }
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
