@@ -95,6 +95,18 @@ object EventStream {
   case class SessionOut(user_id: Long, session_seq: Long, n_events: Long,
       start_ms: Long, end_ms: Long)
 
+  /** Streaming exact dedupe for continuous ingest: duplicate records
+    * (same content key) are dropped with BOUNDED state —
+    * `dropDuplicatesWithinWatermark` retains a key only for the watermark
+    * delay, so state size is ingest-rate × delay, never corpus size. The
+    * batch twin is a plain `dropDuplicates`; at 100 TB/day this is the
+    * only dedupe shape whose state survives unbounded streams.
+    */
+  def dedupeStreaming(events: Dataset[Ev], delay: String = "1 hour"): Dataset[Ev] =
+    events
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Stateful streaming sessionization: one state record per user; closed
     * sessions are emitted when the gap is exceeded within the stream or on
     * state timeout. The batch twin above is the oracle for its semantics.

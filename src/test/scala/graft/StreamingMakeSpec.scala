@@ -42,6 +42,25 @@ class StreamingMakeSpec extends SparkSpec {
       ts("2024-01-01 00:00:00").getTime, ts("2024-01-01 00:10:00").getTime)))
   }
 
+  test("streaming dedupe drops in-watermark duplicates with bounded state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    stream.addData(Seq(
+      Ev(1, ts("2024-01-01 00:00:00"), 1),
+      Ev(1, ts("2024-01-01 00:00:01"), 1), // duplicate event_id
+      Ev(2, ts("2024-01-01 00:00:02"), 2),
+      Ev(2, ts("2024-01-01 00:00:03"), 2), // duplicate event_id
+      Ev(3, ts("2024-01-01 00:00:04"), 3)))
+    val q = EventStream.dedupeStreaming(stream.toDS())
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dedup_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedup_out").as[Ev].collect()
+    assert(out.map(_.event_id).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("make: exports are freshness-gated and skip when the store is current") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-make").toString
