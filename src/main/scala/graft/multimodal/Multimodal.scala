@@ -88,6 +88,58 @@ object Multimodal {
     }
   }
 
+  case class MediaFrame(
+      media_id: Long, frame_idx: Int, frame_ms: Long, frame: Array[Byte])
+
+  /** Frame sampling: the UDTF-shaped explode of a video payload — one row
+    * per sampled frame at a fixed stride, capped. Real demuxing is
+    * STUBBED (deterministic byte slice per frame index); the fan-out
+    * shape, output schema, and executor-side batching are the production
+    * machinery. Frames explode row counts (a 2 h video at 1 fps is 7200
+    * rows), so sampling runs inside `flatMap` on executors and frame
+    * bytes never visit the driver.
+    */
+  def sampleFrames(df: DataFrame, idCol: String, binCol: String,
+      everyMs: Long = 1000L, maxFrames: Int = 16): Dataset[MediaFrame] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id"), col(binCol).as("bytes"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        // REAL DEMUXER GOES HERE — replace the frame count + slice with
+        // container parsing; everything around it stays unchanged
+        val n = math.min(maxFrames, math.max(1, bytes.length / 64))
+        (0 until n).iterator.map { i =>
+          val start = (i * 64) % math.max(bytes.length, 1)
+          MediaFrame(id, i, i * everyMs,
+            bytes.slice(start, math.min(start + 64, bytes.length)))
+        }
+      }
+  }
+
+  /** Resize: binary→binary transform that stays columnar end to end.
+    * STUBBED as a deterministic byte decimation toward a target budget —
+    * a real image library call replaces only the function body.
+    */
+  def resizeStub(bytes: Array[Byte], targetBytes: Int): Array[Byte] = {
+    if (bytes.length <= targetBytes || targetBytes <= 0) bytes
+    else {
+      val stride = math.max(1, bytes.length / targetBytes)
+      bytes.indices.collect { case i if i % stride == 0 => bytes(i) }.toArray
+    }
+  }
+
+  /** Batched resize over a binary column (media_id, resized). */
+  def resized(df: DataFrame, idCol: String, binCol: String,
+      targetBytes: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id"), col(binCol).as("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) => (id, resizeStub(b, targetBytes)) })
+      .toDF("media_id", "resized")
+  }
+
   private def sniffFormatBytes(b: Array[Byte]): String = {
     def hx(n: Int) = b.take(n).map(x => f"${x & 0xff}%02x").mkString
     if (b.length >= 4 && hx(4) == "89504e47") "png"

@@ -79,6 +79,22 @@ class TrainingDataSpec extends SparkSpec {
     val again = Multimodal.extractFeatures(df, "media_id", "payload").collect()
       .map(f => f.media_id -> f.feature).toMap
     assert(again(1L) == feats(1L).feature && again(2L) == feats(2L).feature)
+
+    // frame sampling: capped fan-out, monotonic timeline, executor-side
+    val big = Seq((9L, Array.fill(4096)(7.toByte))).toDF("media_id", "payload")
+    val frames = Multimodal.sampleFrames(big, "media_id", "payload",
+      everyMs = 500, maxFrames = 5).collect().sortBy(_.frame_idx)
+    assert(frames.length == 5)
+    assert(frames.map(_.frame_ms).toSeq == Seq(0L, 500L, 1000L, 1500L, 2000L))
+    assert(frames.forall(_.frame.nonEmpty))
+
+    // resize: under budget, deterministic, tiny payloads pass through
+    val shrunk = Multimodal.resized(big, "media_id", "payload", targetBytes = 256)
+      .collect()(0).getAs[Array[Byte]]("resized")
+    assert(shrunk.length <= 260 && shrunk.length > 0)
+    val small = Multimodal.resized(df, "media_id", "payload", targetBytes = 1 << 20)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("resized")).toMap
+    assert(small(1L).length == png.length)
   }
 
   test("brute-force topk: rank 1 is the true argmax; bucketed ANN ⊆ brute-force candidates") {
