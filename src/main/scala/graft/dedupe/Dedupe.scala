@@ -132,7 +132,10 @@ object Dedupe {
     * The shuffle carries (band, byte) keys only — linear like LSH, never
     * the quadratic pair space; the verify join touches candidates only.
     */
-  def simhashPairs(sig: DataFrame, idCol: String, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(sig0: DataFrame, idCol: String, maxHamming: Int = 3): DataFrame = {
+    // both sides of the band join consume the signature pipeline — stage
+    // it once so the token hashing and vote aggregation don't run twice
+    val sig = graft.functions.F.materialize(sig0.select(col(idCol), col("simhash")))
     val bands = sig.select(col(idCol).as("__id"), col("simhash"),
       explode(sequence(lit(0), lit(3))).as("__band"))
       .withColumn("__byte", expr("(simhash >> (__band * 8)) & 255"))
@@ -184,24 +187,29 @@ object Dedupe {
     */
   def dupClusters(pairs: DataFrame, maxRounds: Int = 16): DataFrame = {
     import graft.functions.F
-    val edges = F.materialize(
-      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    // the "star": both edge directions plus a self-loop per node. The
+    // self-loop makes every round a single join + single aggregation — the
+    // node's own label rides the self-loop row, so no left_outer back-join
+    // is needed for either the update or the convergence check.
+    val undirected = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val star = F.materialize(undirected.unionByName(
+      undirected.select(col("src")).distinct().withColumn("dst", col("src"))))
+    // round 1 fused into initialization: label = min(self, neighbors)
     var labels = F.materialize(
-      edges.select(col("src").as("id")).distinct().withColumn("lbl", col("id")))
+      star.groupBy(col("src").as("id")).agg(min(col("dst")).as("lbl")))
     var changed = 1L
-    var round = 0
+    var round = 1
     while (changed > 0 && round < maxRounds) {
-      val nbr = edges
-        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
-        .groupBy(col("src").as("id")).agg(min(col("lbl")).as("__nlbl"))
+      val next = F.materialize(
+        star.join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+          .groupBy(col("src").as("id"))
+          .agg(min(col("lbl")).as("lbl"),
+            min(when(col("dst") === col("src"), col("lbl"))).as("__old"))
+          .withColumn("__chg", (col("lbl") =!= col("__old")).cast("long"))
+          .drop("__old"))
       // the convergence flag rides the staged write — one cheap aggregate
       // over the staged parquet instead of a join-per-round
-      val newLbl = least(col("lbl"), coalesce(col("__nlbl"), col("lbl")))
-      val next = F.materialize(
-        labels.join(nbr, Seq("id"), "left_outer")
-          .select(col("id"), newLbl.as("lbl"),
-            (newLbl =!= col("lbl")).cast("long").as("__chg")))
       changed = next.agg(coalesce(sum(col("__chg")), lit(0L))).collect()(0).getLong(0)
       labels = next.drop("__chg")
       round += 1
@@ -235,7 +243,11 @@ object Dedupe {
     // rows.
     val sizes = toks.groupBy("__id").agg(count(lit(1)).as("__n"))
     val ta = toks.select(col("__id").as("id_a"), col("__tok"))
+    // prune BOTH token sides to candidate documents before the (id, token)
+    // equi-join: without the semi-join the right side shuffles the entire
+    // token table on (id_b, __tok) even though only candidate docs matter
     val tb = toks.select(col("__id").as("id_b"), col("__tok"))
+      .join(broadcast(pairs.select(col("id_b")).distinct()), Seq("id_b"), "left_semi")
     val inter = ta.join(broadcast(pairs), Seq("id_a")).join(tb, Seq("id_b", "__tok"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("__inter"))
     pairs

@@ -50,15 +50,22 @@ object F {
     * block-manager cache path is erratically slow. At cluster scale this
     * is the same pattern as a checkpoint/stage table in a pipeline DAG.
     */
-  def materialize(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    val tmp = s"${stageRoot(spark)}/stage-${java.util.UUID.randomUUID().toString}"
-    // stage tables are session-scoped: reclaim the space on exit via the
-    // table's own filesystem (works for shared-FS schemes, not just file:)
+  /** Allocate a session-scoped scratch path under the stage root and
+    * register exit-time reclamation via the path's own filesystem (works
+    * for shared-FS schemes, not just file:).
+    */
+  def stageTempPath(spark: SparkSession, prefix: String): String = {
+    val tmp = s"${stageRoot(spark)}/$prefix-${java.util.UUID.randomUUID().toString}"
     Runtime.getRuntime.addShutdownHook(new Thread(() => scala.util.Try {
       val p = new org.apache.hadoop.fs.Path(tmp)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     }))
+    tmp
+  }
+
+  def materialize(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val tmp = stageTempPath(spark, "stage")
     df.write.mode("overwrite").parquet(tmp)
     spark.read.parquet(tmp)
   }

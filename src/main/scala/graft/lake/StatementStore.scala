@@ -66,10 +66,14 @@ class StatementStore(val spark: SparkSession, val rootStr: String, val shards: I
     * per append). Part-file names carry the job UUID, so moves can't
     * collide with existing files. Returns the fresh relative paths.
     */
-  private def writeStaged(df: DataFrame, sortCols: Seq[Column]): Set[String] = {
+  private def writeStaged(df: DataFrame, sortCols: Seq[Column],
+      preClustered: Boolean = false): Set[String] = {
     val stage = new Path(root, s"_graft/ingest/${java.util.UUID.randomUUID().toString}")
-    df.select(Statement.columns.map(col): _*)
-      .repartition(Statement.partitionColumns.map(col): _*)
+    val clustered =
+      if (preClustered) df.select(Statement.columns.map(col): _*)
+      else df.select(Statement.columns.map(col): _*)
+        .repartition(Statement.partitionColumns.map(col): _*)
+    clustered
       .sortWithinPartitions(sortCols: _*)
       .write.partitionBy(Statement.partitionColumns: _*)
       .mode("overwrite").parquet(stage.toString)
@@ -126,14 +130,22 @@ class StatementStore(val spark: SparkSession, val rootStr: String, val shards: I
       if (dirty.isEmpty) return version
       val dirtyFiles = liveSet.filter(f => dirty.contains(partitionOf(f)))
       if (dirtyFiles.isEmpty) return version
+      // ONE exchange for the whole rewrite: clustering on the physical
+      // partition columns up front satisfies both merge window branches
+      // (their partition keys extend these columns, and a hash partitioning
+      // on a key subset satisfies the windows' clustered distribution) and
+      // the partitioned write — no per-branch re-shuffle, no pre-write
+      // repartition.
       val scoped = spark.read.schema(Statement.schema)
         .option("basePath", root.toString)
         .parquet(dirtyFiles.toSeq.sorted.map(f => s"$rootStr/$f"): _*)
+        .repartition(Statement.partitionColumns.map(col): _*)
       val cutoff = graceCutoff.getOrElse(
         current_timestamp() - expr(s"INTERVAL $DefaultGraceDays DAYS"))
       val merged = MergeDedupe.withGrace(scoped, cutoff)
       val fresh = writeStaged(merged, Seq(
-        col("entity_id"), col("fragment"), col("prop"), col("id"), col("last_seen").desc))
+        col("entity_id"), col("fragment"), col("prop"), col("id"), col("last_seen").desc),
+        preClustered = true)
       dirty.foreach(p => tags.delete(s"dirty/$p"))
       Manifest.commit(fs, root, (liveSet -- dirtyFiles) ++ fresh, "merge")
     }

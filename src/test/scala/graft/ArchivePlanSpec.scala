@@ -149,10 +149,12 @@ class ArchivePlanSpec extends SparkSpec {
       .toDF("id", "parent", "name")
       .select($"id", $"name", $"parent")
     val resolved = Documents.resolvePaths(nodes, maxDepth = 8)
-    // every iteration staged its frontier, so the returned plan is a
-    // union of staged-parquet scans — zero joins, depth-independent
+    // the parents-only closure is staged per iteration, so the returned
+    // plan is exactly ONE join: corpus × closed-ancestor-paths (broadcast
+    // at this size) — depth-independent, no nested join pyramid, and the
+    // corpus is scanned exactly once
     val p = resolved.queryExecution.executedPlan.toString
-    assert(!p.contains("Join"), p)
-    assert(p.contains("Union"), p)
+    assert(p.sliding("HashJoin".length).count(_ == "HashJoin") == 1, p)
+    assert(p.linesIterator.count(_.contains("LocalTableScan")) == 1, p)
   }
 }
