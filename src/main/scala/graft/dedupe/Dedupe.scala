@@ -34,19 +34,22 @@ object Dedupe {
     * (the array-lambda formulation did, catastrophically). Documents
     * shorter than n tokens yield no rows.
     */
-  def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+  def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
+      distinct: Boolean = true): DataFrame = {
     val toks = df.select(col(idCol),
       posexplode(split(col(textCol), " ")).as(Seq("__pos", "__w")))
     val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
-    // NB: position 0 must be the row's own column — lead(c, 0) falls off
+    // NB: position 0 must be the row's own column — lead(col, 0) falls off
     // Spark's O(1) offset-frame fast path and turns quadratic per group
     val parts = col("__w") +: (1 until n).map(i => lead(col("__w"), i).over(w))
-    toks
+    val rows = toks
       .withColumn("__tok", concat_ws(" ", parts: _*))
       .withColumn("__last", parts.last)
       .filter(col("__last").isNotNull)
       .select(col(idCol), col("__tok"))
-      .dropDuplicates(idCol, "__tok")
+    // consumers whose aggregate is duplicate-insensitive (MinHash: min())
+    // skip the distinct and save a full shuffle of the shingle volume
+    if (distinct) rows.dropDuplicates(idCol, "__tok") else rows
   }
 
   /** Exploded distinct unigram-token rows (id, __tok). */
@@ -112,18 +115,19 @@ object Dedupe {
     simhash32FromTerms(df.select(col(idCol), explode(terms).as("__tok")), idCol)
 
   def simhash32FromTerms(terms: DataFrame, idCol: String): DataFrame = {
+    // one aggregation with 32 vote columns, NOT an explode to (token, bit)
+    // rows: the exploded form shuffles 32× the token volume; this form
+    // shuffles the token rows once with map-side partial sums
     val toks = terms.withColumn("__h", tokenHash(col("__tok")))
-    toks
-      .select(col(idCol), col("__h"), explode(sequence(lit(0), lit(31))).as("__bit"))
-      .withColumn("__vote",
-        when(expr("(__h >> __bit) & 1") === 1, lit(1)).otherwise(lit(-1)))
-      .groupBy(col(idCol), col("__bit"))
-      .agg(sum(col("__vote")).as("__votes"))
-      .withColumn("__bitval",
-        when(col("__votes") >= 0, expr("CAST(shiftleft(CAST(1 AS BIGINT), __bit) AS BIGINT)"))
-          .otherwise(lit(0L)))
-      .groupBy(col(idCol))
-      .agg(sum(col("__bitval")).as("simhash"))
+    val votes = (0 until 32).map { b =>
+      sum(when(expr(s"(__h >> $b) & 1") === 1, lit(1L)).otherwise(lit(-1L))).as(s"__v$b")
+    }
+    val bitvals = (0 until 32).map { b =>
+      when(col(s"__v$b") >= 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    toks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+      .withColumn("simhash", bitvals.reduce(_ + _))
+      .select(col(idCol), col("simhash"))
   }
 
   /** SimHash near-dup pairs: byte-banded candidate generation (two

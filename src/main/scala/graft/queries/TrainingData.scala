@@ -73,13 +73,18 @@ object TrainingData {
   private def docShingleRows(spark: SparkSession, dir: String): DataFrame =
     Dedupe.shingleRows(docs(spark, dir), "doc_id", "text", 3)
 
+  // MinHash is duplicate-insensitive, so the signature path skips the
+  // distinct shuffle; Jaccard verification (d4/d6) keeps distinct rows.
+  private def docShingleRowsMulti(spark: SparkSession, dir: String): DataFrame =
+    Dedupe.shingleRows(docs(spark, dir), "doc_id", "text", 3, distinct = false)
+
   def d2Minhash(spark: SparkSession, dir: String): DataFrame =
-    Dedupe.minhashSignatureFromTerms(docShingleRows(spark, dir), "doc_id", MinhashK)
+    Dedupe.minhashSignatureFromTerms(docShingleRowsMulti(spark, dir), "doc_id", MinhashK)
       .orderBy(col("doc_id"))
 
   def d2bLshPairs(spark: SparkSession, dir: String): DataFrame = {
     val sig = graft.functions.F.materialize(
-      Dedupe.minhashSignatureFromTerms(docShingleRows(spark, dir), "doc_id", MinhashK))
+      Dedupe.minhashSignatureFromTerms(docShingleRowsMulti(spark, dir), "doc_id", MinhashK))
     Dedupe.lshCandidatePairs(sig, "doc_id", MinhashK, rowsPerBand = 2)
       .orderBy(col("id_a"), col("id_b"))
   }
