@@ -153,6 +153,47 @@ object TrainingData {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ---- corpus curation: splits, sampling, scrubbing ----
+
+  // Deterministic train/val/test assignment by content-stable hash:
+  // reproducible across runs/engines, no RNG state, pure map — the
+  // standard split mechanism for a corpus too large to shuffle globally.
+  def d7SplitAssign(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      pmod(Dedupe.tokenHash(col("doc_id").cast("string")), lit(100)).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val").otherwise("test"))
+      .orderBy(col("doc_id"))
+
+  // Stratified deterministic sample: per-language strata sampled by hash
+  // threshold (here 1-in-5). A pure pushdown-friendly filter — no shuffle,
+  // no RNG, stable under re-runs and engine changes.
+  def smp1Stratified(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .filter(pmod(Dedupe.tokenHash(col("doc_id").cast("string")), lit(5)) === 0)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  // PII scrub: email/URL redaction with per-doc hit counts and the
+  // fingerprint of the redacted text. Synthetic contacts are injected
+  // deterministically so the scrub has real work on the test corpus.
+  def t6Scrub(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-z0-9.]+@[a-z0-9.]+"
+    val urlRe = "https?://[a-z0-9./]+"
+    val enriched = concat(col("text"),
+      when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(lit(" contact user"), col("doc_id"), lit("@example.com or https://example.com/u/"), col("doc_id")))
+        .otherwise(lit("")))
+    docs(spark, dir).select(
+      col("doc_id"),
+      regexp_count(enriched, lit(emailRe)).as("n_emails"),
+      regexp_count(enriched, lit(urlRe)).as("n_urls"),
+      md5(regexp_replace(regexp_replace(enriched, urlRe, "<url>"), emailRe, "<email>")).as("scrubbed_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- multimodal plumbing ----
 
   def mm1MediaMeta(spark: SparkSession, dir: String): DataFrame =
@@ -181,6 +222,9 @@ object TrainingData {
     "sim1_topk" -> (sim1TopK _),
     "sim2_ann_bucket" -> (sim2AnnBucket _),
     "sim3_ivf_topk" -> (sim3IvfTopK _),
+    "d7_split_assign" -> (d7SplitAssign _),
+    "smp1_stratified" -> (smp1Stratified _),
+    "t6_scrub" -> (t6Scrub _),
     "mm1_media_meta" -> (mm1MediaMeta _))
 
   // ---- DuckDB oracle twins ----
@@ -435,6 +479,31 @@ object TrainingData {
          |    ON a.cid = b.cid AND b.vec_id <> a.vec_id)
          |SELECT query_id, neighbor_id, rank FROM scored
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "d7_split_assign" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 100 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "smp1_stratified" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 5 = 0
+        |ORDER BY doc_id""".stripMargin,
+    "t6_scrub" ->
+      """WITH e AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN ' contact user' || doc_id || '@example.com or https://example.com/u/' || doc_id
+        |      ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t, '[a-z0-9.]+@[a-z0-9.]+')) AS n_emails,
+        |  len(regexp_extract_all(t, 'https?://[a-z0-9./]+')) AS n_urls,
+        |  md5(regexp_replace(regexp_replace(t, 'https?://[a-z0-9./]+', '<url>', 'g'), '[a-z0-9.]+@[a-z0-9.]+', '<email>', 'g')) AS scrubbed_md5
+        |FROM e ORDER BY doc_id""".stripMargin,
     "mm1_media_meta" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id,
         |  octet_length(CAST(text AS BLOB)) AS byte_len,

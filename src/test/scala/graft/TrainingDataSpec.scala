@@ -159,4 +159,31 @@ class TrainingDataSpec extends SparkSpec {
       .select(QuantizedCosine(col("a"), col("b"), lit(1L), lit(1L))).collect()
     assert(n(0).isNullAt(0))
   }
+
+  test("curation: hash split is total+stable, sample is a subset, scrub redacts") {
+    import spark.implicits._
+    val split = col("doc_id").cast("string")
+    val bucket = pmod(Dedupe.tokenHash(split), lit(100))
+    val assigned = docsDf.select(col("doc_id"), bucket.as("b"))
+      .withColumn("split",
+        when(col("b") < 80, "train").when(col("b") < 90, "val").otherwise("test"))
+    val rows = assigned.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L, 4L)) // total: every doc assigned
+    // stable: recomputation gives identical assignment
+    assert(assigned.collect().map(r => r.getLong(0) -> r.getString(2)).toMap == rows)
+    // sample: the kept set is exactly the hash-threshold subset
+    val kept = docsDf.filter(pmod(Dedupe.tokenHash(split), lit(2)) === 0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.subsetOf(Set(1L, 2L, 3L, 4L)))
+    // scrub: email/url hits counted and removed
+    val scrubbed = Seq((1L, "mail me a@b.com or see https://x.y/z now"))
+      .toDF("doc_id", "text")
+      .select(
+        regexp_count(col("text"), lit("[a-z0-9.]+@[a-z0-9.]+")).as("ne"),
+        regexp_replace(regexp_replace(col("text"), "https?://[a-z0-9./]+", "<url>"),
+          "[a-z0-9.]+@[a-z0-9.]+", "<email>").as("t"))
+      .collect()(0)
+    assert(scrubbed.getInt(0) == 1)
+    assert(scrubbed.getString(1) == "mail me <email> or see <url> now")
+  }
 }
