@@ -41,16 +41,18 @@ object Relational {
 
   // Star join: fact lineitem joined to orders, then broadcast dimension
   // chain customer -> nation -> region. At 100 TB the fact tables shuffle
-  // on the join key once; all dims stay broadcast (region/nation are tiny,
-  // customer is ~1.5M rows per TB-scale SF but the projected two columns
-  // still fit; if not, AQE falls back to shuffle join).
+  // on the join key once; true dimensions stay broadcast (region/nation
+  // are tiny; projected 2-column customer fits). orders is a FACT table —
+  // no hint there: the planner/AQE broadcasts it at toy scale and shuffles
+  // it at real scale. A static hint on an unbounded side would OOM, never
+  // degrade.
   def q2StarJoin(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val o = Tables.orders(spark, dir)
     val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
     val n = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
     val r = Tables.region(spark, dir).select(col("r_regionkey"), col("r_name"))
-    li.join(broadcast(o.select(col("o_orderkey"), col("o_custkey"))),
+    li.join(o.select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
