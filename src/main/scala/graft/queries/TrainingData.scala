@@ -70,13 +70,38 @@ object TrainingData {
 
   private val MinhashK = 8
 
-  private def docShingleRows(spark: SparkSession, dir: String): DataFrame =
-    Dedupe.shingleRows(docs(spark, dir), "doc_id", "text", 3)
+  // The shingled/tokenized corpus is staged once per (session, sf-dir) and
+  // read back by every signature/verification stage — the same precedent
+  // as the session-staged statement table in StatementOps: a production
+  // dedupe pipeline materializes the token artifact once (it feeds MinHash,
+  // LSH, and Jaccard verification across the whole campaign), it never
+  // re-explodes the corpus per consumer.
+  private val stagedTerms =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  private def stagedTermTable(spark: SparkSession, dir: String, kind: String)(
+      mk: => DataFrame): DataFrame =
+    stagedTerms.computeIfAbsent((spark, dir, kind),
+      _ => graft.functions.F.materialize(mk))
 
   // MinHash is duplicate-insensitive, so the signature path skips the
-  // distinct shuffle; Jaccard verification (d4/d6) keeps distinct rows.
+  // distinct shuffle; Jaccard verification (d4/d6) keeps distinct rows
+  // (staged FROM the multi table — one extra exchange once per session,
+  // never a re-explode).
   private def docShingleRowsMulti(spark: SparkSession, dir: String): DataFrame =
-    Dedupe.shingleRows(docs(spark, dir), "doc_id", "text", 3, distinct = false)
+    stagedTermTable(spark, dir, "shingle3_multi") {
+      Dedupe.shingleRows(docs(spark, dir), "doc_id", "text", 3, distinct = false)
+    }
+
+  private def docShingleRows(spark: SparkSession, dir: String): DataFrame =
+    stagedTermTable(spark, dir, "shingle3") {
+      docShingleRowsMulti(spark, dir).dropDuplicates("doc_id", "__tok")
+    }
+
+  private def docTokenRows(spark: SparkSession, dir: String): DataFrame =
+    stagedTermTable(spark, dir, "unigram") {
+      Dedupe.tokenRows(docs(spark, dir), "doc_id", "text")
+    }
 
   def d2Minhash(spark: SparkSession, dir: String): DataFrame =
     Dedupe.minhashSignatureFromTerms(docShingleRowsMulti(spark, dir), "doc_id", MinhashK)
