@@ -132,27 +132,44 @@ object Dedupe {
 
   /** SimHash near-dup pairs: byte-banded candidate generation (two
     * 32-bit hashes within hamming distance 3 must agree on at least one
-    * of their 4 bytes — pigeonhole), verified by `bit_count(a xor b)`.
-    * The shuffle carries (band, byte) keys only — linear like LSH, never
-    * the quadratic pair space; the verify join touches candidates only.
+    * of their 4 bytes — pigeonhole), verified by popcount(a xor b).
+    *
+    * Same in-task shape as [[lshCandidatePairs]]: ONE shuffle on the
+    * (band, byte) key, then a local pair loop per bucket with the hamming
+    * verify inline — the join formulation shuffles both banded sides and
+    * then distincts the full candidate volume; this emits only verified
+    * near-dup pairs into the final distinct. Oversized buckets (beyond
+    * `maxBucket`) carry no discriminating signal and are dropped, which
+    * bounds the in-task loop at 100 TB.
     */
-  def simhashPairs(sig0: DataFrame, idCol: String, maxHamming: Int = 3): DataFrame = {
-    // both sides of the band join consume the signature pipeline — stage
-    // it once so the token hashing and vote aggregation don't run twice
-    val sig = graft.functions.F.materialize(sig0.select(col(idCol), col("simhash")))
-    val bands = sig.select(col(idCol).as("__id"), col("simhash"),
+  def simhashPairs(sig0: DataFrame, idCol: String, maxHamming: Int = 3,
+      maxBucket: Int = 10000): DataFrame = {
+    val spark = sig0.sparkSession
+    import spark.implicits._
+    sig0.select(col(idCol).cast("long"), col("simhash"),
       explode(sequence(lit(0), lit(3))).as("__band"))
       .withColumn("__byte", expr("(simhash >> (__band * 8)) & 255"))
-    val l = bands.select(col("__band"), col("__byte"),
-      col("__id").as("id_a"), col("simhash").as("__sa"))
-    val r = bands.select(col("__band"), col("__byte"),
-      col("__id").as("id_b"), col("simhash").as("__sb"))
-    l.join(r, Seq("__band", "__byte"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("__sa").bitwiseXOR(col("__sb"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+      .as[(Long, Long, Int, Long)]
+      .groupByKey { case (_, _, band, byte) => (band, byte) }
+      .flatMapGroups { (key: (Int, Long), rows: Iterator[(Long, Long, Int, Long)]) =>
+        val band = key._1
+        val docs = rows.map(r => (r._1, r._2)).toArray.sortBy(_._1)
+        if (docs.length > maxBucket) Iterator.empty
+        else for {
+          i <- docs.indices.iterator
+          j <- (i + 1 until docs.length).iterator
+          ham = java.lang.Long.bitCount(docs(i)._2 ^ docs(j)._2)
+          if ham <= maxHamming
+          // emit from the FIRST agreeing band only: near-identical hashes
+          // agree on several bytes, and re-emitting the pair per band
+          // would force a result-volume distinct shuffle afterwards. The
+          // first-band rule makes emission globally unique by
+          // construction — no dedup pass over the (huge) pair output.
+          x = docs(i)._2 ^ docs(j)._2
+          if !(0 until band).exists(b => ((x >> (b * 8)) & 255L) == 0L)
+        } yield (docs(i)._1, docs(j)._1, ham)
+      }
+      .toDF("id_a", "id_b", "hamming")
   }
 
   /** Exact-duplicate groups by an arbitrary key expression: groups with

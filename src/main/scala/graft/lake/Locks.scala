@@ -39,27 +39,24 @@ object Locks {
     var attempt = 0
     var acquired = false
     while (!acquired) {
-      try {
-        val out = fs.create(lp, false)
-        out.writeBytes(s"pid=${ProcessHandle.current().pid()} ts=${System.currentTimeMillis()}")
-        out.close()
+      val body = s"pid=${ProcessHandle.current().pid()} ts=${System.currentTimeMillis()}"
+      if (FsOps.createExclusive(fs, lp, body.getBytes("UTF-8"))) {
         acquired = true
-      } catch {
-        case _: java.io.IOException =>
-          // steal abandoned locks: a crashed writer never deletes its
-          // fence; its file's mtime stops advancing. Both stealers race
-          // on create(overwrite=false) afterwards, so exactly one wins.
-          val stale = try {
-            System.currentTimeMillis() - fs.getFileStatus(lp).getModificationTime > staleAfterMs
-          } catch { case _: java.io.IOException => false } // already gone
-          if (stale) {
-            fs.delete(lp, false)
-          } else {
-            attempt += 1
-            if (attempt > maxRetries)
-              throw new IllegalStateException(s"could not acquire $lp after $maxRetries retries")
-            Thread.sleep(200L * attempt)
-          }
+      } else {
+        // steal abandoned locks: a crashed writer never deletes its
+        // fence; its file's mtime stops advancing. Both stealers race
+        // on create(overwrite=false) afterwards, so exactly one wins.
+        val stale = try {
+          System.currentTimeMillis() - fs.getFileStatus(lp).getModificationTime > staleAfterMs
+        } catch { case _: java.io.IOException => false } // already gone
+        if (stale) {
+          fs.delete(lp, false)
+        } else {
+          attempt += 1
+          if (attempt > maxRetries)
+            throw new IllegalStateException(s"could not acquire $lp after $maxRetries retries")
+          Thread.sleep(200L * attempt)
+        }
       }
     }
     try body

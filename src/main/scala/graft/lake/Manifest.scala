@@ -54,13 +54,10 @@ object Manifest {
   def commit(fs: FileSystem, root: Path, files: Set[String], action: String): Long = {
     val v = currentVersion(fs, root) + 1
     val d = dir(root)
-    if (!fs.exists(d)) fs.mkdirs(d)
     val tmp = new Path(d, f".v$v%012d.txt.tmp")
-    val out = fs.create(tmp, true)
-    try {
-      out.write((action +: files.toSeq.sorted).mkString("\n").getBytes("UTF-8"))
-    } finally out.close()
-    if (!fs.rename(tmp, new Path(d, f"v$v%012d.txt")))
+    FsOps.writeSmall(fs, tmp,
+      (action +: files.toSeq.sorted).mkString("\n").getBytes("UTF-8"))
+    if (!FsOps.rename(fs, tmp, new Path(d, f"v$v%012d.txt")))
       throw new IllegalStateException(s"manifest commit race at version $v")
     v
   }

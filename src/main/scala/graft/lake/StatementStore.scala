@@ -80,13 +80,15 @@ class StatementStore(val spark: SparkSession, val rootStr: String, val shards: I
     val stageBase = stage.toUri.getPath.stripSuffix("/")
     val fresh = scala.collection.mutable.Set.empty[String]
     val it = fs.listFiles(stage, true)
+    val madeDirs = scala.collection.mutable.Set.empty[String]
     while (it.hasNext) {
       val f = it.next().getPath
       if (f.getName.endsWith(".parquet")) {
         val rel = f.toUri.getPath.stripPrefix(stageBase).stripPrefix("/")
         val dest = new Path(root, rel)
-        fs.mkdirs(dest.getParent)
-        if (!fs.rename(f, dest))
+        // one mkdirs per partition dir, not per file
+        if (madeDirs.add(dest.getParent.toString)) FsOps.mkdirs(fs, dest.getParent)
+        if (!FsOps.rename(fs, f, dest))
           throw new IllegalStateException(s"staged write move failed: $rel")
         fresh += rel
       }
@@ -104,7 +106,11 @@ class StatementStore(val spark: SparkSession, val rootStr: String, val shards: I
   def append(df: DataFrame): Long = Locks.withLock(fs, root) {
     val fresh = writeStaged(df,
       Statement.appendSortColumns.map(col) :+ col("last_seen").desc)
-    fresh.map(partitionOf).foreach(p => tags.touch(s"dirty/$p"))
+    // one dirty stamp per append (a batch file listing the touched
+    // partitions), not one control-file write per partition — at scale
+    // that's one object-store PUT per commit instead of hundreds
+    tags.put(s"dirty/${java.util.UUID.randomUUID().toString}",
+      fresh.map(partitionOf).toSeq.sorted.mkString("\n"))
     Manifest.commit(fs, root, Manifest.liveFiles(fs, root) ++ fresh, "append")
   }
 
@@ -124,9 +130,12 @@ class StatementStore(val spark: SparkSession, val rootStr: String, val shards: I
   def merge(graceCutoff: Option[Column] = None, force: Boolean = false): Long =
     Locks.withLock(fs, root) {
       val liveSet = Manifest.liveFiles(fs, root)
+      // dirty partitions arrive as batch files (one per append); merge
+      // consumes exactly the stamps it read
+      val dirtyKeys = tags.list("dirty/")
       val dirty: Set[String] =
         if (force) liveSet.map(partitionOf)
-        else tags.list("dirty/").map(_.stripPrefix("dirty/")).toSet
+        else dirtyKeys.flatMap(k => tags.get(k).toSeq.flatMap(_.split('\n'))).toSet
       if (dirty.isEmpty) return version
       val dirtyFiles = liveSet.filter(f => dirty.contains(partitionOf(f)))
       if (dirtyFiles.isEmpty) return version
@@ -146,7 +155,7 @@ class StatementStore(val spark: SparkSession, val rootStr: String, val shards: I
       val fresh = writeStaged(merged, Seq(
         col("entity_id"), col("fragment"), col("prop"), col("id"), col("last_seen").desc),
         preClustered = true)
-      dirty.foreach(p => tags.delete(s"dirty/$p"))
+      dirtyKeys.foreach(tags.delete)
       Manifest.commit(fs, root, (liveSet -- dirtyFiles) ++ fresh, "merge")
     }
 

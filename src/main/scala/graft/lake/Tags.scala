@@ -16,21 +16,15 @@ class Tags(fs: FileSystem, root: Path) {
 
   def touch(key: String, ts: Long = System.currentTimeMillis()): Unit = {
     val p = pathOf(key)
-    fs.mkdirs(p.getParent)
-    val out = fs.create(p, true)
-    try out.writeBytes(ts.toString) finally out.close()
-    fs.setTimes(p, ts, -1)
+    FsOps.writeSmall(fs, p, ts.toString.getBytes("UTF-8"))
+    FsOps.setMtime(fs, p, ts)
   }
 
   /** Store an arbitrary string value under a tag key (the reference's
     * TagStore doubles as a tiny KV store for e.g. diff watermark state).
     */
-  def put(key: String, value: String): Unit = {
-    val p = pathOf(key)
-    fs.mkdirs(p.getParent)
-    val out = fs.create(p, true)
-    try out.write(value.getBytes("UTF-8")) finally out.close()
-  }
+  def put(key: String, value: String): Unit =
+    FsOps.writeSmall(fs, pathOf(key), value.getBytes("UTF-8"))
 
   def get(key: String): Option[String] = {
     val p = pathOf(key)

@@ -152,10 +152,13 @@ object Documents {
     // anc(id) = root-to-node path of that parent node. Per-iteration state
     // is re-staged so lineage stays one join deep; cycles stop extending
     // once the hop budget is spent and resolve with the accumulated path.
-    var anc = F.materialize(parents.select(
-      col("id"), col("name").cast("string").as("path"), col("parent").as("cursor")))
+    // The initial state is a projection of the staged parents table (no
+    // separate stage write), and the walk-count check rides each
+    // iteration's staged output — no standalone pre-loop jobs.
+    var anc = parents.select(
+      col("id"), col("name").cast("string").as("path"), col("parent").as("cursor"))
     var depth = 0
-    var walking = anc.filter(hasCursor).count()
+    var walking = Long.MaxValue
     while (depth < maxDepth && walking > 0) {
       anc = F.materialize(
         anc.filter(hasCursor)
