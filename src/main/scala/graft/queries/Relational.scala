@@ -100,17 +100,31 @@ object Relational {
       .orderBy(col("event_id"))
 
   // J1: semi-join scoping instead of a giant IN literal (SURVEY J1) —
-  // broadcastable build side, no row duplication on the probe side.
+  // no row duplication on the probe side. No broadcast hint: the build
+  // side is a filtered fact table (unbounded — a hint would be honored
+  // even when the filter matches most of a 100 TB corpus and would OOM);
+  // AQE converts to a broadcast semi-join at runtime when it measures
+  // the build side small.
   def j1SemiJoin(spark: SparkSession, dir: String): DataFrame = {
     val urgent = Tables.orders(spark, dir)
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"))
     Tables.lineitem(spark, dir)
-      .join(broadcast(urgent), col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
       .orderBy(col("l_returnflag"))
   }
+
+  // Q3: multi-level rollup (GROUPING SETS): leaf, per-flag, and grand
+  // total rows from ONE pass — Catalyst's Expand + partial aggregation
+  // keeps it a single shuffle on the expanded grouping keys; at 100 TB
+  // this replaces three separate scans of the fact table.
+  def q3Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
   // J5: anti-join (journal-truncate / DEL-detection shape).
   def j5AntiJoin(spark: SparkSession, dir: String): DataFrame = {
@@ -151,6 +165,7 @@ object Relational {
     "p8_changed_since" -> (p8ChangedSince _),
     "j1_semi_join" -> (j1SemiJoin _),
     "j5_anti_join" -> (j5AntiJoin _),
+    "q3_rollup" -> (q3Rollup _),
     "w1_latest_per_key" -> (w1LatestPerKey _),
     "o4_global_topk" -> (o4GlobalTopk _))
 
@@ -210,5 +225,11 @@ object Relational {
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "o4_global_topk" ->
       """SELECT o_orderkey, o_totalprice, o_orderpriority
-        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q3_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
 }

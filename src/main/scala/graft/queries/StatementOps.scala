@@ -267,6 +267,21 @@ object StatementOps {
       .limit(50)
   }
 
+  // O5b: keyset pagination over the property ordering — "the page after
+  // cursor (sort_key, entity_id)" as a seek predicate + top-k, never
+  // OFFSET (which scans and discards every earlier row; at 100 TB page N
+  // costs N pages). The tuple predicate is sargable, and the limit plans
+  // as TakeOrderedAndProject — per-partition heaps, no global sort.
+  def o6KeysetPage(spark: SparkSession, dir: String): DataFrame = {
+    val live = liveView(spark, dir)
+    val keys = live.filter(col("prop") === "click")
+      .groupBy(col("entity_id")).agg(min(col("value")).as("sort_key"))
+    keys.filter(col("sort_key") > lit("20") ||
+        (col("sort_key") === lit("20") && col("entity_id") > lit("u0100")))
+      .orderBy(col("sort_key"), col("entity_id"))
+      .limit(25)
+  }
+
   // P1/P5/J2: the ftmq-style Query AST compiled against the live view —
   // statement-grain origin/prop filters plus an entity-grain property
   // predicate that semi-joins back to ALL statements of matching entities.
@@ -329,6 +344,7 @@ object StatementOps {
     "st3_diff_ops" -> (st3DiffOps _),
     "st4_diff_classify" -> (st4DiffClassify _),
     "o5_order_by_prop" -> (o5OrderByProp _),
+    "o6_keyset_page" -> (o6KeysetPage _),
     "j4_parent_chain" -> (j4ParentChain _),
     "p1_query_compile" -> (p1QueryCompile _),
     "set1_except" -> (set1Except _))
@@ -500,6 +516,12 @@ object StatementOps {
          |WHERE origin = 'src0' AND prop IN ('click','view','purchase')
          |  AND entity_id IN (SELECT entity_id FROM matched)
          |ORDER BY entity_id, prop, value, fragment, id""".stripMargin,
+    "o6_keyset_page" ->
+      s"""$mergeCte,
+         |keys AS (SELECT entity_id, MIN(value) AS sort_key FROM live WHERE prop = 'click' GROUP BY entity_id)
+         |SELECT entity_id, sort_key FROM keys
+         |WHERE sort_key > '20' OR (sort_key = '20' AND entity_id > 'u0100')
+         |ORDER BY sort_key, entity_id LIMIT 25""".stripMargin,
     "j4_parent_chain" ->
       """WITH nodes AS (
         |  SELECT 'r'||r_regionkey AS id, r_name AS path FROM region

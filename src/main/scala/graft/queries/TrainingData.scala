@@ -219,6 +219,51 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  // DC1: train/test decontamination — the pre-training hygiene pass that
+  // finds evaluation documents leaking into the train split. Membership
+  // comes from the deterministic d7 hash split; overlap is measured on the
+  // min-8 rolling-hash sketch (t5), so the join carries 8 rows per
+  // document instead of the full shingle set — at 100 TB the shuffle is
+  // sketch-sized, not corpus-sized, and a near-identical pair still
+  // shares most sketch values. A (test, train) pair with >= 4 of 8
+  // shared sketch hashes is flagged; output is per test doc.
+  def dc1Decontam(spark: SparkSession, dir: String): DataFrame = {
+    val sk = TextFunctions.rollingFingerprint(docs(spark, dir), "doc_id", "text", k = 8)
+      .select(col("doc_id"), explode(split(col("sketch"), ",")).as("h"))
+    val bucket = pmod(Dedupe.tokenHash(col("doc_id").cast("string")), lit(100))
+    val withB = sk.withColumn("__b", bucket)
+    val train = withB.filter(col("__b") < 80).select(col("doc_id").as("train_id"), col("h"))
+    val test = withB.filter(col("__b") >= 90).select(col("doc_id").as("test_id"), col("h"))
+    test.join(train, Seq("h"))
+      .groupBy(col("test_id"), col("train_id")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 4)
+      .groupBy(col("test_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_contam_sources"), max(col("n_shared")).as("max_overlap"))
+      .orderBy(col("doc_id"))
+  }
+
+  // T7: intra-document repetition — duplicated 5-gram ratio, the standard
+  // boilerplate/spam signal (high ratio = template or looped text). One
+  // aggregation over the positional shingle rows; no joins.
+  def t7Repetition(spark: SparkSession, dir: String): DataFrame =
+    Dedupe.shingleRows(docs(spark, dir), "doc_id", "text", 5, distinct = false)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), countDistinct(col("__tok")).as("n_distinct"))
+      .withColumn("rep_ratio",
+        (col("n_grams") - col("n_distinct")).cast("double") / col("n_grams").cast("double"))
+      .orderBy(col("doc_id"))
+
+  // G1: corpus heavy hitters — top n-grams by document frequency (the
+  // input to frequency-based filtering / stop-shingle lists). Distinct
+  // (doc, shingle) rows -> one count-distinct-free aggregation ->
+  // TakeOrderedAndProject top-k (per-partition heaps, no global sort).
+  def g1TopNgrams(spark: SparkSession, dir: String): DataFrame =
+    docShingleRows(spark, dir)
+      .groupBy(col("__tok").as("ngram"))
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("ngram"))
+      .limit(20)
+
   // ---- multimodal plumbing ----
 
   def mm1MediaMeta(spark: SparkSession, dir: String): DataFrame =
@@ -250,6 +295,9 @@ object TrainingData {
     "d7_split_assign" -> (d7SplitAssign _),
     "smp1_stratified" -> (smp1Stratified _),
     "t6_scrub" -> (t6Scrub _),
+    "dc1_decontam" -> (dc1Decontam _),
+    "t7_repetition" -> (t7Repetition _),
+    "g1_top_ngrams" -> (g1TopNgrams _),
     "mm1_media_meta" -> (mm1MediaMeta _))
 
   // ---- DuckDB oracle twins ----
@@ -529,6 +577,46 @@ object TrainingData {
         |  len(regexp_extract_all(t, 'https?://[a-z0-9./]+')) AS n_urls,
         |  md5(regexp_replace(regexp_replace(t, 'https?://[a-z0-9./]+', '<url>', 'g'), '[a-z0-9.]+@[a-z0-9.]+', '<email>', 'g')) AS scrubbed_md5
         |FROM e ORDER BY doc_id""".stripMargin,
+    "dc1_decontam" ->
+      """WITH rolls AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, greatest(len(ws)-2, 1)),
+        |    i -> ((('0x'||substr(md5(ws[i]),1,8))::BIGINT)*4096
+        |        + (('0x'||substr(md5(ws[i+1]),1,8))::BIGINT)*64
+        |        + (('0x'||substr(md5(ws[i+2]),1,8))::BIGINT)) % 1000003)) AS r
+        |  FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents)),
+        |sk AS (
+        |  SELECT doc_id, unnest(list_sort(list_distinct(list(r)))[1:8]) AS h
+        |  FROM rolls WHERE r IS NOT NULL GROUP BY doc_id),
+        |sp AS (
+        |  SELECT doc_id,
+        |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 100 AS b
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT te.doc_id AS test_id, tr.doc_id AS train_id, COUNT(*) AS n_shared
+        |  FROM sk te JOIN sp spe ON te.doc_id = spe.doc_id AND spe.b >= 90
+        |       JOIN sk tr ON tr.h = te.h
+        |       JOIN sp spt ON tr.doc_id = spt.doc_id AND spt.b < 80
+        |  GROUP BY te.doc_id, tr.doc_id HAVING COUNT(*) >= 4)
+        |SELECT test_id AS doc_id, COUNT(*) AS n_contam_sources, MAX(n_shared) AS max_overlap
+        |FROM pairs GROUP BY test_id ORDER BY doc_id""".stripMargin,
+    "t7_repetition" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(string_split(text,' '))-4),
+        |    i -> array_to_string((string_split(text,' '))[i:i+4], ' '))) AS w
+        |  FROM documents)
+        |SELECT doc_id, COUNT(*) AS n_grams, COUNT(DISTINCT w) AS n_distinct,
+        |  CAST(COUNT(*) - COUNT(DISTINCT w) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS rep_ratio
+        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "g1_top_ngrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(string_split(text,' '))-2, 1)),
+        |    i -> array_to_string((string_split(text,' '))[i:i+2], ' ')))) AS w
+        |  FROM documents)
+        |SELECT w AS ngram, COUNT(*) AS df FROM toks
+        |GROUP BY w ORDER BY df DESC, ngram LIMIT 20""".stripMargin,
     "mm1_media_meta" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id,
         |  octet_length(CAST(text AS BLOB)) AS byte_len,
