@@ -1,0 +1,76 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Alias, CaseWhen, Expression, ExpressionInfo, GreaterThan, Lead, Length, Literal, NamedExpression, Substring, SubstringIndex, Subtract, WindowExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, Window}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+import graft.functions.QuantizedCosine
+
+/** Session extensions: the engine's Catalyst surface, activated with
+  * `spark.sql.extensions=graft.plans.GraftExtensions` (Sessions.local sets
+  * it). Ships the native expressions as SQL functions and the optimizer
+  * guard rules, so `spark.sql` users get the same kernels the DataFrame
+  * API uses.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("quantized_cosine"),
+      new ExpressionInfo(classOf[QuantizedCosine].getName, "quantized_cosine"),
+      (args: Seq[Expression]) => QuantizedCosine(args(0), args(1), args(2), args(3))))
+    // catalyst twin of F.stripNamespace (the Column recipe can't pass
+    // through injectFunction — the analyzer doesn't descend into lazy
+    // column nodes — so the builder assembles the same tree directly)
+    ext.injectFunction((
+      FunctionIdentifier("strip_namespace"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "strip_namespace"),
+      (args: Seq[Expression]) => {
+        val id = args.head
+        val suffix = SubstringIndex(id, Literal("."), Literal(-1))
+        val keep = Subtract(Subtract(Length(id), Length(suffix)), Literal(1))
+        CaseWhen(
+          Seq((GreaterThan(keep, Literal(0)), Substring(id, Literal(1), keep))),
+          Some(id))
+      }))
+    ext.injectOptimizerRule(_ => RewriteZeroOffsetLead)
+  }
+}
+
+/** Rewrites `lead(e, 0)` / `lag(e, 0)` windows to plain `e`.
+  *
+  * A zero-offset frameless offset function is the identity on its input,
+  * but Spark's O(1) offset-frame fast path only engages for non-zero
+  * offsets — a `lead(e, 0)` window falls back to re-scanning the frame
+  * per row and turns quadratic in partition size (measured: minutes vs
+  * milliseconds on 10^5-row partitions). Code SHOULD pass the column
+  * directly (see Dedupe.shingleRows), but generated/user SQL does not
+  * always get that right; this rule makes the engine immune.
+  *
+  * Conservative shape: only a Window node whose window expressions are
+  * ALL zero-offset leads/lags collapses (to a Project over the child);
+  * mixed nodes keep their exchange anyway, so rewriting them buys
+  * nothing and risks breaking Window invariants.
+  */
+object RewriteZeroOffsetLead extends Rule[LogicalPlan] {
+
+  private def zeroOffset(e: Expression): Option[Expression] = e match {
+    case WindowExpression(Lead(in, Literal(0, _), _, false), _) => Some(in)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case w @ Window(wexprs, _, _, child, _)
+        if wexprs.nonEmpty && wexprs.forall {
+          case Alias(we, _) => zeroOffset(we).isDefined
+          case _ => false
+        } =>
+      val rewritten: Seq[NamedExpression] = wexprs.map {
+        case a @ Alias(we, name) =>
+          Alias(zeroOffset(we).get, name)(a.exprId, a.qualifier, a.explicitMetadata)
+      }
+      Project(child.output ++ rewritten, child)
+  }
+}
