@@ -61,6 +61,37 @@ class StreamingMakeSpec extends SparkSpec {
     assert(out.map(_.event_id).sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("streaming ingestion through the journal equals the batch import") {
+    val dir = Files.createTempDirectory("graft-ingest").toString
+    val store = new StatementStore(spark, dir, shards = lake.EventStatements.Shards)
+    val src = spark.readStream
+      .schema(spark.read.parquet(s"$sf001/events.parquet").schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sf001)
+    val srcTs =
+      if (spark.read.parquet(s"$sf001/events.parquet").schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType)
+        src.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      else src
+    // tiny flush threshold so the run exercises mid-stream auto-drain
+    val v = streaming.IngestStream.run(spark,
+      lake.EventStatements.statements(srcTs), store, flushRows = 100)
+    assert(v >= 1)
+
+    // the streamed+merged store reads back exactly the batch-merged rows
+    val batch = ops.MergeDedupe.withGrace(
+      lake.EventStatements.statements(Tables.events(spark, sf001)),
+      org.apache.spark.sql.functions.current_timestamp() -
+        org.apache.spark.sql.functions.expr("INTERVAL 30 DAYS"))
+    val got = store.raw.selectExpr("id", "entity_id", "prop", "fragment", "value")
+      .collect().map(_.toString).sorted
+    val want = batch.selectExpr("id", "entity_id", "prop", "fragment", "value")
+      .collect().map(_.toString).sorted
+    assert(got.length == want.length && got.sameElements(want))
+  }
+
   test("make: exports are freshness-gated and skip when the store is current") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-make").toString
