@@ -23,7 +23,14 @@ object Sessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.sql.parquet.compression.codec", "zstd")
+      .config("spark.sql.parquet.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_CODEC", "zstd"))
+      // Local-mode only: without libhadoop, every create/mkdirs on the
+      // default local FS forks a `chmod` subprocess (10-25 ms each; a
+      // 96-file dynamic-partition write pays hundreds). This impl skips
+      // permission fixup — files keep the process umask. Cluster schemes
+      // (hdfs://, s3a://) are unaffected by fs.file.impl.
+      .config("spark.hadoop.fs.file.impl", "graft.lake.FastLocalFileSystem")
       .config("spark.ui.enabled", "false")
   }
 

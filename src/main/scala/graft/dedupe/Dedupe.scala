@@ -222,16 +222,17 @@ object Dedupe {
     var changed = 1L
     var round = 1
     while (changed > 0 && round < maxRounds) {
-      val next = F.materialize(
+      // the convergence count rides the stage write itself (observe) —
+      // one job per round, no separate aggregate over the staged parquet
+      val (next, chg) = F.materializeObserved(
         star.join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
           .groupBy(col("src").as("id"))
           .agg(min(col("lbl")).as("lbl"),
             min(when(col("dst") === col("src"), col("lbl"))).as("__old"))
           .withColumn("__chg", (col("lbl") =!= col("__old")).cast("long"))
-          .drop("__old"))
-      // the convergence flag rides the staged write — one cheap aggregate
-      // over the staged parquet instead of a join-per-round
-      changed = next.agg(coalesce(sum(col("__chg")), lit(0L))).collect()(0).getLong(0)
+          .drop("__old"),
+        sum(col("__chg")))
+      changed = chg
       labels = next.drop("__chg")
       round += 1
     }

@@ -69,4 +69,21 @@ object F {
     df.write.mode("overwrite").parquet(tmp)
     spark.read.parquet(tmp)
   }
+
+  /** Materialize AND compute one aggregate metric in the same job via
+    * `observe` — iterative operators (path closure, label propagation)
+    * need a convergence measure per round, and a separate count() over
+    * the staged output would double the round's job count.
+    */
+  def materializeObserved(df: DataFrame, metric: Column): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val tmp = stageTempPath(spark, "stage")
+    val obs = org.apache.spark.sql.Observation()
+    df.observe(obs, metric.as("m")).write.mode("overwrite").parquet(tmp)
+    val m = obs.get("m") match {
+      case null => 0L
+      case n: Number => n.longValue()
+    }
+    (spark.read.parquet(tmp), m)
+  }
 }

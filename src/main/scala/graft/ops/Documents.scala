@@ -160,7 +160,9 @@ object Documents {
     var depth = 0
     var walking = Long.MaxValue
     while (depth < maxDepth && walking > 0) {
-      anc = F.materialize(
+      // the walk count rides the stage write (observe) — one job per
+      // round, not write + count
+      val (staged, stillWalking) = F.materializeObserved(
         anc.filter(hasCursor)
           .join(lookup, Seq("cursor"), "left_outer")
           .withColumn("path",
@@ -169,8 +171,10 @@ object Documents {
           .withColumn("cursor",
             when(col("__pname").isNotNull, col("__pparent")).otherwise(lit(null)))
           .drop("__pname", "__pparent")
-          .unionByName(anc.filter(!hasCursor)))
-      walking = anc.filter(hasCursor).count()
+          .unionByName(anc.filter(!hasCursor)),
+        sum(when(hasCursor, 1L).otherwise(0L)))
+      anc = staged
+      walking = stillWalking
       depth += 1
     }
 

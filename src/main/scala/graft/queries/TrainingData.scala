@@ -56,9 +56,16 @@ object TrainingData {
       TextFunctions.fingerprint(col("text")).as("fingerprint"))
       .orderBy(col("doc_id"))
 
+  // The min-8 sketch is a session-staged artifact (same precedent as the
+  // shingle tables): a production pipeline computes it once and feeds
+  // fingerprint export AND decontamination from the staged table.
+  private def docSketch(spark: SparkSession, dir: String): DataFrame =
+    stagedTermTable(spark, dir, "sketch8") {
+      TextFunctions.rollingFingerprint(docs(spark, dir), "doc_id", "text", k = 8)
+    }
+
   def t5RollingFingerprint(spark: SparkSession, dir: String): DataFrame =
-    TextFunctions.rollingFingerprint(docs(spark, dir), "doc_id", "text", k = 8)
-      .orderBy(col("doc_id"))
+    docSketch(spark, dir).orderBy(col("doc_id"))
 
   // ---- dedupe ----
 
@@ -228,7 +235,7 @@ object TrainingData {
   // shares most sketch values. A (test, train) pair with >= 4 of 8
   // shared sketch hashes is flagged; output is per test doc.
   def dc1Decontam(spark: SparkSession, dir: String): DataFrame = {
-    val sk = TextFunctions.rollingFingerprint(docs(spark, dir), "doc_id", "text", k = 8)
+    val sk = docSketch(spark, dir)
       .select(col("doc_id"), explode(split(col("sketch"), ",")).as("h"))
     val bucket = pmod(Dedupe.tokenHash(col("doc_id").cast("string")), lit(100))
     val withB = sk.withColumn("__b", bucket)

@@ -51,18 +51,27 @@ object EventStream {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total"))
     val name = s"graft_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = agg.writeStream
-      .outputMode(OutputMode.Complete())
-      .format("memory")
-      .queryName(name)
-      // checkpoint on the session stage root (tmpfs under a local master):
-      // state-store commits are many tiny files and this host's disk has
-      // bursty metadata latency; a cluster deployment sets
-      // spark.graft.stage.dir to shared storage
-      .option("checkpointLocation",
-        s"${graft.functions.F.stageRoot(spark)}/ckpt-$name")
-      .trigger(Trigger.AvailableNow())
-      .start()
+    // streaming state partitioning is pinned at first run and sized to the
+    // KEY cardinality (windows × event types — dozens), not the batch
+    // shuffle width: every state partition writes delta/commit files per
+    // micro-batch, so 32 near-empty state stores would quadruple the
+    // checkpoint file traffic for nothing
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try {
+      agg.writeStream
+        .outputMode(OutputMode.Complete())
+        .format("memory")
+        .queryName(name)
+        // checkpoint on the session stage root (tmpfs under a local
+        // master): state-store commits are many tiny files and this
+        // host's disk has bursty metadata latency; a cluster deployment
+        // sets spark.graft.stage.dir to shared storage
+        .option("checkpointLocation",
+          s"${graft.functions.F.stageRoot(spark)}/ckpt-$name")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     q.awaitTermination()
     spark.table(name)
       .select(unix_millis(col("w.start")).as("window_ms"), col("event_type"),
