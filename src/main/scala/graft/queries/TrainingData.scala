@@ -185,6 +185,14 @@ object TrainingData {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // IVF training: one k-means update over the centroid assignment —
+  // element-wise means per inverted list. Looped, this trains the sim3
+  // coarse quantizer; a single deterministic iteration is what the
+  // oracle can replay.
+  def sim4KmeansUpdate(spark: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansUpdate(emb(spark, dir), "vec_id", nlist = 8)
+      .orderBy(col("cid"), col("dim"))
+
   // ---- corpus curation: splits, sampling, scrubbing ----
 
   // Deterministic train/val/test assignment by content-stable hash:
@@ -299,6 +307,7 @@ object TrainingData {
     "sim1_topk" -> (sim1TopK _),
     "sim2_ann_bucket" -> (sim2AnnBucket _),
     "sim3_ivf_topk" -> (sim3IvfTopK _),
+    "sim4_kmeans_update" -> (sim4KmeansUpdate _),
     "d7_split_assign" -> (d7SplitAssign _),
     "smp1_stratified" -> (smp1Stratified _),
     "t6_scrub" -> (t6Scrub _),
@@ -559,6 +568,22 @@ object TrainingData {
          |    ON a.cid = b.cid AND b.vec_id <> a.vec_id)
          |SELECT query_id, neighbor_id, rank FROM scored
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "sim4_kmeans_update" ->
+      s"""WITH $qCte,
+         |cents AS (SELECT vec_id AS cid, qv AS kv, nrm AS knrm FROM p WHERE vec_id < 8),
+         |assign AS (
+         |  SELECT vec_id, qv, cid FROM (
+         |    SELECT p.vec_id, p.qv, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+         |        CAST(list_sum(list_transform(list_zip(p.qv, c.kv), z -> CAST(z[1] AS BIGINT)*z[2])) AS DOUBLE) / sqrt(CAST(p.nrm*c.knrm AS DOUBLE)) DESC,
+         |        c.cid) AS crn
+         |    FROM p CROSS JOIN cents c) WHERE crn = 1),
+         |parts AS (
+         |  SELECT cid, unnest(generate_series(1, len(qv))) - 1 AS dim, unnest(qv) AS v
+         |  FROM assign)
+         |SELECT cid, dim, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS s,
+         |  CAST(CAST(SUM(v) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_q
+         |FROM parts GROUP BY cid, dim ORDER BY cid, dim""".stripMargin,
     "d7_split_assign" ->
       """WITH b AS (
         |  SELECT doc_id,

@@ -138,6 +138,34 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** K-means update step over the IVF assignment: element-wise mean of
+    * each list's member vectors. One training iteration of the coarse
+    * quantizer — loop it (assignment from the previous round's means) to
+    * train the [[ivfTopK]] centroids; the assignment/probe machinery is
+    * unchanged.
+    *
+    * Scale shape: assignment is the same broadcast-centroids single scan
+    * as ivfTopK; the update is one partial-aggregated groupBy on
+    * (list, dim) over posexploded components — shuffle rows = corpus ×
+    * dim keys collapsed map-side to nlist × dim. All sums are exact
+    * integer (quantized), the mean is the single IEEE divide.
+    */
+  def kmeansUpdate(emb: DataFrame, idCol: String, nlist: Int): DataFrame = {
+    val prep = prepared(emb, idCol)
+    val cents = prep.filter(col(idCol) < nlist)
+      .select(col(idCol).as("__cid"), col("__q").as("__qk"), col("__n").as("__nk"))
+    val scored = prep.join(broadcast(cents))
+      .withColumn("__csim", cosineQ(col("__q"), col("__qk"), col("__n"), col("__nk")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__csim").desc, col("__cid"))
+    val assigned = scored.withColumn("__crn", row_number().over(w))
+      .filter(col("__crn") === 1)
+    assigned.select(col("__cid").as("cid"),
+        posexplode(col("__q")).as(Seq("dim", "v")))
+      .groupBy(col("cid"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      .withColumn("mean_q", col("s").cast("double") / col("n").cast("double"))
+  }
+
   /** Near-duplicate pairs by embedding cosine above `threshold`, blocked
     * by an equality column (e.g. a cluster label or LSH bucket) so the
     * pair space is per-block, not global.
