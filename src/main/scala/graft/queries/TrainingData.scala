@@ -289,6 +289,19 @@ object TrainingData {
         conv(substring(col("sha"), 1, 4), 16, 10).cast("long"))
       .orderBy(col("media_id"))
 
+  // MM2: the frame-sampling fan-out with hex-encoded frame payloads —
+  // the UDTF-shaped explode runs in executor-side flatMap (a real demuxer
+  // replaces one function body); the oracle replays the deterministic
+  // stub arithmetic over hex strings.
+  def mm2FrameSample(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+      docs(spark, dir).withColumn("payload", col("text").cast("binary")),
+      "doc_id", "payload")
+      .toDF()
+      .select(col("media_id"), col("frame_idx"), col("frame_ms"),
+        lower(hex(col("frame"))).as("frame_hex"))
+      .orderBy(col("media_id"), col("frame_idx"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_langid" -> (t1LangId _),
     "t2_quality" -> (t2Quality _),
@@ -314,7 +327,8 @@ object TrainingData {
     "dc1_decontam" -> (dc1Decontam _),
     "t7_repetition" -> (t7Repetition _),
     "g1_top_ngrams" -> (g1TopNgrams _),
-    "mm1_media_meta" -> (mm1MediaMeta _))
+    "mm1_media_meta" -> (mm1MediaMeta _),
+    "mm2_frame_sample" -> (mm2FrameSample _))
 
   // ---- DuckDB oracle twins ----
 
@@ -649,6 +663,19 @@ object TrainingData {
         |  FROM documents)
         |SELECT w AS ngram, COUNT(*) AS df FROM toks
         |GROUP BY w ORDER BY df DESC, ngram LIMIT 20""".stripMargin,
+    "mm2_frame_sample" ->
+      """WITH b AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |    lower(hex(CAST(text AS BLOB))) AS hx,
+        |    octet_length(CAST(text AS BLOB)) AS len
+        |  FROM documents),
+        |f AS (
+        |  SELECT media_id, hx, len,
+        |    unnest(generate_series(0, least(16, greatest(1, len // 64)) - 1)) AS fi
+        |  FROM b)
+        |SELECT media_id, CAST(fi AS INT) AS frame_idx, fi * 1000 AS frame_ms,
+        |  substr(hx, CAST((fi * 64) % greatest(len, 1) AS BIGINT) * 2 + 1, 128) AS frame_hex
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin,
     "mm1_media_meta" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id,
         |  octet_length(CAST(text AS BLOB)) AS byte_len,
