@@ -42,7 +42,7 @@ object Bench {
       val t = once(fn)
       times(name) = math.min(times.getOrElse(name, Double.MaxValue), t)
     }
-    val retryBars = Seq(2.0, 6.0, 15.0)
+    val retryBars = Seq(1.0, 2.5, 6.0, 15.0)
     for (bar <- retryBars) {
       for ((name, fn) <- selected if times(name) > bar)
         times(name) = math.min(times(name), once(fn))
