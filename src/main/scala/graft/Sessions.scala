@@ -21,6 +21,10 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // INT64 micros, not the deprecated INT96: footers then carry real
+      // min/max stats, which the manifest zone maps (file skipping) and
+      // engine row-group pruning both rely on
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.parquet.compression.codec",

@@ -36,27 +36,50 @@ object Manifest {
     else fs.listStatus(d).flatMap(s => versionOf(s.getPath)).foldLeft(-1L)(math.max)
   }
 
-  /** Live file set (relative paths) at `version`, or the current one. */
-  def liveFiles(fs: FileSystem, root: Path, version: Long = -1L): Set[String] = {
+  private def rawLines(fs: FileSystem, root: Path, version: Long): List[String] = {
     val v = if (version >= 0) version else currentVersion(fs, root)
-    if (v < 0) return Set.empty
+    if (v < 0) return Nil
     val p = new Path(dir(root), f"v$v%012d.txt")
     val in = fs.open(p)
-    try {
-      val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-      lines.drop(1).filter(_.nonEmpty).toSet // line 0 is the action tag
-    } finally in.close()
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      .drop(1).filter(_.nonEmpty) // line 0 is the action tag
+    finally in.close()
   }
 
-  /** Commit a new version with the given complete live-file set. Caller
-    * must hold the table fence. Returns the new version number.
+  /** Live file set (relative paths) at `version`, or the current one.
+    * Manifest lines are `path[\tmaxChangedMicros]` — the optional zone-map
+    * suffix is the file's data-skipping statistic.
     */
-  def commit(fs: FileSystem, root: Path, files: Set[String], action: String): Long = {
+  def liveFiles(fs: FileSystem, root: Path, version: Long = -1L): Set[String] =
+    rawLines(fs, root, version).map(_.split('\t')(0)).toSet
+
+  /** Zone maps at `version`: relative path → max changed-timestamp micros
+    * (entries only for files whose stats are known).
+    */
+  def liveStats(fs: FileSystem, root: Path, version: Long = -1L): Map[String, Long] =
+    rawLines(fs, root, version).flatMap { line =>
+      line.split('\t') match {
+        case Array(p, s) => scala.util.Try(p -> s.toLong).toOption
+        case _ => None
+      }
+    }.toMap
+
+  /** Commit a new version with the given complete live-file set and
+    * optional per-file zone maps. Caller must hold the table fence.
+    * Returns the new version number.
+    */
+  def commit(fs: FileSystem, root: Path, files: Set[String], action: String,
+      stats: Map[String, Long] = Map.empty): Long = {
     val v = currentVersion(fs, root) + 1
     val d = dir(root)
     val tmp = new Path(d, f".v$v%012d.txt.tmp")
-    FsOps.writeSmall(fs, tmp,
-      (action +: files.toSeq.sorted).mkString("\n").getBytes("UTF-8"))
+    val lines = files.toSeq.sorted.map { f =>
+      stats.get(f) match {
+        case Some(s) => s"$f\t$s"
+        case None => f
+      }
+    }
+    FsOps.writeSmall(fs, tmp, (action +: lines).mkString("\n").getBytes("UTF-8"))
     if (!FsOps.rename(fs, tmp, new Path(d, f"v$v%012d.txt")))
       throw new IllegalStateException(s"manifest commit race at version $v")
     v

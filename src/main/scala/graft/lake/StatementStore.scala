@@ -45,6 +45,30 @@ class StatementStore(val spark: SparkSession, val rootStr: String, val shards: I
 
   def raw: DataFrame = rawAt(-1L)
 
+  /** P8 at file grain: the raw rows that may have changed since `cutoff`,
+    * scanning ONLY files whose zone map (max changed-timestamp, kept in
+    * the manifest) reaches the cutoff. At 100 TB an incremental diff
+    * touches the last few commits' files instead of every footer in the
+    * table — the same skip Delta gets from its log stats. Files without
+    * stats (e.g. written by an older engine) are conservatively read; the
+    * row-level predicate is NOT applied here, so callers layer the exact
+    * `first_seen/deleted_at >= cutoff` filter on top (pruning is a
+    * superset guarantee, never a semantics change).
+    */
+  def rawChangedSince(cutoff: java.sql.Timestamp): DataFrame = {
+    val cutoffMicros = cutoff.getTime * 1000L
+    val v = version
+    val files = Manifest.liveFiles(fs, root, v)
+    val stats = Manifest.liveStats(fs, root, v)
+    val keep = files.filter(f => stats.get(f).forall(_ >= cutoffMicros))
+    if (keep.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Statement.schema)
+    else
+      spark.read.schema(Statement.schema)
+        .option("basePath", root.toString)
+        .parquet(keep.toSeq.sorted.map(f => s"$rootStr/$f"): _*)
+  }
+
   /** S2: live view — tombstone filter + synthesized canonical_id, kept
     * windowless so pushdown is never blocked. Only guaranteed
     * duplicate-free after [[merge]], exactly like the reference.
@@ -103,6 +127,18 @@ class StatementStore(val spark: SparkSession, val rootStr: String, val shards: I
     * manifest commit — crash-safe ordering: a lost commit leaves dirt, a
     * lost tag at worst re-merges a clean partition.
     */
+  /** Zone maps for freshly written files: max changed-timestamp per file
+    * from the parquet footers just produced (O(batch files) at commit
+    * time), merged with the carried-over files' existing entries so a
+    * commit never degrades older files' skipping stats.
+    */
+  private def statsFor(fresh: Set[String]): Map[String, Long] = {
+    val conf = spark.sessionState.newHadoopConf()
+    fresh.flatMap { f =>
+      FileStats.maxChangedMicros(conf, new Path(root, f)).map(f -> _)
+    }.toMap
+  }
+
   def append(df: DataFrame): Long = Locks.withLock(fs, root) {
     val fresh = writeStaged(df,
       Statement.appendSortColumns.map(col) :+ col("last_seen").desc)
@@ -111,7 +147,8 @@ class StatementStore(val spark: SparkSession, val rootStr: String, val shards: I
     // that's one object-store PUT per commit instead of hundreds
     tags.put(s"dirty/${java.util.UUID.randomUUID().toString}",
       fresh.map(partitionOf).toSeq.sorted.mkString("\n"))
-    Manifest.commit(fs, root, Manifest.liveFiles(fs, root) ++ fresh, "append")
+    Manifest.commit(fs, root, Manifest.liveFiles(fs, root) ++ fresh, "append",
+      Manifest.liveStats(fs, root) ++ statsFor(fresh))
   }
 
   /** Default tombstone grace: 30 days, like the reference
@@ -156,7 +193,8 @@ class StatementStore(val spark: SparkSession, val rootStr: String, val shards: I
         col("entity_id"), col("fragment"), col("prop"), col("id"), col("last_seen").desc),
         preClustered = true)
       dirtyKeys.foreach(tags.delete)
-      Manifest.commit(fs, root, (liveSet -- dirtyFiles) ++ fresh, "merge")
+      Manifest.commit(fs, root, (liveSet -- dirtyFiles) ++ fresh, "merge",
+        (Manifest.liveStats(fs, root) -- dirtyFiles) ++ statsFor(fresh))
     }
 
   /** S6: bin-pack partitions that have fragmented into more than
@@ -171,7 +209,8 @@ class StatementStore(val spark: SparkSession, val rootStr: String, val shards: I
       .parquet(files.toSeq.sorted.map(f => s"$rootStr/$f"): _*)
     val fresh = writeStaged(packed, Seq(
       col("entity_id"), col("fragment"), col("prop"), col("id"), col("last_seen").desc))
-    Manifest.commit(fs, root, (liveSet -- files) ++ fresh, "compact")
+    Manifest.commit(fs, root, (liveSet -- files) ++ fresh, "compact",
+      (Manifest.liveStats(fs, root) -- files) ++ statsFor(fresh))
   }
 
   /** S7: delete files no snapshot ≥ `keepVersions` back references. */

@@ -32,6 +32,34 @@ class StoreSpec extends SparkSpec {
     }.toDS().toDF()
   }
 
+  test("changed-since read skips files via manifest zone maps") {
+    val dir = Files.createTempDirectory("graft-zonemap").toString
+    val store = new StatementStore(spark, dir, shards = 4)
+    store.append(mkStatements(20, "o1", "2024-01-02 00:00:00"))
+    store.append(mkStatements(20, "o2", "2024-02-15 00:00:00"))
+    val cutoff = ts("2024-02-01 00:00:00")
+
+    val pruned = store.rawChangedSince(cutoff)
+    val full = store.raw
+    // file skipping: only the second append's files are opened
+    assert(pruned.inputFiles.nonEmpty &&
+      pruned.inputFiles.length < full.inputFiles.length,
+      s"pruned=${pruned.inputFiles.length} full=${full.inputFiles.length}")
+    // superset guarantee: with the exact predicate layered on top, the
+    // pruned scan equals the full scan
+    def changed(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("first_seen") >= lit(cutoff) || col("last_seen") >= lit(cutoff) ||
+          col("deleted_at") >= lit(cutoff))
+        .select("id", "origin").collect().map(_.toString).sorted.toSeq
+    assert(changed(pruned) == changed(full) && changed(pruned).nonEmpty)
+
+    // stats survive a merge commit for carried-over files
+    store.merge()
+    val prunedAfter = store.rawChangedSince(ts("2030-01-01 00:00:00"))
+    assert(prunedAfter.inputFiles.isEmpty ||
+      prunedAfter.inputFiles.length < store.raw.inputFiles.length)
+  }
+
   test("append/read/merge/compact/vacuum lifecycle with snapshot versions") {
     val dir = Files.createTempDirectory("graft-store").toString
     val store = new StatementStore(spark, dir, shards = 4)
