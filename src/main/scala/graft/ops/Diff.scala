@@ -50,9 +50,16 @@ object Diff {
   /** Pure classification of changed entities against a watermark:
     * DEL when no canonical live rows remain, MOD when the entity predates
     * the window, ADD when it is entirely new. Returns (entity_id, op).
+    *
+    * `changedSource` narrows the changed-id DISCOVERY scan (pass the
+    * store's zone-map-pruned `rawChangedSince` read — files committed
+    * before the watermark are skipped entirely). The entity-scoped
+    * semi-join below still runs against full `raw`, deliberately: a
+    * changed entity's classification needs its complete history.
     */
-  def classify(raw: DataFrame, since: Column): DataFrame = {
-    val changed = raw
+  def classify(raw: DataFrame, since: Column,
+      changedSource: Option[DataFrame] = None): DataFrame = {
+    val changed = changedSource.getOrElse(raw)
       .filter(col("first_seen") >= since || col("deleted_at") >= since)
       .select("entity_id").distinct()
     val scoped = raw.join(changed, Seq("entity_id"), "left_semi")
@@ -138,11 +145,13 @@ object Diff {
       case Some(state) =>
         val Array(lastLabel, lastV) = state.split(":", 2)
         if (v <= lastV.toLong) return None
-        val since = lit(new java.sql.Timestamp(parseLabel(lastLabel)))
+        val sinceTs = new java.sql.Timestamp(parseLabel(lastLabel))
+        val since = lit(sinceTs)
         val raw = store.raw
         // changed document ids: contentHash statements touched in the
-        // window (reference _get_changed_ids(prop="contentHash"))
-        val changed = graft.functions.F.materialize(raw
+        // window (reference _get_changed_ids(prop="contentHash")) — the
+        // discovery scan is zone-map-pruned to files committed since
+        val changed = graft.functions.F.materialize(store.rawChangedSince(sinceTs)
           .filter((col("first_seen") >= since || col("deleted_at") >= since) &&
             col("prop") === "contentHash" && col("schema").isin(docSchemas: _*))
           .select("entity_id").distinct())
@@ -192,9 +201,11 @@ object Diff {
       case Some(state) =>
         val Array(lastLabel, lastV) = state.split(":", 2)
         if (v <= lastV.toLong) return None
-        val since = lit(new java.sql.Timestamp(parseLabel(lastLabel)))
+        val sinceTs = new java.sql.Timestamp(parseLabel(lastLabel))
+        val since = lit(sinceTs)
         val raw = store.raw
-        val ops = graft.functions.F.materialize(classify(raw, since))
+        val ops = graft.functions.F.materialize(
+          classify(raw, since, Some(store.rawChangedSince(sinceTs))))
         if (ops.isEmpty) {
           store.tags.put(StateKey, s"$label:$v")
           return None
