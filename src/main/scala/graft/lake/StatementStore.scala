@@ -213,10 +213,16 @@ class StatementStore(val spark: SparkSession, val rootStr: String, val shards: I
       (Manifest.liveStats(fs, root) -- files) ++ statsFor(fresh))
   }
 
-  /** S7: delete files no snapshot ≥ `keepVersions` back references. */
-  def vacuum(): Seq[String] = Locks.withLock(fs, root) {
-    val referenced = Manifest.liveFiles(fs, root)
-    val orphans = (Manifest.physicalFiles(fs, root) -- referenced).toSeq.sorted
+  /** S7: delete files referenced by NO retained snapshot. Retention keeps
+    * the last `keepVersions` manifests' file sets readable (time travel /
+    * in-flight readers pinned to a recent version); `keepVersions = 1`
+    * reclaims everything but the current snapshot.
+    */
+  def vacuum(keepVersions: Int = 2): Seq[String] = Locks.withLock(fs, root) {
+    val current = version
+    val retained = (math.max(0L, current - keepVersions + 1) to current)
+      .flatMap(v => Manifest.liveFiles(fs, root, v)).toSet
+    val orphans = (Manifest.physicalFiles(fs, root) -- retained).toSeq.sorted
     orphans.foreach(f => fs.delete(new Path(root, f), false))
     orphans
   }

@@ -100,9 +100,17 @@ class StoreSpec extends SparkSpec {
     store.compact(maxFilesPerPartition = 1)
     assert(store.raw.count() == before)
 
-    // vacuum removes unreferenced files but current snapshot still reads
-    val removed = store.vacuum()
+    // vacuum with retention: the previous snapshot stays readable (time
+    // travel / in-flight readers), older ones are reclaimed
+    val preVacuumVersion = store.version
+    val removed = store.vacuum(keepVersions = 2)
     assert(removed.nonEmpty)
+    assert(store.raw.count() == before)
+    assert(store.rawAt(preVacuumVersion - 1).count() > 0)
+
+    // retention 1 = current snapshot only; reclaims the rest
+    val removed1 = store.vacuum(keepVersions = 1)
+    assert(removed1.nonEmpty)
     assert(store.raw.count() == before)
   }
 
