@@ -20,9 +20,13 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
 
-    def once(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def once(name: String,
+        fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      // failures must be LOUD (stderr; stdout carries only the JSON line):
+      // a swallowed exception would read as an implausibly fast sample
+      try { fn(spark, sfDir).count() }
+      catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: $e") }
       val dt = (System.nanoTime() - t0) / 1e9
       // queries may persist() intermediates; drop them so later queries
       // are measured against a clean executor, not a filling heap
@@ -39,13 +43,13 @@ object Bench {
     // execution. Reported value is the per-query min.
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     for (_ <- 0 until reps; (name, fn) <- selected) {
-      val t = once(fn)
+      val t = once(name, fn)
       times(name) = math.min(times.getOrElse(name, Double.MaxValue), t)
     }
     val retryBars = Seq(1.0, 2.5, 6.0, 15.0)
     for (bar <- retryBars) {
       for ((name, fn) <- selected if times(name) > bar)
-        times(name) = math.min(times(name), once(fn))
+        times(name) = math.min(times(name), once(name, fn))
     }
 
     val qs = times.map { case (k, v) => "\"" + k + "\":" + v }

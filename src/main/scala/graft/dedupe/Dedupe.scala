@@ -190,8 +190,17 @@ object Dedupe {
       k: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
     val toks = graft.functions.F.materialize(termRows)
     val sig = minhashSignatureFromTerms(toks, idCol, k)
+    nearDupJaccardFromSig(sig, idCol, toks, k, rowsPerBand, threshold)
+  }
+
+  /** [[nearDupJaccard]] fed from an existing signature table — the shape a
+    * staged-artifact pipeline uses (signatures computed once per campaign,
+    * candidates + verification derived from the staged table).
+    */
+  def nearDupJaccardFromSig(sig: DataFrame, idCol: String, termRows: DataFrame,
+      k: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
     val cand = graft.functions.F.materialize(lshCandidatePairs(sig, idCol, k, rowsPerBand))
-    jaccardPairsPre(toks.select(col(idCol).as("__id"), col("__tok")), cand)
+    jaccardPairsPre(termRows.select(col(idCol).as("__id"), col("__tok")), cand)
       .filter(col("jaccard") >= threshold)
   }
 

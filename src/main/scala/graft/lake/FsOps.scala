@@ -13,6 +13,18 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   */
 object FsOps {
 
+  /** Bounded pool for independent driver-side metadata IO (footer reads,
+    * stat batches). Daemon threads so a hung FS call never blocks JVM
+    * exit; 16 is plenty — these are IO round trips, not CPU work.
+    */
+  lazy val driverIoPool: scala.concurrent.ExecutionContextExecutorService =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(16, r => {
+        val t = new Thread(r, "graft-driver-io")
+        t.setDaemon(true)
+        t
+      }))
+
   private def nio(fs: FileSystem, p: Path): Option[NioPath] =
     if (fs.getScheme == "file") Some(Paths.get(p.toUri.getPath)) else None
 

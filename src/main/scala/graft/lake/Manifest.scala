@@ -53,6 +53,21 @@ object Manifest {
   def liveFiles(fs: FileSystem, root: Path, version: Long = -1L): Set[String] =
     rawLines(fs, root, version).map(_.split('\t')(0)).toSet
 
+  /** One-read combined view: (live files, zone maps) at `version` — commit
+    * paths need both and should not parse the manifest file twice.
+    */
+  def liveState(fs: FileSystem, root: Path, version: Long = -1L): (Set[String], Map[String, Long]) = {
+    val lines = rawLines(fs, root, version)
+    val files = lines.map(_.split('\t')(0)).toSet
+    val stats = lines.flatMap { line =>
+      line.split('\t') match {
+        case Array(p, s) => scala.util.Try(p -> s.toLong).toOption
+        case _ => None
+      }
+    }.toMap
+    (files, stats)
+  }
+
   /** Zone maps at `version`: relative path → max changed-timestamp micros
     * (entries only for files whose stats are known).
     */

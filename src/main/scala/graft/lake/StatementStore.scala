@@ -134,9 +134,16 @@ class StatementStore(val spark: SparkSession, val rootStr: String, val shards: I
     */
   private def statsFor(fresh: Set[String]): Map[String, Long] = {
     val conf = spark.sessionState.newHadoopConf()
-    fresh.flatMap { f =>
-      FileStats.maxChangedMicros(conf, new Path(root, f)).map(f -> _)
-    }.toMap
+    // footer opens are independent driver-side IO — run them on a bounded
+    // pool (serial opens dominate commit latency once a batch spans many
+    // partitions; on an object store each open is a round trip)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = FsOps.driverIoPool
+    Await.result(
+      Future.traverse(fresh.toSeq) { f =>
+        Future(FileStats.maxChangedMicros(conf, new Path(root, f)).map(f -> _))
+      }, Duration.Inf).flatten.toMap
   }
 
   def append(df: DataFrame): Long = Locks.withLock(fs, root) {
@@ -147,8 +154,9 @@ class StatementStore(val spark: SparkSession, val rootStr: String, val shards: I
     // that's one object-store PUT per commit instead of hundreds
     tags.put(s"dirty/${java.util.UUID.randomUUID().toString}",
       fresh.map(partitionOf).toSeq.sorted.mkString("\n"))
-    Manifest.commit(fs, root, Manifest.liveFiles(fs, root) ++ fresh, "append",
-      Manifest.liveStats(fs, root) ++ statsFor(fresh))
+    val (liveSet, liveStats) = Manifest.liveState(fs, root)
+    Manifest.commit(fs, root, liveSet ++ fresh, "append",
+      liveStats ++ statsFor(fresh))
   }
 
   /** Default tombstone grace: 30 days, like the reference
@@ -166,7 +174,7 @@ class StatementStore(val spark: SparkSession, val rootStr: String, val shards: I
     */
   def merge(graceCutoff: Option[Column] = None, force: Boolean = false): Long =
     Locks.withLock(fs, root) {
-      val liveSet = Manifest.liveFiles(fs, root)
+      val (liveSet, liveStats) = Manifest.liveState(fs, root)
       // dirty partitions arrive as batch files (one per append); merge
       // consumes exactly the stamps it read
       val dirtyKeys = tags.list("dirty/")
@@ -194,7 +202,7 @@ class StatementStore(val spark: SparkSession, val rootStr: String, val shards: I
         preClustered = true)
       dirtyKeys.foreach(tags.delete)
       Manifest.commit(fs, root, (liveSet -- dirtyFiles) ++ fresh, "merge",
-        (Manifest.liveStats(fs, root) -- dirtyFiles) ++ statsFor(fresh))
+        (liveStats -- dirtyFiles) ++ statsFor(fresh))
     }
 
   /** S6: bin-pack partitions that have fragmented into more than

@@ -83,13 +83,18 @@ object TrainingData {
   // dedupe pipeline materializes the token artifact once (it feeds MinHash,
   // LSH, and Jaccard verification across the whole campaign), it never
   // re-explodes the corpus per consumer.
+  // a plain synchronized memo, NOT ConcurrentHashMap.computeIfAbsent:
+  // staged artifacts build on each other (jacpairs → minhash8 →
+  // shingle3_multi), and computeIfAbsent forbids reentrant updates of the
+  // same map (throws "Recursive update" when the nested key shares a bin).
+  // The monitor is reentrant, so nested staging from the same thread works.
   private val stagedTerms =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+    scala.collection.mutable.Map.empty[(SparkSession, String, String), DataFrame]
 
   private def stagedTermTable(spark: SparkSession, dir: String, kind: String)(
-      mk: => DataFrame): DataFrame =
-    stagedTerms.computeIfAbsent((spark, dir, kind),
-      _ => graft.functions.F.materialize(mk))
+      mk: => DataFrame): DataFrame = stagedTerms.synchronized {
+    stagedTerms.getOrElseUpdate((spark, dir, kind), graft.functions.F.materialize(mk))
+  }
 
   // MinHash is duplicate-insensitive, so the signature path skips the
   // distinct shuffle; Jaccard verification (d4/d6) keeps distinct rows
@@ -110,44 +115,54 @@ object TrainingData {
       Dedupe.tokenRows(docs(spark, dir), "doc_id", "text")
     }
 
-  def d2Minhash(spark: SparkSession, dir: String): DataFrame =
-    Dedupe.minhashSignatureFromTerms(docShingleRowsMulti(spark, dir), "doc_id", MinhashK)
-      .orderBy(col("doc_id"))
+  // Sketch artifacts (MinHash + SimHash signatures, verified near-dup
+  // pairs) are session-staged like the term tables above: a dedupe
+  // campaign computes each signature table once and feeds every downstream
+  // consumer (banding, verification, clustering, export) from the staged
+  // parquet — it never recomputes a corpus-wide signature per consumer.
+  private def minhashSig(spark: SparkSession, dir: String): DataFrame =
+    stagedTermTable(spark, dir, "minhash8") {
+      Dedupe.minhashSignatureFromTerms(docShingleRowsMulti(spark, dir), "doc_id", MinhashK)
+    }
 
-  def d2bLshPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sig = graft.functions.F.materialize(
-      Dedupe.minhashSignatureFromTerms(docShingleRowsMulti(spark, dir), "doc_id", MinhashK))
-    Dedupe.lshCandidatePairs(sig, "doc_id", MinhashK, rowsPerBand = 2)
+  private def simhashSig(spark: SparkSession, dir: String): DataFrame =
+    stagedTermTable(spark, dir, "simhash32") {
+      Dedupe.simhash32FromTerms(docTokenRows(spark, dir), "doc_id")
+    }
+
+  /** Verified near-dup pairs (LSH candidates + Jaccard >= 0.5): the shared
+    * artifact d4 exports and d6 clusters over.
+    */
+  private def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    stagedTermTable(spark, dir, "jacpairs") {
+      Dedupe.nearDupJaccardFromSig(minhashSig(spark, dir), "doc_id",
+        docShingleRows(spark, dir), MinhashK, rowsPerBand = 2, threshold = 0.5)
+    }
+
+  def d2Minhash(spark: SparkSession, dir: String): DataFrame =
+    minhashSig(spark, dir).orderBy(col("doc_id"))
+
+  def d2bLshPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedupe.lshCandidatePairs(minhashSig(spark, dir), "doc_id", MinhashK, rowsPerBand = 2)
       .orderBy(col("id_a"), col("id_b"))
-  }
 
   def d3Simhash(spark: SparkSession, dir: String): DataFrame =
-    Dedupe.simhash32FromTerms(
-      Dedupe.tokenRows(docs(spark, dir), "doc_id", "text"), "doc_id")
-      .orderBy(col("doc_id"))
+    simhashSig(spark, dir).orderBy(col("doc_id"))
 
-  def d3bSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sig = Dedupe.simhash32FromTerms(
-      Dedupe.tokenRows(docs(spark, dir), "doc_id", "text"), "doc_id")
-    Dedupe.simhashPairs(sig, "doc_id", maxHamming = 3)
+  def d3bSimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedupe.simhashPairs(simhashSig(spark, dir), "doc_id", maxHamming = 3)
       .withColumn("hamming", col("hamming").cast("int"))
       .orderBy(col("id_a"), col("id_b"))
-  }
 
   def d4JaccardPairs(spark: SparkSession, dir: String): DataFrame =
-    Dedupe.nearDupJaccard(docs(spark, dir), "doc_id", docShingleRows(spark, dir),
-      MinhashK, rowsPerBand = 2, threshold = 0.5)
-      .orderBy(col("id_a"), col("id_b"))
+    jaccardPairs(spark, dir).orderBy(col("id_a"), col("id_b"))
 
   // Dedup canonical-pick: connected components over the verified pairs,
   // one cluster id per doc ("keep one per cluster" is then a trivial
   // filter doc_id = cluster_id).
-  def d6DupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedupe.nearDupJaccard(docs(spark, dir), "doc_id",
-      docShingleRows(spark, dir), MinhashK, rowsPerBand = 2, threshold = 0.5)
-      .select(col("id_a"), col("id_b"))
-    Dedupe.dupClusters(pairs).orderBy(col("doc_id"))
-  }
+  def d6DupClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedupe.dupClusters(jaccardPairs(spark, dir).select(col("id_a"), col("id_b")))
+      .orderBy(col("doc_id"))
 
   // ---- embedding similarity ----
 

@@ -1,0 +1,45 @@
+#!/usr/bin/env python3
+"""Time each oracle SQL in DuckDB at a given sf dir (the bench's 2x bar).
+
+Usage: python3 tools/time_oracle.py <sfDir> <oracleSqlJson> [reps]
+Prints per-query seconds (min over reps) and the total.
+"""
+import json
+import sys
+import time
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main():
+    sf_dir, oracle_path = sys.argv[1], sys.argv[2]
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    con = duckdb.connect()
+    con.sql("SET TimeZone='UTC'")
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(oracle_path))
+    times = {}
+    for name in sorted(oracle):
+        best = None
+        for _ in range(reps):
+            t0 = time.monotonic()
+            try:
+                con.sql(oracle[name]).fetchall()
+            except Exception as e:
+                print(f"{name}: ERROR {e}")
+                break
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        if best is not None:
+            times[name] = best
+    for name, dt in sorted(times.items(), key=lambda kv: -kv[1]):
+        print(f"{dt:8.3f}  {name}")
+    print(f"TOTAL {sum(times.values()):.2f}s over {len(times)} queries")
+
+
+if __name__ == "__main__":
+    main()
