@@ -158,11 +158,31 @@ object TrainingData {
     jaccardPairs(spark, dir).orderBy(col("id_a"), col("id_b"))
 
   // Dedup canonical-pick: connected components over the verified pairs,
-  // one cluster id per doc ("keep one per cluster" is then a trivial
-  // filter doc_id = cluster_id).
+  // one cluster id per doc. Staged: the cluster assignment feeds both the
+  // cluster export (d6) and the keep-one selection (d8).
+  private def dupClusters(spark: SparkSession, dir: String): DataFrame =
+    stagedTermTable(spark, dir, "clusters") {
+      Dedupe.dupClusters(jaccardPairs(spark, dir).select(col("id_a"), col("id_b")))
+    }
+
   def d6DupClusters(spark: SparkSession, dir: String): DataFrame =
-    Dedupe.dupClusters(jaccardPairs(spark, dir).select(col("id_a"), col("id_b")))
-      .orderBy(col("doc_id"))
+    dupClusters(spark, dir).orderBy(col("doc_id"))
+
+  // D8: the dedupe DECISION — keep exactly one document per duplicate
+  // cluster, chosen by quality score (t2's formula) with doc_id as the
+  // deterministic tiebreak. One join (clusters are pair-bounded, AQE
+  // broadcasts) + one per-cluster window; "drop the rest" is then a
+  // pushdown-friendly `keep` filter on the output.
+  def d8ClusterPick(spark: SparkSession, dir: String): DataFrame = {
+    val quality = docs(spark, dir).select(
+      col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id")).orderBy(col("quality").desc, col("doc_id"))
+    dupClusters(spark, dir).join(quality, Seq("doc_id"))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("doc_id"), col("cluster_id"), col("quality"), col("keep"))
+      .orderBy(col("cluster_id"), col("doc_id"))
+  }
 
   // ---- embedding similarity ----
 
@@ -207,6 +227,21 @@ object TrainingData {
   def sim4KmeansUpdate(spark: SparkSession, dir: String): DataFrame =
     Similarity.kmeansUpdate(emb(spark, dir), "vec_id", nlist = 8)
       .orderBy(col("cid"), col("dim"))
+
+  // E1: int8 embedding quantization export — the compression step before
+  // shipping vectors to an ANN index (4× smaller than float32, exact
+  // integer arithmetic downstream). Clamped symmetric quantization at a
+  // fixed scale; the L2 norm of the quantized vector rides along so the
+  // index never recomputes it. Pure per-row map — no shuffle.
+  def e1QuantizeExport(spark: SparkSession, dir: String): DataFrame = {
+    val q8 = transform(col("embedding"), x =>
+      greatest(lit(-127L), least(lit(127L), round(x.cast("double") * 127).cast("long"))))
+    emb(spark, dir).select(
+      col("vec_id"),
+      array_join(transform(q8, _.cast("string")), ",").as("q8csv"),
+      aggregate(q8, lit(0L), (acc, v) => acc + v * v).as("l2q8"))
+      .orderBy(col("vec_id"))
+  }
 
   // ---- corpus curation: splits, sampling, scrubbing ----
 
@@ -272,6 +307,22 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  // T8: Gopher-style quality rules — the word-count / mean-word-length /
+  // digit-density gates of the standard pre-training filter stack. All
+  // column arithmetic (no lambdas): total word chars = length - (n-1)
+  // separators, so the mean is one exact subtraction and one IEEE divide.
+  def t8GopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val n = size(split(col("text"), " "))
+    val meanWl = (length(col("text")) - (n - lit(1))).cast("double") / n.cast("double")
+    val digitFrac = regexp_count(col("text"), lit("[0-9]")).cast("double") /
+      length(col("text")).cast("double")
+    docs(spark, dir).select(
+      col("doc_id"), n.as("n_words"), meanWl.as("mean_word_len"),
+      digitFrac.as("digit_char_frac"),
+      (n >= 50 && n <= 100000 && meanWl >= 3.0 && meanWl <= 10.0).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   // T7: intra-document repetition — duplicated 5-gram ratio, the standard
   // boilerplate/spam signal (high ratio = template or looped text). One
   // aggregation over the positional shingle rows; no joins.
@@ -330,6 +381,9 @@ object TrainingData {
     "d3b_simhash_pairs" -> (d3bSimhashPairs _),
     "d4_jaccard_pairs" -> (d4JaccardPairs _),
     "d6_dup_clusters" -> (d6DupClusters _),
+    "d8_cluster_pick" -> (d8ClusterPick _),
+    "t8_gopher_rules" -> (t8GopherRules _),
+    "e1_quantize_export" -> (e1QuantizeExport _),
     "d5_embed_dup" -> (d5EmbedDup _),
     "d5b_embed_dup_lsh" -> (d5bEmbedDupLsh _),
     "sim1_topk" -> (sim1TopK _),
@@ -388,6 +442,41 @@ object TrainingData {
 
   private val simExpr =
     "CAST(list_sum(list_transform(list_zip(a.qv, b.qv), z -> CAST(z[1] AS BIGINT)*z[2])) AS DOUBLE) / sqrt(CAST(a.nrm*b.nrm AS DOUBLE))"
+
+  /** Shared CTE chain: LSH candidates → Jaccard verify → connected
+    * components (min-label reachability) → `clusters(doc_id, cluster_id)`.
+    * Callers must open with `WITH RECURSIVE`.
+    */
+  private val clustersCte =
+    s"""$sigCte,
+       |$bandedCte,
+       |toks AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, greatest(len(string_split(text,' '))-2, 1)),
+       |    i -> array_to_string((string_split(text,' '))[i:i+2], ' ')))) AS w FROM documents),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.id_a, c.id_b, COUNT(*) AS i
+       |  FROM cand c JOIN toks ta ON ta.doc_id = c.id_a
+       |              JOIN toks tb ON tb.doc_id = c.id_b AND tb.w = ta.w
+       |  GROUP BY c.id_a, c.id_b),
+       |verified AS (
+       |  SELECT c.id_a, c.id_b
+       |  FROM cand c
+       |  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+       |  JOIN sizes sa ON sa.doc_id = c.id_a
+       |  JOIN sizes sb ON sb.doc_id = c.id_b
+       |  WHERE CAST(COALESCE(i.i,0) AS DOUBLE) / CAST(sa.n + sb.n - COALESCE(i.i,0) AS DOUBLE) >= 0.5),
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM verified
+       |  UNION ALL SELECT id_b, id_a FROM verified),
+       |reach(src, dst) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+       |clusters AS (
+       |  SELECT src AS doc_id, MIN(dst) AS cluster_id
+       |  FROM reach GROUP BY src)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "t1_langid" ->
@@ -506,34 +595,39 @@ object TrainingData {
          |WHERE CAST(COALESCE(i.i,0) AS DOUBLE) / CAST(sa.n + sb.n - COALESCE(i.i,0) AS DOUBLE) >= 0.5
          |ORDER BY c.id_a, c.id_b""".stripMargin,
     "d6_dup_clusters" ->
-      s"""WITH RECURSIVE $sigCte,
-         |$bandedCte,
-         |toks AS (
-         |  SELECT doc_id, unnest(list_distinct(list_transform(
-         |    generate_series(1, greatest(len(string_split(text,' '))-2, 1)),
-         |    i -> array_to_string((string_split(text,' '))[i:i+2], ' ')))) AS w FROM documents),
-         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
-         |inter AS (
-         |  SELECT c.id_a, c.id_b, COUNT(*) AS i
-         |  FROM cand c JOIN toks ta ON ta.doc_id = c.id_a
-         |              JOIN toks tb ON tb.doc_id = c.id_b AND tb.w = ta.w
-         |  GROUP BY c.id_a, c.id_b),
-         |verified AS (
-         |  SELECT c.id_a, c.id_b
-         |  FROM cand c
-         |  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
-         |  JOIN sizes sa ON sa.doc_id = c.id_a
-         |  JOIN sizes sb ON sb.doc_id = c.id_b
-         |  WHERE CAST(COALESCE(i.i,0) AS DOUBLE) / CAST(sa.n + sb.n - COALESCE(i.i,0) AS DOUBLE) >= 0.5),
-         |edges AS (
-         |  SELECT id_a AS a, id_b AS b FROM verified
-         |  UNION ALL SELECT id_b, id_a FROM verified),
-         |reach(src, dst) AS (
-         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
-         |  UNION
-         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
-         |SELECT src AS doc_id, MIN(dst) AS cluster_id
-         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+      s"""WITH RECURSIVE $clustersCte
+         |SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id""".stripMargin,
+    "d8_cluster_pick" ->
+      s"""WITH RECURSIVE $clustersCte,
+         |q AS (
+         |  SELECT doc_id,
+         |    CAST(0.5 AS DOUBLE) * (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / CAST(len(string_split(text,' ')) AS DOUBLE))
+         |      + CAST(0.5 AS DOUBLE) * least(CAST(1.0 AS DOUBLE), CAST(len(string_split(text,' ')) AS DOUBLE) / CAST(100.0 AS DOUBLE)) AS quality
+         |  FROM documents)
+         |SELECT c.doc_id, c.cluster_id, q.quality,
+         |  (ROW_NUMBER() OVER (PARTITION BY c.cluster_id ORDER BY q.quality DESC, c.doc_id) = 1) AS keep
+         |FROM clusters c JOIN q ON c.doc_id = q.doc_id
+         |ORDER BY c.cluster_id, c.doc_id""".stripMargin,
+    "t8_gopher_rules" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    len(string_split(text,' ')) AS n_words,
+        |    CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
+        |      / CAST(len(string_split(text,' ')) AS DOUBLE) AS mean_word_len,
+        |    CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS digit_char_frac
+        |  FROM documents)
+        |SELECT doc_id, n_words, mean_word_len, digit_char_frac,
+        |  (n_words >= 50 AND n_words <= 100000 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "e1_quantize_export" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> greatest(-127::BIGINT, least(127::BIGINT, CAST(round(CAST(x AS DOUBLE)*127) AS BIGINT)))) AS q8
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  array_to_string(list_transform(q8, v -> CAST(v AS VARCHAR)), ',') AS q8csv,
+        |  CAST(list_sum(list_transform(q8, v -> v*v)) AS BIGINT) AS l2q8
+        |FROM q ORDER BY vec_id""".stripMargin,
     "d5_embed_dup" ->
       s"""WITH $qCte
          |SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b

@@ -160,6 +160,45 @@ class TrainingDataSpec extends SparkSpec {
     assert(n(0).isNullAt(0))
   }
 
+  test("cluster pick keeps exactly the best-quality doc; gopher gates and int8 quantization behave") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // d8 shape: one keep per cluster, winner by (quality desc, doc_id asc)
+    val clusters = Seq((1L, 1L), (2L, 1L), (4L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster_id")
+    val quality = Seq((1L, 0.4), (2L, 0.9), (4L, 0.9), (10L, 0.5), (11L, 0.2))
+      .toDF("doc_id", "quality")
+    val w = Window.partitionBy(col("cluster_id")).orderBy(col("quality").desc, col("doc_id"))
+    val picked = clusters.join(quality, Seq("doc_id"))
+      .withColumn("keep", row_number().over(w) === 1)
+    val keeps = picked.filter(col("keep")).select("doc_id").as[Long].collect().toSet
+    assert(keeps == Set(2L, 10L)) // 2 beats 4 on the id tiebreak at equal quality
+    assert(picked.filter(col("keep")).count() == picked.select("cluster_id").distinct().count())
+
+    // t8 gates: word-count and mean-word-length bounds
+    val t8 = Seq(
+      (1L, Seq.fill(60)("words").mkString(" ")),      // passes both gates
+      (2L, "too short"),                              // n_words gate fails
+      (3L, Seq.fill(60)("a").mkString(" "))           // mean-word-length gate fails
+    ).toDF("doc_id", "text")
+    val n = size(split(col("text"), " "))
+    val meanWl = (length(col("text")) - (n - lit(1))).cast("double") / n.cast("double")
+    val kept = t8.filter(n >= 50 && n <= 100000 && meanWl >= 3.0 && meanWl <= 10.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+
+    // e1: clamped symmetric int8 — exact at the rails, norm is exact integer
+    val q8 = transform(col("embedding"), x =>
+      greatest(lit(-127L), least(lit(127L), round(x.cast("double") * 127).cast("long"))))
+    val out = Seq((1L, Seq(1.0f, -1.0f, 0.5f, 2.0f)))
+      .toDF("vec_id", "embedding")
+      .select(array_join(transform(q8, _.cast("string")), ",").as("csv"),
+        aggregate(q8, lit(0L), (acc, v) => acc + v * v).as("l2"))
+      .collect()(0)
+    assert(out.getString(0) == "127,-127,64,127") // 2.0f clamps to the rail
+    assert(out.getLong(1) == 127L * 127 * 3 + 64L * 64)
+  }
+
   test("curation: hash split is total+stable, sample is a subset, scrub redacts") {
     import spark.implicits._
     val split = col("doc_id").cast("string")
