@@ -317,6 +317,41 @@ object StatementOps {
       .orderBy(col("id"))
   }
 
+  // X1: cross-reference candidate generation — the entity-resolution
+  // primitive downstream of every FtM lake (Aleph xref): entities that
+  // share identifying property values become match candidates, scored by
+  // how many (prop, value) keys they share. Same scale shape as LSH
+  // banding: ONE shuffle on the (prop, value) blocking key, in-task pair
+  // loop per block, and blocks shared by more than `maxBlock` entities
+  // carry no discriminating signal and are dropped — the pair space stays
+  // block-bounded, never quadratic in the corpus.
+  def x1XrefCandidates(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // normalized identifier: the integer bucket of the numeric value —
+    // the stand-in for real xref's name/identifier normalization step
+    val keys = liveView(spark, dir)
+      .filter(col("prop").isin("click", "view"))
+      .select(col("prop"),
+        floor(col("value").cast("decimal(10,2)")).cast("long").as("k"),
+        col("entity_id"))
+      .distinct()
+    val maxBlock = 100
+    val pairs = keys.as[(String, Long, String)]
+      .groupByKey { case (prop, k, _) => (prop, k) }
+      .flatMapGroups { (_: (String, Long), rows: Iterator[(String, Long, String)]) =>
+        val ids = rows.map(_._3).toArray.sorted
+        if (ids.length > maxBlock) Iterator.empty
+        else for {
+          i <- ids.indices.iterator
+          j <- (i + 1 until ids.length).iterator
+        } yield (ids(i), ids(j))
+      }
+      .toDF("id_a", "id_b")
+    pairs.groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 5)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // Set difference: entities appearing in the thing bucket but never in the
   // interval bucket (reference's DEL-detection shape, §2.7).
   def set1Except(spark: SparkSession, dir: String): DataFrame = {
@@ -347,7 +382,8 @@ object StatementOps {
     "o6_keyset_page" -> (o6KeysetPage _),
     "j4_parent_chain" -> (j4ParentChain _),
     "p1_query_compile" -> (p1QueryCompile _),
-    "set1_except" -> (set1Except _))
+    "set1_except" -> (set1Except _),
+    "x1_xref_candidates" -> (x1XrefCandidates _))
 
   val oracle: Map[String, String] = Map(
     "a1_merge_dedupe" -> s"$mergeCte\n$stmtOutSql",
@@ -538,5 +574,22 @@ object StatementOps {
          |SELECT value FROM stmts WHERE prop = 'click'
          |EXCEPT
          |SELECT value FROM stmts WHERE prop = 'purchase'
-         |ORDER BY value""".stripMargin)
+         |ORDER BY value""".stripMargin,
+    "x1_xref_candidates" ->
+      s"""$mergeCte,
+         |keys AS (
+         |  SELECT DISTINCT prop, CAST(floor(CAST(value AS DECIMAL(10,2))) AS BIGINT) AS k, entity_id
+         |  FROM live WHERE prop IN ('click','view')),
+         |blocks AS (
+         |  SELECT prop, k FROM keys
+         |  GROUP BY prop, k HAVING COUNT(*) <= 100),
+         |pairs AS (
+         |  SELECT a.entity_id AS id_a, b.entity_id AS id_b
+         |  FROM keys a
+         |  JOIN blocks bl ON a.prop = bl.prop AND a.k = bl.k
+         |  JOIN keys b ON b.prop = a.prop AND b.k = a.k
+         |    AND a.entity_id < b.entity_id)
+         |SELECT id_a, id_b, COUNT(*) AS n_shared
+         |FROM pairs GROUP BY id_a, id_b HAVING COUNT(*) >= 5
+         |ORDER BY id_a, id_b""".stripMargin)
 }
