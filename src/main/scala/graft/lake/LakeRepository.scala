@@ -119,4 +119,13 @@ class LakeRepository(val spark: SparkSession, val rootStr: String,
     Make.make(store, journal, outDir, datasetNameOpt = Some(dataset))
 
   def exportDiff(outDir: String): Option[String] = Diff.exportDiff(store, outDir)
+
+  /** Cross-reference candidate pairs over the live view: entities sharing
+    * at least `minShared` normalized values of the given identifying
+    * properties ([[graft.ops.Xref]]).
+    */
+  def xrefCandidates(props: Seq[String],
+      normalize: org.apache.spark.sql.Column => org.apache.spark.sql.Column = identity,
+      maxBlock: Int = 100, minShared: Int = 2): DataFrame =
+    graft.ops.Xref.fromLive(live, props, normalize, maxBlock, minShared)
 }

@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cross-reference candidate generation — the entity-resolution primitive
+  * downstream of every FtM lake (what Aleph's xref does over lakehouse
+  * exports): entities sharing normalized identifying values become match
+  * candidates, scored by how many distinct keys they share.
+  *
+  * Scale shape (same as the LSH band join in [[graft.dedupe.Dedupe]]):
+  * ONE shuffle on the blocking key, an in-task pair loop per block, and
+  * blocks shared by more than `maxBlock` entities are dropped as
+  * signal-free (a name like "john smith" matches everyone and identifies
+  * no one — real xref stops-lists exactly these). The pair space is
+  * block-bounded by construction, never quadratic in the corpus.
+  */
+object Xref {
+
+  /** Candidate pairs from normalized key rows `(blockCol, idCol)`:
+    * entities sharing at least `minShared` distinct blocks, each block
+    * held by at most `maxBlock` entities. Output: (id_a, id_b, n_shared)
+    * with id_a < id_b.
+    */
+  def candidates(keys0: DataFrame, blockCol: String, idCol: String,
+      maxBlock: Int = 100, minShared: Int = 2): DataFrame = {
+    val spark = keys0.sparkSession
+    import spark.implicits._
+    val keys = keys0
+      .select(col(blockCol).cast("string"), col(idCol).cast("string"))
+      .distinct()
+    keys.as[(String, String)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_: String, rows: Iterator[(String, String)]) =>
+        val ids = rows.map(_._2).toArray.sorted
+        if (ids.length > maxBlock) Iterator.empty
+        else for {
+          i <- ids.indices.iterator
+          j <- (i + 1 until ids.length).iterator
+        } yield (ids(i), ids(j))
+      }
+      .toDF("id_a", "id_b")
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Statement-grain entry point: block the live view on (prop,
+    * normalize(value)) for the given identifying properties.
+    */
+  def fromLive(live: DataFrame, props: Seq[String],
+      normalize: Column => Column = identity,
+      maxBlock: Int = 100, minShared: Int = 2): DataFrame =
+    candidates(
+      live.filter(col("prop").isin(props: _*))
+        .select(concat_ws(":", col("prop"), normalize(col("value"))).as("__block"),
+          col("entity_id")),
+      "__block", "entity_id", maxBlock, minShared)
+}

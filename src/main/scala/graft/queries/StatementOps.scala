@@ -325,32 +325,13 @@ object StatementOps {
   // loop per block, and blocks shared by more than `maxBlock` entities
   // carry no discriminating signal and are dropped — the pair space stays
   // block-bounded, never quadratic in the corpus.
-  def x1XrefCandidates(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  def x1XrefCandidates(spark: SparkSession, dir: String): DataFrame =
     // normalized identifier: the integer bucket of the numeric value —
     // the stand-in for real xref's name/identifier normalization step
-    val keys = liveView(spark, dir)
-      .filter(col("prop").isin("click", "view"))
-      .select(col("prop"),
-        floor(col("value").cast("decimal(10,2)")).cast("long").as("k"),
-        col("entity_id"))
-      .distinct()
-    val maxBlock = 100
-    val pairs = keys.as[(String, Long, String)]
-      .groupByKey { case (prop, k, _) => (prop, k) }
-      .flatMapGroups { (_: (String, Long), rows: Iterator[(String, Long, String)]) =>
-        val ids = rows.map(_._3).toArray.sorted
-        if (ids.length > maxBlock) Iterator.empty
-        else for {
-          i <- ids.indices.iterator
-          j <- (i + 1 until ids.length).iterator
-        } yield (ids(i), ids(j))
-      }
-      .toDF("id_a", "id_b")
-    pairs.groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= 5)
+    graft.ops.Xref.fromLive(liveView(spark, dir), Seq("click", "view"),
+      v => floor(v.cast("decimal(10,2)")).cast("long"),
+      maxBlock = 100, minShared = 5)
       .orderBy(col("id_a"), col("id_b"))
-  }
 
   // Set difference: entities appearing in the thing bucket but never in the
   // interval bucket (reference's DEL-detection shape, §2.7).

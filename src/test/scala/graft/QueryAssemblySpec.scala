@@ -133,6 +133,25 @@ class QueryAssemblySpec extends SparkSpec {
     assert(byId("d1").caption == "report.pdf")
   }
 
+  test("xref: shared normalized keys pair entities, hot blocks and singletons drop") {
+    import spark.implicits._
+    import graft.ops.Xref
+    // a/b share two keys (pair), a/c share one (below minShared), and
+    // every entity holds the hot key (block over cap -> no signal)
+    val hot = (1 to 20).map(i => ("k:hot", s"e$i"))
+    val keys = (Seq(
+      ("k:x1", "a"), ("k:x1", "b"),
+      ("k:x2", "a"), ("k:x2", "b"),
+      ("k:y1", "a"), ("k:y1", "c")) ++ hot)
+      .toDF("block", "id")
+    val got = Xref.candidates(keys, "block", "id", maxBlock = 10, minShared = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("a", "b", 2L)))
+    // single shuffle on the blocking key — no cartesian/nested-loop join
+    val plan = Xref.candidates(keys, "block", "id").queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("explode round-trips through assembly") {
     import spark.implicits._
     val payloads = Seq(

@@ -114,6 +114,24 @@ class StoreSpec extends SparkSpec {
     assert(store.raw.count() == before)
   }
 
+  test("concurrent appends serialize on the fence; both commits land") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = Files.createTempDirectory("graft-concurrent").toString
+    val store = new StatementStore(spark, dir, shards = 4)
+    // two writers race the same table; the fence serializes the commits
+    val fa = Future(store.append(mkStatements(30, "oA", "2024-01-02 00:00:00")))
+    val fb = Future(store.append(mkStatements(30, "oB", "2024-01-03 00:00:00")))
+    val (va, vb) = (Await.result(fa, 5.minutes), Await.result(fb, 5.minutes))
+    // distinct versions, both batches fully present in the final snapshot
+    assert(va != vb)
+    assert(store.version == math.max(va, vb))
+    val byOrigin = store.raw.groupBy("origin").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byOrigin == Map("oA" -> 30L, "oB" -> 30L))
+  }
+
   test("stale-lock recovery: a crashed writer's fence is stolen; fresh locks are honored") {
     import org.apache.hadoop.fs.Path
     import graft.lake.Locks
