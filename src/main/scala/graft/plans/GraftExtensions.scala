@@ -35,7 +35,44 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           Seq((GreaterThan(keep, Literal(0)), Substring(id, Literal(1), keep))),
           Some(id))
       }))
+    // table functions: the versioned statement store as a SQL-queryable
+    // relation — `SELECT * FROM graft_table('<root>' [, version])` (time
+    // travel by snapshot) and `graft_live('<root>')` (tombstone-filtered
+    // live view). The builder expands to the manifest-scoped parquet
+    // relation's analyzed plan, so scans keep vectorized reads, column
+    // pruning, and predicate pushdown — the TVF is resolution sugar, not
+    // an execution layer.
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_table"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_table"),
+      (args: Seq[Expression]) => GraftExtensions.storePlan(args, live = false)))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_live"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_live"),
+      (args: Seq[Expression]) => GraftExtensions.storePlan(args, live = true)))
     ext.injectOptimizerRule(_ => RewriteZeroOffsetLead)
+  }
+}
+
+object GraftExtensions {
+
+  /** Expand a `graft_table`/`graft_live` call into the store's analyzed
+    * scan plan. Arguments must be foldable literals (a path, optionally a
+    * snapshot version) — they select which files to read, which must be
+    * known at resolution time.
+    */
+  private[plans] def storePlan(args: Seq[Expression], live: Boolean): LogicalPlan = {
+    def lit(e: Expression): Any = e match {
+      case l: Literal => l.value
+      case other => throw new IllegalArgumentException(
+        s"graft_table arguments must be literals, got: $other")
+    }
+    val path = String.valueOf(lit(args.head))
+    val version = args.drop(1).headOption.map(e => String.valueOf(lit(e)).toLong).getOrElse(-1L)
+    val spark = org.apache.spark.sql.SparkSession.active
+    val store = new graft.lake.StatementStore(spark, path)
+    val df = if (live) store.live else store.rawAt(version)
+    df.queryExecution.analyzed
   }
 }
 

@@ -26,6 +26,40 @@ class ExtensionsSpec extends SparkSpec {
     assert(rows == Seq("a", "plain", ".lead", "trail"))
   }
 
+  test("graft_table/graft_live TVFs: snapshot reads, time travel, pushdown-capable plan") {
+    import java.nio.file.Files
+    import java.sql.Timestamp
+    import spark.implicits._
+    import graft.model.Statement
+    val dir = Files.createTempDirectory("graft-tvf").toString
+    val store = new graft.lake.StatementStore(spark, dir, shards = 4)
+    def mk(n: Int, origin: String, del: Boolean) = (0 until n).map { i =>
+      Statement(shard = "0", id = s"id$i-$origin", entity_id = s"e$i", dataset = "ds",
+        bucket = "thing", origin = origin, source = None, schema = "Person",
+        prop = "name", prop_type = "string", value = s"v$i", original_value = None,
+        lang = None, external = false,
+        first_seen = Timestamp.valueOf("2024-01-01 00:00:00"),
+        last_seen = Timestamp.valueOf("2024-01-02 00:00:00"), fragment = "",
+        deleted_at = if (del && i == 0) Some(Timestamp.valueOf("2024-01-03 00:00:00")) else None)
+    }.toDS().toDF()
+    val v1 = store.append(mk(3, "o1", del = false))
+    store.append(mk(2, "o2", del = true))
+    // current snapshot via SQL, with a pushable filter
+    val cur = spark.sql(s"SELECT COUNT(*) FROM graft_table('$dir') WHERE origin = 'o1'")
+      .collect()(0).getLong(0)
+    assert(cur == 3L)
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft_table('$dir')").collect()(0).getLong(0) == 5L)
+    // time travel to the first commit
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft_table('$dir', $v1)")
+      .collect()(0).getLong(0) == 3L)
+    // live view filters the tombstone
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft_live('$dir')").collect()(0).getLong(0) == 4L)
+    // the TVF expands to a parquet relation: filters reach the scan
+    val plan = spark.sql(s"SELECT entity_id FROM graft_table('$dir') WHERE origin = 'o1'")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("origin"), plan)
+  }
+
   test("lead(c, 0) windows collapse to a projection (quadratic-frame guard)") {
     import spark.implicits._
     val df = Seq((1, "a"), (1, "b"), (2, "c")).toDF("k", "v")
