@@ -17,9 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object Dedupe {
 
-  /** Stable 32-bit token hash: first 8 hex chars of md5 as unsigned int. */
+  /** Stable 32-bit token hash: first 8 hex chars of md5 as unsigned int —
+    * computed by the fused digest-prefix kernel
+    * ([[graft.functions.TokenHash]]; value-identical to
+    * `conv(substring(md5(token), 1, 8), 16, 10)`, which is what the SQL
+    * oracles replay).
+    */
   def tokenHash(token: Column): Column =
-    conv(substring(md5(token), 1, 8), 16, 10).cast("long")
+    graft.functions.TokenHash(token.cast("string"))
 
   /** Large prime > 2^32 for the universal-hash family. */
   val P = 4294967311L

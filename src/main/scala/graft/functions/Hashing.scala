@@ -30,7 +30,7 @@ object Hashing {
     if (shards == 1) lit("0")
     else {
       val width = java.lang.Integer.toHexString(shards - 1).length
-      val n = conv(substring(md5(entityId), 1, 8), 16, 10).cast("long") % shards
+      val n = TokenHash(entityId.cast("string")) % shards
       format_string(s"%0${width}x", n)
     }
   }

@@ -35,6 +35,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           Seq((GreaterThan(keep, Literal(0)), Substring(id, Literal(1), keep))),
           Some(id))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("token_hash"),
+      new ExpressionInfo(classOf[graft.functions.TokenHash].getName, "token_hash"),
+      (args: Seq[Expression]) => graft.functions.TokenHash(args.head)))
     // table functions: the versioned statement store as a SQL-queryable
     // relation — `SELECT * FROM graft_table('<root>' [, version])` (time
     // travel by snapshot) and `graft_live('<root>')` (tombstone-filtered

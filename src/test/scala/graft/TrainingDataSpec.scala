@@ -126,6 +126,30 @@ class TrainingDataSpec extends SparkSpec {
     assert(keep == Set(1L, 10L))
   }
 
+  test("TokenHash: fused kernel equals the conv(substring(md5)) recipe on both eval paths") {
+    import spark.implicits._
+    import graft.functions.TokenHash
+    val df = (Seq("", "a", "the quick brown fox", "蜘蛛 與 网", "x" * 500, "café")
+      .zipWithIndex.map(_.swap)).toDF("i", "s")
+    def reference = conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long")
+    val rows = df.select(reference.as("ref"), TokenHash(col("s")).as("fused")).collect()
+    assert(rows.forall(r => r.getLong(0) == r.getLong(1)))
+    // interpreted path must agree too
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = df.select(TokenHash(col("s"))).collect().map(_.getLong(0))
+      assert(interp.toSeq == rows.map(_.getLong(0)).toSeq)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    // null in, null out; SQL surface registered
+    assert(df.select(TokenHash(lit(null).cast("string"))).collect()(0).isNullAt(0))
+    assert(spark.sql("SELECT token_hash('a') = token_hash('a') AND token_hash('a') <> token_hash('b')")
+      .collect()(0).getBoolean(0))
+  }
+
   test("QuantizedCosine: codegen and interpreted paths agree with the scala twin") {
     import spark.implicits._
     import graft.functions.QuantizedCosine
