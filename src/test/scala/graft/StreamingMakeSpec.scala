@@ -92,6 +92,33 @@ class StreamingMakeSpec extends SparkSpec {
     assert(got.length == want.length && got.sameElements(want))
   }
 
+  test("streaming corpus dedupe: novel docs pass, fingerprint state persists across runs") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val base = Files.createTempDirectory("graft-dedupstream").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def feed(dir: String, docs: (Long, String)*) =
+      docs.toSeq.toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    // feed 1: three docs, one internal duplicate (4 is 1 re-spaced — the
+    // t4 normalization fingerprint collapses them)
+    feed(s"$base/feed1",
+      1L -> "alpha beta gamma", 2L -> "delta epsilon", 3L -> "zeta eta",
+      4L -> "  alpha  beta gamma ")
+    def stream(dir: String) = spark.readStream.schema(schema).parquet(dir)
+    val n1 = graft.streaming.DedupStream.run(spark, stream(s"$base/feed1"),
+      "doc_id", "text", s"$base/state", s"$base/out")
+    assert(n1 == 3) // 4 deduped against 1 in-batch
+    // feed 2 (a later run, fresh stream): one seen doc, one novel
+    feed(s"$base/feed2", 5L -> "alpha beta gamma", 6L -> "theta iota")
+    val n2 = graft.streaming.DedupStream.run(spark, stream(s"$base/feed2"),
+      "doc_id", "text", s"$base/state", s"$base/out")
+    assert(n2 == 1) // only the novel doc survives the state anti-join
+    val out = spark.read.parquet(s"$base/out")
+    assert(out.count() == 4)
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L, 6L))
+  }
+
   test("make: exports are freshness-gated and skip when the store is current") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-make").toString
