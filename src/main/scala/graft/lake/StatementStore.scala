@@ -97,8 +97,13 @@ class StatementStore(val spark: SparkSession, val rootStr: String, val shards: I
       if (preClustered) df.select(Statement.columns.map(col): _*)
       else df.select(Statement.columns.map(col): _*)
         .repartition(Statement.partitionColumns.map(col): _*)
+    // the task sort leads with the partition columns: a dynamic-partition
+    // write REQUIRES ordering by them and silently injects its own sort
+    // when the child's ordering doesn't prefix-match — paying a second
+    // full sort of the batch and de-stabilizing the intended in-file
+    // order. With the prefix in place the writer reuses this single sort.
     clustered
-      .sortWithinPartitions(sortCols: _*)
+      .sortWithinPartitions((Statement.partitionColumns.map(col) ++ sortCols): _*)
       .write.partitionBy(Statement.partitionColumns: _*)
       .mode("overwrite").parquet(stage.toString)
     val stageBase = stage.toUri.getPath.stripSuffix("/")
