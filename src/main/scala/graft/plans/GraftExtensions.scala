@@ -54,6 +54,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_live"),
       new ExpressionInfo(classOf[GraftExtensions].getName, "graft_live"),
       (args: Seq[Expression]) => GraftExtensions.storePlan(args, live = true)))
+    // `graft_changed_since('<root>', '<ts>')`: the zone-map-pruned
+    // changed-files read (P8 file skipping) as a SQL relation — incremental
+    // consumers layer their exact row predicate on top
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_changed_since"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_changed_since"),
+      (args: Seq[Expression]) => GraftExtensions.changedSincePlan(args)))
     ext.injectOptimizerRule(_ => RewriteZeroOffsetLead)
   }
 }
@@ -65,18 +72,27 @@ object GraftExtensions {
     * snapshot version) — they select which files to read, which must be
     * known at resolution time.
     */
+  private def litValue(e: Expression): Any = e match {
+    case l: Literal => l.value
+    case other => throw new IllegalArgumentException(
+      s"graft table-function arguments must be literals, got: $other")
+  }
+
   private[plans] def storePlan(args: Seq[Expression], live: Boolean): LogicalPlan = {
-    def lit(e: Expression): Any = e match {
-      case l: Literal => l.value
-      case other => throw new IllegalArgumentException(
-        s"graft_table arguments must be literals, got: $other")
-    }
-    val path = String.valueOf(lit(args.head))
-    val version = args.drop(1).headOption.map(e => String.valueOf(lit(e)).toLong).getOrElse(-1L)
+    val path = String.valueOf(litValue(args.head))
+    val version = args.drop(1).headOption.map(e => String.valueOf(litValue(e)).toLong).getOrElse(-1L)
     val spark = org.apache.spark.sql.SparkSession.active
     val store = new graft.lake.StatementStore(spark, path)
     val df = if (live) store.live else store.rawAt(version)
     df.queryExecution.analyzed
+  }
+
+  private[plans] def changedSincePlan(args: Seq[Expression]): LogicalPlan = {
+    val path = String.valueOf(litValue(args.head))
+    val cutoff = java.sql.Timestamp.valueOf(String.valueOf(litValue(args(1))))
+    val spark = org.apache.spark.sql.SparkSession.active
+    new graft.lake.StatementStore(spark, path)
+      .rawChangedSince(cutoff).queryExecution.analyzed
   }
 }
 

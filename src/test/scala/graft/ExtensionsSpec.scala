@@ -58,6 +58,14 @@ class ExtensionsSpec extends SparkSpec {
     val plan = spark.sql(s"SELECT entity_id FROM graft_table('$dir') WHERE origin = 'o1'")
       .queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("origin"), plan)
+    // changed-since TVF: zone maps prune the first commit's files (both
+    // appends carry last_seen 2024-01-02; the tombstone bumps commit 2's
+    // max changed stat to 2024-01-03)
+    val changed = spark.sql(
+      s"SELECT * FROM graft_changed_since('$dir', '2024-01-02 12:00:00')")
+    assert(changed.inputFiles.length <
+      spark.sql(s"SELECT * FROM graft_table('$dir')").inputFiles.length)
+    assert(changed.count() == 2L) // the o2 commit's rows only
   }
 
   test("lead(c, 0) windows collapse to a projection (quadratic-frame guard)") {
