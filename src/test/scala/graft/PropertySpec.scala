@@ -92,6 +92,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("TokenHash equals the composed md5-prefix recipe on random strings") {
+    import spark.implicits._
+    val genS = Gen.listOfN(12, Gen.frequency(
+      6 -> Gen.alphaNumChar, 1 -> Gen.const(' '), 1 -> Gen.oneOf('é', '中', 'ß')))
+      .map(_.mkString)
+    val ss = samples(Gen.listOfN(40, genS), 5).flatten.distinct
+    val rows = ss.toDF("s").select(
+      graft.functions.TokenHash(col("s")).as("fused"),
+      conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long").as("ref"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1))
+      assert(r.getLong(0) >= 0L && r.getLong(0) <= 0xffffffffL)
+    }
+  }
+
+  test("xref candidates: raising minShared only shrinks the pair set") {
+    import spark.implicits._
+    val genKey = for {
+      b <- Gen.choose(0, 15); id <- Gen.choose(0, 9)
+    } yield (s"b$b", s"e$id")
+    val keys = samples(Gen.listOfN(120, genKey), 3).flatten.distinct.toDF("block", "id")
+    def pairsAt(m: Int) = graft.ops.Xref.candidates(keys, "block", "id", maxBlock = 100, minShared = m)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val p1 = pairsAt(1); val p2 = pairsAt(2); val p3 = pairsAt(3)
+    assert(p3.subsetOf(p2) && p2.subsetOf(p1))
+    // ordering invariant: id_a < id_b always
+    assert(p1.forall { case (a, b) => a < b })
+  }
+
   test("QuantizedCosine column agrees with the scala twin on random vectors") {
     import spark.implicits._
     val genVec = Gen.listOfN(6, Gen.choose(-10000L, 10000L)).map(_.toArray)
