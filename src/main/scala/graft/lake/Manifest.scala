@@ -100,6 +100,21 @@ object Manifest {
     v
   }
 
+  /** Delete manifest version files older than the retention window (all
+    * versions < `keepFrom`). The log-retention twin of data-file vacuum:
+    * without it a long-lived table accumulates one manifest per commit
+    * forever — unbounded metadata growth and a slowing version listing.
+    * Time travel below `keepFrom` is gone afterwards, by design.
+    */
+  def expire(fs: FileSystem, root: Path, keepFrom: Long): Seq[Long] = {
+    val d = dir(root)
+    if (!fs.exists(d)) return Nil
+    val old = fs.listStatus(d).flatMap(s => versionOf(s.getPath).map(_ -> s.getPath))
+      .filter(_._1 < keepFrom).sortBy(_._1)
+    old.foreach { case (_, p) => fs.delete(p, false) }
+    old.map(_._1).toSeq
+  }
+
   /** All data files physically present under the table root (relative),
     * excluding manifest/lock/hidden files.
     */

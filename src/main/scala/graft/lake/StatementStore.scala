@@ -233,10 +233,14 @@ class StatementStore(val spark: SparkSession, val rootStr: String, val shards: I
     */
   def vacuum(keepVersions: Int = 2): Seq[String] = Locks.withLock(fs, root) {
     val current = version
-    val retained = (math.max(0L, current - keepVersions + 1) to current)
+    val keepFrom = math.max(0L, current - keepVersions + 1)
+    val retained = (keepFrom to current)
       .flatMap(v => Manifest.liveFiles(fs, root, v)).toSet
     val orphans = (Manifest.physicalFiles(fs, root) -- retained).toSeq.sorted
     orphans.foreach(f => fs.delete(new Path(root, f), false))
+    // expired snapshots are unreadable once their files are gone — reap
+    // their manifests too, or commit metadata grows without bound
+    Manifest.expire(fs, root, keepFrom)
     orphans
   }
 

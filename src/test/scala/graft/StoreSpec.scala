@@ -112,6 +112,17 @@ class StoreSpec extends SparkSpec {
     val removed1 = store.vacuum(keepVersions = 1)
     assert(removed1.nonEmpty)
     assert(store.raw.count() == before)
+
+    // log retention: expired snapshots lose their manifests too — only
+    // the retained window's version files remain, and reads still work
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val manifests = fs.listStatus(
+      new org.apache.hadoop.fs.Path(dir, "_graft/manifest"))
+      .map(_.getPath.getName).filter(_.startsWith("v"))
+    assert(manifests.length == 1, manifests.mkString(","))
+    assert(store.version == preVacuumVersion)
+    assert(store.raw.count() == before)
   }
 
   test("concurrent appends serialize on the fence; both commits land") {
