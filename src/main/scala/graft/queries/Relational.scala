@@ -126,6 +126,27 @@ object Relational {
       .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  // Q4: salted two-phase distinct aggregation — the skew-mitigation shape
+  // for COUNT(DISTINCT) under hot keys. A plain per-key distinct count
+  // sends EVERY (key, value) row of a hot key to one reducer (distinct
+  // defeats map-side combine); salting splits each key into 16 sub-keys,
+  // dedupes (key, salt, value) in phase one — bounded fan-in per reducer
+  // regardless of key heat — and sums per-salt distinct counts in a tiny
+  // phase two. Values are salted by their own hash, so equal values land
+  // in the same salt bucket and the per-salt counts partition the
+  // distinct set exactly (no double counting).
+  def q4SaltedDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val salt = pmod(xxhash64(col("l_partkey")), lit(16))
+    Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), col("l_partkey"), salt.as("__salt"))
+      .dropDuplicates("l_suppkey", "__salt", "l_partkey")
+      .groupBy(col("l_suppkey"), col("__salt"))
+      .agg(count(lit(1)).as("__partial"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("__partial")).as("n_parts"))
+      .orderBy(col("l_suppkey"))
+  }
+
   // J5: anti-join (journal-truncate / DEL-detection shape).
   def j5AntiJoin(spark: SparkSession, dir: String): DataFrame = {
     val bigLines = Tables.lineitem(spark, dir)
@@ -166,10 +187,14 @@ object Relational {
     "j1_semi_join" -> (j1SemiJoin _),
     "j5_anti_join" -> (j5AntiJoin _),
     "q3_rollup" -> (q3Rollup _),
+    "q4_salted_distinct" -> (q4SaltedDistinct _),
     "w1_latest_per_key" -> (w1LatestPerKey _),
     "o4_global_topk" -> (o4GlobalTopk _))
 
   val oracle: Map[String, String] = Map(
+    "q4_salted_distinct" ->
+      """SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
