@@ -323,6 +323,28 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  // T9: per-language length distribution — exact discrete quantiles via
+  // rank selection (value at ceil(q*n)), NOT approx sketches: the profile
+  // a curation pipeline thresholds against must be reproducible, and the
+  // rank formulation is engine-portable where approx_percentile isn't.
+  // One window sort per stratum + one aggregation; at 100 TB the sort is
+  // per-language partitions, not a global order.
+  def t9LengthStats(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+    val ranked = docs(spark, dir)
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+    ranked.groupBy(col("lang"))
+      .agg(
+        min(col("__n")).as("n_docs"),
+        min(when(col("__rn") === ceil(col("__n") * 0.5), col("n_chars"))).as("p50_chars"),
+        min(when(col("__rn") === ceil(col("__n") * 0.9), col("n_chars"))).as("p90_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("lang"))
+  }
+
   // T7: intra-document repetition — duplicated 5-gram ratio, the standard
   // boilerplate/spam signal (high ratio = template or looped text). One
   // aggregation over the positional shingle rows; no joins.
@@ -383,6 +405,7 @@ object TrainingData {
     "d6_dup_clusters" -> (d6DupClusters _),
     "d8_cluster_pick" -> (d8ClusterPick _),
     "t8_gopher_rules" -> (t8GopherRules _),
+    "t9_length_stats" -> (t9LengthStats _),
     "e1_quantize_export" -> (e1QuantizeExport _),
     "d5_embed_dup" -> (d5EmbedDup _),
     "d5b_embed_dup_lsh" -> (d5bEmbedDupLsh _),
@@ -619,6 +642,17 @@ object TrainingData {
         |SELECT doc_id, n_words, mean_word_len, digit_char_frac,
         |  (n_words >= 50 AND n_words <= 100000 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS keep
         |FROM m ORDER BY doc_id""".stripMargin,
+    "t9_length_stats" ->
+      """WITH ranked AS (
+        |  SELECT lang, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |SELECT lang, MIN(n) AS n_docs,
+        |  MIN(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN n_chars END) AS p50_chars,
+        |  MIN(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN n_chars END) AS p90_chars,
+        |  MAX(n_chars) AS max_chars
+        |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin,
     "e1_quantize_export" ->
       """WITH q AS (
         |  SELECT vec_id, list_transform(embedding,
