@@ -367,6 +367,28 @@ object TrainingData {
       .orderBy(col("df").desc, col("ngram"))
       .limit(20)
 
+  // PK1: sequence packing — assign documents to fixed-token-budget chunks
+  // (the concat-and-chunk step before tensorization). Global greedy
+  // packing is inherently sequential, so the scalable form packs within
+  // hash buckets: a window cumsum over each bucket's deterministic doc
+  // order yields each doc's chunk as floor(tokens_before / budget).
+  // Buckets pack independently (one window sort per bucket partition, no
+  // global order); waste is bounded by one partial chunk per bucket.
+  def pk1PackChunks(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 512L
+    val bucket = pmod(Dedupe.tokenHash(col("doc_id").cast("string")), lit(8))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(spark, dir)
+      .select(col("doc_id"), bucket.as("bucket"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .withColumn("chunk", floor((col("__cum") - col("n_tokens")) / budget).cast("long"))
+      .select(col("doc_id"), col("bucket"), col("n_tokens"), col("chunk"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- multimodal plumbing ----
 
   def mm1MediaMeta(spark: SparkSession, dir: String): DataFrame =
@@ -406,6 +428,7 @@ object TrainingData {
     "d8_cluster_pick" -> (d8ClusterPick _),
     "t8_gopher_rules" -> (t8GopherRules _),
     "t9_length_stats" -> (t9LengthStats _),
+    "pk1_pack_chunks" -> (pk1PackChunks _),
     "e1_quantize_export" -> (e1QuantizeExport _),
     "d5_embed_dup" -> (d5EmbedDup _),
     "d5b_embed_dup_lsh" -> (d5bEmbedDupLsh _),
@@ -642,6 +665,20 @@ object TrainingData {
         |SELECT doc_id, n_words, mean_word_len, digit_char_frac,
         |  (n_words >= 50 AND n_words <= 100000 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS keep
         |FROM m ORDER BY doc_id""".stripMargin,
+    "pk1_pack_chunks" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 8 AS bucket,
+        |    len(string_split(text,' ')) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, bucket, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM b)
+        |SELECT doc_id, bucket, n_tokens,
+        |  CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS chunk
+        |FROM c ORDER BY doc_id""".stripMargin,
     "t9_length_stats" ->
       """WITH ranked AS (
         |  SELECT lang, n_chars,
