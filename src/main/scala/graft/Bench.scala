@@ -20,18 +20,19 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
 
+    // Returns None on failure so a query that throws instantly cannot
+    // masquerade as an implausibly fast sample in the per-query min.
     def once(name: String,
-        fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+        fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      // failures must be LOUD (stderr; stdout carries only the JSON line):
-      // a swallowed exception would read as an implausibly fast sample
-      try { fn(spark, sfDir).count() }
-      catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: $e") }
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: $e"); false }
       val dt = (System.nanoTime() - t0) / 1e9
       // queries may persist() intermediates; drop them so later queries
       // are measured against a clean executor, not a filling heap
       spark.catalog.clearCache()
-      dt
+      if (ok) Some(dt) else None
     }
 
     // This host shows documented hypervisor stalls (20-30x wall-clock
@@ -40,22 +41,46 @@ object Bench {
     // the same stall, so slow samples are re-run in DEFERRED passes over
     // the whole suite — each retry is temporally spaced from the sample it
     // is checking, and every sample is still a complete end-to-end
-    // execution. Reported value is the per-query min.
+    // execution. Reported value is the per-query min over successful runs.
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     for (_ <- 0 until reps; (name, fn) <- selected) {
-      val t = once(name, fn)
-      times(name) = math.min(times.getOrElse(name, Double.MaxValue), t)
+      once(name, fn) match {
+        case Some(t) => times(name) = math.min(times.getOrElse(name, Double.MaxValue), t)
+        case None    => if (!times.contains(name)) failed += name
+      }
     }
     val retryBars = Seq(1.0, 2.5, 6.0, 15.0)
     for (bar <- retryBars) {
-      for ((name, fn) <- selected if times(name) > bar)
-        times(name) = math.min(times(name), once(name, fn))
+      for ((name, fn) <- selected if times.getOrElse(name, Double.MaxValue) > bar)
+        once(name, fn).foreach { t =>
+          times(name) = math.min(times.getOrElse(name, Double.MaxValue), t)
+          failed -= name
+        }
     }
 
-    val qs = times.map { case (k, v) => "\"" + k + "\":" + v }
+    def fmt(v: Double): String = f"$v%.4f"
+    val qs = times.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (times.nonEmpty) times.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fullLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    // The driver captures only a bounded stdout tail (the r4 artifact shows a
+    // 2000-char window); a 70-query single-line JSON outgrew it and arrived
+    // unparseable. So: the COMPLETE per-query metrics go to a file next to the
+    // build, and stdout carries a short self-contained JSON line (total + the
+    // slowest queries + a pointer to the file) guaranteed to fit the window.
+    val outFile = java.nio.file.Paths.get("BENCH_full.json")
+    java.nio.file.Files.write(outFile, (fullLine + "\n").getBytes("UTF-8"))
+    // "queries" here is the slowest-10 subset so the line keeps the driver's
+    // expected shape without outgrowing the window; the complete map is in
+    // the file named by "queries_file".
+    val slowest = times.toSeq.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${times.size},"failed":$failedJson,"queries":$slowest,"queries_file":"${outFile.toAbsolutePath}"}""")
     spark.stop()
   }
 }

@@ -269,25 +269,25 @@ object Dedupe {
   }
 
   private def jaccardPairsPre(toks: DataFrame, pairs: DataFrame): DataFrame = {
-    // candidate-pair-bounded sides (pairs, inter) broadcast: the LSH
-    // band/bucket stage caps bucket size (10k) so the candidate set is
-    // bounded by construction — that bound is what licenses the explicit
-    // hint (a broadcast() hint is honored unconditionally; an oversized
-    // build side fails rather than degrading, so only hint sizes bounded
-    // by construction). sizes is per-document — NOT broadcast (it scales
-    // with the corpus); its joins key on ids and shuffle only candidate
-    // rows.
+    // No explicit broadcast() hints here: the LSH bucket cap (10k) bounds
+    // each bucket's pair count, but the GLOBAL candidate set is the union
+    // over all buckets — at 100 TB that union can exceed the 8 GiB
+    // broadcast hard cap, and an explicit hint fails outright rather than
+    // degrading. AQE sees the real post-LSH sizes at runtime and promotes
+    // these joins to broadcast exactly when they actually fit. sizes is
+    // per-document (scales with the corpus); its joins key on ids and
+    // shuffle only candidate rows.
     val sizes = toks.groupBy("__id").agg(count(lit(1)).as("__n"))
     val ta = toks.select(col("__id").as("id_a"), col("__tok"))
     // prune BOTH token sides to candidate documents before the (id, token)
     // equi-join: without the semi-join the right side shuffles the entire
     // token table on (id_b, __tok) even though only candidate docs matter
     val tb = toks.select(col("__id").as("id_b"), col("__tok"))
-      .join(broadcast(pairs.select(col("id_b")).distinct()), Seq("id_b"), "left_semi")
-    val inter = ta.join(broadcast(pairs), Seq("id_a")).join(tb, Seq("id_b", "__tok"))
+      .join(pairs.select(col("id_b")).distinct(), Seq("id_b"), "left_semi")
+    val inter = ta.join(pairs, Seq("id_a")).join(tb, Seq("id_b", "__tok"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("__inter"))
     pairs
-      .join(broadcast(inter), Seq("id_a", "id_b"), "left_outer")
+      .join(inter, Seq("id_a", "id_b"), "left_outer")
       .na.fill(0L, Seq("__inter"))
       .join(sizes.select(col("__id").as("id_a"), col("__n").as("__na")), Seq("id_a"))
       .join(sizes.select(col("__id").as("id_b"), col("__n").as("__nb")), Seq("id_b"))

@@ -100,6 +100,17 @@ object Manifest {
     v
   }
 
+  /** Manifest versions physically present in the log, ascending. Retention
+    * windows must intersect with this: an earlier, more aggressive vacuum
+    * may already have expired versions inside a later call's window, and
+    * reading a deleted version file is a FileNotFoundException.
+    */
+  def presentVersions(fs: FileSystem, root: Path): Seq[Long] = {
+    val d = dir(root)
+    if (!fs.exists(d)) return Nil
+    fs.listStatus(d).flatMap(s => versionOf(s.getPath)).toSeq.sorted
+  }
+
   /** Delete manifest version files older than the retention window (all
     * versions < `keepFrom`). The log-retention twin of data-file vacuum:
     * without it a long-lived table accumulates one manifest per commit

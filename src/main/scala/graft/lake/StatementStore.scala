@@ -107,23 +107,35 @@ class StatementStore(val spark: SparkSession, val rootStr: String, val shards: I
       .write.partitionBy(Statement.partitionColumns: _*)
       .mode("overwrite").parquet(stage.toString)
     val stageBase = stage.toUri.getPath.stripSuffix("/")
-    val fresh = scala.collection.mutable.Set.empty[String]
+    val moves = scala.collection.mutable.ArrayBuffer.empty[(Path, Path, String)]
     val it = fs.listFiles(stage, true)
-    val madeDirs = scala.collection.mutable.Set.empty[String]
     while (it.hasNext) {
       val f = it.next().getPath
       if (f.getName.endsWith(".parquet")) {
         val rel = f.toUri.getPath.stripPrefix(stageBase).stripPrefix("/")
-        val dest = new Path(root, rel)
-        // one mkdirs per partition dir, not per file
-        if (madeDirs.add(dest.getParent.toString)) FsOps.mkdirs(fs, dest.getParent)
-        if (!FsOps.rename(fs, f, dest))
-          throw new IllegalStateException(s"staged write move failed: $rel")
-        fresh += rel
+        moves += ((f, new Path(root, rel), rel))
       }
     }
+    // one mkdirs per partition dir, not per file — and do them before the
+    // renames so the rename pass is pure renames
+    moves.map(_._2.getParent.toString).distinct
+      .foreach(d => FsOps.mkdirs(fs, new Path(d)))
+    // renames are independent driver-side IO: run them on the bounded pool
+    // (same as footer stats). On an object store each rename is a round
+    // trip — a 10k-file batch committed serially is 10k sequential driver
+    // calls; pooled it is 10k/poolWidth.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = FsOps.driverIoPool
+    Await.result(
+      Future.traverse(moves.toSeq) { case (src, dest, rel) =>
+        Future {
+          if (!FsOps.rename(fs, src, dest))
+            throw new IllegalStateException(s"staged write move failed: $rel")
+        }
+      }, Duration.Inf)
     fs.delete(stage, true)
-    fresh.toSet
+    moves.map(_._3).toSet
   }
 
   /** S3: partitioned append. Batch rows are clustered by the 7-key order
@@ -234,7 +246,11 @@ class StatementStore(val spark: SparkSession, val rootStr: String, val shards: I
   def vacuum(keepVersions: Int = 2): Seq[String] = Locks.withLock(fs, root) {
     val current = version
     val keepFrom = math.max(0L, current - keepVersions + 1)
-    val retained = (keepFrom to current)
+    // a prior vacuum with a tighter window may already have expired
+    // manifests inside [keepFrom, current] — read only versions that still
+    // exist, or liveFiles throws FileNotFoundException inside the lock
+    val readable = Manifest.presentVersions(fs, root).filter(_ >= keepFrom)
+    val retained = readable
       .flatMap(v => Manifest.liveFiles(fs, root, v)).toSet
     val orphans = (Manifest.physicalFiles(fs, root) -- retained).toSeq.sorted
     orphans.foreach(f => fs.delete(new Path(root, f), false))

@@ -32,12 +32,19 @@ object Xref {
     keys.as[(String, String)]
       .groupByKey(_._1)
       .flatMapGroups { (_: String, rows: Iterator[(String, String)]) =>
-        val ids = rows.map(_._2).toArray.sorted
-        if (ids.length > maxBlock) Iterator.empty
-        else for {
-          i <- ids.indices.iterator
-          j <- (i + 1 until ids.length).iterator
-        } yield (ids(i), ids(j))
+        // bound materialization BEFORE the cap check: a pathological
+        // mega-block (millions of ids behind one key) must not be pulled
+        // into task memory just to be dropped — take one past the cap,
+        // decide, and only then sort
+        val ids0 = rows.map(_._2).take(maxBlock + 1).toArray
+        if (ids0.length > maxBlock) Iterator.empty
+        else {
+          val ids = ids0.sorted
+          for {
+            i <- ids.indices.iterator
+            j <- (i + 1 until ids.length).iterator
+          } yield (ids(i), ids(j))
+        }
       }
       .toDF("id_a", "id_b")
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_shared"))
@@ -52,6 +59,11 @@ object Xref {
       maxBlock: Int = 100, minShared: Int = 2): DataFrame =
     candidates(
       live.filter(col("prop").isin(props: _*))
+        // a null normalized key carries no blocking signal and must not
+        // block: concat_ws silently skips null args, which would collapse
+        // every null-keyed row of a prop into one "<prop>" block and pair
+        // them with each other (SQL NULL keys never join — match that)
+        .filter(normalize(col("value")).isNotNull)
         .select(concat_ws(":", col("prop"), normalize(col("value"))).as("__block"),
           col("entity_id")),
       "__block", "entity_id", maxBlock, minShared)

@@ -19,8 +19,10 @@ import graft.text.TextFunctions
   * that could expire a document's fingerprint), so it belongs in a
   * table the same way the signature artifacts do in batch — at 100 TB
   * the anti-join shuffles only each micro-batch against the bucketed
-  * state partitions, and replayed micro-batches are idempotent (their
-  * fingerprints already sit in the state table, so they emit nothing).
+  * state partitions. Both sinks are partitioned by a run-scoped batch key
+  * and written with dynamic partition OVERWRITE (state first), so a
+  * replayed micro-batch rewrites its own partitions with the identical
+  * rows — exactly-once output without stream-stream state.
   */
 object DedupStream {
 
@@ -37,7 +39,11 @@ object DedupStream {
       .queryName(name)
       .option("checkpointLocation", s"${graft.functions.F.stageRoot(spark)}/ckpt-$name")
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // run-scoped batch key: a replayed micro-batch (same run, same id)
+        // lands on the SAME partition, a fresh run (new name) never
+        // collides with an old run's partitions
+        val batchKey = s"$name-$batchId"
         val fp = batch
           .withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
           // in-batch exact dedupe: keep the smallest id per fingerprint
@@ -45,17 +51,39 @@ object DedupStream {
             org.apache.spark.sql.expressions.Window
               .partitionBy(col("__fp")).orderBy(col(idCol))))
           .filter(col("__rn") === 1).drop("__rn")
-        val seen = scala.util.Try(spark.read.parquet(stateDir)).toOption
+        // only a missing state path means "first batch ever" — any other
+        // read failure must fail the batch, or a transient IO error would
+        // silently disable dedupe for the whole micro-batch
+        val seen =
+          try Some(spark.read.parquet(stateDir))
+          catch {
+            case e: org.apache.spark.sql.AnalysisException
+                if e.getMessage.contains("PATH_NOT_FOUND") => None
+          }
         val novel = seen match {
-          case Some(s) => fp.join(s, Seq("__fp"), "left_anti")
+          // exclude this batch's OWN partition from the state read: a
+          // replayed batch then recomputes exactly the novel set it
+          // produced the first time, instead of anti-joining against its
+          // own half-committed fingerprints and emitting nothing
+          case Some(s) => fp.join(
+            s.filter(col("__batch") =!= lit(batchKey)), Seq("__fp"), "left_anti")
           case None => fp
         }
         // stage the novel set once; both writes read it back instead of
         // re-running the anti-join per sink
-        val staged = graft.functions.F.materialize(novel)
+        val staged = graft.functions.F.materialize(
+          novel.withColumn("__batch", lit(batchKey)))
         emitted.add(staged.count())
-        staged.drop("__fp").write.mode("append").parquet(outDir)
-        staged.select("__fp").write.mode("append").parquet(stateDir)
+        // both sinks are per-batch dynamic partition OVERWRITES, state
+        // first: a crash at any point leaves a replay that rewrites the
+        // same partitions with the same rows — no duplicate emission
+        // (output-first + append re-emits the batch), no lost docs
+        staged.select("__fp", "__batch").write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch").parquet(stateDir)
+        staged.drop("__fp").write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch").parquet(outDir)
       }
       .start()
     q.awaitTermination()

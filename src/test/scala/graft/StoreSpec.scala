@@ -123,6 +123,13 @@ class StoreSpec extends SparkSpec {
     assert(manifests.length == 1, manifests.mkString(","))
     assert(store.version == preVacuumVersion)
     assert(store.raw.count() == before)
+
+    // regression: a LATER vacuum with a wider window than a previous one
+    // (default keepVersions=2 after a keepVersions=1, no new commits) must
+    // not try to read the manifests the first vacuum already expired
+    val removedAgain = store.vacuum(keepVersions = 2)
+    assert(removedAgain.isEmpty)
+    assert(store.raw.count() == before)
   }
 
   test("concurrent appends serialize on the fence; both commits land") {
