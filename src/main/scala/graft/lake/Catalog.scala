@@ -1,0 +1,165 @@
+package graft.lake
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Multi-dataset lakehouse catalog: one storage root holding one dataset
+  * directory per name, with enumeration, addressing, get-or-create and a
+  * catalog-wide metadata aggregation (reference catalog.py:126-166 `Catalog`,
+  * catalog.py:40-125 module functions, cli/__init__.py:168-186 `ls` /
+  * `datasets`).
+  *
+  * Scale notes: every method here is driver-side METADATA — one directory
+  * listing plus one small config read per dataset, never a data scan. The
+  * statistics surface ([[stats]]) is the only distributed piece and it is
+  * explicitly per-dataset so callers choose which datasets to pay for.
+  * Config freshness follows the reference contract (catalog.py:10-18):
+  * [[StatementStore]] / [[Journal]] handles constructed via [[store]] /
+  * [[journal]] read the config at construction; instances held across an
+  * [[updateDataset]] keep their snapshot.
+  */
+class Catalog(val spark: SparkSession, val rootStr: String) {
+
+  val root = new Path(rootStr)
+  private val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Validated canonical path for `name` under this catalog's root
+    * (reference repository/base.py:16-30 `dataset_uri`). Validation at the
+    * addressing boundary means a name can be trusted as it flows into path
+    * construction downstream (reference util.py:167-191).
+    */
+  def datasetPath(name: String): Path = {
+    Catalog.validateName(name)
+    new Path(root, name)
+  }
+
+  /** Whether `name` exists (has a persisted config) — reference
+    * catalog.py:50-52 `dataset_exists`.
+    */
+  def datasetExists(name: String): Boolean =
+    DatasetConfig.load(fs, datasetPath(name)).isDefined
+
+  /** Names of all datasets under the root that have a config, sorted
+    * (reference catalog.py:159-165 `list_datasets`). One listing + one
+    * existence probe per child — O(datasets) driver metadata calls.
+    */
+  def listDatasets(): Seq[String] = {
+    if (!fs.exists(root)) return Nil
+    fs.listStatus(root).iterator
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => Catalog.isValidName(n) && datasetExists(n))
+      .toSeq.sorted
+  }
+
+  /** Get or create a dataset (reference catalog.py:105-125
+    * `ensure_dataset`): creation records `cfg`'s fields; when the dataset
+    * already exists the passed config is IGNORED and the persisted one is
+    * returned — layout-affecting settings are creation-time-only.
+    */
+  def ensureDataset(name: String, shards: Int = 16,
+      compression: String = "gzip",
+      publicUrlPrefix: Option[String] = None): DatasetConfig = {
+    val p = datasetPath(name)
+    DatasetConfig.load(fs, p).getOrElse {
+      val cfg = DatasetConfig(name, shards, compression, publicUrlPrefix)
+      DatasetConfig.save(fs, p, cfg)
+      cfg
+    }
+  }
+
+  /** Merge changed fields into an existing dataset's config with a
+    * versioned snapshot (reference catalog.py:81-103 `update_dataset`).
+    * `shards` is immutable after first write — enforced by
+    * [[DatasetConfig.save]].
+    */
+  def updateDataset(name: String,
+      compression: Option[String] = None,
+      publicUrlPrefix: Option[Option[String]] = None): DatasetConfig = {
+    val p = datasetPath(name)
+    val existing = DatasetConfig.load(fs, p).getOrElse(
+      throw new IllegalArgumentException(s"no such dataset: $name"))
+    val updated = existing.copy(
+      compression = compression.getOrElse(existing.compression),
+      publicUrlPrefix = publicUrlPrefix.getOrElse(existing.publicUrlPrefix))
+    DatasetConfig.save(fs, p, updated)
+    updated
+  }
+
+  /** Statement-store handle for a dataset, shard count from its config
+    * (reference repository factories, catalog.py:5-9).
+    */
+  def store(name: String): StatementStore = {
+    val p = datasetPath(name)
+    val shards = DatasetConfig.load(fs, p).map(_.shards).getOrElse(16)
+    new StatementStore(spark, p.toString, shards)
+  }
+
+  /** Journal handle for a dataset (same addressing as [[store]]). */
+  def journal(name: String): Journal =
+    new Journal(spark, datasetPath(name).toString)
+
+  /** Catalog-wide dataset metadata as a DataFrame: one row per dataset
+    * with its config fields, current store version and config snapshot
+    * count (reference cli/__init__.py:176-186 `datasets` — the
+    * aggregation the API serves for "what is in this lake"). Pure driver
+    * metadata (no data-file scan) packed into a local DataFrame so it
+    * composes with SQL like every other surface.
+    */
+  def index(): DataFrame = {
+    import spark.implicits._
+    listDatasets().map { name =>
+      val p = datasetPath(name)
+      val cfg = DatasetConfig.load(fs, p).get
+      val version = Manifest.currentVersion(fs, p)
+      (name, cfg.shards, cfg.compression, cfg.publicUrlPrefix.getOrElse(""),
+        version, DatasetConfig.versions(fs, p))
+    }.toDF("dataset", "shards", "compression", "public_url_prefix",
+      "store_version", "config_versions")
+  }
+
+  /** Aggregated `catalog.json` at the catalog root: the list of datasets
+    * with their metadata — the multi-dataset twin of the per-dataset
+    * `index.json` [[graft.ops.Make]] emits (reference get_dataset_index
+    * fallback semantics, catalog.py:66-78: published index enriched from
+    * config). Returns the written path.
+    */
+  def writeIndex(): String = {
+    val entries = listDatasets().map { name =>
+      val p = datasetPath(name)
+      val cfg = DatasetConfig.load(fs, p).get
+      val version = Manifest.currentVersion(fs, p)
+      val fields = Seq(
+        "\"name\":\"" + name + "\"",
+        "\"shards\":" + cfg.shards,
+        "\"compression\":\"" + cfg.compression + "\"",
+        "\"version\":" + version) ++
+        cfg.publicUrlPrefix.map(u => "\"url\":\"" + u + "\"")
+      fields.mkString("{", ",", "}")
+    }
+    val body = s"""{"datasets":[${entries.mkString(",")}],"updated_at":"${java.time.Instant.now()}"}"""
+    val out = new Path(root, "catalog.json")
+    FsOps.writeSmall(fs, out, body.getBytes("UTF-8"))
+    out.toString
+  }
+}
+
+object Catalog {
+
+  /** Reserved names that are never datasets (reference util.py:183-189). */
+  val ReservedNames: Set[String] = Set("catalog", "default")
+
+  def isValidName(name: String): Boolean =
+    name.matches("[a-z0-9][a-z0-9_-]*") && !ReservedNames.contains(name)
+
+  /** Lowercase alphanumeric/underscore/dash, non-reserved — the same check
+    * at every external entry point so a name is path- and SQL-safe
+    * downstream (reference util.py:167-191 `validate_dataset_name`).
+    */
+  def validateName(name: String): String = {
+    require(name.nonEmpty, "dataset name must not be empty")
+    require(!ReservedNames.contains(name), s"invalid dataset name: `$name` (reserved)")
+    require(name.matches("[a-z0-9][a-z0-9_-]*"), s"invalid dataset name: `$name`")
+    name
+  }
+}

@@ -253,6 +253,33 @@ object StatementOps {
     stmtOut(store.raw)
   }
 
+  // Multi-dataset catalog end to end (reference catalog.py): two datasets
+  // created under one lake root via ensureDataset, each holding a
+  // deterministic half of the statement table; the catalog enumerates
+  // them and aggregates per-dataset statistics from each store's
+  // snapshot. The catalog surface itself is driver metadata — the only
+  // distributed work is the per-dataset count aggregation.
+  def c1CatalogStats(spark: SparkSession, dir: String): DataFrame = {
+    val lakeRoot = F.stageTempPath(spark, "lake")
+    val cat = new graft.lake.Catalog(spark, lakeRoot)
+    val st = stmts(spark, dir)
+    val half = pmod(substring(col("entity_id"), 2, 100).cast("long"), lit(2))
+    cat.ensureDataset("alpha", shards = EventStatements.Shards)
+    cat.ensureDataset("beta", shards = EventStatements.Shards)
+    cat.store("alpha").append(st.filter(half === 0))
+    cat.store("beta").append(st.filter(half === 1))
+    cat.writeIndex()
+    // enumerate through the catalog (not the names we just used) so the
+    // listing itself is on the verified path
+    cat.listDatasets()
+      .map(name => cat.store(name).raw.withColumn("dataset", lit(name)))
+      .reduce(_.unionByName(_))
+      .groupBy(col("dataset"))
+      .agg(countDistinct(col("id")).as("n_statements"),
+        countDistinct(col("entity_id")).as("n_entities"))
+      .orderBy(col("dataset"))
+  }
+
   // O5: entity ordering by a property value — per-entity sort key via
   // aggregation, then global top-k on (key, id).
   def o5OrderByProp(spark: SparkSession, dir: String): DataFrame = {
@@ -345,6 +372,7 @@ object StatementOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_merge_dedupe" -> (a1MergeDedupe _),
     "s3_store_roundtrip" -> (s3StoreRoundtrip _),
+    "c1_catalog_stats" -> (c1CatalogStats _),
     "a3_changed_canonical" -> (a3ChangedCanonical _),
     "a4_entity_assembly" -> (a4EntityAssembly _),
     "a4b_assembly_canonical" -> (a4bAssemblyCanonical _),
@@ -369,6 +397,16 @@ object StatementOps {
   val oracle: Map[String, String] = Map(
     "a1_merge_dedupe" -> s"$mergeCte\n$stmtOutSql",
     "s3_store_roundtrip" -> s"$mergeCte\n$stmtOutSql",
+    "c1_catalog_stats" ->
+      s"""WITH stmts AS (${EventStatements.SQL}),
+         |tagged AS (
+         |  SELECT CASE WHEN CAST(substr(entity_id, 2) AS BIGINT) % 2 = 0
+         |    THEN 'alpha' ELSE 'beta' END AS dataset, id, entity_id
+         |  FROM stmts)
+         |SELECT dataset,
+         |  COUNT(DISTINCT id) AS n_statements,
+         |  COUNT(DISTINCT entity_id) AS n_entities
+         |FROM tagged GROUP BY dataset ORDER BY dataset""".stripMargin,
     "a3_changed_canonical" ->
       s"""WITH stmts0 AS (${EventStatements.SQL}),
          |stmts AS (

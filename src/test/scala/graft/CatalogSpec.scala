@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.lake.{Catalog, DatasetConfig}
+
+/** Multi-dataset catalog: enumeration, addressing, get-or-create, config
+  * merge + versioning, and the aggregated catalog index (reference
+  * catalog.py + cli `ls`/`datasets` shapes).
+  */
+class CatalogSpec extends SparkSpec {
+
+  private def mkStatements(n: Int) = {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    (0 until n).map { i =>
+      graft.model.Statement(
+        shard = (i % 4).toString, id = s"id$i", entity_id = s"e${i % 10}",
+        dataset = "ds", bucket = "thing", origin = "o1", source = None,
+        schema = "Person", prop = "name", prop_type = "string",
+        value = s"v$i", original_value = None, lang = None, external = false,
+        first_seen = ts, last_seen = ts, fragment = "", deleted_at = None)
+    }.toDS().toDF()
+  }
+
+  test("name validation: reserved and malformed names rejected at the addressing boundary") {
+    val cat = new Catalog(spark, Files.createTempDirectory("graft-cat").toString)
+    intercept[IllegalArgumentException](cat.datasetPath("catalog"))
+    intercept[IllegalArgumentException](cat.datasetPath("default"))
+    intercept[IllegalArgumentException](cat.datasetPath("Bad Name"))
+    intercept[IllegalArgumentException](cat.datasetPath(""))
+    intercept[IllegalArgumentException](cat.datasetPath("../escape"))
+    assert(Catalog.validateName("big_leak-2024") == "big_leak-2024")
+  }
+
+  test("ensure/list/exists lifecycle: creation records config, re-ensure ignores new settings") {
+    val cat = new Catalog(spark, Files.createTempDirectory("graft-cat").toString)
+    assert(cat.listDatasets().isEmpty)
+    assert(!cat.datasetExists("alpha"))
+
+    val created = cat.ensureDataset("alpha", shards = 8)
+    assert(created.shards == 8)
+    assert(cat.datasetExists("alpha"))
+
+    // get-or-create: data ignored when the dataset already exists
+    val again = cat.ensureDataset("alpha", shards = 32)
+    assert(again.shards == 8)
+
+    cat.ensureDataset("beta")
+    assert(cat.listDatasets() == Seq("alpha", "beta"))
+
+    // a bare directory without a config is not a dataset
+    Files.createDirectory(java.nio.file.Paths.get(cat.rootStr, "not_a_dataset"))
+    assert(cat.listDatasets() == Seq("alpha", "beta"))
+  }
+
+  test("updateDataset merges fields, keeps versioned snapshots, shards stay immutable") {
+    val cat = new Catalog(spark, Files.createTempDirectory("graft-cat").toString)
+    cat.ensureDataset("alpha", shards = 4, compression = "gzip")
+    val updated = cat.updateDataset("alpha", compression = Some("zstd"),
+      publicUrlPrefix = Some(Some("https://example.org/data")))
+    assert(updated.compression == "zstd")
+    assert(updated.shards == 4)
+    val fs = new org.apache.hadoop.fs.Path(cat.rootStr)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(DatasetConfig.versions(fs, cat.datasetPath("alpha")) == 2)
+    intercept[IllegalArgumentException](cat.updateDataset("ghost"))
+  }
+
+  test("per-dataset stores are isolated; index aggregates catalog-wide metadata") {
+    val cat = new Catalog(spark, Files.createTempDirectory("graft-cat").toString)
+    cat.ensureDataset("alpha", shards = 4)
+    cat.ensureDataset("beta", shards = 4)
+    cat.store("alpha").append(mkStatements(20))
+    cat.store("beta").append(mkStatements(6))
+    assert(cat.store("alpha").raw.count() == 20)
+    assert(cat.store("beta").raw.count() == 6)
+
+    val idx = cat.index().collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(idx.keySet == Set("alpha", "beta"))
+    assert(idx("alpha") == 0L && idx("beta") == 0L) // both at first commit
+
+    val written = cat.writeIndex()
+    val body = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(new java.net.URI(
+        new org.apache.hadoop.fs.Path(written).toUri.toString).getPath)), "UTF-8")
+    assert(body.contains("\"name\":\"alpha\"") && body.contains("\"name\":\"beta\""))
+  }
+}
