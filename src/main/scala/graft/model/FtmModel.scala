@@ -1,43 +1,45 @@
 package graft.model
 
-/** Embedded mini FollowTheMoney ontology: the schema inheritance lattice,
-  * property→type map, caption-property lists, and schema→bucket routing the
-  * engine needs (reference consumes the `followthemoney` library for this —
-  * SURVEY.md §1.3; bucket routing docs/architecture.md:99).
+/** FollowTheMoney ontology: the schema inheritance lattice, property→type
+  * map, caption-property lists, and schema→bucket routing the engine needs
+  * (reference consumes the `followthemoney` library for this — SURVEY.md
+  * §1.3; bucket routing docs/architecture.md:99).
   *
-  * Driver-side lookup data only — broadcast-friendly plain maps, no
-  * Catalyst involvement. The set below covers the schemas the reference's
-  * own tests exercise; extending it is data, not code.
+  * The DATA lives in the versioned resource `graft/ftm-model.tsv` — a
+  * snapshot of the published FtM model (~60 schemata: legal entities,
+  * assets like Vessel/Airplane/Security, relationship intervals like
+  * Sanction/Passport/Directorship, the document tree) — so extending the
+  * ontology is a data edit, never code. This object is the loader plus the
+  * lattice algorithms. Driver-side lookup maps only — broadcast-friendly,
+  * no Catalyst involvement.
   */
 object FtmModel {
 
+  // resource lines, tab-split, comments/blanks dropped — parsed once at
+  // class init and held as plain maps for the life of the JVM
+  private val modelLines: List[Array[String]] = {
+    val in = getClass.getResourceAsStream("/graft/ftm-model.tsv")
+    require(in != null, "FtM model resource graft/ftm-model.tsv missing from classpath")
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map(_.split("\t", -1)).toList
+    finally in.close()
+  }
+
+  /** Model snapshot version (the resource's `# version:` header). */
+  val modelVersion: String = {
+    val in = getClass.getResourceAsStream("/graft/ftm-model.tsv")
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .collectFirst { case l if l.startsWith("# version:") => l.stripPrefix("# version:").trim }
+      .getOrElse("unversioned")
+    finally in.close()
+  }
+
   /** schema → parent schemas (multiple inheritance, like FtM). */
-  val parents: Map[String, Seq[String]] = Map(
-    "Thing" -> Seq.empty,
-    "Interval" -> Seq.empty,
-    "Analyzable" -> Seq.empty,
-    "LegalEntity" -> Seq("Thing"),
-    "Person" -> Seq("LegalEntity"),
-    "Company" -> Seq("Organization", "Asset"),
-    "Organization" -> Seq("LegalEntity"),
-    "Asset" -> Seq("Thing"),
-    "Document" -> Seq("Thing", "Analyzable"),
-    "Pages" -> Seq("Document"),
-    "Folder" -> Seq("Document"),
-    "PlainText" -> Seq("Document"),
-    "Table" -> Seq("Document"),
-    "Image" -> Seq("Document"),
-    "Audio" -> Seq("Document"),
-    "Video" -> Seq("Document"),
-    "HyperText" -> Seq("Document"),
-    "Email" -> Seq("Document", "Interval"),
-    "Event" -> Seq("Interval", "Analyzable"),
-    "Ownership" -> Seq("Interval"),
-    "Membership" -> Seq("Interval"),
-    "Page" -> Seq.empty,
-    "Mention" -> Seq.empty,
-    "Address" -> Seq("Thing"),
-    "Payment" -> Seq("Interval"))
+  val parents: Map[String, Seq[String]] = modelLines.collect {
+    case a if a(0) == "S" =>
+      a(1) -> (if (a.length > 2) a(2).split(',').filter(_.nonEmpty).toSeq else Seq.empty)
+  }.toMap
 
   /** All ancestors of a schema including itself. */
   def ancestors(schema: String): Set[String] = {
@@ -70,19 +72,13 @@ object FtmModel {
 
   /** Per-schema caption declarations (first populated property wins —
     * reference schema.caption via logic/entities/aggregate.py:134-137;
-    * lists mirror the published FtM model's caption fields).
+    * lists mirror the published FtM model's caption fields; data from the
+    * versioned resource).
     */
-  private val ownCaption: Map[String, Seq[String]] = Map(
-    "Thing" -> Seq("name"),
-    "LegalEntity" -> Seq("name"),
-    "Person" -> Seq("name", "lastName", "firstName"),
-    "Organization" -> Seq("name"),
-    "Company" -> Seq("name"),
-    "Document" -> Seq("fileName", "title", "name"),
-    "Email" -> Seq("subject", "fileName", "title"),
-    "Address" -> Seq("full"),
-    "Event" -> Seq("name"),
-    "Asset" -> Seq("name"))
+  private val ownCaption: Map[String, Seq[String]] = modelLines.collect {
+    case a if a(0) == "S" && a.length > 3 && a(3).nonEmpty =>
+      a(1) -> a(3).split(',').filter(_.nonEmpty).toSeq
+  }.toMap
 
   /** Caption properties in preference order for a schema: the schema's own
     * declaration, else the nearest ancestor's (breadth-first up the
@@ -112,21 +108,18 @@ object FtmModel {
     else "interval"
   }
 
-  /** Property → FtM type name (drives `prop_type` and lang nulling). */
-  val propTypes: Map[String, String] = Map(
-    "name" -> "name", "title" -> "string", "fileName" -> "string",
-    "email" -> "email", "country" -> "country", "nationality" -> "country",
-    "birthDate" -> "date", "incorporationDate" -> "date", "date" -> "date",
-    "startDate" -> "date", "endDate" -> "date",
-    "contentHash" -> "checksum", "parent" -> "entity", "owner" -> "entity",
-    "asset" -> "entity", "member" -> "entity", "organization" -> "entity",
-    "bodyText" -> "text", "indexText" -> "text",
-    "mimeType" -> "mimetype", "fileSize" -> "number", "amount" -> "number")
-    .withDefaultValue("string")
+  /** Property → FtM type name (drives `prop_type` and lang nulling).
+    * Global best-effort map from the versioned resource; unknown
+    * properties default to `string` exactly like before.
+    */
+  val propTypes: Map[String, String] = modelLines.collect {
+    case Array("P", prop, tpe) => prop -> tpe
+  }.toMap.withDefaultValue("string")
 
   /** Types whose values carry no language (lang gets nulled on import). */
   val nonLinguistic: Set[String] =
-    Set("date", "country", "email", "checksum", "entity", "mimetype", "number", "url")
+    Set("date", "country", "email", "checksum", "entity", "mimetype",
+      "number", "url", "identifier", "phone", "gender", "language", "topic")
 
   /** Columnar twin of [[schemaForMime]] for statement-volume routing. */
   def schemaForMimeCol(mime: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {

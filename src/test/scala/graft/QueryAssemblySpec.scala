@@ -36,13 +36,37 @@ class QueryAssemblySpec extends SparkSpec {
 
   test("schema lattice: descendants, most-specific, buckets") {
     assert(FtmModel.descendants("Document").contains("Pages"))
-    assert(FtmModel.descendants("LegalEntity") == Set("LegalEntity", "Person", "Company", "Organization"))
+    assert(FtmModel.descendants("LegalEntity") ==
+      Set("LegalEntity", "Person", "Company", "Organization", "PublicBody"))
     assert(FtmModel.mostSpecific(Set("Thing", "LegalEntity", "Person")) == "Person")
     // incomparable set falls back to deepest common ancestor
     assert(FtmModel.mostSpecific(Set("Person", "Company")) == "LegalEntity")
     assert(FtmModel.bucketOf("Pages") == "pages")
     assert(FtmModel.bucketOf("Person") == "thing")
     assert(FtmModel.bucketOf("Membership") == "interval")
+  }
+
+  test("full-model breadth: asset/identification/sanction schemata resolve, not defaults") {
+    // the resource-backed model covers the published FtM breadth — these
+    // schemata previously fell to default bucket/caption silently
+    assert(FtmModel.parents.size >= 60)
+    assert(FtmModel.bucketOf("Vessel") == "thing")     // Vehicle → Asset → Thing
+    assert(FtmModel.bucketOf("Sanction") == "interval")
+    assert(FtmModel.bucketOf("Passport") == "interval")
+    assert(FtmModel.bucketOf("Workbook") == "document") // Folder → Document
+    assert(FtmModel.ancestors("Airplane").contains("Asset"))
+    assert(FtmModel.descendants("Asset").contains("Company"))
+    assert(FtmModel.mostSpecific(Set("Vehicle", "Vessel")) == "Vessel")
+    // caption declarations + BFS inheritance over the wider lattice
+    assert(FtmModel.captionProps("Passport") == Seq("passportNumber", "number"))
+    assert(FtmModel.captionProps("Airplane") == Seq("registrationNumber", "name"))
+    assert(FtmModel.captionProps("BankAccount") == Seq("accountNumber", "iban"))
+    // property typing from the resource map
+    assert(FtmModel.propTypes("passportNumber") == "identifier")
+    assert(FtmModel.propTypes("jurisdiction") == "country")
+    assert(FtmModel.propTypes("notAProperty") == "string")
+    assert(FtmModel.nonLinguistic.contains("identifier"))
+    assert(FtmModel.modelVersion.nonEmpty && FtmModel.modelVersion != "unversioned")
   }
 
   test("schemata filter expands to descendants and prunes buckets") {
