@@ -64,23 +64,86 @@ class Journal(spark: SparkSession, rootStr: String) {
     else spark.read.schema(Statement.schema).parquet(files.map(_.toString): _*)
   }
 
+  private val quarantine = new Path(root, "_malformed")
+
+  /** Quarantined journal content (unreadable staged files + rows failing
+    * statement invariants) — the bad-row side-channel kept for forensics
+    * instead of aborting or silently dropping (reference
+    * storage/journal/base.py:159-187 logs and skips malformed rows so one
+    * corrupt row can't abort the whole flush).
+    */
+  def malformedFiles(): Seq[String] =
+    if (!fs.exists(quarantine)) Seq.empty
+    else fs.listStatus(quarantine).map(_.getPath.getName).toSeq.sorted
+
+  /** Split staged files into (readable, corrupt) by probing each parquet
+    * footer on the bounded driver IO pool — O(staged files) metadata round
+    * trips, no data read.
+    */
+  private def probeReadable(files: Seq[Path]): (Seq[Path], Seq[Path]) = {
+    val conf = spark.sessionState.newHadoopConf()
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = FsOps.driverIoPool
+    val probed = Await.result(
+      Future.traverse(files) { f =>
+        Future(f -> scala.util.Try {
+          org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf)).close()
+        }.isSuccess)
+      }, Duration.Inf)
+    (probed.collect { case (f, true) => f }, probed.collect { case (f, false) => f })
+  }
+
+  /** Rows a drain refuses to append: the fields every downstream operator
+    * keys on must be present (the parquet twin of the reference's
+    * unpack_statement failures — a wire row missing its key fields).
+    */
+  private val validRow: org.apache.spark.sql.Column =
+    col("id").isNotNull && length(col("id")) > 0 &&
+      col("entity_id").isNotNull && length(col("entity_id")) > 0 &&
+      col("prop").isNotNull && col("fragment").isNotNull &&
+      col("last_seen").isNotNull
+
   /** Drain the journal into the store: last-writer-wins upsert per
     * `(id, fragment, origin)`, tombstone `last_seen` bump (F7: a delete
     * must win the merge tiebreak), one sorted partitioned append, then
     * delete exactly the staged files that were read.
+    *
+    * Malformed content never aborts the drain (reference
+    * storage/journal/base.py:159-187): staged files with unreadable
+    * footers and rows failing statement invariants are moved/written to
+    * the `_malformed` quarantine (logged, kept for forensics) and the
+    * remaining rows drain normally.
     */
   def drain(store: StatementStore): Long = {
     val files = stagedFiles()
     if (files.isEmpty) return store.version
-    val staged = spark.read.schema(Statement.schema).parquet(files.map(_.toString): _*)
+    val (readable, corrupt) = probeReadable(files)
+    if (corrupt.nonEmpty) {
+      FsOps.mkdirs(fs, quarantine)
+      corrupt.foreach { f =>
+        System.err.println(s"[journal] quarantining unreadable staged file: ${f.getName}")
+        FsOps.rename(fs, f, new Path(quarantine, f.getName))
+      }
+    }
+    if (readable.isEmpty) return store.version
+    val staged = spark.read.schema(Statement.schema).parquet(readable.map(_.toString): _*)
+    val bad = staged.filter(!validRow)
+    val badCount = bad.count()
+    if (badCount > 0) {
+      System.err.println(s"[journal] quarantining $badCount malformed row(s) to ${quarantine}")
+      bad.write.mode("append")
+        .parquet(new Path(quarantine, "rows").toString)
+    }
     val w = Window.partitionBy(col("id"), col("fragment"), col("origin"))
       .orderBy(col("last_seen").desc, col("deleted_at").desc_nulls_last)
-    val upserted = staged
+    val upserted = staged.filter(validRow)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
       .withColumn("last_seen", coalesce(col("deleted_at"), col("last_seen")))
     val v = store.append(upserted)
-    files.foreach(f => fs.delete(f, false))
+    readable.foreach(f => fs.delete(f, false))
     v
   }
 }

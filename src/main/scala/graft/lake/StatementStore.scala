@@ -91,7 +91,8 @@ class StatementStore(val spark: SparkSession, val rootStr: String, val shards: I
     * collide with existing files. Returns the fresh relative paths.
     */
   private def writeStaged(df: DataFrame, sortCols: Seq[Column],
-      preClustered: Boolean = false): Set[String] = {
+      preClustered: Boolean = false,
+      compression: Option[String] = None): Set[String] = {
     val stage = new Path(root, s"_graft/ingest/${java.util.UUID.randomUUID().toString}")
     val clustered =
       if (preClustered) df.select(Statement.columns.map(col): _*)
@@ -102,10 +103,11 @@ class StatementStore(val spark: SparkSession, val rootStr: String, val shards: I
     // when the child's ordering doesn't prefix-match — paying a second
     // full sort of the batch and de-stabilizing the intended in-file
     // order. With the prefix in place the writer reuses this single sort.
-    clustered
+    val writer = clustered
       .sortWithinPartitions((Statement.partitionColumns.map(col) ++ sortCols): _*)
       .write.partitionBy(Statement.partitionColumns: _*)
-      .mode("overwrite").parquet(stage.toString)
+    compression.foreach(c => writer.option("compression", c))
+    writer.mode("overwrite").parquet(stage.toString)
     val stageBase = stage.toUri.getPath.stripSuffix("/")
     val moves = scala.collection.mutable.ArrayBuffer.empty[(Path, Path, String)]
     val it = fs.listFiles(stage, true)
@@ -222,20 +224,83 @@ class StatementStore(val spark: SparkSession, val rootStr: String, val shards: I
         (liveStats -- dirtyFiles) ++ statsFor(fresh))
     }
 
-  /** S6: bin-pack partitions that have fragmented into more than
-    * `maxFilesPerPartition` files. Old files become vacuum-able.
+  /** Default bin-pack target: 128 MiB output files — the conventional
+    * lakehouse sweet spot (row-group-aligned reads, manifests stay
+    * O(10⁵) lines at 100 TB). The reference compacts to ftmq's
+    * TARGET_SIZE the same way (storage/parquet.py:696-705).
     */
-  def compact(maxFilesPerPartition: Int = 4): Long = Locks.withLock(fs, root) {
-    val liveSet = Manifest.liveFiles(fs, root)
-    val crowded = liveSet.groupBy(partitionOf).filter(_._2.size > maxFilesPerPartition)
-    if (crowded.isEmpty) return version
-    val files = crowded.values.flatten.toSet
-    val packed = spark.read.schema(Statement.schema).option("basePath", root.toString)
-      .parquet(files.toSeq.sorted.map(f => s"$rootStr/$f"): _*)
-    val fresh = writeStaged(packed, Seq(
-      col("entity_id"), col("fragment"), col("prop"), col("id"), col("last_seen").desc))
-    Manifest.commit(fs, root, (liveSet -- files) ++ fresh, "compact",
-      (Manifest.liveStats(fs, root) -- files) ++ statsFor(fresh))
+  val DefaultTargetFileBytes: Long = 128L << 20
+
+  /** Per-bucket parquet writer profile (reference `writer_for_bucket`,
+    * storage/parquet.py:541,660-662): document-tree buckets carry long
+    * text values where zstd's ratio pays for itself; the hot
+    * thing/interval buckets keep snappy's cheap decode.
+    */
+  def compressionForBucket(bucket: String): String = bucket match {
+    case "document" | "page" | "pages" => "zstd"
+    case _ => "snappy"
+  }
+
+  /** S6: bin-pack small files, Delta-OPTIMIZE-style (reference
+    * storage/parquet.py:685-706): within each partition, files smaller
+    * than `targetFileBytes` are rewritten into ~target-size outputs once
+    * more than `maxFilesPerPartition` of them accumulate; files already
+    * at/above target are left alone (compact never splits). Each
+    * partition's rewrite lands in `ceil(smallBytes / target)` files via a
+    * deterministic entity-hash salt — a 1 TB backlog packs through
+    * parallel tasks, never one writer task per partition. Writes are
+    * grouped per bucket so each bucket gets its writer profile
+    * ([[compressionForBucket]]); one manifest commit covers all buckets.
+    * Old files become vacuum-able.
+    */
+  def compact(maxFilesPerPartition: Int = 4,
+      targetFileBytes: Long = DefaultTargetFileBytes): Long = Locks.withLock(fs, root) {
+    val (liveSet, liveStats) = Manifest.liveState(fs, root)
+    // file sizes: independent driver metadata reads on the bounded pool
+    val sizes: Map[String, Long] = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = FsOps.driverIoPool
+      Await.result(
+        Future.traverse(liveSet.toSeq) { f =>
+          Future(f -> fs.getFileStatus(new Path(root, f)).getLen)
+        }, Duration.Inf).toMap
+    }
+    // candidates: partitions holding more than the allowed number of
+    // sub-target files (those pack; full-size files are untouched)
+    val smallByPartition: Map[String, Set[String]] = liveSet
+      .groupBy(partitionOf)
+      .map { case (p, fls) => p -> fls.filter(f => sizes.getOrElse(f, 0L) < targetFileBytes) }
+      .filter(_._2.size > maxFilesPerPartition)
+    if (smallByPartition.isEmpty) return version
+    val nOutFiles: Map[String, Int] = smallByPartition.map { case (p, fls) =>
+      p -> math.max(1L, (fls.iterator.map(sizes.getOrElse(_, 0L)).sum
+        + targetFileBytes - 1) / targetFileBytes).toInt
+    }
+    val rewritten = smallByPartition.values.flatten.toSet
+    val bucketOf = (p: String) => p.split('/')(1).stripPrefix("bucket=")
+    val sortCols = Seq(
+      col("entity_id"), col("fragment"), col("prop"), col("id"), col("last_seen").desc)
+    // hive-format partition key rebuilt from the columns — matches the
+    // relative-path prefix the manifest uses for the same values
+    val partKey = concat(
+      lit("shard="), col("shard"), lit("/bucket="), col("bucket"),
+      lit("/origin="), col("origin"))
+    val fresh = smallByPartition.keys.groupBy(bucketOf).flatMap { case (bucket, parts) =>
+      val files = parts.flatMap(smallByPartition).toSeq.sorted
+      val packed = spark.read.schema(Statement.schema).option("basePath", root.toString)
+        .parquet(files.map(f => s"$rootStr/$f"): _*)
+        // deterministic per-partition salt spreads a large backlog over
+        // ceil(bytes/target) writer tasks — each (partition, salt) group
+        // is one task and one output file
+        .withColumn("__salt", pmod(hash(col("entity_id")),
+          coalesce(element_at(typedLit(nOutFiles), partKey), lit(1))))
+        .repartition((Statement.partitionColumns.map(col) :+ col("__salt")): _*)
+      writeStaged(packed, sortCols, preClustered = true,
+        compression = Some(compressionForBucket(bucket)))
+    }.toSet
+    Manifest.commit(fs, root, (liveSet -- rewritten) ++ fresh, "compact",
+      (liveStats -- rewritten) ++ statsFor(fresh))
   }
 
   /** S7: delete files referenced by NO retained snapshot. Retention keeps

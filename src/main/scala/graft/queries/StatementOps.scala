@@ -207,9 +207,14 @@ object StatementOps {
       "text/csv", "image/png", "audio/mpeg", "video/mp4", "message/rfc822",
       "application/octet-stream", "inode/directory").map(lit): _*)
     val mime = element_at(mimes, (pmod(col("event_id"), lit(10)) + 1).cast("int"))
-    Tables.events(spark, dir).select(
-      col("event_id"), mime.as("mime"),
-      graft.model.FtmModel.schemaForMimeCol(mime).as("doc_schema"))
+    // two-step projection: the mime expression feeds the 10-branch routing
+    // CASE — computed once per row here, instead of being re-inlined into
+    // every branch (CollapseProject keeps the split: the producing
+    // expression is non-cheap and multiply-referenced)
+    Tables.events(spark, dir)
+      .select(col("event_id"), mime.as("mime"))
+      .select(col("event_id"), col("mime"),
+        graft.model.FtmModel.schemaForMimeCol(col("mime")).as("doc_schema"))
       .orderBy(col("event_id"))
   }
 

@@ -20,9 +20,15 @@ import graft.query.FtmQuery._
   * Key routing mirrors ftmq: reserved statement-grain fields become
   * M-filters (`origin` and `schema` map onto the dedicated Query slots so
   * bucket pruning and descendant expansion still fire); any other key is
-  * an entity-grain property filter (P). The DoS caps are enforced by
-  * `FtmQuery.compile` on the resulting AST, so no wire string can smuggle
-  * an unbounded IN list past the boundary.
+  * an entity-grain property filter (P).
+  *
+  * The DoS caps ([[FtmQuery.MaxFilterLeaves]], [[FtmQuery.MaxInValues]])
+  * are enforced INSIDE the parser loops, before AST construction — the
+  * reference caps at the wire boundary the same way
+  * (api/dependencies.py:105-139). A hostile million-leaf `and()` or a
+  * ten-million-value IN tuple is rejected after reading cap+1 items, not
+  * after materializing the whole tree; `FtmQuery.compile` re-validates
+  * the AST as defense in depth for programmatically built queries.
   */
 object Rql {
 
@@ -63,7 +69,14 @@ object Rql {
       if (i < s.length && s(i) != ')') {
         args += parseArg()
         ws()
-        while (i < s.length && s(i) == ',') { i += 1; args += parseArg(); ws() }
+        while (i < s.length && s(i) == ',') {
+          // wire-boundary cap: an and() carries one call per filter leaf
+          // (+1 headroom for binary calls' key/value args) — stop reading
+          // a hostile arg list at the cap instead of materializing it
+          if (args.length > FtmQuery.MaxFilterLeaves)
+            fail(s"too many call arguments (cap ${FtmQuery.MaxFilterLeaves})")
+          i += 1; args += parseArg(); ws()
+        }
       }
       expect(')')
       Call(name, args.toList)
@@ -78,7 +91,13 @@ object Rql {
         if (i < s.length && s(i) != ')') {
           vals += atomText()
           ws()
-          while (i < s.length && s(i) == ',') { i += 1; vals += atomText(); ws() }
+          while (i < s.length && s(i) == ',') {
+            // wire-boundary cap: reject an oversized IN tuple after
+            // cap+1 values, before the list is built
+            if (vals.length >= FtmQuery.MaxInValues)
+              fail(s"too many IN values (cap ${FtmQuery.MaxInValues})")
+            i += 1; vals += atomText(); ws()
+          }
         }
         expect(')')
         Tuple(vals.toList)

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import graft.model.{FtmModel, Statement}
 import graft.ops.{EntityAssembly, Explode, MergeDedupe}
-import graft.query.FtmQuery
+import graft.query.{FtmQuery, Rql}
 import graft.query.FtmQuery._
 
 class QueryAssemblySpec extends SparkSpec {
@@ -143,6 +143,18 @@ class QueryAssemblySpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       FtmQuery.compile(Query(statementFilters = tooMany), fixture)
     }
+  }
+
+  test("RQL caps fire at the wire boundary, before AST construction") {
+    // an oversized IN tuple is rejected while parsing, not at compile
+    val hugeIn = s"in(name, (${(1 to FtmQuery.MaxInValues + 1).map("v" + _).mkString(",")}))"
+    intercept[IllegalArgumentException](Rql.parse(hugeIn))
+    // a hostile and() with too many leaves likewise dies in the parser
+    val hugeAnd = s"and(${(1 to FtmQuery.MaxFilterLeaves + 2).map(i => s"eq(k$i, v$i)").mkString(",")})"
+    intercept[IllegalArgumentException](Rql.parse(hugeAnd))
+    // at-cap queries still parse
+    val okIn = s"in(name, (${(1 to 100).map("v" + _).mkString(",")}))"
+    assert(Rql.parse(okIn).propFilters.head.values.length == 100)
   }
 
   test("entity assembly: caption, most-specific schema, property fold, origins") {

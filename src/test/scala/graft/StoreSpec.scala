@@ -132,6 +132,32 @@ class StoreSpec extends SparkSpec {
     assert(store.raw.count() == before)
   }
 
+  test("compact packs sub-target files per partition; full-size files are never rewritten") {
+    val dir = Files.createTempDirectory("graft-compact").toString
+    val store = new StatementStore(spark, dir, shards = 4)
+    (0 until 5).foreach(_ => store.append(mkStatements(30, "oC", "2024-01-02 00:00:00")))
+    val before = store.raw.count()
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def perPartition: Map[String, Int] = graft.lake.Manifest.liveFiles(fs, root)
+      .groupBy(_.split('/').take(3).mkString("/")).map { case (p, f) => p -> f.size }
+    assert(perPartition.values.max == 5)
+
+    // default 128 MiB target: every test file is sub-target → each
+    // partition packs to ceil(bytes/target) = 1 file
+    store.compact(maxFilesPerPartition = 1)
+    assert(perPartition.values.forall(_ == 1))
+    assert(store.raw.count() == before)
+
+    // a target below every file size means nothing qualifies as "small":
+    // compact must be a no-op even though partitions hold many files
+    (0 until 3).foreach(_ => store.append(mkStatements(30, "oC", "2024-01-03 00:00:00")))
+    val v = store.version
+    store.compact(maxFilesPerPartition = 1, targetFileBytes = 1L)
+    assert(store.version == v)
+    assert(perPartition.values.max == 4)
+  }
+
   test("concurrent appends serialize on the fence; both commits land") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
@@ -251,6 +277,41 @@ class StoreSpec extends SparkSpec {
     assert(byId("idB").getAs[Timestamp]("last_seen") == ts("2024-01-05 00:00:00"))
 
     // drained journal is idempotent: second drain is a no-op
+    val v = store.version
+    journal.drain(store)
+    assert(store.version == v)
+  }
+
+  test("journal drain quarantines corrupt files and malformed rows, drains the rest") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-journal-bad").toString
+    val store = new StatementStore(spark, dir, shards = 4)
+    val journal = new Journal(spark, dir)
+
+    val good = Statement("0", "idA", "e1", "ds", "thing", "o1", None, "Person",
+      "name", "string", "Alice", None, None, external = false,
+      ts("2024-01-01 00:00:00"), ts("2024-01-01 00:00:00"), "", None)
+    // rows failing statement invariants: empty id, null last_seen
+    val badId = good.copy(id = "", value = "NoId")
+    journal.write(Seq(good, badId).toDS().toDF())
+    journal.write(Seq(good.copy(id = "idB", entity_id = "e2")).toDS().toDF()
+      .withColumn("last_seen",
+        org.apache.spark.sql.functions.lit(null).cast("timestamp")))
+    // a staged file that is not parquet at all (torn write / corruption)
+    val junk = java.nio.file.Paths.get(dir, "_graft/journal/junk.parquet")
+    java.nio.file.Files.write(junk, "this is not parquet".getBytes("UTF-8"))
+
+    journal.drain(store)
+    // only the well-formed row landed
+    val rows = store.raw.collect()
+    assert(rows.length == 1 && rows.head.getAs[String]("id") == "idA")
+    // quarantine holds the junk file and the bad-row side table
+    val q = journal.malformedFiles()
+    assert(q.contains("junk.parquet"))
+    assert(q.contains("rows"))
+    val badRows = spark.read.parquet(s"$dir/_graft/journal/_malformed/rows")
+    assert(badRows.count() == 2)
+    // journal is drained; a second drain is a no-op that keeps the store
     val v = store.version
     journal.drain(store)
     assert(store.version == v)
