@@ -39,13 +39,15 @@ object Relational {
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
-  // Star join: fact lineitem joined to orders, then broadcast dimension
-  // chain customer -> nation -> region. At 100 TB the fact tables shuffle
-  // on the join key once; true dimensions stay broadcast (region/nation
-  // are tiny; projected 2-column customer fits). orders is a FACT table —
-  // no hint there: the planner/AQE broadcasts it at toy scale and shuffles
-  // it at real scale. A static hint on an unbounded side would OOM, never
-  // degrade.
+  // Star join: fact lineitem joined to orders, then the dimension chain
+  // customer -> nation -> region. Only nation/region carry explicit
+  // broadcast hints — their cardinality is FIXED by the schema (25/5
+  // rows), bounded at any scale factor. customer and orders SCALE with
+  // the data (customer is ~SF x 150k rows; a static hint on a scaling
+  // side hits the 8 GiB broadcast hard cap and fails outright instead of
+  // degrading) — AQE broadcasts the projected 2-column customer at toy
+  // scale and shuffles it at real scale, which is exactly the plan split
+  // we want.
   def q2StarJoin(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val o = Tables.orders(spark, dir)
@@ -54,7 +56,7 @@ object Relational {
     val r = Tables.region(spark, dir).select(col("r_regionkey"), col("r_name"))
     li.join(o.select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
