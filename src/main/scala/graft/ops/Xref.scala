@@ -51,20 +51,49 @@ object Xref {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Normalized blocking keys of the live view for the given identifying
+    * properties: distinct `(__block, entity_id)` rows.
+    */
+  def normalizedKeys(live: DataFrame, props: Seq[String],
+      normalize: Column => Column = identity): DataFrame =
+    live.filter(col("prop").isin(props: _*))
+      // a null normalized key carries no blocking signal and must not
+      // block: concat_ws silently skips null args, which would collapse
+      // every null-keyed row of a prop into one "<prop>" block and pair
+      // them with each other (SQL NULL keys never join — match that)
+      .filter(normalize(col("value")).isNotNull)
+      .select(concat_ws(":", col("prop"), normalize(col("value"))).as("__block"),
+        col("entity_id"))
+      .distinct()
+
   /** Statement-grain entry point: block the live view on (prop,
     * normalize(value)) for the given identifying properties.
     */
   def fromLive(live: DataFrame, props: Seq[String],
       normalize: Column => Column = identity,
       maxBlock: Int = 100, minShared: Int = 2): DataFrame =
-    candidates(
-      live.filter(col("prop").isin(props: _*))
-        // a null normalized key carries no blocking signal and must not
-        // block: concat_ws silently skips null args, which would collapse
-        // every null-keyed row of a prop into one "<prop>" block and pair
-        // them with each other (SQL NULL keys never join — match that)
-        .filter(normalize(col("value")).isNotNull)
-        .select(concat_ws(":", col("prop"), normalize(col("value"))).as("__block"),
-          col("entity_id")),
+    candidates(normalizedKeys(live, props, normalize),
       "__block", "entity_id", maxBlock, minShared)
+
+  /** Candidate pairs with a match score: the Jaccard of the two entities'
+    * normalized key sets (`n_shared / (|A| + |B| - n_shared)`) — the
+    * blocking-key overlap score real xref ranks candidates by before the
+    * expensive per-pair comparison. Scale shape: the candidate generation
+    * is [[fromLive]] (block-bounded); the scoring adds two key-count
+    * joins on entity id — aggregation is map-side partial, no new pair
+    * space.
+    */
+  def scoredFromLive(live: DataFrame, props: Seq[String],
+      normalize: Column => Column = identity,
+      maxBlock: Int = 100, minShared: Int = 2): DataFrame = {
+    val keys = normalizedKeys(live, props, normalize)
+    val cand = candidates(keys, "__block", "entity_id", maxBlock, minShared)
+    val counts = keys.groupBy(col("entity_id")).agg(count(lit(1)).as("__nk"))
+    cand
+      .join(counts.select(col("entity_id").as("id_a"), col("__nk").as("__na")), Seq("id_a"))
+      .join(counts.select(col("entity_id").as("id_b"), col("__nk").as("__nb")), Seq("id_b"))
+      .withColumn("score", col("n_shared").cast("double") /
+        (col("__na") + col("__nb") - col("n_shared")).cast("double"))
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("score"))
+  }
 }

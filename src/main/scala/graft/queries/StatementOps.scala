@@ -375,6 +375,15 @@ object StatementOps {
       maxBlock = 100, minShared = 5)
       .orderBy(col("id_a"), col("id_b"))
 
+  // Xref candidate scoring: key-set Jaccard over the normalized blocking
+  // keys — the overlap ranking real xref applies to candidates before the
+  // expensive per-pair comparison stage.
+  def x2XrefScores(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Xref.scoredFromLive(liveView(spark, dir), Seq("click", "view"),
+      v => floor(v.cast("decimal(10,2)")).cast("long"),
+      maxBlock = 100, minShared = 5)
+      .orderBy(col("id_a"), col("id_b"))
+
   // Set difference: entities appearing in the thing bucket but never in the
   // interval bucket (reference's DEL-detection shape, §2.7).
   def set1Except(spark: SparkSession, dir: String): DataFrame = {
@@ -407,7 +416,8 @@ object StatementOps {
     "j4_parent_chain" -> (j4ParentChain _),
     "p1_query_compile" -> (p1QueryCompile _),
     "set1_except" -> (set1Except _),
-    "x1_xref_candidates" -> (x1XrefCandidates _))
+    "x1_xref_candidates" -> (x1XrefCandidates _),
+    "x2_xref_scores" -> (x2XrefScores _))
 
   val oracle: Map[String, String] = Map(
     "a1_merge_dedupe" -> s"$mergeCte\n$stmtOutSql",
@@ -625,5 +635,30 @@ object StatementOps {
          |    AND a.entity_id < b.entity_id)
          |SELECT id_a, id_b, COUNT(*) AS n_shared
          |FROM pairs GROUP BY id_a, id_b HAVING COUNT(*) >= 5
-         |ORDER BY id_a, id_b""".stripMargin)
+         |ORDER BY id_a, id_b""".stripMargin,
+    "x2_xref_scores" ->
+      s"""$mergeCte,
+         |keys AS (
+         |  SELECT DISTINCT prop, CAST(floor(CAST(value AS DECIMAL(10,2))) AS BIGINT) AS k, entity_id
+         |  FROM live WHERE prop IN ('click','view')
+         |    AND CAST(floor(CAST(value AS DECIMAL(10,2))) AS BIGINT) IS NOT NULL),
+         |blocks AS (
+         |  SELECT prop, k FROM keys
+         |  GROUP BY prop, k HAVING COUNT(*) <= 100),
+         |pairs AS (
+         |  SELECT a.entity_id AS id_a, b.entity_id AS id_b
+         |  FROM keys a
+         |  JOIN blocks bl ON a.prop = bl.prop AND a.k = bl.k
+         |  JOIN keys b ON b.prop = a.prop AND b.k = a.k
+         |    AND a.entity_id < b.entity_id),
+         |shared AS (
+         |  SELECT id_a, id_b, COUNT(*) AS n_shared
+         |  FROM pairs GROUP BY id_a, id_b HAVING COUNT(*) >= 5),
+         |counts AS (SELECT entity_id, COUNT(*) AS nk FROM keys GROUP BY entity_id)
+         |SELECT s.id_a, s.id_b, s.n_shared,
+         |  CAST(s.n_shared AS DOUBLE) / (ca.nk + cb.nk - s.n_shared) AS score
+         |FROM shared s
+         |JOIN counts ca ON ca.entity_id = s.id_a
+         |JOIN counts cb ON cb.entity_id = s.id_b
+         |ORDER BY s.id_a, s.id_b""".stripMargin)
 }

@@ -190,6 +190,14 @@ object TrainingData {
     Similarity.nearDupPairs(emb(spark, dir), "vec_id", "label", 0.35)
       .orderBy(col("label"), col("id_a"), col("id_b"))
 
+  // SemDeDup-style semantic dedup: IVF cluster assignment (deterministic
+  // seed centroids) + within-cluster greedy cosine prune — the lowest id
+  // of each near-dup group survives. The curation op LLM pipelines run
+  // between exact dedupe and quality filtering.
+  def d9SemanticDedup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(emb(spark, dir), "vec_id", 8, 0.35)
+      .orderBy(col("vec_id"))
+
   // Label-free twin: blocks come from the embedding itself (sign-LSH over
   // the leading components) — the 100 TB path when no cluster label
   // exists. Same per-block pair loop, same quantized arithmetic.
@@ -432,6 +440,7 @@ object TrainingData {
     "e1_quantize_export" -> (e1QuantizeExport _),
     "d5_embed_dup" -> (d5EmbedDup _),
     "d5b_embed_dup_lsh" -> (d5bEmbedDupLsh _),
+    "d9_semantic_dedup" -> (d9SemanticDedup _),
     "sim1_topk" -> (sim1TopK _),
     "sim2_ann_bucket" -> (sim2AnnBucket _),
     "sim3_ivf_topk" -> (sim3IvfTopK _),
@@ -705,6 +714,23 @@ object TrainingData {
          |FROM p a JOIN p b ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE $simExpr > 0.35
          |ORDER BY a.label, id_a, id_b""".stripMargin,
+    "d9_semantic_dedup" ->
+      s"""WITH $qCte,
+         |cents AS (SELECT vec_id AS cid, qv AS kv, nrm AS knrm FROM p WHERE vec_id < 8),
+         |assign AS (
+         |  SELECT vec_id, qv, nrm, cid FROM (
+         |    SELECT p.vec_id, p.qv, p.nrm, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+         |        CAST(list_sum(list_transform(list_zip(p.qv, c.kv), z -> CAST(z[1] AS BIGINT)*z[2])) AS DOUBLE) / sqrt(CAST(p.nrm*c.knrm AS DOUBLE)) DESC,
+         |        c.cid) AS crn
+         |    FROM p CROSS JOIN cents c) WHERE crn = 1),
+         |dropped AS (
+         |  SELECT DISTINCT b.vec_id FROM assign a JOIN assign b
+         |    ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  WHERE $simExpr > 0.35)
+         |SELECT a.vec_id, a.cid AS cluster,
+         |  a.vec_id NOT IN (SELECT vec_id FROM dropped) AS keep
+         |FROM assign a ORDER BY a.vec_id""".stripMargin,
     "d5b_embed_dup_lsh" ->
       s"""WITH $qCte,
          |bkt AS (

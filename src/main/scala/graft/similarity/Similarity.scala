@@ -201,6 +201,52 @@ object Similarity {
       .toDF(blockCol, "id_a", "id_b")
   }
 
+  /** SemDeDup-style semantic deduplication: cluster the corpus with the
+    * IVF coarse quantizer (first `nlist` vectors as deterministic
+    * centroids — swap in trained k-means for production, as [[ivfTopK]]),
+    * then within each cluster drop every vector whose cosine to ANY
+    * lower-id cluster-mate exceeds `threshold` (greedy keep-first — the
+    * lowest id of a near-dup group is the surviving representative).
+    * Output: (id, cluster, keep).
+    *
+    * Scale shape: assignment is one broadcast of `nlist` centroids over a
+    * single corpus scan; the prune is one shuffle on the cluster id with
+    * a per-cluster primitive-array loop — pair space is per-cluster (the
+    * point of clustering first), never corpus-quadratic. Cluster size is
+    * corpus/nlist in expectation; size nlist to bound it.
+    */
+  def semanticDedup(emb: DataFrame, idCol: String, nlist: Int,
+      threshold: Double): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val prep = prepared(emb, idCol)
+    val cents = prep.filter(col(idCol) < nlist)
+      .select(col(idCol).as("__cid"), col("__q").as("__qk"), col("__n").as("__nk"))
+    val scored = prep.join(broadcast(cents))
+      .withColumn("__csim", cosineQ(col("__q"), col("__qk"), col("__n"), col("__nk")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__csim").desc, col("__cid"))
+    val assigned = scored.withColumn("__crn", row_number().over(w))
+      .filter(col("__crn") === 1)
+      .select(col(idCol), col("__cid"), col("__q"), col("__n"))
+    val dropped = assigned.select(
+      col("__cid").cast("int"), col(idCol).cast("long"), col("__q"), col("__n"))
+      .as[(Int, Long, Array[Long], Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, rows) =>
+        val vs = rows.toArray.sortBy(_._2)
+        for {
+          j <- vs.indices.iterator
+          if (0 until j).exists(i =>
+            cosineOf(vs(i)._3, vs(j)._3, vs(i)._4, vs(j)._4) > threshold)
+        } yield vs(j)._2
+      }
+      .toDF("__dropped_id")
+    assigned
+      .join(dropped, assigned(idCol) === col("__dropped_id"), "left_outer")
+      .select(col(idCol), col("__cid").as("cluster"),
+        col("__dropped_id").isNull.as("keep"))
+  }
+
   /** Scala twin of [[cosineQ]] — same exact-integer dot, same single IEEE
     * multiply/sqrt/divide, bit-identical result.
     */

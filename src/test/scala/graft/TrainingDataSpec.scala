@@ -113,6 +113,27 @@ class TrainingDataSpec extends SparkSpec {
     assert(!ann.contains(3L)) // opposite-sign vector is in another bucket
   }
 
+  test("semanticDedup: near-dups within a cluster drop, lowest id survives, cross-cluster kept") {
+    import spark.implicits._
+    // centroids = vec 0 and 1 (nlist=2): x-axis vs y-axis clusters.
+    // 2 is a near-dup of 0 (x cluster) and 3 of 1 (y cluster) → both drop,
+    // the lowest id of each cluster survives; 4 is in the x cluster but
+    // dissimilar to everything → kept alongside the representative.
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(0f, 1f, 0f, 0f)),
+      (2L, Seq(0.99f, 0.01f, 0f, 0f)),
+      (3L, Seq(0.1f, 0.95f, 0f, 0f)),
+      (4L, Seq(0.7f, 0.1f, 0.7f, 0f))).toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedup(vecs, "vec_id", nlist = 2, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got(0L) == (0L, true))   // cluster representative
+    assert(got(2L) == (0L, false))  // near-dup of 0 in the same cluster
+    assert(got(1L) == (1L, true))
+    assert(got(3L) == (1L, false))  // near-dup of 1 in the y cluster
+    assert(got(4L) == (0L, true))   // x cluster, but not similar → kept
+  }
+
   test("dupClusters: components get min-id labels, chains converge, parts stay apart") {
     import spark.implicits._
     import graft.dedupe.Dedupe
