@@ -105,6 +105,18 @@ class Journal(spark: SparkSession, rootStr: String) {
       col("prop").isNotNull && col("fragment").isNotNull &&
       col("last_seen").isNotNull
 
+  /** Delete all staged rows without draining them (reference
+    * storage/journal/base.py:193-196). Returns the number of rows
+    * discarded — counted from parquet footers, no data scan.
+    */
+  def clear(): Long = {
+    val files = stagedFiles()
+    if (files.isEmpty) return 0L
+    val n = count()
+    files.foreach(f => fs.delete(f, false))
+    n
+  }
+
   /** Drain the journal into the store: last-writer-wins upsert per
     * `(id, fragment, origin)`, tombstone `last_seen` bump (F7: a delete
     * must win the merge tiebreak), one sorted partitioned append, then

@@ -274,6 +274,23 @@ object TrainingData {
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .orderBy(col("doc_id"))
 
+  // Per-source frequency cap: keep at most N docs per source, ranked by
+  // a deterministic quality proxy (longest first, id tiebreak) — the
+  // over-represented-domain guard corpus curation applies so one crawl
+  // host can't dominate the training mix. Scale shape: one shuffle on
+  // source, per-partition rank window (a per-source heap, no global
+  // sort); the final orderBy is only the oracle-compare determinism.
+  def cur1SourceCap(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    docs(spark, dir)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("source"), col("doc_id"), col("n_chars"), col("rank"))
+      .orderBy(col("source"), col("rank"))
+  }
+
   // PII scrub: email/URL redaction with per-doc hit counts and the
   // fingerprint of the redacted text. Synthetic contacts are injected
   // deterministically so the scrub has real work on the test corpus.
@@ -447,6 +464,7 @@ object TrainingData {
     "sim4_kmeans_update" -> (sim4KmeansUpdate _),
     "d7_split_assign" -> (d7SplitAssign _),
     "smp1_stratified" -> (smp1Stratified _),
+    "cur1_source_cap" -> (cur1SourceCap _),
     "t6_scrub" -> (t6Scrub _),
     "dc1_decontam" -> (dc1Decontam _),
     "t7_repetition" -> (t7Repetition _),
@@ -817,6 +835,13 @@ object TrainingData {
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 5 = 0
         |ORDER BY doc_id""".stripMargin,
+    "cur1_source_cap" ->
+      """SELECT source, doc_id, n_chars, rank FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rank
+        |  FROM documents)
+        |WHERE rank <= 10
+        |ORDER BY source, rank""".stripMargin,
     "t6_scrub" ->
       """WITH e AS (
         |  SELECT doc_id, text ||

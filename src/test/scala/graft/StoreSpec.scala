@@ -315,6 +315,13 @@ class StoreSpec extends SparkSpec {
     val v = store.version
     journal.drain(store)
     assert(store.version == v)
+
+    // clear(): discard staged rows without draining (reference parity)
+    journal.write(Seq(good.copy(id = "idC")).toDS().toDF())
+    assert(journal.clear() == 1L)
+    assert(journal.count() == 0L)
+    journal.drain(store)
+    assert(store.raw.count() == 1) // cleared row never landed
   }
 
   test("default merge grace: fresh tombstones survive, stale ones are reaped") {
