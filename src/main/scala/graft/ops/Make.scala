@@ -66,6 +66,12 @@ object Make {
       case "zstd" | "zst" => ".zst"
       case _ => ""
     }
+    // the whole export pass runs under job lifecycle tracking (reference
+    // operation/make.py wraps exports in an ExportJob run): a crashed
+    // make leaves an inspectable failed run with the exception captured,
+    // a clean one records how many artifacts were (re)built
+    val jobs = new graft.lake.JobRepository(store.spark, store.rootStr, "MakeJob")
+    jobs.run() { h =>
     gated("statements.csv") {
       // full reference column set (model/statement.py:90-112) so the
       // artifact round-trips through statementsCsvImport
@@ -99,6 +105,8 @@ object Make {
     }
     gated("index.json") {
       writeIndex(store, outDir, datasetName, publicUrlPrefix)
+    }
+    h.save(done = done.size)
     }
     done.toList
   }
