@@ -14,6 +14,17 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * alike); entity emission for archived files feeds the normal statement
   * import path (S12).
   */
+object Archive {
+
+  /** Relative blob path for a checksum — the executor-side twin of
+    * [[Archive.keyPath]] (tasks address blobs without a driver handle).
+    */
+  def blobRel(checksum: String): String = {
+    require(checksum.matches("[0-9a-f]{64}"), s"invalid checksum: $checksum")
+    s"${checksum.substring(0, 2)}/${checksum.substring(2, 4)}/${checksum.substring(4, 6)}/$checksum/blob"
+  }
+}
+
 class Archive(fs: FileSystem, root: Path) {
 
   def checksumOf(bytes: Array[Byte]): String =
@@ -23,9 +34,7 @@ class Archive(fs: FileSystem, root: Path) {
   /** `ab/cd/ef/<sha256>` prefix path for a checksum (reference F9). */
   def keyPath(checksum: String): Path = {
     require(checksum.matches("[0-9a-f]{64}"), s"invalid checksum: $checksum")
-    new Path(new Path(new Path(new Path(root,
-      checksum.substring(0, 2)), checksum.substring(2, 4)),
-      checksum.substring(4, 6)), checksum)
+    new Path(root, Archive.blobRel(checksum)).getParent
   }
 
   /** Store a blob; returns its checksum. Idempotent per content. */

@@ -120,6 +120,71 @@ object Documents {
       col("size"), col("content_hash"), col("path"), col("public_url"))
   }
 
+  /** Download archived blobs into `targetRoot` under their resolved
+    * document paths (reference operation/download.py
+    * `DownloadArchiveOperation`: archive → target with "nice paths" from
+    * the documents export; files already present are skipped). Input is
+    * the [[documentsTable]] shape (`file_name`, `content_hash`, `path`).
+    * Returns (downloaded, skipped).
+    *
+    * Scale shape: the reference loops the copy on one node; here the
+    * (path, checksum) list partitions across the cluster and each task
+    * copies its files via the Hadoop FS API — the fan-out is the
+    * cluster's aggregate IO bandwidth, not a driver loop. Traversal-unsafe
+    * names are rejected in-task (the reference validates names at the
+    * boundary the same way, tests/test_security_origin_checksum_validation.py).
+    */
+  def downloadArchive(docs: DataFrame, archiveRoot: String,
+      targetRoot: String): (Long, Long) = {
+    import org.apache.spark.sql.functions.{col, concat_ws, lit}
+    val spark = docs.sparkSession
+    val done = spark.sparkContext.longAccumulator("graft_download_done")
+    val skipped = spark.sparkContext.longAccumulator("graft_download_skipped")
+    docs
+      .filter(col("content_hash").isNotNull && col("file_name").isNotNull)
+      .select(
+        concat_ws("/", col("path"), col("file_name")).as("rel"),
+        col("content_hash"))
+      .distinct()
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val aroot = new org.apache.hadoop.fs.Path(archiveRoot)
+        val troot = new org.apache.hadoop.fs.Path(targetRoot)
+        val afs = aroot.getFileSystem(conf)
+        val tfs = troot.getFileSystem(conf)
+        val buf = new Array[Byte](256 * 1024)
+        rows.foreach { r =>
+          val rel = r.getString(0)
+          val checksum = r.getString(1)
+          // path traversal guard: document names come from imported data
+          require(!rel.split('/').contains("..") && !rel.startsWith("/"),
+            s"unsafe document path: $rel")
+          val dest = new org.apache.hadoop.fs.Path(troot, rel)
+          if (tfs.exists(dest)) skipped.add(1)
+          else {
+            val src = new org.apache.hadoop.fs.Path(aroot, graft.lake.Archive.blobRel(checksum))
+            tfs.mkdirs(dest.getParent)
+            // write-then-rename: a killed task never leaves a torn file
+            // that a retry (or a later run's exists-check) would trust
+            val tmp = new org.apache.hadoop.fs.Path(dest.getParent,
+              s".${dest.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+            val in = afs.open(src)
+            try {
+              val out = tfs.create(tmp, true)
+              try {
+                var n = in.read(buf)
+                while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+              } finally out.close()
+            } finally in.close()
+            if (!tfs.rename(tmp, dest) && !tfs.exists(dest))
+              throw new IllegalStateException(s"download rename failed: $rel")
+            done.add(1)
+          }
+        }
+      }
+    (done.value, skipped.value)
+  }
+
   /** J4: resolve each node's path to the root by iterating a self-join to
     * fixpoint (bounded depth, cycle-safe: a cycle stops extending once the
     * hop budget is spent). `nodes` needs (id, name, parent) where parent

@@ -50,6 +50,36 @@ class ArchivePlanSpec extends SparkSpec {
       Documents.fileId("a.txt", crawled("a.txt").checksum))
   }
 
+  test("downloadArchive copies blobs to nice paths, skips existing, rejects traversal") {
+    import spark.implicits._
+    val arDir = Files.createTempDirectory("graft-dl-ar")
+    val target = Files.createTempDirectory("graft-dl-out")
+    val fs = new Path(arDir.toString).getFileSystem(spark.sessionState.newHadoopConf())
+    val archive = new Archive(fs, new Path(arDir.toString))
+    val c1 = archive.put("hello world".getBytes)
+    val c2 = archive.put("other bytes".getBytes)
+    val docs = Seq(
+      ("d1", "a.txt", c1, "top/docs"),
+      ("d2", "b.txt", c2, null)).toDF("id", "file_name", "content_hash", "path")
+
+    val (done1, skip1) = Documents.downloadArchive(docs, arDir.toString, target.toString)
+    assert((done1, skip1) == (2L, 0L))
+    assert(new String(Files.readAllBytes(target.resolve("top/docs/a.txt"))) == "hello world")
+    assert(new String(Files.readAllBytes(target.resolve("b.txt"))) == "other bytes")
+
+    // idempotent re-run: everything already present
+    val (done2, skip2) = Documents.downloadArchive(docs, arDir.toString, target.toString)
+    assert((done2, skip2) == (0L, 2L))
+
+    // traversal-unsafe names fail loud, nothing is written outside target
+    val evil = Seq(("d3", "pwned.txt", c1, "../escape"))
+      .toDF("id", "file_name", "content_hash", "path")
+    intercept[org.apache.spark.SparkException] {
+      Documents.downloadArchive(evil, arDir.toString, target.toString)
+    }
+    assert(!Files.exists(target.getParent.resolve("escape/pwned.txt")))
+  }
+
   test("resolvePaths walks parent chains and survives cycles") {
     import spark.implicits._
     val nodes = Seq(
