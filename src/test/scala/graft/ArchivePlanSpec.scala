@@ -146,6 +146,30 @@ class ArchivePlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("cur1_source_cap: per-source rank window with group-limit pushdown") {
+    val p = plan("cur1_source_cap")
+    // WindowGroupLimit pre-filters each source to its top rows before the
+    // full window — the cap never materializes a whole source's ranking
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("d9_semantic_dedup: bounded centroid cross-join, per-cluster loop, no pair blowup") {
+    val p = plan("d9_semantic_dedup")
+    // the only nested-loop join is the broadcast against the nlist-bounded
+    // centroid set (intentional); the within-cluster prune is the typed
+    // per-group loop after ONE shuffle on the cluster id — no join-based
+    // pair space at all. (The final keep-flag join is deliberately
+    // unhinted — dropped-id side is unbounded at 100 TB, AQE decides.)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("MapGroups"), p)
+  }
+
+  test("x2_xref_scores: block-bounded pair loop, no cartesian scoring joins") {
+    val p = plan("x2_xref_scores")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("MapGroups"), p)
+  }
+
   test("live-view scan keeps the tombstone filter pushdown-eligible") {
     import org.apache.spark.sql.functions.col
     val tmp = java.nio.file.Files.createTempDirectory("graft-plan-live").toString
