@@ -47,10 +47,17 @@ class Journal(spark: SparkSession, rootStr: String) {
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).map(_.getPath).filter(_.getName.endsWith(".parquet")).toSeq
 
+  /** Staged row count from parquet footers. Unreadable files are excluded
+    * (not counted, not failed): count() runs on the hot write path
+    * (auto-flush checks it after every batch) and must not brick writers
+    * before [[drain]] gets the chance to quarantine the bad file.
+    */
   def count(): Long = {
     val files = stagedFiles()
-    if (files.isEmpty) 0L
-    else spark.read.schema(Statement.schema).parquet(files.map(_.toString): _*).count()
+    if (files.isEmpty) return 0L
+    val (readable, _) = probeReadable(files)
+    if (readable.isEmpty) 0L
+    else spark.read.schema(Statement.schema).parquet(readable.map(_.toString): _*).count()
   }
 
   /** Read the staged (not yet drained) rows — the journal's live content.

@@ -300,6 +300,8 @@ class StoreSpec extends SparkSpec {
     // a staged file that is not parquet at all (torn write / corruption)
     val junk = java.nio.file.Paths.get(dir, "_graft/journal/junk.parquet")
     java.nio.file.Files.write(junk, "this is not parquet".getBytes("UTF-8"))
+    // count() (the auto-flush hot path) must not brick on the junk file
+    assert(journal.count() == 3L)
 
     journal.drain(store)
     // only the well-formed row landed
