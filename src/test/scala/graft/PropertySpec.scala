@@ -122,6 +122,41 @@ class PropertySpec extends SparkSpec {
     assert(p1.forall { case (a, b) => a < b })
   }
 
+  test("semanticDedup matches a plain scala reference on random vector sets") {
+    import spark.implicits._
+    import graft.similarity.Similarity
+    // components on a /100 grid so the ×10000 quantization is exact in
+    // both float and double arithmetic (no rounding-mode edge cases)
+    val genVec = Gen.listOfN(4, Gen.choose(-500, 500).map(_ / 100f))
+      .suchThat(_.exists(_ != 0f))
+    val nlist = 3
+    val threshold = 0.8
+    samples(Gen.listOfN(8, genVec), 5).foreach { vecs0 =>
+      val vecs = vecs0.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val got = Similarity.semanticDedup(
+        vecs.toDF("vec_id", "embedding"), "vec_id", nlist, threshold)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+
+      // reference twin: same quantization, argmax-cosine assignment with
+      // (sim desc, cid asc) tie-break, drop-if-similar-to-any-lower-id
+      val q = vecs.map { case (id, v) =>
+        id -> v.map(x => math.round(x.toDouble * 10000)).toArray
+      }.toMap
+      val n = q.map { case (id, a) => id -> a.map(x => x * x).sum }
+      def cos(a: Long, b: Long) = Similarity.cosineOf(q(a), q(b), n(a), n(b))
+      val cents = vecs.map(_._1).filter(_ < nlist)
+      val cluster = vecs.map { case (id, _) =>
+        id -> cents.maxBy(c => (cos(id, c), -c))
+      }.toMap
+      val expected = vecs.map { case (id, _) =>
+        val dropped = vecs.map(_._1).exists(o =>
+          o < id && cluster(o) == cluster(id) && cos(o, id) > threshold)
+        id -> ((cluster(id), !dropped))
+      }.toMap
+      assert(got == expected, s"vectors: $vecs")
+    }
+  }
+
   test("QuantizedCosine column agrees with the scala twin on random vectors") {
     import spark.implicits._
     val genVec = Gen.listOfN(6, Gen.choose(-10000L, 10000L)).map(_.toArray)
