@@ -156,6 +156,15 @@ class StoreSpec extends SparkSpec {
     store.compact(maxFilesPerPartition = 1, targetFileBytes = 1L)
     assert(store.version == v)
     assert(perPartition.values.max == 4)
+
+    // bin-pack SPLIT path: a target smaller than a partition's small-file
+    // bytes must spread the rewrite over ceil(bytes/target) salted writer
+    // tasks → more than one output file for the bigger partitions
+    // (deterministic: fixed data, deterministic hash salt)
+    val total = store.raw.count()
+    store.compact(maxFilesPerPartition = 1, targetFileBytes = 3000L)
+    assert(store.raw.count() == total) // content preserved
+    assert(perPartition.values.max >= 2, perPartition.toString)
   }
 
   test("concurrent appends serialize on the fence; both commits land") {
