@@ -185,6 +185,29 @@ class StoreSpec extends SparkSpec {
     assert(byOrigin == Map("oA" -> 30L, "oB" -> 30L))
   }
 
+  test("concurrent append and merge serialize; canonical read is interleaving-independent") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = Files.createTempDirectory("graft-concurrent-m").toString
+    val store = new StatementStore(spark, dir, shards = 4)
+    val a = mkStatements(30, "oA", "2024-01-02 00:00:00")
+    val b = mkStatements(30, "oB", "2024-01-03 00:00:00")
+    store.append(a)
+    // merge races a second writer's append; whichever wins the fence
+    // first, the canonical (read-time merged) view must equal the
+    // reference canonicalization over the union of both batches
+    val fb = Future(store.append(b))
+    val fm = Future(store.merge())
+    Await.result(fb, 5.minutes); Await.result(fm, 5.minutes)
+    val cols = Seq("id", "entity_id", "prop", "fragment", "origin", "value")
+    val got = store.canonical.selectExpr(cols: _*)
+      .collect().map(_.toString).sorted
+    val want = graft.ops.MergeDedupe.live(a.unionByName(b)).selectExpr(cols: _*)
+      .collect().map(_.toString).sorted
+    assert(got.length == want.length && got.sameElements(want))
+  }
+
   test("stale-lock recovery: a crashed writer's fence is stolen; fresh locks are honored") {
     import org.apache.hadoop.fs.Path
     import graft.lake.Locks
