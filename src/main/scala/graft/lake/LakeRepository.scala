@@ -115,8 +115,9 @@ class LakeRepository(val spark: SparkSession, val rootStr: String,
 
   def optimize(): Long = Make.optimize(store, journal)
 
-  def make(outDir: String): Seq[String] =
-    Make.make(store, journal, outDir, datasetNameOpt = Some(dataset))
+  def make(outDir: String, force: Boolean = false): Seq[String] =
+    Make.make(store, journal, outDir, datasetNameOpt = Some(dataset),
+      force = force)
 
   def exportDiff(outDir: String): Option[String] = Diff.exportDiff(store, outDir)
 

@@ -33,7 +33,8 @@ object Make {
   def make(store: StatementStore, journal: Journal, outDir: String,
       publicUrlPrefixOpt: Option[String] = None,
       datasetNameOpt: Option[String] = None,
-      compressionOpt: Option[String] = None): Seq[String] = {
+      compressionOpt: Option[String] = None,
+      force: Boolean = false): Seq[String] = {
     optimize(store, journal)
     // explicit arguments win; otherwise the persisted dataset config
     // supplies name / codec / public prefix (reference DatasetModel)
@@ -50,7 +51,9 @@ object Make {
     def gated(name: String)(body: => Unit): Unit = {
       val tag = s"exports/$name"
       val versionTag = s"exports/$name.version"
-      val current = store.tags.mtime(versionTag).contains(v)
+      // force rebuilds regardless of freshness (reference operations'
+      // `force` flag, operation/base.py:56-92)
+      val current = !force && store.tags.mtime(versionTag).contains(v)
       if (!current) {
         body
         store.tags.touch(versionTag, v) // encode version as the mtime

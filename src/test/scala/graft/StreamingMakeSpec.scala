@@ -173,6 +173,9 @@ class StreamingMakeSpec extends SparkSpec {
     // unchanged store → every export skipped
     assert(Make.make(store, journal, out).isEmpty)
 
+    // force rebuilds everything despite freshness (reference force flag)
+    assert(Make.make(store, journal, out, force = true).toSet == first.toSet)
+
     // new data → exports rebuild
     journal.write(stmts.limit(1)
       .withColumn("id", org.apache.spark.sql.functions.lit("idB"))
