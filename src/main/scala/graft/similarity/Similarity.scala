@@ -178,8 +178,17 @@ object Similarity {
     * is the identical quantized-integer recipe (exact sums, one
     * IEEE divide), so results still hash-match the SQL oracle.
     */
+  /** Per-block size cap for the pair loops: a block past this is
+    * degenerate (a mega-cluster of near-identical vectors) and is dropped
+    * rather than exploded — the same signal-free-hot-block policy as the
+    * LSH 10k bucket cap and xref's maxBlock. The take(cap+1) bound means
+    * an over-cap block never materializes in task memory just to be
+    * discarded.
+    */
+  val DefaultMaxBlock = 100000
+
   def nearDupPairs(emb: DataFrame, idCol: String, blockCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, maxBlock: Int = DefaultMaxBlock): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val p = prepared(emb, idCol).select(
@@ -189,14 +198,18 @@ object Similarity {
       .as[(Int, Long, Array[Long], Long)]
     p.groupByKey(_._1)
       .flatMapGroups { (block, rows) =>
-        val vs = rows.toArray.sortBy(_._2)
-        for {
-          i <- vs.indices.iterator
-          j <- (i + 1 until vs.length).iterator
-          (_, ida, qa, na) = vs(i)
-          (_, idb, qb, nb) = vs(j)
-          if cosineOf(qa, qb, na, nb) > threshold
-        } yield (block, ida, idb)
+        val vs0 = rows.take(maxBlock + 1).toArray
+        if (vs0.length > maxBlock) Iterator.empty
+        else {
+          val vs = vs0.sortBy(_._2)
+          for {
+            i <- vs.indices.iterator
+            j <- (i + 1 until vs.length).iterator
+            (_, ida, qa, na) = vs(i)
+            (_, idb, qb, nb) = vs(j)
+            if cosineOf(qa, qb, na, nb) > threshold
+          } yield (block, ida, idb)
+        }
       }
       .toDF(blockCol, "id_a", "id_b")
   }
@@ -228,17 +241,25 @@ object Similarity {
     val assigned = scored.withColumn("__crn", row_number().over(w))
       .filter(col("__crn") === 1)
       .select(col(idCol), col("__cid"), col("__q"), col("__n"))
+    // clusters past the block cap skip the prune (everything kept) rather
+    // than exploding O(n²) in one task — at scale, size `nlist` so the
+    // expected cluster is far below the cap; a cap-breaching cluster is a
+    // quantizer-degeneracy signal, not a workload
     val dropped = assigned.select(
       col("__cid").cast("int"), col(idCol).cast("long"), col("__q"), col("__n"))
       .as[(Int, Long, Array[Long], Long)]
       .groupByKey(_._1)
       .flatMapGroups { (_, rows) =>
-        val vs = rows.toArray.sortBy(_._2)
-        for {
-          j <- vs.indices.iterator
-          if (0 until j).exists(i =>
-            cosineOf(vs(i)._3, vs(j)._3, vs(i)._4, vs(j)._4) > threshold)
-        } yield vs(j)._2
+        val vs0 = rows.take(DefaultMaxBlock + 1).toArray
+        if (vs0.length > DefaultMaxBlock) Iterator.empty
+        else {
+          val vs = vs0.sortBy(_._2)
+          for {
+            j <- vs.indices.iterator
+            if (0 until j).exists(i =>
+              cosineOf(vs(i)._3, vs(j)._3, vs(i)._4, vs(j)._4) > threshold)
+          } yield vs(j)._2
+        }
       }
       .toDF("__dropped_id")
     assigned
