@@ -59,7 +59,12 @@ object Bench {
         }
     }
 
-    def fmt(v: Double): String = f"$v%.4f"
+    // locale-pinned: the f-interpolator uses the default locale, and a
+    // comma-decimal JVM locale would render 1.5 as "1,5000" — invalid JSON
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    // a query that failed an early rep but succeeded later is not failed
+    failed --= times.keys
     val qs = times.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")

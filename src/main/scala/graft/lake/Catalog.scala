@@ -87,11 +87,16 @@ class Catalog(val spark: SparkSession, val rootStr: String) {
   }
 
   /** Statement-store handle for a dataset, shard count from its config
-    * (reference repository factories, catalog.py:5-9).
+    * (reference repository factories, catalog.py:5-9). Fails for an
+    * unregistered name: silently defaulting the shard count would let a
+    * typo'd or premature call write partitions whose routing disagrees
+    * with the config a later ensureDataset records.
     */
   def store(name: String): StatementStore = {
     val p = datasetPath(name)
-    val shards = DatasetConfig.load(fs, p).map(_.shards).getOrElse(16)
+    val shards = DatasetConfig.load(fs, p).map(_.shards).getOrElse(
+      throw new IllegalArgumentException(
+        s"no such dataset: $name (ensureDataset first — shard routing is config-bound)"))
     new StatementStore(spark, p.toString, shards)
   }
 
@@ -125,16 +130,19 @@ class Catalog(val spark: SparkSession, val rootStr: String) {
     * config). Returns the written path.
     */
   def writeIndex(): String = {
+    // config strings are user-supplied (publicUrlPrefix especially) —
+    // escape them or one quote breaks the whole catalog.json
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val entries = listDatasets().map { name =>
       val p = datasetPath(name)
       val cfg = DatasetConfig.load(fs, p).get
       val version = Manifest.currentVersion(fs, p)
       val fields = Seq(
-        "\"name\":\"" + name + "\"",
+        "\"name\":" + q(name),
         "\"shards\":" + cfg.shards,
-        "\"compression\":\"" + cfg.compression + "\"",
+        "\"compression\":" + q(cfg.compression),
         "\"version\":" + version) ++
-        cfg.publicUrlPrefix.map(u => "\"url\":\"" + u + "\"")
+        cfg.publicUrlPrefix.map(u => "\"url\":" + q(u))
       fields.mkString("{", ",", "}")
     }
     val body = s"""{"datasets":[${entries.mkString(",")}],"updated_at":"${java.time.Instant.now()}"}"""

@@ -47,12 +47,13 @@ class JobRepository(val spark: SparkSession, rootStr: String, val jobType: Strin
   private val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
 
   /** Timestamp-prefixed run id (reference: "run ID contains timestamp, so
-    * the latest is the last in alphabetical order").
+    * the latest is the last in alphabetical order"). Fixed-width epoch
+    * millis, NOT Instant.toString — ISO-8601 fractions are
+    * variable-precision ("..32Z" vs "..32.500Z") and do not sort
+    * lexicographically in time order.
     */
-  def newRunId(): String = {
-    val now = Instant.now().toString.replace(":", "").replace("-", "")
-    s"$now-${java.util.UUID.randomUUID().toString.take(8)}"
-  }
+  def newRunId(): String =
+    f"${Instant.now().toEpochMilli}%013d-${java.util.UUID.randomUUID().toString.take(8)}"
 
   private def fileOf(runId: String) = new Path(dir, s"$runId.properties")
 

@@ -143,7 +143,15 @@ class Journal(spark: SparkSession, rootStr: String) {
       FsOps.mkdirs(fs, quarantine)
       corrupt.foreach { f =>
         System.err.println(s"[journal] quarantining unreadable staged file: ${f.getName}")
-        FsOps.rename(fs, f, new Path(quarantine, f.getName))
+        // a failed move (e.g. name collision in quarantine) must not leave
+        // the file behind to be re-probed and re-"quarantined" forever —
+        // retry under a unique name, and fail loud if that loses too
+        if (!FsOps.rename(fs, f, new Path(quarantine, f.getName))) {
+          val alt = new Path(quarantine,
+            s"${f.getName}.${java.util.UUID.randomUUID().toString.take(8)}")
+          if (!FsOps.rename(fs, f, alt))
+            throw new IllegalStateException(s"cannot quarantine ${f.getName}")
+        }
       }
     }
     if (readable.isEmpty) return store.version
@@ -152,8 +160,14 @@ class Journal(spark: SparkSession, rootStr: String) {
     val badCount = bad.count()
     if (badCount > 0) {
       System.err.println(s"[journal] quarantining $badCount malformed row(s) to ${quarantine}")
-      bad.write.mode("append")
-        .parquet(new Path(quarantine, "rows").toString)
+      // keyed by the drained file set, overwrite-mode: a drain retried
+      // after a downstream failure (e.g. fence contention in the store
+      // append) rewrites the SAME quarantine partition instead of
+      // appending a duplicate forensic record per attempt
+      val drainKey = java.util.UUID.nameUUIDFromBytes(
+        readable.map(_.getName).sorted.mkString("\n").getBytes("UTF-8")).toString
+      bad.write.mode("overwrite")
+        .parquet(new Path(quarantine, s"rows/drain=$drainKey").toString)
     }
     val w = Window.partitionBy(col("id"), col("fragment"), col("origin"))
       .orderBy(col("last_seen").desc, col("deleted_at").desc_nulls_last)

@@ -273,19 +273,28 @@ class StatementStore(val spark: SparkSession, val rootStr: String, val shards: I
       .map { case (p, fls) => p -> fls.filter(f => sizes.getOrElse(f, 0L) < targetFileBytes) }
       .filter(_._2.size > maxFilesPerPartition)
     if (smallByPartition.isEmpty) return version
+    // map key = the partition's raw VALUES (hive-unescaped, -joined)
+    // so it matches the column-side key below even for escaped dir names
+    // (origin "src:a" → dir "origin=src%3Aa"); a reconstructed-path key
+    // would silently miss those partitions and collapse their salt to 1
+    def valueKey(p: String): String = p.split('/').map { seg =>
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(seg.split("=", 2).last)
+    }.mkString("")
     val nOutFiles: Map[String, Int] = smallByPartition.map { case (p, fls) =>
-      p -> math.max(1L, (fls.iterator.map(sizes.getOrElse(_, 0L)).sum
+      valueKey(p) -> math.max(1L, (fls.iterator.map(sizes.getOrElse(_, 0L)).sum
         + targetFileBytes - 1) / targetFileBytes).toInt
     }
     val rewritten = smallByPartition.values.flatten.toSet
     val bucketOf = (p: String) => p.split('/')(1).stripPrefix("bucket=")
     val sortCols = Seq(
       col("entity_id"), col("fragment"), col("prop"), col("id"), col("last_seen").desc)
-    // hive-format partition key rebuilt from the columns — matches the
-    // relative-path prefix the manifest uses for the same values
-    val partKey = concat(
-      lit("shard="), col("shard"), lit("/bucket="), col("bucket"),
-      lit("/origin="), col("origin"))
+    // column-side twin of valueKey: raw values joined on  (nulls
+    // normalized to the hive default-partition sentinel, matching the
+    // directory name a null value produces)
+    val partKey = concat_ws("",
+      Statement.partitionColumns.map(c =>
+        coalesce(col(c).cast("string"), lit("__HIVE_DEFAULT_PARTITION__"))): _*)
     val fresh = smallByPartition.keys.groupBy(bucketOf).flatMap { case (bucket, parts) =>
       val files = parts.flatMap(smallByPartition).toSeq.sorted
       val packed = spark.read.schema(Statement.schema).option("basePath", root.toString)

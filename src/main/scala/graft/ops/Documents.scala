@@ -176,9 +176,13 @@ object Documents {
                 while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
               } finally out.close()
             } finally in.close()
-            if (!tfs.rename(tmp, dest) && !tfs.exists(dest))
-              throw new IllegalStateException(s"download rename failed: $rel")
-            done.add(1)
+            if (tfs.rename(tmp, dest)) done.add(1)
+            else if (tfs.exists(dest)) {
+              // a concurrent task won the race: its copy is the download,
+              // ours is a leftover — clean it and count a skip, not a done
+              tfs.delete(tmp, false)
+              skipped.add(1)
+            } else throw new IllegalStateException(s"download rename failed: $rel")
           }
         }
       }

@@ -35,6 +35,27 @@ object DedupStream {
       stateDir: String, outDir: String): Long = {
     val name = s"graft_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val emitted = spark.sparkContext.longAccumulator(name)
+    // Crash recovery: state is written BEFORE output, so a run that died
+    // between the two leaves a state partition with no matching output
+    // partition. A FRESH run has a new batch key and would anti-join the
+    // dead run's fingerprints as "seen", silently losing those docs from
+    // the output forever — so reconcile first: drop state partitions that
+    // never got their output twin (driver-side, O(orphans) deletes).
+    locally {
+      val fs = new org.apache.hadoop.fs.Path(stateDir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      def batches(dir: String): Set[String] = {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        if (!fs.exists(p)) Set.empty
+        else fs.listStatus(p).map(_.getPath.getName)
+          .filter(_.startsWith("__batch=")).toSet
+      }
+      val orphans = batches(stateDir) -- batches(outDir)
+      orphans.foreach { b =>
+        System.err.println(s"[dedup-stream] dropping orphaned state partition $b (crashed run)")
+        fs.delete(new org.apache.hadoop.fs.Path(stateDir, b), true)
+      }
+    }
     val q = docs.writeStream
       .queryName(name)
       .option("checkpointLocation", s"${graft.functions.F.stageRoot(spark)}/ckpt-$name")
@@ -51,14 +72,17 @@ object DedupStream {
             org.apache.spark.sql.expressions.Window
               .partitionBy(col("__fp")).orderBy(col(idCol))))
           .filter(col("__rn") === 1).drop("__rn")
-        // only a missing state path means "first batch ever" — any other
-        // read failure must fail the batch, or a transient IO error would
-        // silently disable dedupe for the whole micro-batch
+        // only a missing or empty state path means "first batch ever"
+        // (UNABLE_TO_INFER_SCHEMA = dir exists but holds no parquet, e.g.
+        // after orphan reconciliation dropped the lone partition) — any
+        // other read failure must fail the batch, or a transient IO error
+        // would silently disable dedupe for the whole micro-batch
         val seen =
           try Some(spark.read.parquet(stateDir))
           catch {
             case e: org.apache.spark.sql.AnalysisException
-                if e.getMessage.contains("PATH_NOT_FOUND") => None
+                if e.getMessage.contains("PATH_NOT_FOUND") ||
+                  e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") => None
           }
         val novel = seen match {
           // exclude this batch's OWN partition from the state read: a
@@ -75,9 +99,11 @@ object DedupStream {
           novel.withColumn("__batch", lit(batchKey)))
         emitted.add(staged.count())
         // both sinks are per-batch dynamic partition OVERWRITES, state
-        // first: a crash at any point leaves a replay that rewrites the
-        // same partitions with the same rows — no duplicate emission
-        // (output-first + append re-emits the batch), no lost docs
+        // first: a WITHIN-RUN replay (same batch key) rewrites the same
+        // partitions with the same rows — no duplicate emission. A crash
+        // between the two writes is healed by the orphan-state
+        // reconciliation at the next run() start (state partition without
+        // an output twin is dropped, so the docs re-emit)
         staged.select("__fp", "__batch").write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("__batch").parquet(stateDir)

@@ -119,6 +119,29 @@ class StreamingMakeSpec extends SparkSpec {
     assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L, 6L))
   }
 
+  test("streaming dedupe recovers docs from a crashed run's orphaned state partition") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val base = Files.createTempDirectory("graft-dedupstream-crash").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    Seq(1L -> "alpha beta", 2L -> "gamma delta").toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$base/feed")
+    // simulate a run that died between its state write and output write:
+    // doc 1's fingerprint sits in a state partition with no output twin
+    Seq(1L -> "alpha beta").toDF("doc_id", "text")
+      .select(graft.text.TextFunctions.fingerprint(org.apache.spark.sql.functions.col("text")).as("__fp"))
+      .withColumn("__batch", org.apache.spark.sql.functions.lit("deadrun-0"))
+      .write.partitionBy("__batch").mode("overwrite").parquet(s"$base/state")
+    // without reconciliation the anti-join would suppress doc 1 forever
+    val n = graft.streaming.DedupStream.run(spark,
+      spark.readStream.schema(schema).parquet(s"$base/feed"),
+      "doc_id", "text", s"$base/state", s"$base/out")
+    assert(n == 2)
+    assert(spark.read.parquet(s"$base/out").select("doc_id").as[Long]
+      .collect().toSet == Set(1L, 2L))
+  }
+
   test("make: exports are freshness-gated and skip when the store is current") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-make").toString
