@@ -93,40 +93,66 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** Nearest-centroid assignment for a (id, __q, __n) frame against a
+    * bounded centroid table (__cid, __qk, __nk): score via one broadcast
+    * nested-loop against the `nlist` centroids, then take the per-id
+    * argmax with a map-side-partial `max_by` aggregation.
+    *
+    * Scale shape: the broadcast multiplies each scanned vector into
+    * `nlist` scored rows, but the partial aggregate collapses them back
+    * to ONE row per id inside the same task — the shuffle carries N rows,
+    * not N×nlist. (The previous `row_number` window forced a full
+    * exchange of the N×nlist cross product; at 10B vectors × 65k lists
+    * that exchange is ~10¹⁴ rows — the difference between a survivable
+    * assignment and an impossible one.) Tie-break matches the window it
+    * replaces: highest cosine, then lowest centroid id — the ordering
+    * struct (__csim, -__cid) is unique per (id, centroid), so `max_by`
+    * is deterministic.
+    */
+  private[similarity] def assignNearest(df: DataFrame, idAs: String,
+      cents: DataFrame): DataFrame = {
+    val scored = df.join(broadcast(cents))
+      .withColumn("__csim", cosineQ(col("__q"), col("__qk"), col("__n"), col("__nk")))
+    scored.groupBy(col(idAs))
+      .agg(max_by(
+        struct(col("__cid"), col("__q"), col("__n")),
+        struct(col("__csim"), (-col("__cid")).as("__negcid"))).as("__best"))
+      .select(col(idAs), col("__best.__cid").as("__cid"),
+        col("__best.__q").as("__q"), col("__best.__n").as("__n"))
+  }
+
   /** IVF ANN: inverted-file search with a coarse quantizer. Centroids
     * here are the first `nlist` corpus vectors by id — deterministic, so
     * the SQL oracle replays the identical assignment; a production
     * deployment swaps in trained k-means centroids, and the assignment /
     * probe machinery below is unchanged.
     *
-    * Scale shape: assignment is one broadcast of `nlist` centroids
-    * against a single corpus scan (linear, no shuffle of the corpus
-    * itself beyond the list key); each query probes only its `nprobe`
-    * nearest lists, shrinking the candidate set by ~nlist/nprobe versus
-    * a full scan. The scoring join keys on the list id.
+    * Scale shape: corpus assignment is one broadcast of `nlist` centroids
+    * against a single corpus scan with a map-side argmax
+    * ([[assignNearest]] — N rows shuffled, never N×nlist); each query
+    * probes only its `nprobe` nearest lists, shrinking the candidate set
+    * by ~nlist/nprobe versus a full scan. The scoring join keys on the
+    * list id. The query side keeps a windowed top-`nprobe` — the query
+    * set is small by contract, and `keep > 1` has no single-row argmax.
     */
   def ivfTopK(emb: DataFrame, idCol: String, queries: DataFrame, k: Int,
       nlist: Int, nprobe: Int): DataFrame = {
     val prep = prepared(emb, idCol)
     val cents = prep.filter(col(idCol) < nlist)
       .select(col(idCol).as("__cid"), col("__q").as("__qk"), col("__n").as("__nk"))
-    // nearest-`keep` centroid lists for each vector; centroid side is
-    // nlist rows by construction — the one place a hint is justified
-    def assign(df: DataFrame, idAs: String, keep: Int): DataFrame = {
-      val scored = df.join(broadcast(cents))
-        .withColumn("__csim", cosineQ(col("__q"), col("__qk"), col("__n"), col("__nk")))
-      val w = Window.partitionBy(col(idAs)).orderBy(col("__csim").desc, col("__cid"))
-      scored.withColumn("__crn", row_number().over(w))
-        .filter(col("__crn") <= keep)
-        .drop("__qk", "__nk", "__csim", "__crn")
-    }
-    val corpus = assign(
+    val corpus = assignNearest(
       prep.select(col(idCol).as("neighbor_id"), col("__q"), col("__n")),
-      "neighbor_id", 1)
+      "neighbor_id", cents)
       .withColumnRenamed("__q", "__qc").withColumnRenamed("__n", "__nc")
-    val qs = assign(
-      prepared(queries, idCol).select(col(idCol).as("query_id"), col("__q"), col("__n")),
-      "query_id", nprobe)
+    val qsScored = prepared(queries, idCol)
+      .select(col(idCol).as("query_id"), col("__q"), col("__n"))
+      .join(broadcast(cents))
+      .withColumn("__csim", cosineQ(col("__q"), col("__qk"), col("__n"), col("__nk")))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("__csim").desc, col("__cid"))
+    val qs = qsScored.withColumn("__crn", row_number().over(wq))
+      .filter(col("__crn") <= nprobe)
+      .drop("__qk", "__nk", "__csim", "__crn")
       .withColumnRenamed("__q", "__qq").withColumnRenamed("__n", "__nq")
     val scored = corpus.join(broadcast(qs), Seq("__cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -145,20 +171,18 @@ object Similarity {
     * unchanged.
     *
     * Scale shape: assignment is the same broadcast-centroids single scan
-    * as ivfTopK; the update is one partial-aggregated groupBy on
-    * (list, dim) over posexploded components — shuffle rows = corpus ×
-    * dim keys collapsed map-side to nlist × dim. All sums are exact
-    * integer (quantized), the mean is the single IEEE divide.
+    * with map-side argmax as ivfTopK ([[assignNearest]] — N rows
+    * shuffled, never N×nlist); the update is one partial-aggregated
+    * groupBy on (list, dim) over posexploded components — shuffle rows =
+    * corpus × dim keys collapsed map-side to nlist × dim. All sums are
+    * exact integer (quantized), the mean is the single IEEE divide.
     */
   def kmeansUpdate(emb: DataFrame, idCol: String, nlist: Int): DataFrame = {
     val prep = prepared(emb, idCol)
     val cents = prep.filter(col(idCol) < nlist)
       .select(col(idCol).as("__cid"), col("__q").as("__qk"), col("__n").as("__nk"))
-    val scored = prep.join(broadcast(cents))
-      .withColumn("__csim", cosineQ(col("__q"), col("__qk"), col("__n"), col("__nk")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__csim").desc, col("__cid"))
-    val assigned = scored.withColumn("__crn", row_number().over(w))
-      .filter(col("__crn") === 1)
+    val assigned = assignNearest(
+      prep.select(col(idCol), col("__q"), col("__n")), idCol, cents)
     assigned.select(col("__cid").as("cid"),
         posexplode(col("__q")).as(Seq("dim", "v")))
       .groupBy(col("cid"), col("dim"))
@@ -223,10 +247,11 @@ object Similarity {
     * Output: (id, cluster, keep).
     *
     * Scale shape: assignment is one broadcast of `nlist` centroids over a
-    * single corpus scan; the prune is one shuffle on the cluster id with
-    * a per-cluster primitive-array loop — pair space is per-cluster (the
-    * point of clustering first), never corpus-quadratic. Cluster size is
-    * corpus/nlist in expectation; size nlist to bound it.
+    * single corpus scan with map-side argmax ([[assignNearest]] — N rows
+    * shuffled, never N×nlist); the prune is one shuffle on the cluster id
+    * with a per-cluster primitive-array loop — pair space is per-cluster
+    * (the point of clustering first), never corpus-quadratic. Cluster
+    * size is corpus/nlist in expectation; size nlist to bound it.
     */
   def semanticDedup(emb: DataFrame, idCol: String, nlist: Int,
       threshold: Double): DataFrame = {
@@ -235,11 +260,8 @@ object Similarity {
     val prep = prepared(emb, idCol)
     val cents = prep.filter(col(idCol) < nlist)
       .select(col(idCol).as("__cid"), col("__q").as("__qk"), col("__n").as("__nk"))
-    val scored = prep.join(broadcast(cents))
-      .withColumn("__csim", cosineQ(col("__q"), col("__qk"), col("__n"), col("__nk")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__csim").desc, col("__cid"))
-    val assigned = scored.withColumn("__crn", row_number().over(w))
-      .filter(col("__crn") === 1)
+    val assigned = assignNearest(
+      prep.select(col(idCol), col("__q"), col("__n")), idCol, cents)
       .select(col(idCol), col("__cid"), col("__q"), col("__n"))
     // clusters past the block cap skip the prune (everything kept) rather
     // than exploding O(n²) in one task — at scale, size `nlist` so the

@@ -103,6 +103,47 @@ class ArchivePlanSpec extends SparkSpec {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf001).queryExecution.executedPlan.toString
 
+  /** For each BroadcastNestedLoopJoin line in the indented plan string,
+    * walk its parent chain upward: true if an Aggregate appears before
+    * any Exchange — i.e. the broadcast cross product is collapsed by a
+    * map-side partial aggregate inside the producing task, and never
+    * shuffled in full.
+    */
+  private def bnljCollapsedBeforeExchange(p: String): Seq[Boolean] = {
+    val lines = p.linesIterator.filter(_.trim.nonEmpty).toVector
+    def ind(l: String) = l.segmentLength(c => " :+-|".contains(c))
+    lines.indices.filter(lines(_).contains("BroadcastNestedLoopJoin")).map { bi =>
+      var i = bi
+      var cur = ind(lines(bi))
+      var verdict: Option[Boolean] = None
+      while (i > 0 && verdict.isEmpty) {
+        i -= 1
+        val li = ind(lines(i))
+        if (li < cur) {
+          cur = li
+          if (lines(i).contains("Aggregate")) verdict = Some(true)
+          else if (lines(i).contains("Exchange")) verdict = Some(false)
+        }
+      }
+      verdict.getOrElse(true)
+    }
+  }
+
+  test("centroid assignment collapses N×nlist map-side before any exchange") {
+    // the broadcast-centroid cross product must be argmax-collapsed by a
+    // partial aggregate inside the task that produced it — the shuffle
+    // then carries one row per vector, not one per (vector, centroid)
+    for (q <- Seq("sim4_kmeans_update", "d9_semantic_dedup")) {
+      val p = plan(q)
+      val flags = bnljCollapsedBeforeExchange(p)
+      assert(flags.nonEmpty && flags.forall(identity), s"$q:\n$p")
+    }
+    // ivfTopK: corpus side collapsed; the small query side keeps its
+    // windowed top-nprobe (keep > 1 has no single-row argmax)
+    val p3 = plan("sim3_ivf_topk")
+    assert(bnljCollapsedBeforeExchange(p3).count(identity) >= 1, p3)
+  }
+
   test("s1_scan pushes its filter and prunes columns at the parquet scan") {
     val p = plan("s1_scan")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"), p)
