@@ -47,17 +47,33 @@ class Journal(spark: SparkSession, rootStr: String) {
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).map(_.getPath).filter(_.getName.endsWith(".parquet")).toSeq
 
-  /** Staged row count from parquet footers. Unreadable files are excluded
-    * (not counted, not failed): count() runs on the hot write path
-    * (auto-flush checks it after every batch) and must not brick writers
-    * before [[drain]] gets the chance to quarantine the bad file.
+  /** Per-file footer row counts, cached by file name: the auto-flush
+    * check after every batch probes only files it hasn't seen before
+    * (O(new files) per write, one listing each call), instead of
+    * re-opening every staged footer — which made many-small-batch ingest
+    * (the journal's whole workload) O(n²) in cumulative driver IO between
+    * flushes. Entries are evicted when their file leaves the staging dir
+    * (drain, clear, or a concurrent writer's drain observed via listing).
+    */
+  private val fileCounts = scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  /** Staged row count from parquet footers — incremental via
+    * [[fileCounts]], no Spark job, no data scan. Unreadable files are
+    * excluded (not counted, not failed): count() runs on the hot write
+    * path and must not brick writers before [[drain]] gets the chance to
+    * quarantine the bad file; they stay uncached so drain's fresh probe
+    * decides their fate.
     */
   def count(): Long = {
     val files = stagedFiles()
+    val names = files.map(_.getName).toSet
+    fileCounts.keysIterator.filterNot(names).toSeq.foreach(fileCounts.remove)
     if (files.isEmpty) return 0L
-    val (readable, _) = probeReadable(files)
-    if (readable.isEmpty) 0L
-    else spark.read.schema(Statement.schema).parquet(readable.map(_.toString): _*).count()
+    val fresh = files.filterNot(f => fileCounts.contains(f.getName))
+    probeCounts(fresh).foreach { case (f, c) =>
+      c.foreach(fileCounts.put(f.getName, _))
+    }
+    files.flatMap(f => fileCounts.get(f.getName)).sum
   }
 
   /** Read the staged (not yet drained) rows — the journal's live content.
@@ -81,25 +97,49 @@ class Journal(spark: SparkSession, rootStr: String) {
     */
   def malformedFiles(): Seq[String] =
     if (!fs.exists(quarantine)) Seq.empty
-    else fs.listStatus(quarantine).map(_.getPath.getName).toSeq.sorted
+    else fs.listStatus(quarantine).filter(_.isFile).map(_.getPath.getName).toSeq.sorted
 
-  /** Split staged files into (readable, corrupt) by probing each parquet
-    * footer on the bounded driver IO pool — O(staged files) metadata round
-    * trips, no data read.
+  /** Quarantined rows (statement-invariant failures caught at drain) as a
+    * DataFrame — the other half of the forensic record, reported
+    * separately from [[malformedFiles]] (whole unreadable staged files).
+    * Empty when no drain has quarantined rows.
     */
-  private def probeReadable(files: Seq[Path]): (Seq[Path], Seq[Path]) = {
+  def malformedRows(): DataFrame = {
+    val p = new Path(quarantine, "rows")
+    if (!fs.exists(p))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Statement.schema)
+    else spark.read.parquet(p.toString).drop("drain")
+  }
+
+  /** Footer row count per file, probed on the bounded driver IO pool —
+    * O(files) metadata round trips, no data read. `None` = unreadable
+    * footer (corrupt/torn file).
+    */
+  private def probeCounts(files: Seq[Path]): Seq[(Path, Option[Long])] = {
+    if (files.isEmpty) return Seq.empty
     val conf = spark.sessionState.newHadoopConf()
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = FsOps.driverIoPool
-    val probed = Await.result(
+    Await.result(
       Future.traverse(files) { f =>
         Future(f -> scala.util.Try {
-          org.apache.parquet.hadoop.ParquetFileReader.open(
-            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf)).close()
-        }.isSuccess)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+          try r.getRecordCount finally r.close()
+        }.toOption)
       }, Duration.Inf)
-    (probed.collect { case (f, true) => f }, probed.collect { case (f, false) => f })
+  }
+
+  /** Split staged files into (readable, corrupt) by probing each parquet
+    * footer — the drain-time full probe (count() uses the incremental
+    * cache instead).
+    */
+  private def probeReadable(files: Seq[Path]): (Seq[Path], Seq[Path]) = {
+    val probed = probeCounts(files)
+    (probed.collect { case (f, Some(_)) => f },
+      probed.collect { case (f, None) => f })
   }
 
   /** Rows a drain refuses to append: the fields every downstream operator
@@ -120,7 +160,7 @@ class Journal(spark: SparkSession, rootStr: String) {
     val files = stagedFiles()
     if (files.isEmpty) return 0L
     val n = count()
-    files.foreach(f => fs.delete(f, false))
+    files.foreach { f => fs.delete(f, false); fileCounts.remove(f.getName) }
     n
   }
 
@@ -176,7 +216,8 @@ class Journal(spark: SparkSession, rootStr: String) {
       .filter(col("__rn") === 1).drop("__rn")
       .withColumn("last_seen", coalesce(col("deleted_at"), col("last_seen")))
     val v = store.append(upserted)
-    readable.foreach(f => fs.delete(f, false))
+    readable.foreach { f => fs.delete(f, false); fileCounts.remove(f.getName) }
+    corrupt.foreach(f => fileCounts.remove(f.getName))
     v
   }
 }

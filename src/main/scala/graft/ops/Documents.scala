@@ -156,10 +156,18 @@ object Documents {
         rows.foreach { r =>
           val rel = r.getString(0)
           val checksum = r.getString(1)
-          // path traversal guard: document names come from imported data
-          require(!rel.split('/').contains("..") && !rel.startsWith("/"),
+          // path traversal guard: document names come from imported data.
+          // '..' segments climb out of targetRoot; a ':' anywhere makes
+          // Hadoop Path read the name as a scheme-qualified URI whose
+          // absolute part REPLACES targetRoot on resolution
+          // (new Path(troot, "file:/etc/x") ignores troot) — reject both,
+          // then verify the resolved path really stayed a descendant
+          require(!rel.split('/').contains("..") && !rel.startsWith("/")
+              && !rel.contains(":"),
             s"unsafe document path: $rel")
           val dest = new org.apache.hadoop.fs.Path(troot, rel)
+          require(dest.toString.startsWith(troot.toString + "/"),
+            s"unsafe document path resolution: $rel")
           if (tfs.exists(dest)) skipped.add(1)
           else {
             val src = new org.apache.hadoop.fs.Path(aroot, graft.lake.Archive.blobRel(checksum))

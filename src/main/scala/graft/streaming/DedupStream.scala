@@ -35,25 +35,41 @@ object DedupStream {
       stateDir: String, outDir: String): Long = {
     val name = s"graft_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val emitted = spark.sparkContext.longAccumulator(name)
-    // Crash recovery: state is written BEFORE output, so a run that died
-    // between the two leaves a state partition with no matching output
-    // partition. A FRESH run has a new batch key and would anti-join the
-    // dead run's fingerprints as "seen", silently losing those docs from
-    // the output forever — so reconcile first: drop state partitions that
-    // never got their output twin (driver-side, O(orphans) deletes).
+    val statePath = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = statePath.getFileSystem(spark.sessionState.newHadoopConf())
+    graft.lake.FsOps.mkdirs(fs, statePath)
+    // Single-writer fence for the whole run: reconciliation (below) reads
+    // and DELETES partitions that belong to whichever run wrote them — a
+    // second run starting while another is mid-batch would drop the
+    // in-flight run's not-yet-committed state and double-emit its docs.
+    // Crashed runs don't brick the dir: the fence is stolen after the
+    // Locks stale TTL.
+    graft.lake.Locks.withLock(fs, statePath) {
+    // Crash recovery: a batch is COMMITTED only once its zero-byte marker
+    // under _commits/ exists, written after both partition writes. A run
+    // that died mid-batch leaves partitions without a marker — a fresh
+    // run would either anti-join the dead run's fingerprints as "seen"
+    // (state written, output not: those docs silently never emit) or keep
+    // a torn output partition (crash during the output commit's rename).
+    // Reconcile first: drop BOTH partitions of every uncommitted batch
+    // (driver-side, O(uncommitted) deletes); the docs then re-emit
+    // exactly once from the source replay.
     locally {
-      val fs = new org.apache.hadoop.fs.Path(stateDir)
-        .getFileSystem(spark.sessionState.newHadoopConf())
       def batches(dir: String): Set[String] = {
         val p = new org.apache.hadoop.fs.Path(dir)
         if (!fs.exists(p)) Set.empty
         else fs.listStatus(p).map(_.getPath.getName)
           .filter(_.startsWith("__batch=")).toSet
       }
-      val orphans = batches(stateDir) -- batches(outDir)
-      orphans.foreach { b =>
-        System.err.println(s"[dedup-stream] dropping orphaned state partition $b (crashed run)")
+      val commitsDir = new org.apache.hadoop.fs.Path(stateDir, "_commits")
+      val committed: Set[String] =
+        if (!fs.exists(commitsDir)) Set.empty
+        else fs.listStatus(commitsDir).map(_.getPath.getName).toSet
+      val uncommitted = (batches(stateDir) ++ batches(outDir)) -- committed
+      uncommitted.foreach { b =>
+        System.err.println(s"[dedup-stream] dropping uncommitted batch partition $b (crashed run)")
         fs.delete(new org.apache.hadoop.fs.Path(stateDir, b), true)
+        fs.delete(new org.apache.hadoop.fs.Path(outDir, b), true)
       }
     }
     val q = docs.writeStream
@@ -110,9 +126,17 @@ object DedupStream {
         staged.drop("__fp").write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("__batch").parquet(outDir)
+        // commit marker LAST: reconciliation trusts a batch's partitions
+        // only once this exists, so a crash anywhere above re-runs the
+        // batch cleanly instead of trusting torn partitions
+        val commitsDir = new org.apache.hadoop.fs.Path(stateDir, "_commits")
+        val cfs = commitsDir.getFileSystem(spark.sessionState.newHadoopConf())
+        graft.lake.FsOps.mkdirs(cfs, commitsDir)
+        cfs.create(new org.apache.hadoop.fs.Path(commitsDir, s"__batch=$batchKey"), true).close()
       }
       .start()
     q.awaitTermination()
     emitted.value
+    }
   }
 }

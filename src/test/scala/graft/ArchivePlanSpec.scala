@@ -78,6 +78,16 @@ class ArchivePlanSpec extends SparkSpec {
       Documents.downloadArchive(evil, arDir.toString, target.toString)
     }
     assert(!Files.exists(target.getParent.resolve("escape/pwned.txt")))
+
+    // scheme-qualified names would make Hadoop Path resolution REPLACE
+    // the target root (new Path(troot, "file:/tmp/x") is absolute) —
+    // the ':' reject closes that bypass of the '..' check
+    val evilScheme = Seq(("d4", s"file:$arDir/evil-scheme.txt", c1, null))
+      .toDF("id", "file_name", "content_hash", "path")
+    intercept[org.apache.spark.SparkException] {
+      Documents.downloadArchive(evilScheme, arDir.toString, target.toString)
+    }
+    assert(!Files.exists(java.nio.file.Paths.get(s"$arDir/evil-scheme.txt")))
   }
 
   test("resolvePaths walks parent chains and survives cycles") {

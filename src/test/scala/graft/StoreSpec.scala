@@ -339,12 +339,12 @@ class StoreSpec extends SparkSpec {
     // only the well-formed row landed
     val rows = store.raw.collect()
     assert(rows.length == 1 && rows.head.getAs[String]("id") == "idA")
-    // quarantine holds the junk file and the bad-row side table
+    // quarantine reports unreadable FILES and bad ROWS separately: the
+    // rows/ dataset directory never masquerades as a quarantined file name
     val q = journal.malformedFiles()
     assert(q.contains("junk.parquet"))
-    assert(q.contains("rows"))
-    val badRows = spark.read.parquet(s"$dir/_graft/journal/_malformed/rows")
-    assert(badRows.count() == 2)
+    assert(!q.contains("rows"))
+    assert(journal.malformedRows().count() == 2)
     // journal is drained; a second drain is a no-op that keeps the store
     val v = store.version
     journal.drain(store)
@@ -356,6 +356,29 @@ class StoreSpec extends SparkSpec {
     assert(journal.count() == 0L)
     journal.drain(store)
     assert(store.raw.count() == 1) // cleared row never landed
+  }
+
+  test("journal count is incremental: already-counted footers are not re-probed") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-journal-count").toString
+    val journal = new Journal(spark, dir)
+    val s = Statement("0", "idA", "e1", "ds", "thing", "o1", None, "Person",
+      "name", "string", "Alice", None, None, external = false,
+      ts("2024-01-01 00:00:00"), ts("2024-01-01 00:00:00"), "", None)
+    journal.write(Seq(s).toDS().toDF())
+    assert(journal.count() == 1L)
+    // corrupt the already-counted staged file IN PLACE: the incremental
+    // count keeps reporting its cached footer count (proof it never
+    // re-probed the old file — the auto-flush hot path is O(new files)),
+    // while a cold instance's full probe excludes the now-unreadable file
+    val jdir = java.nio.file.Paths.get(dir, "_graft/journal")
+    java.nio.file.Files.list(jdir).iterator().forEachRemaining { f =>
+      if (f.getFileName.toString.endsWith(".parquet"))
+        java.nio.file.Files.write(f, "not parquet anymore".getBytes("UTF-8"))
+    }
+    journal.write(Seq(s.copy(id = "idB", entity_id = "e2")).toDS().toDF())
+    assert(journal.count() == 2L)
+    assert(new Journal(spark, dir).count() == 1L)
   }
 
   test("default merge grace: fresh tombstones survive, stale ones are reaped") {

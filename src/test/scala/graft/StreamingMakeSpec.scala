@@ -142,6 +142,43 @@ class StreamingMakeSpec extends SparkSpec {
       .collect().toSet == Set(1L, 2L))
   }
 
+  test("streaming dedupe drops torn uncommitted batches on BOTH sides (crash mid-commit)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val base = Files.createTempDirectory("graft-dedupstream-torn").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    Seq(1L -> "alpha beta", 2L -> "gamma delta").toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$base/feed")
+    // simulate a run that crashed DURING the output commit: state AND a
+    // (possibly torn) output partition exist, but no _commits marker —
+    // the output twin alone must not count as committed
+    Seq(1L -> "alpha beta").toDF("doc_id", "text")
+      .select(graft.text.TextFunctions.fingerprint(
+        org.apache.spark.sql.functions.col("text")).as("__fp"))
+      .withColumn("__batch", org.apache.spark.sql.functions.lit("deadrun-0"))
+      .write.partitionBy("__batch").mode("overwrite").parquet(s"$base/state")
+    Seq(1L -> "alpha beta").toDF("doc_id", "text")
+      .withColumn("__batch", org.apache.spark.sql.functions.lit("deadrun-0"))
+      .write.partitionBy("__batch").mode("overwrite").parquet(s"$base/out")
+    val n = graft.streaming.DedupStream.run(spark,
+      spark.readStream.schema(schema).parquet(s"$base/feed"),
+      "doc_id", "text", s"$base/state", s"$base/out")
+    assert(n == 2)
+    val out = spark.read.parquet(s"$base/out")
+    // exactly once: the torn partition was dropped, both docs re-emitted
+    // under the new run's batch key
+    assert(out.count() == 2)
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$base/out/__batch=deadrun-0")))
+    // the run's fence is released
+    assert(!graft.lake.Locks.isLocked(
+      new org.apache.hadoop.fs.Path(s"$base/state").getFileSystem(
+        spark.sessionState.newHadoopConf()),
+      new org.apache.hadoop.fs.Path(s"$base/state")))
+  }
+
   test("make: exports are freshness-gated and skip when the store is current") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-make").toString
