@@ -119,7 +119,8 @@ object FtmModel {
   /** Types whose values carry no language (lang gets nulled on import). */
   val nonLinguistic: Set[String] =
     Set("date", "country", "email", "checksum", "entity", "mimetype",
-      "number", "url", "identifier", "phone", "gender", "language", "topic")
+      "number", "url", "identifier", "phone", "gender", "language", "topic",
+      "iban", "ip", "json")
 
   /** Columnar twin of [[schemaForMime]] for statement-volume routing. */
   def schemaForMimeCol(mime: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {

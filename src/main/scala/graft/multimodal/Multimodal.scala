@@ -18,6 +18,24 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** Opt-in gate for the stubbed decode paths. The decode/demux/resize
+    * bodies below return deterministic FAKE output (this build ships no
+    * media codecs) — production must never mistake that for real
+    * decoding, so every stub-backed operator throws at plan time unless
+    * the session explicitly sets this conf to "true" (plumbing tests and
+    * the oracle queries do; a real decoder swap deletes the gate with the
+    * stub body).
+    */
+  val StubConfKey = "graft.multimodal.allowStubDecode"
+
+  private def requireStubOptIn(spark: org.apache.spark.sql.SparkSession,
+      what: String): Unit =
+    if (!spark.conf.getOption(StubConfKey).contains("true"))
+      throw new UnsupportedOperationException(
+        s"$what uses a STUB decoder (no media codecs in this build): its " +
+          s"output is deterministic fake data for pipeline plumbing only. " +
+          s"Set $StubConfKey=true to acknowledge, or wire a real decoder.")
+
   case class MediaMeta(
       media_id: Long,
       byte_len: Long,
@@ -74,6 +92,7 @@ object Multimodal {
     */
   def extractFeatures(df: DataFrame, idCol: String, binCol: String): Dataset[MediaFeatures] = {
     val spark = df.sparkSession
+    requireStubOptIn(spark, "extractFeatures")
     import spark.implicits._
     val prepared = df.select(
       col(idCol).cast("long").as("media_id"),
@@ -102,6 +121,7 @@ object Multimodal {
   def sampleFrames(df: DataFrame, idCol: String, binCol: String,
       everyMs: Long = 1000L, maxFrames: Int = 16): Dataset[MediaFrame] = {
     val spark = df.sparkSession
+    requireStubOptIn(spark, "sampleFrames")
     import spark.implicits._
     df.select(col(idCol).cast("long").as("media_id"), col(binCol).as("bytes"))
       .as[(Long, Array[Byte])]
@@ -133,6 +153,7 @@ object Multimodal {
   def resized(df: DataFrame, idCol: String, binCol: String,
       targetBytes: Int): DataFrame = {
     val spark = df.sparkSession
+    requireStubOptIn(spark, "resized")
     import spark.implicits._
     df.select(col(idCol).cast("long").as("media_id"), col(binCol).as("bytes"))
       .as[(Long, Array[Byte])]

@@ -428,7 +428,11 @@ object TrainingData {
   // the UDTF-shaped explode runs in executor-side flatMap (a real demuxer
   // replaces one function body); the oracle replays the deterministic
   // stub arithmetic over hex strings.
-  def mm2FrameSample(spark: SparkSession, dir: String): DataFrame =
+  def mm2FrameSample(spark: SparkSession, dir: String): DataFrame = {
+    // explicit stub opt-in: this oracle query exercises the PLUMBING
+    // (fan-out shape, schema, batching); the demux itself stays gated so
+    // production can't silently ship fake frames
+    spark.conf.set(Multimodal.StubConfKey, "true")
     Multimodal.sampleFrames(
       docs(spark, dir).withColumn("payload", col("text").cast("binary")),
       "doc_id", "payload")
@@ -436,6 +440,7 @@ object TrainingData {
       .select(col("media_id"), col("frame_idx"), col("frame_ms"),
         lower(hex(col("frame"))).as("frame_hex"))
       .orderBy(col("media_id"), col("frame_idx"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_langid" -> (t1LangId _),

@@ -67,6 +67,30 @@ class QueryAssemblySpec extends SparkSpec {
     assert(FtmModel.propTypes("notAProperty") == "string")
     assert(FtmModel.nonLinguistic.contains("identifier"))
     assert(FtmModel.modelVersion.nonEmpty && FtmModel.modelVersion != "unversioned")
+    // long tail of the full published registry: an unmapped property
+    // would silently fall to `string` and keep a lang it shouldn't
+    assert(FtmModel.propTypes("swiftBic") == "identifier")
+    assert(FtmModel.propTypes("innCode") == "identifier")
+    assert(FtmModel.propTypes("okvedCode") == "identifier")
+    assert(FtmModel.propTypes("cusip") == "identifier")
+    assert(FtmModel.propTypes("iban") == "iban")
+    assert(FtmModel.propTypes("ibanMentioned") == "iban")
+    assert(FtmModel.propTypes("ipMentioned") == "ip")
+    assert(FtmModel.propTypes("bodyHtml") == "html")
+    assert(FtmModel.propTypes("headers") == "json")
+    assert(FtmModel.propTypes("maturityDate") == "date")
+    assert(FtmModel.propTypes("flag") == "country")
+    assert(FtmModel.propTypes("callerNumber") == "phone")
+    assert(FtmModel.propTypes("emitters") == "entity")
+    assert(FtmModel.propTypes("grossRegisteredTonnage") == "number")
+    assert(FtmModel.propTypes("peopleMentioned") == "name")
+    // lang nulling is registry-driven: value types that can't carry a
+    // language are nulled, linguistic ones keep theirs (F8)
+    assert(FtmModel.nonLinguistic("iban") && FtmModel.nonLinguistic("ip"))
+    assert(FtmModel.nonLinguistic("json"))
+    assert(!FtmModel.nonLinguistic("html") && !FtmModel.nonLinguistic("text"))
+    assert(!FtmModel.nonLinguistic(FtmModel.propTypes("bodyText")))
+    assert(FtmModel.propTypes.size >= 240)
   }
 
   test("schemata filter expands to descendants and prunes buckets") {

@@ -72,6 +72,21 @@ class TrainingDataSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getAs[String]("format")).toMap
     assert(meta(1L) == "png" && meta(2L) == "jpeg")
 
+    // stub decode paths FAIL LOUD without the explicit opt-in conf —
+    // production can never silently ship fake features (metadata above
+    // is real and stays ungated)
+    spark.conf.unset(Multimodal.StubConfKey)
+    intercept[UnsupportedOperationException] {
+      Multimodal.extractFeatures(df, "media_id", "payload")
+    }
+    intercept[UnsupportedOperationException] {
+      Multimodal.sampleFrames(df, "media_id", "payload")
+    }
+    intercept[UnsupportedOperationException] {
+      Multimodal.resized(df, "media_id", "payload", targetBytes = 16)
+    }
+    spark.conf.set(Multimodal.StubConfKey, "true")
+
     val feats = Multimodal.extractFeatures(df, "media_id", "payload").collect()
       .map(f => f.media_id -> f).toMap
     assert(feats(1L).format == "png" && feats(1L).feature.length == 8)
