@@ -150,6 +150,37 @@ class Catalog(val spark: SparkSession, val rootStr: String) {
     FsOps.writeSmall(fs, out, body.getBytes("UTF-8"))
     out.toString
   }
+
+  /** Catalog-wide make: run the full export pipeline for EVERY dataset
+    * under one catalog-level job run, then refresh `catalog.json`
+    * (reference operation/make.py applied per dataset + the catalog.py
+    * aggregation the API serves). Per-dataset artifacts land under
+    * `outRoot/<dataset>/`. Returns dataset → artifacts (re)built.
+    *
+    * Freshness rides [[graft.ops.Make.make]]'s per-artifact version
+    * gating — a dataset whose store version hasn't moved rebuilds
+    * nothing, so a catalog-wide make over a mostly-quiet lake costs one
+    * metadata probe per quiet dataset. Each dataset still records its own
+    * MakeJob run; this run is the umbrella with per-dataset progress. The
+    * index refresh happens INSIDE the run: a crashed makeAll leaves a
+    * failed run and the previous catalog.json, never a half-true index.
+    */
+  def makeAll(outRoot: String, force: Boolean = false): Map[String, Seq[String]] = {
+    val names = listDatasets()
+    val jobs = new JobRepository(spark, rootStr, "CatalogMakeJob")
+    var results = Map.empty[String, Seq[String]]
+    jobs.run() { h =>
+      h.save(pending = names.size)
+      names.foreach { name =>
+        val built = graft.ops.Make.make(store(name), journal(name),
+          new Path(new Path(outRoot), name).toString, force = force)
+        results += name -> built
+        h.save(pending = (names.size - results.size).toLong, done = results.size.toLong)
+      }
+      writeIndex()
+    }
+    results
+  }
 }
 
 object Catalog {

@@ -316,6 +316,14 @@ class StatementStore(val spark: SparkSession, val rootStr: String, val shards: I
     * the last `keepVersions` manifests' file sets readable (time travel /
     * in-flight readers pinned to a recent version); `keepVersions = 1`
     * reclaims everything but the current snapshot.
+    *
+    * Concurrency contract: `keepVersions >= 2` (the default) is REQUIRED
+    * while any reader may still be pinned to `version - 1` — a reader
+    * resolves its snapshot's file list once and reads those files for the
+    * life of its job, and vacuum takes only the writer lock (readers are
+    * lock-free by design). `keepVersions = 1` is safe only when the
+    * caller knows no concurrent reader exists (pinned by StoreSpec
+    * "vacuum contract").
     */
   def vacuum(keepVersions: Int = 2): Seq[String] = Locks.withLock(fs, root) {
     val current = version

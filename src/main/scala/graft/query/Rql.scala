@@ -52,8 +52,28 @@ object Rql {
     private def fail(msg: String) =
       throw new IllegalArgumentException(s"invalid RQL at offset $i: $msg")
 
+    /** Quoted value: `"..."` or `'...'` with backslash escapes — ftmq
+      * wire strings carry arbitrary value bytes, so delimiters (`,` `(`
+      * `)`) and quotes inside a value need a quoted form. `\x` yields the
+      * literal `x` for any x (covers `\"` `\'` `\\`). An empty quoted
+      * string is a legitimate value.
+      */
+    private def quotedText(): String = {
+      val quote = s(i)
+      i += 1
+      val sb = new StringBuilder
+      while (i < s.length && s(i) != quote) {
+        if (s(i) == '\\' && i + 1 < s.length) { sb.append(s(i + 1)); i += 2 }
+        else { sb.append(s(i)); i += 1 }
+      }
+      if (i >= s.length) fail("unterminated quoted value")
+      i += 1
+      sb.toString
+    }
+
     private def atomText(): String = {
       ws()
+      if (i < s.length && (s(i) == '"' || s(i) == '\'')) return quotedText()
       val start = i
       while (i < s.length && !",()".contains(s(i))) i += 1
       val t = s.substring(start, i).trim
@@ -101,6 +121,10 @@ object Rql {
         }
         expect(')')
         Tuple(vals.toList)
+      } else if (i < s.length && (s(i) == '"' || s(i) == '\'')) {
+        // a quoted token is always a value, never a nested call name —
+        // no call lookahead, so `eq(name, "a(b)")` parses as the literal
+        Atom(quotedText())
       } else {
         val save = i
         val t = atomText()

@@ -86,4 +86,36 @@ class CatalogSpec extends SparkSpec {
         new org.apache.hadoop.fs.Path(written).toUri.toString).getPath)), "UTF-8")
     assert(body.contains("\"name\":\"alpha\"") && body.contains("\"name\":\"beta\""))
   }
+
+  test("makeAll exports every dataset under one job run and refreshes catalog.json") {
+    val cat = new Catalog(spark, Files.createTempDirectory("graft-cat-make").toString)
+    val out = Files.createTempDirectory("graft-cat-make-out").toString
+    cat.ensureDataset("alpha", shards = 4)
+    cat.ensureDataset("beta", shards = 4)
+    cat.store("alpha").append(mkStatements(20))
+    cat.store("beta").append(mkStatements(6))
+
+    val built = cat.makeAll(out)
+    assert(built.keySet == Set("alpha", "beta"))
+    assert(built("alpha").contains("statements.csv"))
+    assert(built("beta").contains("entities.ftm.json"))
+    // per-dataset artifacts land under outRoot/<dataset>/
+    for (ds <- Seq("alpha", "beta")) {
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(out, ds, "statements.csv")))
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(out, ds, "index.json")))
+    }
+    // catalog.json refreshed with both datasets at their post-make versions
+    val body = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(cat.rootStr, "catalog.json")), "UTF-8")
+    assert(body.contains("\"name\":\"alpha\"") && body.contains("\"name\":\"beta\""))
+    // the umbrella run is recorded and finished cleanly
+    val jobs = new graft.lake.JobRepository(spark, cat.rootStr, "CatalogMakeJob")
+    val run = jobs.latest().get
+    assert(!run.running && run.errors == 0 && run.done == 2)
+    // quiet lake: a second makeAll rebuilds nothing (freshness gates hold)
+    val again = cat.makeAll(out)
+    assert(again.values.forall(_.isEmpty))
+  }
 }

@@ -138,6 +138,26 @@ class QueryAssemblySpec extends SparkSpec {
     // the DoS caps still guard the compiled wire query
     val wide = (1 to 25).map(i => s"eq(p$i,v)").mkString("and(", ",", ")")
     intercept[IllegalArgumentException](FtmQuery.compile(Rql.parse(wide), fixture))
+
+    // quoted literals: ftmq values can carry arbitrary bytes — the
+    // delimiters and quotes round-trip through the quoted form
+    assert(Rql.parse("""eq(name,"Smith, John (Jr.)")""").propFilters ==
+      Seq(P("name", EqOp, Seq("Smith, John (Jr.)"))))
+    assert(Rql.parse("""eq(name,"she said \"hi\"")""").propFilters ==
+      Seq(P("name", EqOp, Seq("""she said "hi""""))))
+    assert(Rql.parse("""eq(name,'it\'s')""").propFilters ==
+      Seq(P("name", EqOp, Seq("it's"))))
+    assert(Rql.parse("""eq(path,"C:\\dir\\file")""").propFilters ==
+      Seq(P("path", EqOp, Seq("""C:\dir\file"""))))
+    // quoted values inside IN tuples, empty string is a legal value
+    assert(Rql.parse("""in(name,("a,b","c)d",plain))""").propFilters ==
+      Seq(P("name", InOp, Seq("a,b", "c)d", "plain"))))
+    assert(Rql.parse("""eq(name,"")""").propFilters ==
+      Seq(P("name", EqOp, Seq(""))))
+    // a quoted token is a value, never a call — and unterminated fails
+    assert(Rql.parse("""eq(name,"eq(a,b)")""").propFilters ==
+      Seq(P("name", EqOp, Seq("eq(a,b)"))))
+    intercept[IllegalArgumentException](Rql.parse("""eq(name,"open"""))
   }
 
   test("origin filter restricts statements, order/slice paginate entities") {

@@ -132,6 +132,28 @@ class StoreSpec extends SparkSpec {
     assert(store.raw.count() == before)
   }
 
+  test("vacuum contract: keepVersions >= 2 keeps a pinned previous-version reader alive") {
+    val dir = Files.createTempDirectory("graft-vacuum-pin").toString
+    val store = new StatementStore(spark, dir, shards = 4)
+    store.append(mkStatements(10, "o1", "2024-01-01 00:00:00"))
+    (0 until 3).foreach(_ => store.append(mkStatements(10, "o1", "2024-01-02 00:00:00")))
+    store.compact(maxFilesPerPartition = 1) // supersedes the old files
+    val prev = store.version - 1
+    // an in-flight reader pinned to the pre-compact snapshot (time travel)
+    val pinned = store.rawAt(prev)
+    val pinnedCount = pinned.count()
+    assert(pinnedCount > 0)
+    // the documented contract: keepVersions >= 2 retains v-1's files, so
+    // a reader that resolved its snapshot before the vacuum still works
+    store.vacuum(keepVersions = 2)
+    assert(pinned.count() == pinnedCount)
+    // keepVersions = 1 reclaims v-1: the pinned reader's files are GONE —
+    // this is why the default is 2 and why 1 is only safe with no readers
+    store.vacuum(keepVersions = 1)
+    // plan re-resolution or task read — either way the snapshot is dead
+    intercept[Exception](store.rawAt(prev).count())
+  }
+
   test("compact packs sub-target files per partition; full-size files are never rewritten") {
     val dir = Files.createTempDirectory("graft-compact").toString
     val store = new StatementStore(spark, dir, shards = 4)
