@@ -177,6 +177,53 @@ object Dedupe {
       .toDF("id_a", "id_b", "hamming")
   }
 
+  /** Cross-document boilerplate removal (the CCNet/MassiveText pipeline
+    * step between doc-level dedupe and quality filtering): chunk each
+    * document into consecutive `span`-word segments, count each distinct
+    * segment's document frequency across the corpus, drop segments
+    * appearing in more than `maxDocFreq` documents (headers, footers,
+    * cookie banners, license blocks — content no model should memorize N
+    * times), and reassemble the surviving segments in order.
+    *
+    * Output: (doc_id, n_chunks, n_dropped, scrubbed).
+    *
+    * Scale shape: one posexplode-free chunking pass (array slice per
+    * chunk index), one map-side-partial distinct count on the chunk key,
+    * and one join of the chunk table against the HOT set only — hot
+    * chunks are bounded by corpus/maxDocFreq and in practice tiny (the
+    * whole point of a DF cap), so AQE broadcasts them; the full
+    * chunk-frequency table is never joined. Reassembly is one shuffle on
+    * the doc id with an ordered in-group sort.
+    */
+  def boilerplateScrub(docs: DataFrame, idCol: String, textCol: String,
+      span: Int = 3, maxDocFreq: Long = 3L): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("__ws"))
+    val chunks = base
+      .select(col("doc_id"), col("__ws"),
+        explode(sequence(lit(1L),
+          ceil(size(col("__ws")) / lit(span.toDouble)).cast("long"))).as("__ci"))
+      .select(col("doc_id"), col("__ci"),
+        concat_ws(" ", slice(col("__ws"),
+          ((col("__ci") - 1) * span + 1).cast("int"), lit(span))).as("__chunk"))
+    val hot = chunks
+      .groupBy(col("__chunk"))
+      .agg(countDistinct(col("doc_id")).as("__df"))
+      .filter(col("__df") > maxDocFreq)
+      .select(col("__chunk"), lit(true).as("__hot"))
+    // deliberately unhinted: hot is small by construction, AQE broadcasts
+    chunks.join(hot, Seq("__chunk"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("__hot"), 1L).otherwise(0L)).as("n_dropped"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(!coalesce(col("__hot"), lit(false)),
+              struct(col("__ci"), col("__chunk"))))),
+          x => x.getField("__chunk"))).as("scrubbed"))
+  }
+
   /** Exact-duplicate groups by an arbitrary key expression: groups with
     * >1 member, with sorted member lists. Pure hash aggregation.
     */

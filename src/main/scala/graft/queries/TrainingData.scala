@@ -198,6 +198,16 @@ object TrainingData {
     Similarity.semanticDedup(emb(spark, dir), "vec_id", 8, 0.35)
       .orderBy(col("vec_id"))
 
+  // Cross-document boilerplate-span removal (CCNet/MassiveText line-level
+  // dedupe, adapted to word spans): segments shared by more than
+  // maxDocFreq docs are dropped corpus-wide, docs reassemble from the
+  // surviving spans. The hot set is the only join side — bounded, AQE
+  // broadcasts it.
+  def d10BoilerplateScrub(spark: SparkSession, dir: String): DataFrame =
+    Dedupe.boilerplateScrub(docs(spark, dir), "doc_id", "text",
+      span = 3, maxDocFreq = 3L)
+      .orderBy(col("doc_id"))
+
   // Label-free twin: blocks come from the embedding itself (sign-LSH over
   // the leading components) — the 100 TB path when no cluster label
   // exists. Same per-block pair loop, same quantized arithmetic.
@@ -463,6 +473,7 @@ object TrainingData {
     "d5_embed_dup" -> (d5EmbedDup _),
     "d5b_embed_dup_lsh" -> (d5bEmbedDupLsh _),
     "d9_semantic_dedup" -> (d9SemanticDedup _),
+    "d10_boilerplate_scrub" -> (d10BoilerplateScrub _),
     "sim1_topk" -> (sim1TopK _),
     "sim2_ann_bucket" -> (sim2AnnBucket _),
     "sim3_ivf_topk" -> (sim3IvfTopK _),
@@ -754,6 +765,20 @@ object TrainingData {
          |SELECT a.vec_id, a.cid AS cluster,
          |  a.vec_id NOT IN (SELECT vec_id FROM dropped) AS keep
          |FROM assign a ORDER BY a.vec_id""".stripMargin,
+    "d10_boilerplate_scrub" ->
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |idx AS (SELECT doc_id, ws,
+        |  unnest(generate_series(1, CAST(ceil(len(ws)/3.0) AS BIGINT))) AS ci FROM base),
+        |chunks AS (SELECT doc_id, ci,
+        |  array_to_string(ws[(ci-1)*3+1 : least(ci*3, len(ws))], ' ') AS chunk FROM idx),
+        |hot AS (SELECT chunk FROM chunks GROUP BY chunk HAVING COUNT(DISTINCT doc_id) > 3),
+        |flagged AS (SELECT c.doc_id, c.ci, c.chunk, h.chunk IS NOT NULL AS is_hot
+        |  FROM chunks c LEFT JOIN hot h USING (chunk))
+        |SELECT doc_id,
+        |  COUNT(*) AS n_chunks,
+        |  COUNT(*) FILTER (WHERE is_hot) AS n_dropped,
+        |  COALESCE(string_agg(chunk, ' ' ORDER BY ci) FILTER (WHERE NOT is_hot), '') AS scrubbed
+        |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d5b_embed_dup_lsh" ->
       s"""WITH $qCte,
          |bkt AS (

@@ -112,6 +112,29 @@ class TrainingDataSpec extends SparkSpec {
     assert(small(1L).length == png.length)
   }
 
+  test("boilerplateScrub drops cross-doc hot spans, keeps order, survives all-boilerplate docs") {
+    import spark.implicits._
+    import graft.dedupe.Dedupe
+    val boiler = "click accept cookies"
+    val docs = (
+      (1L to 5L).map(i => i -> s"$boiler unique words ${i}a ${i}b ${i}c") :+
+        (6L -> s"totally fresh content here never repeated once") :+
+        (7L -> boiler) // all-boilerplate doc: scrubbed to empty, row kept
+      ).toDF("doc_id", "text")
+    val out = Dedupe.boilerplateScrub(docs, "doc_id", "text",
+      span = 3, maxDocFreq = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // the planted span appears in 6 docs > cap 3 → dropped everywhere
+    // (9 words = 3 chunks: the boilerplate span + two kept spans)
+    assert(out(1L) == ((3L, 1L, "unique words 1a 1b 1c")))
+    assert(out(5L)._2 == 1L && out(5L)._3 == "unique words 5a 5b 5c")
+    // unique content is untouched (df 1 ≤ cap), chunking is 3-word spans
+    assert(out(6L) == ((3L, 0L, "totally fresh content here never repeated once")))
+    // all chunks dropped: the doc stays in the output with empty text
+    assert(out(7L) == ((1L, 1L, "")))
+  }
+
   test("brute-force topk: rank 1 is the true argmax; bucketed ANN ⊆ brute-force candidates") {
     import spark.implicits._
     val vecs = Seq(
