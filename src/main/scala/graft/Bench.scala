@@ -5,7 +5,11 @@ object Bench {
     // optional args: run only the named queries, repeated REPS times
     // (local profiling loop); the driver passes none and gets the suite
     val only = args.toSet
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    // default 2 passes: every query then has ≥2 samples, so the spread /
+    // noise fields in the artifact always measure something (one pass
+    // only samples spread on the slow-retry subset); the min over 2
+    // temporally-spaced passes is also a steadier headline number
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     val spark = Sessions.local("graft-bench")
     // one warm-up pass so JIT/codegen/file-listing costs don't dominate;
     // also stages the session-scoped statement table once (the per-session
