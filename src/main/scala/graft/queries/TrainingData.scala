@@ -301,6 +301,37 @@ object TrainingData {
       .orderBy(col("source"), col("rank"))
   }
 
+  // Mixture-weight sampler: deterministically subsample the corpus so the
+  // kept set approximates a target language mixture (the domain-rebalance
+  // step of training-data curation — e.g. upweight code, downweight web).
+  // Feasible total T = min over groups of n_g / w_g; keep rate per group
+  // is w_g·T / n_g; membership is a pure hash test on the doc id —
+  // deterministic, replayable, no shuffle beyond the group counts.
+  //
+  // Scale shape: counts are one map-side-partial groupBy over a handful
+  // of groups; the rates table is bounded by the mixture's cardinality
+  // (broadcast hint justified, like the centroid table); the sample
+  // itself is a broadcast-join + filter — the corpus is scanned once and
+  // never shuffled or ranked.
+  def cur2MixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir)
+    val weights = Seq(("en", 0.4), ("de", 0.2), ("es", 0.2), ("fr", 0.1),
+      ("zh", 0.1)).toDF("lang", "w")
+    val j = d.groupBy(col("lang")).agg(count(lit(1)).cast("double").as("n"))
+      .join(weights, Seq("lang"))
+    val rates = j
+      .crossJoin(broadcast(j.agg(min(col("n") / col("w")).as("t"))))
+      .select(col("lang"),
+        least(lit(1.0), col("w") * col("t") / col("n")).as("rate"))
+    d.join(broadcast(rates), Seq("lang"))
+      .withColumn("__frac",
+        Dedupe.tokenHash(col("doc_id").cast("string")).cast("double") / 4294967296.0)
+      .filter(col("__frac") < col("rate"))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   // PII scrub: email/URL redaction with per-doc hit counts and the
   // fingerprint of the redacted text. Synthetic contacts are injected
   // deterministically so the scrub has real work on the test corpus.
@@ -481,6 +512,7 @@ object TrainingData {
     "d7_split_assign" -> (d7SplitAssign _),
     "smp1_stratified" -> (smp1Stratified _),
     "cur1_source_cap" -> (cur1SourceCap _),
+    "cur2_mixture_sample" -> (cur2MixtureSample _),
     "t6_scrub" -> (t6Scrub _),
     "dc1_decontam" -> (dc1Decontam _),
     "t7_repetition" -> (t7Repetition _),
@@ -872,6 +904,20 @@ object TrainingData {
         |  FROM documents)
         |WHERE rank <= 10
         |ORDER BY source, rank""".stripMargin,
+    "cur2_mixture_sample" ->
+      """WITH counts AS (
+        |  SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n FROM documents GROUP BY lang),
+        |weights AS (
+        |  SELECT 'en' AS lang, 0.4::DOUBLE AS w UNION ALL
+        |  SELECT 'de', 0.2::DOUBLE UNION ALL SELECT 'es', 0.2::DOUBLE UNION ALL
+        |  SELECT 'fr', 0.1::DOUBLE UNION ALL SELECT 'zh', 0.1::DOUBLE),
+        |j AS (SELECT c.lang, n, w FROM counts c JOIN weights USING (lang)),
+        |t AS (SELECT MIN(n / w) AS t FROM j),
+        |rates AS (SELECT lang, least(1.0::DOUBLE, w * t.t / n) AS rate FROM j, t)
+        |SELECT d.doc_id, d.lang, d.source
+        |FROM documents d JOIN rates USING (lang)
+        |WHERE (('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)),1,8))::BIGINT)::DOUBLE / 4294967296.0 < rate
+        |ORDER BY d.doc_id""".stripMargin,
     "t6_scrub" ->
       """WITH e AS (
         |  SELECT doc_id, text ||
