@@ -84,15 +84,22 @@ object Dedupe {
     * become candidate pairs — the join runs on (band, bucket) keys, never
     * the full cross product.
     */
-  def lshCandidatePairs(sig: DataFrame, idCol: String, k: Int, rowsPerBand: Int): DataFrame = {
-    val spark = sig.sparkSession
-    import spark.implicits._
+  /** One (id, band, bucket) row per band of the signature: the LSH state
+    * keys — documents sharing any (band, bucket) are near-dup candidates.
+    */
+  def bandRows(sig: DataFrame, idCol: String, k: Int, rowsPerBand: Int): DataFrame = {
     val bands = k / rowsPerBand
-    val banded = (0 until bands).map { b =>
+    (0 until bands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"mh$j"))
       sig.select(col(idCol).cast("long"), lit(b).as("band"),
         md5(concat_ws(",", cols: _*)).as("bucket"))
     }.reduce(_ unionByName _)
+  }
+
+  def lshCandidatePairs(sig: DataFrame, idCol: String, k: Int, rowsPerBand: Int): DataFrame = {
+    val spark = sig.sparkSession
+    import spark.implicits._
+    val banded = bandRows(sig, idCol, k, rowsPerBand)
     // group per bucket and emit pairs in-task instead of a self-join: one
     // shuffle on (band, bucket), pair generation is a local loop bounded
     // by bucket size (cap oversized buckets — a bucket that collects a

@@ -6,6 +6,79 @@ import org.apache.spark.sql.streaming.Trigger
 
 import graft.text.TextFunctions
 
+/** Shared exactly-once machinery for the streaming dedupe family
+  * ([[DedupStream]], [[NearDupStream]]): state and output are parquet
+  * tables partitioned by a run-scoped batch key, written with dynamic
+  * partition overwrite (state first, output second), and a zero-byte
+  * commit marker under `stateDir/_commits` written LAST gates everything.
+  *
+  * Recovery rules this encodes:
+  *  - A batch is committed iff its marker exists. Reconciliation at run
+  *    start drops state AND output partitions of uncommitted batches, so
+  *    a crash anywhere mid-batch re-runs it cleanly — no torn output
+  *    partition can suppress its docs, no orphaned state can anti-join
+  *    them away.
+  *  - A WITHIN-run replay (same batch key) rewrites the same partitions
+  *    with identical rows (the state read excludes the batch's own
+  *    partition) — no duplicate emission.
+  *  - The whole run holds the lake lock under stateDir: a second
+  *    concurrent run would otherwise reconcile away the in-flight run's
+  *    uncommitted partitions and double-emit.
+  */
+private[streaming] object ExactlyOnceBatches {
+
+  def reconcile(spark: SparkSession, stateDir: String, outDir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def batches(dir: String): Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      if (!fs.exists(p)) Set.empty
+      else fs.listStatus(p).map(_.getPath.getName)
+        .filter(_.startsWith("__batch=")).toSet
+    }
+    val commitsDir = new org.apache.hadoop.fs.Path(stateDir, "_commits")
+    val committed: Set[String] =
+      if (!fs.exists(commitsDir)) Set.empty
+      else fs.listStatus(commitsDir).map(_.getPath.getName).toSet
+    val uncommitted = (batches(stateDir) ++ batches(outDir)) -- committed
+    uncommitted.foreach { b =>
+      System.err.println(s"[dedup-stream] dropping uncommitted batch partition $b (crashed run)")
+      fs.delete(new org.apache.hadoop.fs.Path(stateDir, b), true)
+      fs.delete(new org.apache.hadoop.fs.Path(outDir, b), true)
+    }
+  }
+
+  /** Commit marker LAST: reconciliation trusts a batch's partitions only
+    * once this exists.
+    */
+  def commitMarker(spark: SparkSession, stateDir: String, batchKey: String): Unit = {
+    val commitsDir = new org.apache.hadoop.fs.Path(stateDir, "_commits")
+    val cfs = commitsDir.getFileSystem(spark.sessionState.newHadoopConf())
+    graft.lake.FsOps.mkdirs(cfs, commitsDir)
+    cfs.create(new org.apache.hadoop.fs.Path(commitsDir, s"__batch=$batchKey"), true).close()
+  }
+
+  /** Read the state table, or None when it holds nothing yet. Only a
+    * missing or empty path means "first batch ever"
+    * (UNABLE_TO_INFER_SCHEMA = dir exists but holds no parquet, e.g.
+    * after reconciliation dropped the lone partition) — any other read
+    * failure must fail the batch, or a transient IO error would silently
+    * disable dedupe for the whole micro-batch.
+    */
+  def readState(spark: SparkSession, stateDir: String): Option[DataFrame] =
+    try Some(spark.read.parquet(stateDir))
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("PATH_NOT_FOUND") ||
+            e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") => None
+    }
+
+  def writePartition(df: DataFrame, dir: String): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch").parquet(dir)
+}
+
 /** Streaming corpus dedupe: a document stream where only novel documents
   * pass through, with fingerprint state maintained across micro-batches —
   * the continuous form of the d1/t4 batch dedupe for an always-on crawl
@@ -19,10 +92,7 @@ import graft.text.TextFunctions
   * that could expire a document's fingerprint), so it belongs in a
   * table the same way the signature artifacts do in batch — at 100 TB
   * the anti-join shuffles only each micro-batch against the bucketed
-  * state partitions. Both sinks are partitioned by a run-scoped batch key
-  * and written with dynamic partition OVERWRITE (state first), so a
-  * replayed micro-batch rewrites its own partitions with the identical
-  * rows — exactly-once output without stream-stream state.
+  * state partitions. Commit/recovery semantics: [[ExactlyOnceBatches]].
   */
 object DedupStream {
 
@@ -38,40 +108,8 @@ object DedupStream {
     val statePath = new org.apache.hadoop.fs.Path(stateDir)
     val fs = statePath.getFileSystem(spark.sessionState.newHadoopConf())
     graft.lake.FsOps.mkdirs(fs, statePath)
-    // Single-writer fence for the whole run: reconciliation (below) reads
-    // and DELETES partitions that belong to whichever run wrote them — a
-    // second run starting while another is mid-batch would drop the
-    // in-flight run's not-yet-committed state and double-emit its docs.
-    // Crashed runs don't brick the dir: the fence is stolen after the
-    // Locks stale TTL.
     graft.lake.Locks.withLock(fs, statePath) {
-    // Crash recovery: a batch is COMMITTED only once its zero-byte marker
-    // under _commits/ exists, written after both partition writes. A run
-    // that died mid-batch leaves partitions without a marker — a fresh
-    // run would either anti-join the dead run's fingerprints as "seen"
-    // (state written, output not: those docs silently never emit) or keep
-    // a torn output partition (crash during the output commit's rename).
-    // Reconcile first: drop BOTH partitions of every uncommitted batch
-    // (driver-side, O(uncommitted) deletes); the docs then re-emit
-    // exactly once from the source replay.
-    locally {
-      def batches(dir: String): Set[String] = {
-        val p = new org.apache.hadoop.fs.Path(dir)
-        if (!fs.exists(p)) Set.empty
-        else fs.listStatus(p).map(_.getPath.getName)
-          .filter(_.startsWith("__batch=")).toSet
-      }
-      val commitsDir = new org.apache.hadoop.fs.Path(stateDir, "_commits")
-      val committed: Set[String] =
-        if (!fs.exists(commitsDir)) Set.empty
-        else fs.listStatus(commitsDir).map(_.getPath.getName).toSet
-      val uncommitted = (batches(stateDir) ++ batches(outDir)) -- committed
-      uncommitted.foreach { b =>
-        System.err.println(s"[dedup-stream] dropping uncommitted batch partition $b (crashed run)")
-        fs.delete(new org.apache.hadoop.fs.Path(stateDir, b), true)
-        fs.delete(new org.apache.hadoop.fs.Path(outDir, b), true)
-      }
-    }
+    ExactlyOnceBatches.reconcile(spark, stateDir, outDir)
     val q = docs.writeStream
       .queryName(name)
       .option("checkpointLocation", s"${graft.functions.F.stageRoot(spark)}/ckpt-$name")
@@ -88,19 +126,7 @@ object DedupStream {
             org.apache.spark.sql.expressions.Window
               .partitionBy(col("__fp")).orderBy(col(idCol))))
           .filter(col("__rn") === 1).drop("__rn")
-        // only a missing or empty state path means "first batch ever"
-        // (UNABLE_TO_INFER_SCHEMA = dir exists but holds no parquet, e.g.
-        // after orphan reconciliation dropped the lone partition) — any
-        // other read failure must fail the batch, or a transient IO error
-        // would silently disable dedupe for the whole micro-batch
-        val seen =
-          try Some(spark.read.parquet(stateDir))
-          catch {
-            case e: org.apache.spark.sql.AnalysisException
-                if e.getMessage.contains("PATH_NOT_FOUND") ||
-                  e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") => None
-          }
-        val novel = seen match {
+        val novel = ExactlyOnceBatches.readState(spark, stateDir) match {
           // exclude this batch's OWN partition from the state read: a
           // replayed batch then recomputes exactly the novel set it
           // produced the first time, instead of anti-joining against its
@@ -114,25 +140,9 @@ object DedupStream {
         val staged = graft.functions.F.materialize(
           novel.withColumn("__batch", lit(batchKey)))
         emitted.add(staged.count())
-        // both sinks are per-batch dynamic partition OVERWRITES, state
-        // first: a WITHIN-RUN replay (same batch key) rewrites the same
-        // partitions with the same rows — no duplicate emission. A crash
-        // between the two writes is healed by the orphan-state
-        // reconciliation at the next run() start (state partition without
-        // an output twin is dropped, so the docs re-emit)
-        staged.select("__fp", "__batch").write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("__batch").parquet(stateDir)
-        staged.drop("__fp").write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("__batch").parquet(outDir)
-        // commit marker LAST: reconciliation trusts a batch's partitions
-        // only once this exists, so a crash anywhere above re-runs the
-        // batch cleanly instead of trusting torn partitions
-        val commitsDir = new org.apache.hadoop.fs.Path(stateDir, "_commits")
-        val cfs = commitsDir.getFileSystem(spark.sessionState.newHadoopConf())
-        graft.lake.FsOps.mkdirs(cfs, commitsDir)
-        cfs.create(new org.apache.hadoop.fs.Path(commitsDir, s"__batch=$batchKey"), true).close()
+        ExactlyOnceBatches.writePartition(staged.select("__fp", "__batch"), stateDir)
+        ExactlyOnceBatches.writePartition(staged.drop("__fp"), outDir)
+        ExactlyOnceBatches.commitMarker(spark, stateDir, batchKey)
       }
       .start()
     q.awaitTermination()

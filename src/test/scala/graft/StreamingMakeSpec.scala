@@ -142,6 +142,34 @@ class StreamingMakeSpec extends SparkSpec {
       .collect().toSet == Set(1L, 2L))
   }
 
+  test("streaming near-dup: band collisions suppress within a batch and across runs") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val base = Files.createTempDirectory("graft-neardupstream").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def feed(dir: String, docs: (Long, String)*) =
+      docs.toSeq.toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    def stream(dir: String) = spark.readStream.schema(schema).parquet(dir)
+    val a = "the quick brown fox jumps over the lazy dog tonight"
+    val b = "completely different content about spark shuffles and parquet footers"
+    // run 1: doc 2 is an exact near-dup of doc 1 (all bands collide) —
+    // in-batch pass keeps the lowest id; doc 3 is novel
+    feed(s"$base/feed1", 1L -> a, 2L -> a, 3L -> b)
+    val n1 = graft.streaming.NearDupStream.run(spark, stream(s"$base/feed1"),
+      "doc_id", "text", s"$base/state", s"$base/out")
+    assert(n1 == 2)
+    // run 2: doc 4 collides with run 1's ADMITTED state (doc 1's bands);
+    // doc 5 is novel; doc 6 is below the shingle width — admitted, never
+    // recorded (documented edge)
+    feed(s"$base/feed2", 4L -> a, 5L -> "yet another unrelated subject entirely here now", 6L -> "too short")
+    val n2 = graft.streaming.NearDupStream.run(spark, stream(s"$base/feed2"),
+      "doc_id", "text", s"$base/state", s"$base/out")
+    assert(n2 == 2)
+    val out = spark.read.parquet(s"$base/out")
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 3L, 5L, 6L))
+  }
+
   test("streaming dedupe drops torn uncommitted batches on BOTH sides (crash mid-commit)") {
     import spark.implicits._
     import org.apache.spark.sql.types._
