@@ -157,6 +157,42 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("boilerplateScrub with an infinite cap is the identity reassembly") {
+    import spark.implicits._
+    // random word-soup docs: with maxDocFreq above the corpus size no
+    // span can be hot, so chunk → reassemble must reproduce every text
+    // verbatim (the chunking/ordering/concat path has no lossy step)
+    val genDoc = for {
+      n <- Gen.choose(1, 17)
+      ws <- Gen.listOfN(n, Gen.oneOf("a", "bb", "ccc", "d1", "e", "ff"))
+    } yield ws.mkString(" ")
+    val docs = samples(genDoc, 40).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = graft.dedupe.Dedupe
+      .boilerplateScrub(docs, "doc_id", "text", span = 3, maxDocFreq = Long.MaxValue)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    val want = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == want.keySet)
+    want.foreach { case (id, t) =>
+      assert(out(id) == ((0L, t)), s"doc $id")
+    }
+  }
+
+  test("RQL quoted literals round-trip arbitrary value bytes") {
+    import graft.query.{FtmQuery, Rql}
+    // any printable value (delimiters, quotes, backslashes included)
+    // must survive render-quote → parse
+    def quote(v: String) =
+      "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val genVal = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf(',', '(', ')', '"', '\'', '\\', ' ', ':')))
+      .map(_.mkString)
+    samples(genVal, 60).filter(_.nonEmpty).foreach { v =>
+      val q = Rql.parse(s"eq(name,${quote(v)})")
+      assert(q.propFilters == Seq(FtmQuery.P("name", FtmQuery.EqOp, Seq(v))), v)
+    }
+  }
+
   test("QuantizedCosine column agrees with the scala twin on random vectors") {
     import spark.implicits._
     val genVec = Gen.listOfN(6, Gen.choose(-10000L, 10000L)).map(_.toArray)
