@@ -75,6 +75,56 @@ object Xref {
     candidates(normalizedKeys(live, props, normalize),
       "__block", "entity_id", maxBlock, minShared)
 
+  /** Incremental xref: scored candidate pairs TOUCHING a changed entity
+    * set, computed over dirty blocks only — the nightly-delta form of
+    * [[scoredFromLive]].
+    *
+    * Correctness: a pair's shared-block count can differ from yesterday
+    * only if a side changed, and EVERY shared block of such a pair
+    * contains that changed entity — so every shared block is dirty
+    * (dirty = holds a changed entity). Restricting the pair loop to
+    * dirty blocks therefore preserves `n_shared`, the `maxBlock` cap
+    * (block membership is unchanged by the restriction) and `minShared`
+    * EXACTLY for touched pairs; old-old pairs inside dirty blocks are
+    * undercounted and filtered out. The oracle twin states this as an
+    * equivalence: incremental == full recompute ∩ touched.
+    *
+    * Scale shape: the changed set is a delta (small by contract); its
+    * blocks arrive via one semi-join the optimizer broadcasts, the pair
+    * loop runs only over dirty blocks, and the key-count aggregation for
+    * scoring is restricted to the touched pair ids — on a quiet day the
+    * whole recompute touches almost nothing of a 100 TB corpus.
+    */
+  def incrementalScoredFromLive(live: DataFrame, changedIds: DataFrame,
+      props: Seq[String], normalize: Column => Column = identity,
+      maxBlock: Int = 100, minShared: Int = 2): DataFrame = {
+    val keys = normalizedKeys(live, props, normalize)
+    val changed = changedIds
+      .select(col(changedIds.columns.head).cast("string").as("entity_id"))
+      .distinct()
+    val dirtyBlocks = keys.join(changed, Seq("entity_id"), "left_semi")
+      .select(col("__block")).distinct()
+    val keysD = keys.join(dirtyBlocks, Seq("__block"), "left_semi")
+    val cand = candidates(keysD, "__block", "entity_id", maxBlock, minShared)
+    val touched = cand
+      .join(changed.select(col("entity_id").as("id_a"), lit(true).as("__ca")),
+        Seq("id_a"), "left_outer")
+      .join(changed.select(col("entity_id").as("id_b"), lit(true).as("__cb")),
+        Seq("id_b"), "left_outer")
+      .filter(col("__ca").isNotNull || col("__cb").isNotNull)
+      .select(col("id_a"), col("id_b"), col("n_shared"))
+    val touchedIds = touched.select(col("id_a").as("entity_id"))
+      .unionByName(touched.select(col("id_b").as("entity_id"))).distinct()
+    val counts = keys.join(touchedIds, Seq("entity_id"), "left_semi")
+      .groupBy(col("entity_id")).agg(count(lit(1)).as("__nk"))
+    touched
+      .join(counts.select(col("entity_id").as("id_a"), col("__nk").as("__na")), Seq("id_a"))
+      .join(counts.select(col("entity_id").as("id_b"), col("__nk").as("__nb")), Seq("id_b"))
+      .withColumn("score", col("n_shared").cast("double") /
+        (col("__na") + col("__nb") - col("n_shared")).cast("double"))
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("score"))
+  }
+
   /** Candidate pairs with a match score: the Jaccard of the two entities'
     * normalized key sets (`n_shared / (|A| + |B| - n_shared)`) — the
     * blocking-key overlap score real xref ranks candidates by before the

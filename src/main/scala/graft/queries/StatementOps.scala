@@ -384,6 +384,21 @@ object StatementOps {
       maxBlock = 100, minShared = 5)
       .orderBy(col("id_a"), col("id_b"))
 
+  // X3: incremental xref — the nightly-delta recompute over dirty blocks
+  // only. The oracle is deliberately the OTHER algorithm: a full x2-style
+  // recompute filtered to pairs touching a changed entity — passing means
+  // the dirty-block shortcut is exactly equivalent on touched pairs.
+  def x3XrefIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val live = liveView(spark, dir)
+    val changed = live
+      .filter(col("last_seen") >= lit("2024-01-30 21:00:00").cast("timestamp"))
+      .select(col("entity_id")).distinct()
+    graft.ops.Xref.incrementalScoredFromLive(live, changed, Seq("click", "view"),
+      v => floor(v.cast("decimal(10,2)")).cast("long"),
+      maxBlock = 100, minShared = 5)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // Set difference: entities appearing in the thing bucket but never in the
   // interval bucket (reference's DEL-detection shape, §2.7).
   def set1Except(spark: SparkSession, dir: String): DataFrame = {
@@ -417,7 +432,8 @@ object StatementOps {
     "p1_query_compile" -> (p1QueryCompile _),
     "set1_except" -> (set1Except _),
     "x1_xref_candidates" -> (x1XrefCandidates _),
-    "x2_xref_scores" -> (x2XrefScores _))
+    "x2_xref_scores" -> (x2XrefScores _),
+    "x3_xref_incremental" -> (x3XrefIncremental _))
 
   val oracle: Map[String, String] = Map(
     "a1_merge_dedupe" -> s"$mergeCte\n$stmtOutSql",
@@ -660,5 +676,35 @@ object StatementOps {
          |FROM shared s
          |JOIN counts ca ON ca.entity_id = s.id_a
          |JOIN counts cb ON cb.entity_id = s.id_b
+         |ORDER BY s.id_a, s.id_b""".stripMargin,
+    "x3_xref_incremental" ->
+      s"""$mergeCte,
+         |keys AS (
+         |  SELECT DISTINCT prop, CAST(floor(CAST(value AS DECIMAL(10,2))) AS BIGINT) AS k, entity_id
+         |  FROM live WHERE prop IN ('click','view')
+         |    AND CAST(floor(CAST(value AS DECIMAL(10,2))) AS BIGINT) IS NOT NULL),
+         |blocks AS (
+         |  SELECT prop, k FROM keys
+         |  GROUP BY prop, k HAVING COUNT(*) <= 100),
+         |pairs AS (
+         |  SELECT a.entity_id AS id_a, b.entity_id AS id_b
+         |  FROM keys a
+         |  JOIN blocks bl ON a.prop = bl.prop AND a.k = bl.k
+         |  JOIN keys b ON b.prop = a.prop AND b.k = a.k
+         |    AND a.entity_id < b.entity_id),
+         |shared AS (
+         |  SELECT id_a, id_b, COUNT(*) AS n_shared
+         |  FROM pairs GROUP BY id_a, id_b HAVING COUNT(*) >= 5),
+         |counts AS (SELECT entity_id, COUNT(*) AS nk FROM keys GROUP BY entity_id),
+         |changed AS (
+         |  SELECT DISTINCT entity_id FROM live
+         |  WHERE last_seen >= TIMESTAMP '2024-01-30 21:00:00')
+         |SELECT s.id_a, s.id_b, s.n_shared,
+         |  CAST(s.n_shared AS DOUBLE) / (ca.nk + cb.nk - s.n_shared) AS score
+         |FROM shared s
+         |JOIN counts ca ON ca.entity_id = s.id_a
+         |JOIN counts cb ON cb.entity_id = s.id_b
+         |WHERE s.id_a IN (SELECT entity_id FROM changed)
+         |   OR s.id_b IN (SELECT entity_id FROM changed)
          |ORDER BY s.id_a, s.id_b""".stripMargin)
 }
