@@ -221,6 +221,20 @@ class ArchivePlanSpec extends SparkSpec {
     assert(p.contains("MapGroups"), p)
   }
 
+  test("d10/cur2: corpus joins resolve to broadcasts, the corpus never shuffles for them") {
+    // d10: the hot-chunk set (bounded by corpus/maxDocFreq) must arrive
+    // broadcast; cur2: the rates table (mixture cardinality) likewise —
+    // in both, the only corpus exchanges are the aggregation/sort ones
+    for (q <- Seq("d10_boilerplate_scrub", "cur2_mixture_sample")) {
+      val df = SparkEntry.queries(q)(spark, sf001)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"), s"$q:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q:\n$p")
+    }
+  }
+
   test("live-view scan keeps the tombstone filter pushdown-eligible") {
     import org.apache.spark.sql.functions.col
     val tmp = java.nio.file.Files.createTempDirectory("graft-plan-live").toString
