@@ -208,6 +208,15 @@ object TrainingData {
       span = 3, maxDocFreq = 3L)
       .orderBy(col("doc_id"))
 
+  // SQ8 brute-force top-k: the int8 scalar-quantized scoring path — 1/8th
+  // the candidate-table bytes of sim1's exact-integer codes, cosine over
+  // the codes directly (scale-invariant), same fused codegen kernel shape.
+  def sim5Sq8TopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    Similarity.sq8TopK(e, "vec_id", e.filter(col("vec_id") < 10), k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // Label-free twin: blocks come from the embedding itself (sign-LSH over
   // the leading components) — the 100 TB path when no cluster label
   // exists. Same per-block pair loop, same quantized arithmetic.
@@ -509,6 +518,7 @@ object TrainingData {
     "sim2_ann_bucket" -> (sim2AnnBucket _),
     "sim3_ivf_topk" -> (sim3IvfTopK _),
     "sim4_kmeans_update" -> (sim4KmeansUpdate _),
+    "sim5_sq8_topk" -> (sim5Sq8TopK _),
     "d7_split_assign" -> (d7SplitAssign _),
     "smp1_stratified" -> (smp1Stratified _),
     "cur1_source_cap" -> (cur1SourceCap _),
@@ -831,6 +841,26 @@ object TrainingData {
          |  FROM p a JOIN p b ON a.vec_id < 10 AND b.vec_id <> a.vec_id)
          |SELECT query_id, neighbor_id, rank FROM scored
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "sim5_sq8_topk" ->
+      """WITH q8 AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x ->
+        |      CAST(coalesce(round(CAST(x AS DOUBLE) / nullif(sc, 0.0) * 127.0), 0.0) AS BIGINT)) AS qv8
+        |  FROM (SELECT vec_id, embedding,
+        |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS sc
+        |        FROM embeddings)),
+        |p8 AS (
+        |  SELECT vec_id, qv8,
+        |    list_sum(list_transform(list_zip(qv8, qv8), z -> CAST(z[1] AS BIGINT)*z[2])) AS nrm8
+        |  FROM q8),
+        |scored AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+        |      CAST(list_sum(list_transform(list_zip(a.qv8, b.qv8), z -> CAST(z[1] AS BIGINT)*z[2])) AS DOUBLE) / sqrt(CAST(a.nrm8*b.nrm8 AS DOUBLE)) DESC,
+        |      b.vec_id) AS rank
+        |  FROM p8 a JOIN p8 b ON a.vec_id < 10 AND b.vec_id <> a.vec_id)
+        |SELECT query_id, neighbor_id, rank FROM scored
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "sim2_ann_bucket" ->
       s"""WITH $qCte,
          |bkt AS (

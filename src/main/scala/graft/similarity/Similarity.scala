@@ -65,6 +65,57 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** SQ8 scalar quantization: per-vector max-abs scaling to int8 codes.
+    * Cosine is SCALE-INVARIANT, so the per-vector scale never needs to be
+    * stored or applied — codes score directly ([[cosine8]]). 1 byte per
+    * dimension vs 8 for [[quantize]]: an 8× smaller broadcast / shuffle /
+    * cache footprint for ANN candidate tables, which at 10B × 1k-dim
+    * vectors is the difference between in-memory and spilled scoring.
+    * A zero vector (scale 0) quantizes to all-zero codes.
+    */
+  def quantize8(emb: Column): Column = {
+    val scale = array_max(transform(emb, x => abs(x.cast("double"))))
+    transform(emb, x =>
+      coalesce(round(x.cast("double") / nullif(scale, lit(0.0)) * 127.0),
+        lit(0.0)).cast("byte"))
+  }
+
+  /** Exact integer dot product of two int8 code vectors (sums in long —
+    * |dot| ≤ 127²·dims, far below 2^53).
+    */
+  def dot8(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Deterministic cosine over SQ8 codes — the int8 sibling of [[cosineQ]]
+    * ([[graft.functions.Int8Cosine]], same fused codegen loop).
+    */
+  def cosine8(qa: Column, qb: Column, na: Column, nb: Column): Column =
+    graft.functions.Int8Cosine(qa, qb, na, nb)
+
+  /** SQ8 table: (…, __q8, __n8) int8 codes + exact code norm². */
+  def prepared8(emb: DataFrame, idCol: String): DataFrame =
+    emb.withColumn("__q8", quantize8(col("embedding")))
+      .withColumn("__n8", dot8(col("__q8"), col("__q8")))
+
+  /** Brute-force top-k over SQ8 codes: [[bruteForceTopK]] at 1/8th the
+    * candidate-table footprint. Approximate only through quantization
+    * rounding — ranking ties break identically (cosine desc, id asc).
+    */
+  def sq8TopK(emb: DataFrame, idCol: String, queries: DataFrame, k: Int): DataFrame = {
+    val corpus = prepared8(emb, idCol)
+      .select(col(idCol).as("neighbor_id"), col("__q8").as("__qc"), col("__n8").as("__nc"))
+    val qs = prepared8(queries, idCol)
+      .select(col(idCol).as("query_id"), col("__q8").as("__qq"), col("__n8").as("__nq"))
+    val scored = corpus.join(broadcast(qs), col("query_id") =!= col("neighbor_id"))
+      .withColumn("__sim", cosine8(col("__qq"), col("__qc"), col("__nq"), col("__nc")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** Sign-LSH bucket key from the first `bits` quantized components. */
   def signBucket(q: Column, bits: Int): Column =
     (0 until bits).map { i =>

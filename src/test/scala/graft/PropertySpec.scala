@@ -209,4 +209,35 @@ class PropertySpec extends SparkSpec {
     }
     assert(got.toSeq == expected.toSeq)
   }
+
+  test("Int8Cosine agrees with a scala twin; SQ8 quantization is scale-invariant") {
+    import spark.implicits._
+    // Seq[Byte], not Array[Byte]: the latter encodes as BINARY, while the
+    // engine's quantize8 output is array<tinyint>
+    val genVec = Gen.listOfN(6, Gen.choose(-127, 127).map(_.toByte))
+      .map(_.toSeq).suchThat(_.exists(_ != 0))
+    val pairs = samples(Gen.zip(genVec, genVec), 20)
+    val df = pairs.toDF("a", "b")
+      .withColumn("na", graft.similarity.Similarity.dot8(col("a"), col("a")))
+      .withColumn("nb", graft.similarity.Similarity.dot8(col("b"), col("b")))
+    val got = df.select(graft.functions.Int8Cosine(
+      col("a"), col("b"), col("na"), col("nb"))).collect().map(_.getDouble(0))
+    val expected = pairs.map { case (a, b) =>
+      val dot = a.zip(b).map { case (x, y) => x.toLong * y.toLong }.sum
+      val na = a.map(x => x.toLong * x.toLong).sum
+      val nb = b.map(x => x.toLong * x.toLong).sum
+      dot.toDouble / math.sqrt((na * nb).toDouble)
+    }
+    assert(got.toSeq == expected.toSeq)
+
+    // scale invariance: a vector and its 3× copy quantize to the SAME
+    // int8 codes (max-abs scaling divides the multiple out)
+    val vecs = Seq(
+      (1L, Array(0.1f, -0.5f, 0.25f)),
+      (2L, Array(0.3f, -1.5f, 0.75f))).toDF("vec_id", "embedding")
+    val codes = vecs
+      .select(col("vec_id"), graft.similarity.Similarity.quantize8(col("embedding")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    assert(codes(1L) == codes(2L))
+  }
 }
