@@ -98,7 +98,12 @@ object Xref {
   def incrementalScoredFromLive(live: DataFrame, changedIds: DataFrame,
       props: Seq[String], normalize: Column => Column = identity,
       maxBlock: Int = 100, minShared: Int = 2): DataFrame = {
-    val keys = normalizedKeys(live, props, normalize)
+    // the key table is the hub of THREE downstream branches (dirty-block
+    // discovery, the dirty pair loop, the score counts) — stage it once,
+    // or each branch re-runs the normalize+distinct shuffle over the live
+    // view; same for the touched pair set (two consumers)
+    val keys = graft.functions.F.materialize(
+      normalizedKeys(live, props, normalize))
     val changed = changedIds
       .select(col(changedIds.columns.head).cast("string").as("entity_id"))
       .distinct()
@@ -106,13 +111,13 @@ object Xref {
       .select(col("__block")).distinct()
     val keysD = keys.join(dirtyBlocks, Seq("__block"), "left_semi")
     val cand = candidates(keysD, "__block", "entity_id", maxBlock, minShared)
-    val touched = cand
+    val touched = graft.functions.F.materialize(cand
       .join(changed.select(col("entity_id").as("id_a"), lit(true).as("__ca")),
         Seq("id_a"), "left_outer")
       .join(changed.select(col("entity_id").as("id_b"), lit(true).as("__cb")),
         Seq("id_b"), "left_outer")
       .filter(col("__ca").isNotNull || col("__cb").isNotNull)
-      .select(col("id_a"), col("id_b"), col("n_shared"))
+      .select(col("id_a"), col("id_b"), col("n_shared")))
     val touchedIds = touched.select(col("id_a").as("entity_id"))
       .unionByName(touched.select(col("id_b").as("entity_id"))).distinct()
     val counts = keys.join(touchedIds, Seq("entity_id"), "left_semi")
