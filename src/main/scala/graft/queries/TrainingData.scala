@@ -217,6 +217,16 @@ object TrainingData {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // IVF-SQ8: coarse-quantizer assignment (exact kernel, nlist-bounded) +
+  // SQ8 codes in the inverted lists — the artifact that shuffles at
+  // corpus size carries 1-byte codes.
+  def sim6IvfSq8(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    Similarity.ivfSq8TopK(e, "vec_id", e.filter(col("vec_id") < 10), k = 3,
+      nlist = 8, nprobe = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // Label-free twin: blocks come from the embedding itself (sign-LSH over
   // the leading components) — the 100 TB path when no cluster label
   // exists. Same per-block pair loop, same quantized arithmetic.
@@ -519,6 +529,7 @@ object TrainingData {
     "sim3_ivf_topk" -> (sim3IvfTopK _),
     "sim4_kmeans_update" -> (sim4KmeansUpdate _),
     "sim5_sq8_topk" -> (sim5Sq8TopK _),
+    "sim6_ivf_sq8" -> (sim6IvfSq8 _),
     "d7_split_assign" -> (d7SplitAssign _),
     "smp1_stratified" -> (smp1Stratified _),
     "cur1_source_cap" -> (cur1SourceCap _),
@@ -573,6 +584,24 @@ object TrainingData {
 
   private val simExpr =
     "CAST(list_sum(list_transform(list_zip(a.qv, b.qv), z -> CAST(z[1] AS BIGINT)*z[2])) AS DOUBLE) / sqrt(CAST(a.nrm*b.nrm AS DOUBLE))"
+
+  // SQ8 twin of qCte/simExpr: per-vector max-abs int8 codes (cosine is
+  // scale-invariant, so the scale never appears past quantization).
+  private val sq8Cte =
+    """q8 AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x ->
+      |      CAST(coalesce(round(CAST(x AS DOUBLE) / nullif(sc, 0.0) * 127.0), 0.0) AS BIGINT)) AS qv8
+      |  FROM (SELECT vec_id, embedding,
+      |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS sc
+      |        FROM embeddings)),
+      |p8 AS (
+      |  SELECT vec_id, qv8,
+      |    list_sum(list_transform(list_zip(qv8, qv8), z -> CAST(z[1] AS BIGINT)*z[2])) AS nrm8
+      |  FROM q8)""".stripMargin
+
+  private val sim8Expr =
+    "CAST(list_sum(list_transform(list_zip(a.qv8, b.qv8), z -> CAST(z[1] AS BIGINT)*z[2])) AS DOUBLE) / sqrt(CAST(a.nrm8*b.nrm8 AS DOUBLE))"
 
   /** Shared CTE chain: LSH candidates → Jaccard verify → connected
     * components (min-label reachability) → `clusters(doc_id, cluster_id)`.
@@ -842,25 +871,43 @@ object TrainingData {
          |SELECT query_id, neighbor_id, rank FROM scored
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "sim5_sq8_topk" ->
-      """WITH q8 AS (
-        |  SELECT vec_id,
-        |    list_transform(embedding, x ->
-        |      CAST(coalesce(round(CAST(x AS DOUBLE) / nullif(sc, 0.0) * 127.0), 0.0) AS BIGINT)) AS qv8
-        |  FROM (SELECT vec_id, embedding,
-        |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS sc
-        |        FROM embeddings)),
-        |p8 AS (
-        |  SELECT vec_id, qv8,
-        |    list_sum(list_transform(list_zip(qv8, qv8), z -> CAST(z[1] AS BIGINT)*z[2])) AS nrm8
-        |  FROM q8),
-        |scored AS (
-        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-        |    ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
-        |      CAST(list_sum(list_transform(list_zip(a.qv8, b.qv8), z -> CAST(z[1] AS BIGINT)*z[2])) AS DOUBLE) / sqrt(CAST(a.nrm8*b.nrm8 AS DOUBLE)) DESC,
-        |      b.vec_id) AS rank
-        |  FROM p8 a JOIN p8 b ON a.vec_id < 10 AND b.vec_id <> a.vec_id)
-        |SELECT query_id, neighbor_id, rank FROM scored
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+      s"""WITH $sq8Cte,
+         |scored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY $sim8Expr DESC,
+         |      b.vec_id) AS rank
+         |  FROM p8 a JOIN p8 b ON a.vec_id < 10 AND b.vec_id <> a.vec_id)
+         |SELECT query_id, neighbor_id, rank FROM scored
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "sim6_ivf_sq8" ->
+      s"""WITH $qCte,
+         |$sq8Cte,
+         |cents AS (SELECT vec_id AS cid, qv AS kv, nrm AS knrm FROM p WHERE vec_id < 8),
+         |corpus_assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT p.vec_id, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+         |        CAST(list_sum(list_transform(list_zip(p.qv, c.kv), z -> CAST(z[1] AS BIGINT)*z[2])) AS DOUBLE) / sqrt(CAST(p.nrm*c.knrm AS DOUBLE)) DESC,
+         |        c.cid) AS crn
+         |    FROM p CROSS JOIN cents c) WHERE crn = 1),
+         |query_assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT p.vec_id, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+         |        CAST(list_sum(list_transform(list_zip(p.qv, c.kv), z -> CAST(z[1] AS BIGINT)*z[2])) AS DOUBLE) / sqrt(CAST(p.nrm*c.knrm AS DOUBLE)) DESC,
+         |        c.cid) AS crn
+         |    FROM p CROSS JOIN cents c WHERE p.vec_id < 10) WHERE crn <= 2),
+         |ca8 AS (SELECT a.vec_id, a.cid, b.qv8, b.nrm8
+         |  FROM corpus_assign a JOIN p8 b ON a.vec_id = b.vec_id),
+         |qa8 AS (SELECT a.vec_id, a.cid, b.qv8, b.nrm8
+         |  FROM query_assign a JOIN p8 b ON a.vec_id = b.vec_id),
+         |scored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY $sim8Expr DESC,
+         |      b.vec_id) AS rank
+         |  FROM qa8 a JOIN ca8 b ON a.cid = b.cid AND b.vec_id <> a.vec_id)
+         |SELECT query_id, neighbor_id, rank FROM scored
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "sim2_ann_bucket" ->
       s"""WITH $qCte,
          |bkt AS (

@@ -161,15 +161,15 @@ object Similarity {
     * is deterministic.
     */
   private[similarity] def assignNearest(df: DataFrame, idAs: String,
-      cents: DataFrame): DataFrame = {
+      cents: DataFrame, carry: Seq[String] = Seq("__q", "__n")): DataFrame = {
     val scored = df.join(broadcast(cents))
       .withColumn("__csim", cosineQ(col("__q"), col("__qk"), col("__n"), col("__nk")))
     scored.groupBy(col(idAs))
       .agg(max_by(
-        struct(col("__cid"), col("__q"), col("__n")),
+        struct((col("__cid") +: carry.map(col)): _*),
         struct(col("__csim"), (-col("__cid")).as("__negcid"))).as("__best"))
-      .select(col(idAs), col("__best.__cid").as("__cid"),
-        col("__best.__q").as("__q"), col("__best.__n").as("__n"))
+      .select((col(idAs) +: col("__best.__cid").as("__cid") +:
+        carry.map(c => col(s"__best.$c").as(c))): _*)
   }
 
   /** IVF ANN: inverted-file search with a coarse quantizer. Centroids
@@ -208,6 +208,46 @@ object Similarity {
     val scored = corpus.join(broadcast(qs), Seq("__cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("__sim", cosineQ(col("__qq"), col("__qc"), col("__nq"), col("__nc")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** IVF-SQ8: the coarse quantizer of [[ivfTopK]] with SQ8 codes in the
+    * inverted lists — FAISS's `IVF,SQ8` layout re-expressed relationally.
+    * Assignment scores against the nlist-bounded centroids with the
+    * exact-integer kernel (one broadcast scan, map-side argmax, N rows
+    * shuffled); the artifact that actually shuffles and joins at corpus
+    * size — the per-list candidate table — carries 1-byte codes and the
+    * probe scoring runs [[cosine8]] over them. Same nprobe semantics as
+    * [[ivfTopK]]; results differ from it only through SQ8 rounding.
+    */
+  def ivfSq8TopK(emb: DataFrame, idCol: String, queries: DataFrame, k: Int,
+      nlist: Int, nprobe: Int): DataFrame = {
+    val prepBoth = prepared8(prepared(emb, idCol), idCol)
+    val cents = prepBoth.filter(col(idCol) < nlist)
+      .select(col(idCol).as("__cid"), col("__q").as("__qk"), col("__n").as("__nk"))
+    val corpus = assignNearest(
+      prepBoth.select(col(idCol).as("neighbor_id"),
+        col("__q"), col("__n"), col("__q8"), col("__n8")),
+      "neighbor_id", cents, carry = Seq("__q8", "__n8"))
+      .withColumnRenamed("__q8", "__qc").withColumnRenamed("__n8", "__nc")
+    val qsScored = prepared8(prepared(queries, idCol), idCol)
+      .select(col(idCol).as("query_id"),
+        col("__q"), col("__n"), col("__q8"), col("__n8"))
+      .join(broadcast(cents))
+      .withColumn("__csim", cosineQ(col("__q"), col("__qk"), col("__n"), col("__nk")))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("__csim").desc, col("__cid"))
+    val qs = qsScored.withColumn("__crn", row_number().over(wq))
+      .filter(col("__crn") <= nprobe)
+      .select(col("query_id"), col("__cid"),
+        col("__q8").as("__qq"), col("__n8").as("__nq"))
+    val scored = corpus.join(broadcast(qs), Seq("__cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__sim", cosine8(col("__qq"), col("__qc"), col("__nq"), col("__nc")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("__sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))

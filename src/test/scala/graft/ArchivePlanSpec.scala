@@ -148,10 +148,12 @@ class ArchivePlanSpec extends SparkSpec {
       val flags = bnljCollapsedBeforeExchange(p)
       assert(flags.nonEmpty && flags.forall(identity), s"$q:\n$p")
     }
-    // ivfTopK: corpus side collapsed; the small query side keeps its
-    // windowed top-nprobe (keep > 1 has no single-row argmax)
-    val p3 = plan("sim3_ivf_topk")
-    assert(bnljCollapsedBeforeExchange(p3).count(identity) >= 1, p3)
+    // ivfTopK / ivfSq8TopK: corpus side collapsed; the small query side
+    // keeps its windowed top-nprobe (keep > 1 has no single-row argmax)
+    for (q <- Seq("sim3_ivf_topk", "sim6_ivf_sq8")) {
+      val p3 = plan(q)
+      assert(bnljCollapsedBeforeExchange(p3).count(identity) >= 1, s"$q:\n$p3")
+    }
   }
 
   test("s1_scan pushes its filter and prunes columns at the parquet scan") {
