@@ -187,10 +187,23 @@ object Similarity {
     * set is small by contract, and `keep > 1` has no single-row argmax.
     */
   def ivfTopK(emb: DataFrame, idCol: String, queries: DataFrame, k: Int,
-      nlist: Int, nprobe: Int): DataFrame = {
-    val prep = prepared(emb, idCol)
-    val cents = prep.filter(col(idCol) < nlist)
+      nlist: Int, nprobe: Int): DataFrame =
+    ivfTopKWithCents(emb, idCol, queries, k, seedCentroids(emb, idCol, nlist), nprobe)
+
+  /** Deterministic seed centroids: the first `nlist` corpus vectors by id
+    * — the replayable default quantizer ([[kmeansTrain]] produces the
+    * trained replacement with the same (__cid, __qk, __nk) shape).
+    */
+  def seedCentroids(emb: DataFrame, idCol: String, nlist: Int): DataFrame =
+    prepared(emb, idCol).filter(col(idCol) < nlist)
       .select(col(idCol).as("__cid"), col("__q").as("__qk"), col("__n").as("__nk"))
+
+  /** [[ivfTopK]] against an explicit centroid table — the entry point for
+    * trained quantizers.
+    */
+  def ivfTopKWithCents(emb: DataFrame, idCol: String, queries: DataFrame,
+      k: Int, cents: DataFrame, nprobe: Int): DataFrame = {
+    val prep = prepared(emb, idCol)
     val corpus = assignNearest(
       prep.select(col(idCol).as("neighbor_id"), col("__q"), col("__n")),
       "neighbor_id", cents)
@@ -279,6 +292,49 @@ object Similarity {
       .groupBy(col("cid"), col("dim"))
       .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
       .withColumn("mean_q", col("s").cast("double") / col("n").cast("double"))
+  }
+
+  /** Train the coarse quantizer: `iters` spherical-k-means rounds from
+    * the deterministic seed centroids — assignment is the broadcast
+    * map-side argmax of [[assignNearest]]; the update is the
+    * partial-aggregated (list, dim) mean of [[kmeansUpdate]], requantized
+    * to the exact-integer grid. Empty clusters keep their previous
+    * centroid. Returns the (__cid, __qk, __nk) table
+    * [[ivfTopKWithCents]] and the assignment machinery consume.
+    *
+    * Scale shape per round: the same two jobs MLlib's KMeans runs — one
+    * corpus scan against broadcast centroids (N rows shuffled after the
+    * map-side argmax) + one map-side-partial mean over posexploded
+    * components (nlist × dim rows out). The centroid table is staged
+    * between rounds — bounded by the quantizer size, never the corpus.
+    */
+  def kmeansTrain(emb: DataFrame, idCol: String, nlist: Int, iters: Int): DataFrame = {
+    val prep = graft.functions.F.materialize(
+      prepared(emb, idCol).select(col(idCol), col("__q"), col("__n")))
+    var cents = seedCentroids(emb, idCol, nlist)
+    for (_ <- 0 until iters) {
+      val assigned = assignNearest(prep, idCol, cents)
+      val means = assigned
+        .select(col("__cid"), posexplode(col("__q")).as(Seq("__dim", "__v")))
+        .groupBy(col("__cid"), col("__dim"))
+        .agg(count(lit(1)).as("__cn"), sum(col("__v")).as("__cs"))
+        .withColumn("__m",
+          round(col("__cs").cast("double") / col("__cn").cast("double")).cast("long"))
+      val fresh = means
+        .groupBy(col("__cid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("__dim"), col("__m")))),
+          x => x.getField("__m")).as("__qk"))
+        .withColumn("__nk", dotQ(col("__qk"), col("__qk")))
+      cents = graft.functions.F.materialize(
+        cents.select(col("__cid"),
+            col("__qk").as("__qk0"), col("__nk").as("__nk0"))
+          .join(fresh, Seq("__cid"), "left_outer")
+          .select(col("__cid"),
+            coalesce(col("__qk"), col("__qk0")).as("__qk"),
+            coalesce(col("__nk"), col("__nk0")).as("__nk")))
+    }
+    cents
   }
 
   /** Near-duplicate pairs by embedding cosine above `threshold`, blocked

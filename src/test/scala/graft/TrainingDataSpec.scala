@@ -112,6 +112,48 @@ class TrainingDataSpec extends SparkSpec {
     assert(small(1L).length == png.length)
   }
 
+  test("kmeansTrain converges to the planted clusters; trained cents drop into ivfTopK") {
+    import spark.implicits._
+    import graft.similarity.Similarity
+    // two well-separated direction clusters; ids 0 and 1 seed one each
+    val a = Array(1.0f, 0.0f, 0.05f, 0.0f)
+    val b = Array(0.0f, 1.0f, 0.0f, 0.05f)
+    def jitter(v: Array[Float], e: Float) = v.zipWithIndex.map { case (x, i) =>
+      x + (if (i % 2 == 0) e else -e)
+    }
+    val vecs = Seq(
+      0L -> a, 1L -> b,
+      2L -> jitter(a, 0.02f), 3L -> jitter(a, 0.04f), 4L -> jitter(a, 0.06f),
+      5L -> jitter(b, 0.02f), 6L -> jitter(b, 0.04f), 7L -> jitter(b, 0.06f))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansTrain(vecs, "vec_id", nlist = 2, iters = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Long](1).toArray, r.getLong(2))).toMap
+    assert(cents.keySet == Set(0L, 1L))
+    // every point's nearest trained centroid is its own cluster's
+    val points = Similarity.prepared(vecs, "vec_id")
+      .select(col("vec_id"), col("__q"), col("__n"))
+      .collect().map(r => r.getLong(0) -> (r.getSeq[Long](1).toArray, r.getLong(2)))
+    points.foreach { case (id, (q, n)) =>
+      val simTo = cents.map { case (cid, (qk, nk)) =>
+        cid -> Similarity.cosineOf(q, qk, n, nk)
+      }
+      val nearest = simTo.maxBy(_._2)._1
+      val wantCluster = if (id == 1L || id >= 5L) 1L else 0L
+      assert(nearest == wantCluster, s"vec $id -> $nearest")
+    }
+    // deterministic: a second training run yields identical centroids
+    val again = Similarity.kmeansTrain(vecs, "vec_id", nlist = 2, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(cents.keys.forall(k => again(k) == cents(k)._1.toSeq))
+    // trained centroids drop into the IVF machinery unchanged
+    val topk = Similarity.ivfTopKWithCents(
+      vecs, "vec_id", vecs.filter(col("vec_id") < 2), k = 2,
+      Similarity.kmeansTrain(vecs, "vec_id", nlist = 2, iters = 2), nprobe = 1)
+      .collect()
+    assert(topk.length == 4) // 2 queries × k=2
+  }
+
   test("boilerplateScrub drops cross-doc hot spans, keeps order, survives all-boilerplate docs") {
     import spark.implicits._
     import graft.dedupe.Dedupe
