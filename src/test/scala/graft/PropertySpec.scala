@@ -210,6 +210,35 @@ class PropertySpec extends SparkSpec {
     assert(got.toSeq == expected.toSeq)
   }
 
+  test("incremental xref equals the full recompute restricted to touched pairs") {
+    import spark.implicits._
+    import graft.ops.Xref
+    // random key tables + random changed subsets, with maxBlock small
+    // enough that the over-cap drop path fires: the dirty-block shortcut
+    // must equal the full recompute on every touched pair (the proof in
+    // Xref.incrementalScoredFromLive, exercised on arbitrary data)
+    val genRow = for {
+      b <- Gen.choose(0, 12); e <- Gen.choose(0, 25)
+    } yield (s"b$b", s"e$e")
+    val genData = Gen.zip(
+      Gen.listOfN(140, genRow),
+      Gen.listOfN(6, Gen.choose(0, 25).map(e => s"e$e")))
+    samples(genData, 4).foreach { case (rows, changedIds) =>
+      val live = rows.toDF("value", "entity_id")
+        .withColumn("prop", org.apache.spark.sql.functions.lit("p"))
+      val changed = changedIds.distinct.toDF("entity_id")
+      val inc = Xref.incrementalScoredFromLive(live, changed, Seq("p"),
+          maxBlock = 5, minShared = 2)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val changedSet = changedIds.toSet
+      val full = Xref.scoredFromLive(live, Seq("p"),
+          maxBlock = 5, minShared = 2)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .filter(t => changedSet(t._1) || changedSet(t._2)).toSet
+      assert(inc == full, s"changed=$changedSet")
+    }
+  }
+
   test("Int8Cosine agrees with a scala twin; SQ8 quantization is scale-invariant") {
     import spark.implicits._
     // Seq[Byte], not Array[Byte]: the latter encodes as BINARY, while the
