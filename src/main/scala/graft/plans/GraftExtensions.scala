@@ -21,6 +21,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("quantized_cosine"),
       new ExpressionInfo(classOf[QuantizedCosine].getName, "quantized_cosine"),
       (args: Seq[Expression]) => QuantizedCosine(args(0), args(1), args(2), args(3))))
+    ext.injectFunction((
+      FunctionIdentifier("int8_cosine"),
+      new ExpressionInfo(classOf[graft.functions.Int8Cosine].getName, "int8_cosine"),
+      (args: Seq[Expression]) =>
+        graft.functions.Int8Cosine(args(0), args(1), args(2), args(3))))
     // catalyst twin of F.stripNamespace (the Column recipe can't pass
     // through injectFunction — the analyzer doesn't descend into lazy
     // column nodes — so the builder assembles the same tree directly)

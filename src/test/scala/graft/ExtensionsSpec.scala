@@ -16,6 +16,14 @@ class ExtensionsSpec extends SparkSpec {
     assert(math.abs(r - 11.0 / 5.0) < 1e-15)
   }
 
+  test("int8_cosine is callable from SQL and matches the kernel") {
+    val r = spark.sql(
+      "SELECT int8_cosine(array(1Y,2Y), array(3Y,4Y), 5L, 25L) AS c")
+      .collect()(0).getDouble(0)
+    // dot = 1*3 + 2*4 = 11; sqrt(5*25) = sqrt(125)
+    assert(math.abs(r - 11.0 / math.sqrt(125.0)) < 1e-15)
+  }
+
   test("strip_namespace is callable from SQL with the F4 edge cases") {
     val rows = spark.sql(
       """SELECT strip_namespace(x) AS s FROM VALUES
