@@ -204,6 +204,8 @@ object Dedupe {
     */
   def boilerplateScrub(docs: DataFrame, idCol: String, textCol: String,
       span: Int = 3, maxDocFreq: Long = 3L): DataFrame = {
+    // span 0 would make the chunk-index sequence infinite (ceil(n/0) -> ∞)
+    require(span > 0, s"span must be positive: $span")
     val base = docs.select(col(idCol).as("doc_id"),
       split(col(textCol), " ").as("__ws"))
     val chunks = base

@@ -309,6 +309,8 @@ object Similarity {
     * between rounds — bounded by the quantizer size, never the corpus.
     */
   def kmeansTrain(emb: DataFrame, idCol: String, nlist: Int, iters: Int): DataFrame = {
+    require(nlist > 0, s"nlist must be positive: $nlist")
+    require(iters >= 0, s"iters must be non-negative: $iters")
     val prep = graft.functions.F.materialize(
       prepared(emb, idCol).select(col(idCol), col("__q"), col("__n")))
     var cents = seedCentroids(emb, idCol, nlist)
