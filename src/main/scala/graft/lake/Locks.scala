@@ -29,6 +29,17 @@ object Locks {
   def unlock(fs: FileSystem, root: Path): Boolean =
     fs.delete(lockPath(root), false)
 
+  /** Refresh a HELD fence's mtime. Staleness is mtime-based, so a holder
+    * that legitimately outlives the TTL (a streaming run holding the
+    * fence across many micro-batches) must heartbeat periodically or a
+    * concurrent starter will steal its live lock. Call only while
+    * holding the fence; a missing file (already stolen) is left alone —
+    * the holder finds out at its next write, not here.
+    */
+  def heartbeat(fs: FileSystem, root: Path): Unit =
+    try fs.setTimes(lockPath(root), System.currentTimeMillis(), -1)
+    catch { case _: java.io.IOException => () }
+
   /** True if a fence file currently exists. */
   def isLocked(fs: FileSystem, root: Path): Boolean =
     fs.exists(lockPath(root))

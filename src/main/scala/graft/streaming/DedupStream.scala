@@ -49,13 +49,16 @@ private[streaming] object ExactlyOnceBatches {
   }
 
   /** Commit marker LAST: reconciliation trusts a batch's partitions only
-    * once this exists.
+    * once this exists. Also heartbeats the run's fence — a stream legally
+    * holds the stateDir lock across many micro-batches, far past the
+    * stale TTL that assumes short manifest-commit holds.
     */
   def commitMarker(spark: SparkSession, stateDir: String, batchKey: String): Unit = {
     val commitsDir = new org.apache.hadoop.fs.Path(stateDir, "_commits")
     val cfs = commitsDir.getFileSystem(spark.sessionState.newHadoopConf())
     graft.lake.FsOps.mkdirs(cfs, commitsDir)
     cfs.create(new org.apache.hadoop.fs.Path(commitsDir, s"__batch=$batchKey"), true).close()
+    graft.lake.Locks.heartbeat(cfs, new org.apache.hadoop.fs.Path(stateDir))
   }
 
   /** Read the state table, or None when it holds nothing yet. Only a

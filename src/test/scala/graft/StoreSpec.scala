@@ -380,6 +380,22 @@ class StoreSpec extends SparkSpec {
     assert(store.raw.count() == 1) // cleared row never landed
   }
 
+  test("lock heartbeat keeps a long-held fence from reading as stale") {
+    val dir = Files.createTempDirectory("graft-lock-hb").toString
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    graft.lake.Locks.withLock(fs, root) {
+      val lp = new org.apache.hadoop.fs.Path(dir, ".LOCK")
+      // simulate a long hold: age the fence past any TTL
+      fs.setTimes(lp, System.currentTimeMillis() - 3600_000L, -1)
+      val aged = fs.getFileStatus(lp).getModificationTime
+      graft.lake.Locks.heartbeat(fs, root)
+      assert(fs.getFileStatus(lp).getModificationTime > aged)
+      assert(graft.lake.Locks.isLocked(fs, root))
+    }
+    assert(!graft.lake.Locks.isLocked(fs, root))
+  }
+
   test("journal count is incremental: already-counted footers are not re-probed") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-journal-count").toString
