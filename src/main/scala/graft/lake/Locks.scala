@@ -70,7 +70,24 @@ object Locks {
         }
       }
     }
+    // a LIVE hold longer than the TTL (a 100 TB compact/vacuum/merge, a
+    // streaming run fencing its state dir) must not read as abandoned —
+    // a daemon thread refreshes the fence's mtime while the body runs,
+    // so only holders that actually died go stale
+    val hb = new Thread(() => {
+      try {
+        while (!Thread.currentThread().isInterrupted) {
+          Thread.sleep(math.max(staleAfterMs / 3, 50L))
+          heartbeat(fs, root)
+        }
+      } catch { case _: InterruptedException => () }
+    }, s"graft-lock-heartbeat-${root.getName}")
+    hb.setDaemon(true)
+    hb.start()
     try body
-    finally fs.delete(lp, false)
+    finally {
+      hb.interrupt()
+      fs.delete(lp, false)
+    }
   }
 }

@@ -384,14 +384,26 @@ class StoreSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft-lock-hb").toString
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // explicit heartbeat refreshes an aged fence
     graft.lake.Locks.withLock(fs, root) {
       val lp = new org.apache.hadoop.fs.Path(dir, ".LOCK")
-      // simulate a long hold: age the fence past any TTL
       fs.setTimes(lp, System.currentTimeMillis() - 3600_000L, -1)
       val aged = fs.getFileStatus(lp).getModificationTime
       graft.lake.Locks.heartbeat(fs, root)
       assert(fs.getFileStatus(lp).getModificationTime > aged)
       assert(graft.lake.Locks.isLocked(fs, root))
+    }
+    assert(!graft.lake.Locks.isLocked(fs, root))
+    // the automatic heartbeat: a hold LONGER than the TTL stays fresh —
+    // with staleAfterMs=300 the daemon refreshes every ~100ms, so after
+    // 700ms the fence's mtime is recent, not 700ms old
+    graft.lake.Locks.withLock(fs, root, staleAfterMs = 300L) {
+      val lp = new org.apache.hadoop.fs.Path(dir, ".LOCK")
+      val t0 = fs.getFileStatus(lp).getModificationTime
+      Thread.sleep(700L)
+      assert(fs.getFileStatus(lp).getModificationTime > t0)
+      assert(System.currentTimeMillis() -
+        fs.getFileStatus(lp).getModificationTime < 300L)
     }
     assert(!graft.lake.Locks.isLocked(fs, root))
   }
