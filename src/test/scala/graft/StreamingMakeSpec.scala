@@ -170,6 +170,42 @@ class StreamingMakeSpec extends SparkSpec {
     assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 3L, 5L, 6L))
   }
 
+  test("streaming near-dup reconciles a torn uncommitted batch (crash mid-commit)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.lit
+    val base = Files.createTempDirectory("graft-neardup-torn").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val a = "the quick brown fox jumps over the lazy dog tonight"
+    Seq(1L -> a, 2L -> "unrelated content on parquet footer statistics")
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$base/feed")
+    // crashed run: doc 1's BANDS in state and a torn output partition,
+    // no commit marker — without marker-gated reconciliation the state
+    // would suppress doc 1 (band collision with itself) while the torn
+    // partition kept a duplicate
+    val bands = graft.dedupe.Dedupe.bandRows(
+      graft.dedupe.Dedupe.minhashSignatureFromTerms(
+        graft.dedupe.Dedupe.shingleRows(
+          Seq(1L -> a).toDF("doc_id", "text"), "doc_id", "text", n = 3),
+        "doc_id", k = 8),
+      "doc_id", k = 8, rowsPerBand = 2)
+    bands.select($"band", $"bucket").withColumn("__batch", lit("deadrun-0"))
+      .write.partitionBy("__batch").mode("overwrite").parquet(s"$base/state")
+    Seq(1L -> a).toDF("doc_id", "text")
+      .withColumn("__batch", lit("deadrun-0"))
+      .write.partitionBy("__batch").mode("overwrite").parquet(s"$base/out")
+    val n = graft.streaming.NearDupStream.run(spark,
+      spark.readStream.schema(schema).parquet(s"$base/feed"),
+      "doc_id", "text", s"$base/state", s"$base/out")
+    assert(n == 2)
+    val out = spark.read.parquet(s"$base/out")
+    assert(out.count() == 2)
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$base/out/__batch=deadrun-0")))
+  }
+
   test("streaming dedupe drops torn uncommitted batches on BOTH sides (crash mid-commit)") {
     import spark.implicits._
     import org.apache.spark.sql.types._
