@@ -41,8 +41,16 @@ object Rql {
   private case class Atom(value: String) extends Node
   private case class Tuple(values: Seq[String]) extends Node
 
+  /** Nesting-depth cap: parseArg/parseCall recurse per nesting level, so
+    * an unbounded `a(a(a(…` wire string would overflow the stack — the
+    * same in-parser DoS class as the leaf/IN caps. Real queries nest
+    * twice (`and(eq(...))`).
+    */
+  val MaxDepth = 64
+
   private class Parser(s: String) {
     private var i = 0
+    private var depth = 0
     private def ws(): Unit = while (i < s.length && s(i).isWhitespace) i += 1
     private def expect(c: Char): Unit = {
       ws()
@@ -82,6 +90,8 @@ object Rql {
     }
 
     def parseCall(): Call = {
+      depth += 1
+      if (depth > MaxDepth) fail(s"expression nested deeper than $MaxDepth")
       val name = atomText()
       expect('(')
       val args = scala.collection.mutable.ListBuffer.empty[Node]
@@ -99,6 +109,7 @@ object Rql {
         }
       }
       expect(')')
+      depth -= 1
       Call(name, args.toList)
     }
 

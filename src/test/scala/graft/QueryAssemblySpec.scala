@@ -158,6 +158,10 @@ class QueryAssemblySpec extends SparkSpec {
     assert(Rql.parse("""eq(name,"eq(a,b)")""").propFilters ==
       Seq(P("name", EqOp, Seq("eq(a,b)"))))
     intercept[IllegalArgumentException](Rql.parse("""eq(name,"open"""))
+    // nesting-depth cap: a pathological a(a(a(... wire string fails in
+    // the parser, never as a stack overflow
+    val deep = "a(" * 100000 + "x" + ")" * 100000
+    intercept[IllegalArgumentException](Rql.parse(deep))
   }
 
   test("origin filter restricts statements, order/slice paginate entities") {
