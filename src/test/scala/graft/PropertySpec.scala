@@ -193,6 +193,20 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("RQL parser total: junk input parses or fails IllegalArgumentException, nothing else") {
+    import graft.query.Rql
+    val genJunk = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar,
+      Gen.oneOf('(', ')', ',', '"', '\'', '\\', ' ', ':', '-', '_', '.')))
+      .map(_.mkString)
+    samples(genJunk, 300).foreach { s =>
+      try { Rql.parse(s); () } catch {
+        case _: IllegalArgumentException => ()
+        case e: Throwable => fail(s"unexpected ${e.getClass.getName} on: `$s`")
+      }
+    }
+  }
+
   test("QuantizedCosine column agrees with the scala twin on random vectors") {
     import spark.implicits._
     val genVec = Gen.listOfN(6, Gen.choose(-10000L, 10000L)).map(_.toArray)
