@@ -233,6 +233,86 @@ object Dedupe {
           x => x.getField("__chunk"))).as("scrubbed"))
   }
 
+  /** Exact duplicated-span coverage (substring-level dedupe), after the
+    * suffix-array substring dedupe of Lee et al. 2022 (arXiv:2107.06499,
+    * "Deduplicating Training Data Makes Language Models Better"): a
+    * fixed-width k-token window stands in for the suffix-array search —
+    * any cross-document duplicated span of >= k tokens necessarily
+    * shares a k-token window, so k-gram collision detection finds every
+    * document position inside such a span. Returns one row per doc:
+    * n_tokens, n_dup_tokens (positions covered by some cross-doc
+    * duplicated k-gram), dup_frac — the per-doc signal the span-cut
+    * step of that pipeline consumes.
+    *
+    * Scale shape: ONE full-corpus shuffle (groupBy on the gram key);
+    * duplicated grams are detected with min!=max over doc ids (no
+    * countDistinct rewrite into two aggregations), the gram->dup
+    * semi-join flows back over the same key partitioning, and the
+    * position explode is bounded at k rows per dup gram before the
+    * map-side-partial per-doc count. With `hashGrams` the shuffled key
+    * is a 64-bit hash instead of the string — at corpus scale this cuts
+    * the shuffle ~10x; a collision only ever over-marks a position.
+    */
+  def substringDupCoverage(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, hashGrams: Boolean = false): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val toks = docs.select(col(idCol), split(col(textCol), " ").as("__ws"))
+      .withColumn("__n", size(col("__ws")).cast("long"))
+    val gramStr = array_join(slice(col("__ws"), col("__i").cast("int"), lit(k)), " ")
+    val grams = toks.filter(col("__n") >= k)
+      .select(col(idCol), explode(sequence(lit(1L), col("__n") - (k - 1))).as("__i"),
+        col("__ws"))
+      .select(col(idCol), col("__i"),
+        (if (hashGrams) xxhash64(gramStr) else gramStr).as("__g"))
+    val dup = grams.groupBy(col("__g"))
+      .agg(min(col(idCol)).as("__d0"), max(col(idCol)).as("__d1"))
+      .filter(col("__d0") =!= col("__d1"))
+      .select("__g")
+    val covered = grams.join(dup, Seq("__g"))
+      .select(col(idCol), explode(sequence(col("__i"), col("__i") + (k - 1))).as("__pos"))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("__pos")).as("n_dup_tokens"))
+    toks.select(col(idCol), col("__n").as("n_tokens"))
+      .join(covered, Seq(idCol), "left_outer")
+      .na.fill(0L, Seq("n_dup_tokens"))
+      .withColumn("dup_frac",
+        col("n_dup_tokens").cast("double") / col("n_tokens").cast("double"))
+  }
+
+  /** Corpus-overlap matrix between groups (sources/datasets): for every
+    * unordered group pair, the distinct-shingle intersection with both
+    * directed containments and Jaccard. The curation question this
+    * answers — "how much of source A is already inside source B?" —
+    * drives mixture weights and dedupe-scope decisions before training.
+    *
+    * Scale shape: the group->shingle table is distinct once (shuffle on
+    * (group, shingle)), the pair expansion joins that table to itself on
+    * the shingle — bounded by (#groups choose 2) per shingle, never the
+    * doc-pair space — and group sizes broadcast onto the pair rows. All
+    * counts are exact integers; at petabyte scale the same matrix drops
+    * in from MinHash sketches ([[minhashSignatureFromTerms]]) at the
+    * cost of +-1/k error per cell.
+    */
+  def groupShingleOverlap(docs: DataFrame, groupCol: String, idCol: String,
+      termRows: DataFrame): DataFrame = {
+    val st = termRows
+      .join(docs.select(col(idCol), col(groupCol).as("__grp")), Seq(idCol))
+      .select(col("__grp"), col("__tok")).distinct()
+    val sz = st.groupBy(col("__grp")).agg(count(lit(1)).as("__n"))
+    val inter = st.as("a").join(st.as("b"),
+        col("a.__tok") === col("b.__tok") && col("a.__grp") < col("b.__grp"))
+      .groupBy(col("a.__grp").as("src_a"), col("b.__grp").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sz.select(col("__grp").as("src_a"), col("__n").as("n_a"))), Seq("src_a"))
+      .join(broadcast(sz.select(col("__grp").as("src_b"), col("__n").as("n_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("n_common"),
+        (col("n_common").cast("double") / col("n_a").cast("double")).as("containment_a"),
+        (col("n_common").cast("double") / col("n_b").cast("double")).as("containment_b"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double")).as("jaccard"))
+  }
+
   /** Exact-duplicate groups by an arbitrary key expression: groups with
     * >1 member, with sorted member lists. Pure hash aggregation.
     */

@@ -502,7 +502,32 @@ object TrainingData {
       .orderBy(col("media_id"), col("frame_idx"))
   }
 
+  /** Substring-level exact-dup coverage (Lee et al. 2022 k-gram window
+    * stand-in for the suffix array), k=8 over whitespace tokens.
+    */
+  def d11SubstringDup(spark: SparkSession, dir: String): DataFrame =
+    Dedupe.substringDupCoverage(docs(spark, dir), "doc_id", "text", k = 8)
+      .orderBy(col("doc_id"))
+
+  /** Source-pair corpus overlap matrix over the staged 3-shingle table:
+    * exact intersection, directed containments, Jaccard per pair.
+    */
+  def ovl1SourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    Dedupe.groupShingleOverlap(docs(spark, dir), "source", "doc_id",
+        docShingleRows(spark, dir))
+      .orderBy(col("src_a"), col("src_b"))
+
+  /** BM25 top-20 for a fixed 3-term query (rational-idf parity variant;
+    * see [[graft.text.Search]]).
+    */
+  def srch1Bm25(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Search.bm25TopK(docs(spark, dir), "doc_id", "text",
+      Seq("spark", "vector", "customer"), k = 20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d11_substring_dup" -> (d11SubstringDup _),
+    "ovl1_source_overlap" -> (ovl1SourceOverlap _),
+    "srch1_bm25" -> (srch1Bm25 _),
     "t1_langid" -> (t1LangId _),
     "t2_quality" -> (t2Quality _),
     "t3_tokens" -> (t3Tokens _),
@@ -639,6 +664,58 @@ object TrainingData {
        |  FROM reach GROUP BY src)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "d11_substring_dup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |g AS (
+        |  SELECT doc_id, i, array_to_string(ws[i:i+7], ' ') AS g
+        |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-7)) AS i
+        |        FROM toks WHERE len(ws) >= 8)),
+        |dup AS (SELECT g FROM g GROUP BY g HAVING MIN(doc_id) <> MAX(doc_id)),
+        |cov AS (SELECT doc_id, COUNT(DISTINCT pos) AS n_dup_tokens
+        |        FROM (SELECT doc_id, unnest(generate_series(i, i+7)) AS pos
+        |              FROM g JOIN dup USING (g))
+        |        GROUP BY doc_id)
+        |SELECT t.doc_id, len(t.ws) AS n_tokens,
+        |  COALESCE(c.n_dup_tokens, 0) AS n_dup_tokens,
+        |  CAST(COALESCE(c.n_dup_tokens, 0) AS DOUBLE) / CAST(len(t.ws) AS DOUBLE) AS dup_frac
+        |FROM toks t LEFT JOIN cov c USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "ovl1_source_overlap" ->
+      """WITH toks AS (SELECT source, string_split(text,' ') AS ws FROM documents),
+        |st AS (SELECT DISTINCT source, array_to_string(ws[i:i+2],' ') AS g
+        |       FROM (SELECT source, ws, unnest(generate_series(1, len(ws)-2)) AS i
+        |             FROM toks WHERE len(ws) >= 3)),
+        |sz AS (SELECT source, COUNT(*) AS n FROM st GROUP BY source),
+        |inter AS (SELECT a.source AS sa, b.source AS sb, COUNT(*) AS n_common
+        |          FROM st a JOIN st b ON a.g = b.g AND a.source < b.source
+        |          GROUP BY 1,2)
+        |SELECT sa AS src_a, sb AS src_b, za.n AS n_a, zb.n AS n_b, n_common,
+        |  CAST(n_common AS DOUBLE)/CAST(za.n AS DOUBLE) AS containment_a,
+        |  CAST(n_common AS DOUBLE)/CAST(zb.n AS DOUBLE) AS containment_b,
+        |  CAST(n_common AS DOUBLE)/CAST(za.n + zb.n - n_common AS DOUBLE) AS jaccard
+        |FROM inter JOIN sz za ON sa = za.source JOIN sz zb ON sb = zb.source
+        |ORDER BY src_a, src_b""".stripMargin,
+    "srch1_bm25" ->
+      """WITH d AS (SELECT doc_id, len(ws) AS dl,
+        |    len(list_filter(ws, w -> w = 'spark')) AS tf1,
+        |    len(list_filter(ws, w -> w = 'vector')) AS tf2,
+        |    len(list_filter(ws, w -> w = 'customer')) AS tf3
+        |  FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents)),
+        |st AS (SELECT COUNT(*) AS n, SUM(dl) AS l,
+        |    SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |    SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+        |    SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3 FROM d),
+        |s AS (SELECT doc_id, dl, tf1, tf2, tf3,
+        |    CAST(l AS DOUBLE) / CAST(n AS DOUBLE) AS avgdl,
+        |    (CAST(n - df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5) AS idf1,
+        |    (CAST(n - df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5) AS idf2,
+        |    (CAST(n - df3 AS DOUBLE) + 0.5) / (CAST(df3 AS DOUBLE) + 0.5) AS idf3
+        |  FROM d, st)
+        |SELECT doc_id, tf1, tf2, tf3,
+        |    (idf1 * ((CAST(tf1 AS DOUBLE) * 2.2) / (CAST(tf1 AS DOUBLE) + (1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE)) / avgdl)))))
+        |  + (idf2 * ((CAST(tf2 AS DOUBLE) * 2.2) / (CAST(tf2 AS DOUBLE) + (1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE)) / avgdl)))))
+        |  + (idf3 * ((CAST(tf3 AS DOUBLE) * 2.2) / (CAST(tf3 AS DOUBLE) + (1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE)) / avgdl))))) AS score
+        |FROM s ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "t1_langid" ->
       """WITH scored AS (
         |  SELECT doc_id, lang,

@@ -1,0 +1,81 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Relevance search over a tokenized corpus: BM25 scoring for a fixed
+  * term set, with corpus statistics (N, total length, per-term document
+  * frequencies) computed in ONE aggregation pass and broadcast onto the
+  * scoring scan.
+  *
+  * The reference stops at filter/order query semantics
+  * (ftm_lakehouse/model/query.py); ranked retrieval is the layer its
+  * downstream (OpenAleph search) bolts on via an external index. Here it
+  * is a first-class operator: score + top-k inside the engine, no index
+  * service.
+  *
+  * Scale shape: the stats row is a single-row cross join (broadcast by
+  * construction); scoring is a stateless per-row projection — no
+  * shuffle at all until the final top-k, which is
+  * TakeOrderedAndProject (per-partition heap + driver merge of k), not
+  * a global sort.
+  *
+  * Float parity: the classic ln-idf is available (`logIdf = true`), but
+  * the oracle-checked path uses the rational odds-ratio idf
+  * `(N - df + 0.5) / (df + 0.5)` — `ln` is libm-implementation-defined
+  * while `+ - * /` are IEEE-correctly-rounded, so the rational chain is
+  * bit-identical across engines. Ranking per term is unchanged:
+  * x -> ln(1 + x) is strictly monotone.
+  */
+object Search {
+
+  /** Per-doc BM25 over `terms` (fixed order): returns idCol, tf1..tfn,
+    * score. k1/b are the classic defaults. The score sum runs in the
+    * given term order as a fixed expression chain — no aggregation
+    * reorder can perturb the float result.
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      logIdf: Boolean = false): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    val tfCols = terms.indices.map(i => s"tf${i + 1}")
+    val toks = docs.select(
+      col(idCol) +: split(col(textCol), " ").as("__ws") +: Seq.empty: _*)
+    val withTf = terms.zip(tfCols).foldLeft(
+        toks.withColumn("__dl", size(col("__ws")).cast("long"))) {
+      case (df, (t, c)) =>
+        df.withColumn(c, size(filter(col("__ws"), w => w === lit(t))).cast("long"))
+    }.drop("__ws")
+    // one pass over the corpus for every statistic the scorer needs
+    val statAggs = count(lit(1)).as("__N") +: sum(col("__dl")).as("__L") +:
+      tfCols.map(c => sum(when(col(c) > 0, 1L).otherwise(0L)).as(s"__df_$c"))
+    val stats = withTf.agg(statAggs.head, statAggs.tail: _*)
+    val scored = withTf.crossJoin(broadcast(stats))
+    val avgdl = col("__L").cast("double") / col("__N").cast("double")
+    def idf(dfc: Column): Column = {
+      val rational = (( col("__N") - dfc).cast("double") + lit(0.5)) /
+        (dfc.cast("double") + lit(0.5))
+      if (logIdf) log(lit(1.0) + rational) else rational
+    }
+    // norm = k1 * ((1-b) + (b*dl)/avgdl); (1-b) pre-folded so both
+    // engines parse the same decimal literal instead of re-deriving it
+    val norm = lit(k1) * (lit(1.0 - b) + (lit(b) * col("__dl").cast("double")) / avgdl)
+    val contribs = tfCols.map { c =>
+      idf(col(s"__df_$c")) *
+        ((col(c).cast("double") * lit(k1 + 1.0)) / (col(c).cast("double") + norm))
+    }
+    val score = contribs.reduceLeft(_ + _)
+    scored.select(col(idCol) +: tfCols.map(col) :+ score.as("score"): _*)
+  }
+
+  /** Top-k retrieval: orderBy+limit so Spark plans TakeOrderedAndProject
+    * (per-partition heaps, driver merges k rows — never a full sort).
+    * Ties break on the id for a total, engine-stable order.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75,
+      logIdf: Boolean = false): DataFrame =
+    bm25(docs, idCol, textCol, terms, k1, b, logIdf)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+}

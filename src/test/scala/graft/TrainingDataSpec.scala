@@ -350,4 +350,70 @@ class TrainingDataSpec extends SparkSpec {
     assert(scrubbed.getInt(0) == 1)
     assert(scrubbed.getString(1) == "mail me <email> or see <url> now")
   }
+
+  test("substringDupCoverage marks exactly the shared-span positions") {
+    import spark.implicits._
+    // docs 1/2 share a 6-token span; doc 3 is disjoint; k=4 windows
+    val span = "a b c d e f"
+    val df = Seq(
+      (1L, s"x1 x2 $span y1 y2"),   // span at positions 3..8 of 10
+      (2L, s"z1 $span z2 z3 z4"),   // span at positions 2..7 of 10
+      (3L, "p q r s t u v w")).toDF("doc_id", "text")
+    val out = Dedupe.substringDupCoverage(df, "doc_id", "text", k = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((10L, 6L, 0.6)))
+    assert(out(2L) == ((10L, 6L, 0.6)))
+    assert(out(3L) == ((8L, 0L, 0.0)))
+    // hashed-gram scale path agrees on collision-free input
+    val hashed = Dedupe.substringDupCoverage(df, "doc_id", "text", k = 4, hashGrams = true)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(hashed == out)
+    // a doc shorter than k contributes no grams but still reports
+    val short = Dedupe.substringDupCoverage(
+      Seq((1L, "a b"), (2L, "a b c d e"), (3L, "a b c d e")).toDF("doc_id", "text"), "doc_id", "text", k = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(short(1L) == 0L && short(2L) == 5L && short(3L) == 5L)
+  }
+
+  test("groupShingleOverlap: exact containment and jaccard per group pair") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d", "s1"), // shingles: {abc, bcd}
+      (2L, "b c d e", "s2"), // shingles: {bcd, cde}
+      (3L, "x y z w", "s3")  // disjoint
+    ).toDF("doc_id", "text", "source")
+    val terms = Dedupe.shingleRows(df, "doc_id", "text", 3)
+    val out = Dedupe.groupShingleOverlap(df, "source", "doc_id", terms)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(7))).toMap
+    // only overlapping pairs appear (inner join on the shingle)
+    assert(out.keySet == Set(("s1", "s2")))
+    val (na, nb, common, contA, jac) = out(("s1", "s2"))
+    assert(na == 2L && nb == 2L && common == 1L)
+    assert(contA == 0.5 && jac == 1.0 / 3.0)
+  }
+
+  test("bm25: tf monotone, rational and log idf agree on ranking, topk plan") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spark spark spark filler filler"),
+      (2L, "spark filler filler filler filler"),
+      (3L, "filler filler filler filler filler"),
+      (4L, "spark spark filler filler filler")).toDF("doc_id", "text")
+    def ranks(logIdf: Boolean) = graft.text.Search
+      .bm25(df, "doc_id", "text", Seq("spark"), logIdf = logIdf)
+      .orderBy(col("score").desc, col("doc_id"))
+      .select("doc_id").as[Long].collect().toSeq
+    // higher tf ranks higher at equal length; absent term scores last
+    assert(ranks(logIdf = false) == Seq(1L, 4L, 2L, 3L))
+    assert(ranks(logIdf = true) == Seq(1L, 4L, 2L, 3L))
+    // zero-tf docs score exactly 0 contribution
+    val s3 = graft.text.Search.bm25(df, "doc_id", "text", Seq("spark"))
+      .filter(col("doc_id") === 3L).select("score").as[Double].head()
+    assert(s3 == 0.0)
+    // top-k plans as TakeOrderedAndProject, never a global sort
+    val topk = graft.text.Search.bm25TopK(df, "doc_id", "text", Seq("spark"), 2)
+    assert(topk.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+    assert(topk.select("doc_id").as[Long].collect().toSeq == Seq(1L, 4L))
+  }
 }
