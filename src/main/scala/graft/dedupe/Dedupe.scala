@@ -295,9 +295,11 @@ object Dedupe {
     */
   def groupShingleOverlap(docs: DataFrame, groupCol: String, idCol: String,
       termRows: DataFrame): DataFrame = {
-    val st = termRows
+    // staged once: the distinct table feeds three consumers (sizes, both
+    // join sides) — without staging, the explode+join+distinct runs 3x
+    val st = graft.functions.F.materialize(termRows
       .join(docs.select(col(idCol), col(groupCol).as("__grp")), Seq(idCol))
-      .select(col("__grp"), col("__tok")).distinct()
+      .select(col("__grp"), col("__tok")).distinct())
     val sz = st.groupBy(col("__grp")).agg(count(lit(1)).as("__n"))
     val inter = st.as("a").join(st.as("b"),
         col("a.__tok") === col("b.__tok") && col("a.__grp") < col("b.__grp"))
