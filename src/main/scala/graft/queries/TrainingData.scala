@@ -524,10 +524,38 @@ object TrainingData {
     graft.text.Search.bm25TopK(docs(spark, dir), "doc_id", "text",
       Seq("spark", "vector", "customer"), k = 20)
 
+  /** Hashed-feature linear quality classifier (fastText shape): mean
+    * integer bucket weight over tokens, dim=4096 — zero-shuffle scan.
+    */
+  def qc1LinearQuality(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"),
+      TextFunctions.hashedLinearScore(col("text")).as("score"))
+      .withColumn("keep", col("score") >= 0)
+      .orderBy(col("doc_id"))
+
+  /** Per-doc top-3 tf-idf keywords (rational idf, windowed top-k over
+    * the doc's distinct terms).
+    */
+  def kw1TfidfTerms(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Search.tfIdfTopTerms(docs(spark, dir), "doc_id", "text", k = 3)
+      .orderBy(col("doc_id"), col("rank"))
+
+  /** Inverted-index posting lists: exact df + 100 smallest doc ids per
+    * term via the salted two-stage build (hot terms never concentrate).
+    */
+  def idx1Postings(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Search.postings(docs(spark, dir), "doc_id", "text", cap = 100)
+      .orderBy(col("term"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d11_substring_dup" -> (d11SubstringDup _),
     "ovl1_source_overlap" -> (ovl1SourceOverlap _),
     "srch1_bm25" -> (srch1Bm25 _),
+    "qc1_linear_quality" -> (qc1LinearQuality _),
+    "kw1_tfidf_terms" -> (kw1TfidfTerms _),
+    "idx1_postings" -> (idx1Postings _),
     "t1_langid" -> (t1LangId _),
     "t2_quality" -> (t2Quality _),
     "t3_tokens" -> (t3Tokens _),
@@ -664,6 +692,39 @@ object TrainingData {
        |  FROM reach GROUP BY src)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "qc1_linear_quality" ->
+      """SELECT doc_id, len(ws) AS n_tokens,
+        |  CAST(list_sum(list_transform(ws, w ->
+        |    (((('0x'||substr(md5(w),1,8))::BIGINT % 4096) * 2654435761 + 12345) % 1000003 - 500001)))
+        |    AS DOUBLE) / (1000003.0 * CAST(len(ws) AS DOUBLE)) AS score,
+        |  CAST(list_sum(list_transform(ws, w ->
+        |    (((('0x'||substr(md5(w),1,8))::BIGINT % 4096) * 2654435761 + 12345) % 1000003 - 500001)))
+        |    AS DOUBLE) / (1000003.0 * CAST(len(ws) AS DOUBLE)) >= 0 AS keep
+        |FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "kw1_tfidf_terms" ->
+      """WITH tf AS (
+        |  SELECT doc_id, w AS term, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents)
+        |  GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |s AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    CAST(tf.tf AS DOUBLE) *
+        |      ((CAST(n.n - df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5)) AS tfidf
+        |  FROM tf JOIN df USING (term), n)
+        |SELECT doc_id, term, tf, df, tfidf, rank FROM (
+        |  SELECT s.*, ROW_NUMBER() OVER
+        |    (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank FROM s)
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "idx1_postings" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT w AS term, doc_id
+        |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents))
+        |SELECT term, COUNT(*) AS df,
+        |  (list_sort(list(doc_id)))[1:100] AS postings
+        |FROM pairs GROUP BY term ORDER BY term""".stripMargin,
     "d11_substring_dup" ->
       """WITH toks AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
         |g AS (

@@ -78,4 +78,65 @@ object Search {
     bm25(docs, idCol, textCol, terms, k1, b, logIdf)
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
+
+  /** Per-document top-`k` terms by tf-idf (keyword extraction). The idf
+    * is the same rational odds-ratio as [[bm25]] — exact cross-engine
+    * float parity, monotone in the classic ln form.
+    *
+    * Scale shape: one shuffle to the (doc, term) grain for tf, one
+    * term-grain aggregation for df (map-side partial), a term-key join
+    * of the two (AQE broadcasts the df side when the vocabulary is
+    * small), and a per-doc windowed top-k. The window partitions by
+    * document over that document's DISTINCT terms — bounded per-group
+    * cardinality, the sanctioned windowed-top-k case (unlike an
+    * argmax over an exploded cross product, which is not).
+    */
+  def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfTab = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("__N"))
+    val scored = tf.join(dfTab, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", col("tf").cast("double") *
+        (((col("__N") - col("df")).cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("tfidf"), col("rank"))
+  }
+
+  /** Inverted-index posting lists: per term, the exact document
+    * frequency and the `cap` smallest doc ids. The build is the batch
+    * half of ranked retrieval — [[bm25]] scores without an index; this
+    * materializes one.
+    *
+    * Scale shape: ONE data-sized shuffle, on (term, doc-salt). Hot
+    * terms ("the" at corpus scale) never concentrate on one task: the
+    * salt splits each term's docs `salts` ways, each salted group
+    * dedupes/counts/caps independently, and the term-grain merge sees
+    * at most `salts` pre-capped rows per term — exact df (salt groups
+    * partition the doc space, so partial distinct-counts add) and
+    * exact smallest-`cap` postings (the global smallest are among each
+    * salt's smallest).
+    */
+  def postings(docs: DataFrame, idCol: String, textCol: String,
+      cap: Int = 100, salts: Int = 16): DataFrame = {
+    require(cap > 0 && salts > 0, s"cap/salts must be positive: $cap/$salts")
+    val pairs = docs.select(
+      explode(split(col(textCol), " ")).as("term"), col(idCol).as("__doc"))
+    val partial = pairs
+      .groupBy(col("term"), pmod(col("__doc"), lit(salts.toLong)).as("__salt"))
+      .agg(collect_set(col("__doc")).as("__set"))
+      .select(col("term"), size(col("__set")).cast("long").as("__pc"),
+        slice(sort_array(col("__set")), 1, cap).as("__pl"))
+    partial.groupBy(col("term"))
+      .agg(sum(col("__pc")).as("df"),
+        slice(sort_array(flatten(collect_list(col("__pl")))), 1, cap).as("postings"))
+  }
 }

@@ -104,6 +104,34 @@ object TextFunctions {
     lit(0.5) * typeTokenRatio(text) +
       lit(0.5) * least(lit(1.0), tokenCount(text).cast("double") / lit(100.0))
 
+  /** Hashed-feature linear classifier score (the fastText-style quality
+    * filter shape): each token maps to one of `dim` feature buckets via
+    * the md5-prefix token hash, each bucket carries a fixed INTEGER
+    * weight derived from the bucket index (Knuth multiplicative mix mod
+    * a prime, centered), and the document score is the mean bucket
+    * weight over its tokens. Swapping the derived weights for a trained
+    * vector (broadcast lookup or a `dim`-entry CASE) keeps the identical
+    * plan shape.
+    *
+    * Scale shape: a stateless per-row projection — `aggregate` over the
+    * token array, zero shuffles, whole-stage codegen. This is the form
+    * a learned quality classifier takes at 100 TB: no feature
+    * materialization, no join, just a fused scan.
+    *
+    * Integer weights are the float-parity trick: per-token contributions
+    * sum EXACTLY (order-free), so Spark's left-to-right array fold and
+    * any other engine's sum agree bit-for-bit; the only float op is one
+    * final division.
+    */
+  def hashedLinearScore(text: Column, dim: Int = 4096): Column = {
+    val toks = tokens(text)
+    val total = aggregate(toks, lit(0L), (acc, w) => {
+      val bucket = pmod(graft.dedupe.Dedupe.tokenHash(w), lit(dim.toLong))
+      acc + ((bucket * lit(2654435761L) + lit(12345L)) % lit(1000003L) - lit(500001L))
+    })
+    total.cast("double") / (lit(1000003.0) * size(toks).cast("double"))
+  }
+
   /** Marker-token hit count: how many of `markers` occur in the text's
     * token set.
     */

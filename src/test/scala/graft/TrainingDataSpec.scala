@@ -393,6 +393,49 @@ class TrainingDataSpec extends SparkSpec {
     assert(contA == 0.5 && jac == 1.0 / 3.0)
   }
 
+  test("hashedLinearScore: exact mean of integer bucket weights, no shuffle") {
+    import spark.implicits._
+    // expected weight computed from the same md5-prefix recipe
+    def weight(tok: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      ((h % 4096L) * 2654435761L + 12345L) % 1000003L - 500001L
+    }
+    val df = Seq((1L, "alpha"), (2L, "alpha alpha beta")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        TextFunctions.hashedLinearScore(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) == weight("alpha").toDouble / 1000003.0)
+    assert(out(2L) ==
+      (2 * weight("alpha") + weight("beta")).toDouble / (1000003.0 * 3.0))
+    // stateless projection: the plan contains no Exchange at all
+    val plan = df.select(TextFunctions.hashedLinearScore(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
+  test("tfIdfTopTerms ranks distinctive terms first; postings exact under salting") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "common rare1 common common"),
+      (2L, "common rare2 common common"),
+      (3L, "common common common common")).toDF("doc_id", "text")
+    val kw = graft.text.Search.tfIdfTopTerms(df, "doc_id", "text", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // rare terms beat the everywhere-term despite 3x lower tf
+    assert(kw == Map(1L -> "rare1", 2L -> "rare2", 3L -> "common"))
+    // postings: exact df and exact smallest-cap ids, salts partition docs
+    val docs10 = (0L until 10L).map(i => (i, if (i % 2 == 0) "even x" else "x"))
+      .toDF("doc_id", "text")
+    val p = graft.text.Search.postings(docs10, "doc_id", "text", cap = 3, salts = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2))).toList
+    val byTerm = p.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(byTerm("x") == ((10L, Seq(0L, 1L, 2L))))
+    assert(byTerm("even") == ((5L, Seq(0L, 2L, 4L))))
+  }
+
   test("bm25: tf monotone, rational and log idf agree on ranking, topk plan") {
     import spark.implicits._
     val df = Seq(
