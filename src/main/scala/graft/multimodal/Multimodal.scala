@@ -68,6 +68,23 @@ object Multimodal {
       .otherwise("bin")
   }
 
+  /** REAL container-header probe ([[graft.functions.MediaProbe]]):
+    * format plus width/height (png/jpeg/gif/bmp) or sample_rate/channels
+    * (wav/mp3) parsed from the payload bytes inside whole-stage codegen.
+    * Unlike the decode paths below this is NOT a stub and carries no
+    * gate — header fields are production output with no codecs needed.
+    */
+  def probed(df: DataFrame, idCol: String, binCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      length(col(binCol)).cast("long").as("byte_len"),
+      graft.functions.MediaProbe(col(binCol)).as("__p"))
+      .select(col("media_id"), col("byte_len"),
+        col("__p.format").as("format"),
+        col("__p.width").as("width"), col("__p.height").as("height"),
+        col("__p.sample_rate").as("sample_rate"),
+        col("__p.channels").as("channels"))
+
   /** Deterministic fake "decode": 8 pseudo-features from byte statistics.
     * REAL DECODER GOES HERE — replace the body with e.g. an ONNX session
     * call per batch; the signature (bytes in, float vector out) and the

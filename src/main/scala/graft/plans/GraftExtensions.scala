@@ -44,6 +44,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("token_hash"),
       new ExpressionInfo(classOf[graft.functions.TokenHash].getName, "token_hash"),
       (args: Seq[Expression]) => graft.functions.TokenHash(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("media_probe"),
+      new ExpressionInfo(classOf[graft.functions.MediaProbe].getName, "media_probe"),
+      (args: Seq[Expression]) => graft.functions.MediaProbe(args.head)))
     // table functions: the versioned statement store as a SQL-queryable
     // relation — `SELECT * FROM graft_table('<root>' [, version])` (time
     // travel by snapshot) and `graft_live('<root>')` (tombstone-filtered

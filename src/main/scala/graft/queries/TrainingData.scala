@@ -502,6 +502,39 @@ object TrainingData {
       .orderBy(col("media_id"), col("frame_idx"))
   }
 
+  // MM3: REAL header parsing (no stub, no gate). The fixture constructs
+  // valid PNG / JPEG / WAV byte streams with dimensions and audio params
+  // derived from doc_id; Spark runs the genuine MediaProbe parser
+  // (marker scan, chunk walk) over them, while the oracle computes the
+  // expected values arithmetically from the construction — a
+  // known-answer test in both engines.
+  def mm3MediaProbe(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val w = id % 1024 + 16
+    val h = (id * 7) % 1024 + 16
+    val sr = id % 40000 + 8000
+    val ch = id % 2 + 1
+    def be32(c: org.apache.spark.sql.Column) = lpad(hex(c), 8, "0")
+    def be16(c: org.apache.spark.sql.Column) = lpad(hex(c), 4, "0")
+    def b2(c: org.apache.spark.sql.Column) = lpad(hex(c), 2, "0")
+    def le16(c: org.apache.spark.sql.Column) =
+      concat(b2(c.bitwiseAND(lit(255L))), b2(shiftright(c, 8).bitwiseAND(lit(255L))))
+    def le32(c: org.apache.spark.sql.Column) =
+      concat(le16(c), b2(shiftright(c, 16).bitwiseAND(lit(255L))),
+        b2(shiftright(c, 24).bitwiseAND(lit(255L))))
+    val png = concat(lit("89504E470D0A1A0A0000000D49484452"),
+      be32(w), be32(h), lit("0806000000DEADBEEF"))
+    val jpeg = concat(lit("FFD8FFE000104A46494600010100000100010000FFC0001108"),
+      be16(h), be16(w), lit("03011100021101031101FFD9"))
+    val wav = concat(lit("524946462400000057415645666D7420100000000100"),
+      le16(ch), le32(sr), lit("00000000040010006461746100000000"))
+    val payload = unhex(when(id % 3 === 0, png).when(id % 3 === 1, jpeg).otherwise(wav))
+    Multimodal.probed(
+        docs(spark, dir).withColumn("payload", payload), "doc_id", "payload")
+      .drop("byte_len")
+      .orderBy(col("media_id"))
+  }
+
   /** Substring-level exact-dup coverage (Lee et al. 2022 k-gram window
     * stand-in for the suffix array), k=8 over whitespace tokens.
     */
@@ -592,7 +625,8 @@ object TrainingData {
     "t7_repetition" -> (t7Repetition _),
     "g1_top_ngrams" -> (g1TopNgrams _),
     "mm1_media_meta" -> (mm1MediaMeta _),
-    "mm2_frame_sample" -> (mm2FrameSample _))
+    "mm2_frame_sample" -> (mm2FrameSample _),
+    "mm3_media_probe" -> (mm3MediaProbe _))
 
   // ---- DuckDB oracle twins ----
 
@@ -1198,6 +1232,14 @@ object TrainingData {
         |SELECT media_id, CAST(fi AS INT) AS frame_idx, fi * 1000 AS frame_ms,
         |  substr(hx, CAST((fi * 64) % greatest(len, 1) AS BIGINT) * 2 + 1, 128) AS frame_hex
         |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+    "mm3_media_probe" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,
+        |  CASE WHEN doc_id % 3 IN (0, 1) THEN CAST(doc_id % 1024 + 16 AS INT) END AS width,
+        |  CASE WHEN doc_id % 3 IN (0, 1) THEN CAST((doc_id * 7) % 1024 + 16 AS INT) END AS height,
+        |  CASE WHEN doc_id % 3 = 2 THEN CAST(doc_id % 40000 + 8000 AS INT) END AS sample_rate,
+        |  CASE WHEN doc_id % 3 = 2 THEN CAST(doc_id % 2 + 1 AS INT) END AS channels
+        |FROM documents ORDER BY media_id""".stripMargin,
     "mm1_media_meta" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id,
         |  octet_length(CAST(text AS BLOB)) AS byte_len,

@@ -393,6 +393,52 @@ class TrainingDataSpec extends SparkSpec {
     assert(contA == 0.5 && jac == 1.0 / 3.0)
   }
 
+  test("MediaProbe parses real container headers; total over junk") {
+    import spark.implicits._
+    def hx(s: String): Array[Byte] = s.replaceAll("\\s", "")
+      .grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val cases: Seq[(Long, Array[Byte])] = Seq(
+      // PNG 640x480
+      1L -> hx("89504E470D0A1A0A 0000000D 49484452 00000280 000001E0 08 06 00 00 00 DEADBEEF"),
+      // JPEG with fill bytes, COM segment, RST standalone, then SOF2 31x17
+      2L -> hx("FFD8 FFFE 0004 4849 FFD1 FFFF FFC2 000B 08 0011 001F 01 011100 FFD9"),
+      // GIF89a 322x7 (LE)
+      3L -> hx("474946383961 4201 0700 F7"),
+      // BMP 100x(-200) top-down (LE int32, height abs'd)
+      4L -> hx("424D 00000000 00000000 36000000 28000000 64000000 38FFFFFF 0100"),
+      // WAV with a JUNK chunk before fmt: 2ch 22050Hz
+      5L -> hx("52494646 24000000 57415645 4A554E4B 04000000 00000000" +
+        "666D7420 10000000 0100 0200 22560000 00000000 0400 1000"),
+      // MP3: ID3v2 tag (10-byte header, 5-byte body) then MPEG1 Layer3 sync,
+      // 44100 (idx 0), joint stereo
+      6L -> hx("494433 0400 00 00000005 0000000000 FFFB 90 40"),
+      // truncated PNG: signature only -> format known, dims null
+      7L -> hx("89504E470D0A1A0A 000000"),
+      // garbage
+      8L -> Array[Byte](1, 2, 3, 4, 5),
+      // mp4 ftyp detect
+      9L -> hx("00000018 66747970 69736F6D"))
+    val df = cases.toDF("media_id", "payload")
+    val out = Multimodal.probed(df, "media_id", "payload")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(2), Option(r.get(3)), Option(r.get(4)), Option(r.get(5)), Option(r.get(6))))).toMap
+    assert(out(1L) == (("png", Some(640), Some(480), None, None)))
+    assert(out(2L) == (("jpeg", Some(31), Some(17), None, None)))
+    assert(out(3L) == (("gif", Some(322), Some(7), None, None)))
+    assert(out(4L) == (("bmp", Some(100), Some(200), None, None)))
+    assert(out(5L) == (("wav", None, None, Some(22050), Some(2))))
+    assert(out(6L) == (("mp3", None, None, Some(44100), Some(2))))
+    assert(out(7L) == (("png", None, None, None, None)))
+    assert(out(8L) == (("bin", None, None, None, None)))
+    assert(out(9L) == (("mp4", None, None, None, None)))
+    // registered as a SQL function; interpreted path agrees with codegen
+    df.createOrReplaceTempView("probe_in")
+    val viaSql = spark.sql(
+      "SELECT media_id, media_probe(payload).format AS f FROM probe_in")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaSql(2L) == "jpeg" && viaSql(6L) == "mp3")
+  }
+
   test("hashedLinearScore: exact mean of integer bucket weights, no shuffle") {
     import spark.implicits._
     // expected weight computed from the same md5-prefix recipe
