@@ -179,7 +179,53 @@ object Relational {
       .limit(100)
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
 
+  // AJ1: backward as-of join (clicks ← latest at-or-before error per
+  // user) via the union+window operator — one shuffle on user_id, never
+  // a join explosion. The oracle is DuckDB's NATIVE ASOF LEFT JOIN, so
+  // the semantics are pinned against an independent implementation.
+  def aj1AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("event_id").as("err_id"),
+        col("value").as("err_value"))
+    graft.ops.TemporalJoins.asofBackward(
+        clicks, errors, "user_id", "ts", Seq("err_id", "err_value"))
+      .select(col("event_id"), col("user_id"),
+        graft.functions.F.epochMs(col("ts")).as("ts_ms"),
+        col("r_err_id").as("err_id"),
+        graft.functions.F.epochMs(col("r_ts")).as("err_ms"),
+        col("r_err_value").as("err_value"))
+      .withColumn("gap_ms", col("ts_ms") - col("err_ms"))
+      .orderBy(col("event_id"))
+  }
+
+  // RJ1: containment range join (shipments falling inside the 30-day
+  // windows of the 20 largest orders) via bin bucketing — an equi-key
+  // hash join on the bin instead of the BroadcastNestedLoopJoin a raw
+  // BETWEEN forces, so it survives both sides being large.
+  def rj1RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val dayMs = 86400000L
+    val win = 30L * dayMs
+    val topOrders = Tables.orders(spark, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(20)
+      .select(col("o_orderkey"),
+        graft.functions.F.epochMs(col("o_orderdate")).as("w_start"),
+        (graft.functions.F.epochMs(col("o_orderdate")) + win).as("w_end"))
+    val ships = Tables.lineitem(spark, dir)
+      .select(graft.functions.F.epochMs(col("l_shipdate")).as("ship_ms"),
+        col("l_quantity"))
+    graft.ops.TemporalJoins.rangeJoinBinned(
+        ships, "ship_ms", topOrders, "w_start", "w_end", win)
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_ship"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "aj1_asof_join" -> (aj1AsofJoin _),
+    "rj1_range_join" -> (rj1RangeJoin _),
     "q1_agg" -> (q1Agg _),
     "q2_star_join" -> (q2StarJoin _),
     "s1_scan" -> (s1Scan _),
@@ -194,6 +240,25 @@ object Relational {
     "o4_global_topk" -> (o4GlobalTopk _))
 
   val oracle: Map[String, String] = Map(
+    "aj1_asof_join" ->
+      """SELECT c.event_id, c.user_id, epoch_ms(c.ts) AS ts_ms,
+        |  e.event_id AS err_id, epoch_ms(e.ts) AS err_ms,
+        |  e.value AS err_value,
+        |  epoch_ms(c.ts) - epoch_ms(e.ts) AS gap_ms
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        |  ON c.user_id = e.user_id AND c.ts >= e.ts
+        |ORDER BY c.event_id""".stripMargin,
+    "rj1_range_join" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, epoch_ms(o_orderdate) AS w_start,
+        |    epoch_ms(o_orderdate) + 2592000000 AS w_end
+        |  FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20)
+        |SELECT o_orderkey, COUNT(*) AS n_ship,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN t
+        |  ON epoch_ms(l_shipdate) BETWEEN w_start AND w_end
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
     "q4_salted_distinct" ->
       """SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS n_parts
         |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
