@@ -253,8 +253,55 @@ class StatementStore(val spark: SparkSession, val rootStr: String, val shards: I
     * ([[compressionForBucket]]); one manifest commit covers all buckets.
     * Old files become vacuum-able.
     */
+  /** Order-preserving long view + min/max scaling of `cols` (1 or 2),
+    * Morton-interleaved for 2 — the Z-ORDER clustering key. Bounds come
+    * from one agg pass over the batch being rewritten; strings map to
+    * their first-7-byte big-endian value (lexicographic-order
+    * preserving), timestamps to epoch micros. Linear scaling is
+    * boundary-placement only — heavy skew degrades balance, never
+    * correctness (the range exchange re-balances by sampled frequency).
+    */
+  private def zColumn(df: DataFrame, cols: Seq[String]): Column = {
+    require(cols.nonEmpty && cols.size <= 2,
+      s"zorderBy supports 1 or 2 columns, got $cols")
+    import org.apache.spark.sql.types.{StringType, TimestampType, TimestampNTZType}
+    def asLong(c: String): Column = df.schema(c).dataType match {
+      case StringType =>
+        conv(substring(hex(col(c).cast("binary")), 1, 14), 16, 10).cast("long")
+      case TimestampType | TimestampNTZType => unix_micros(col(c).cast("timestamp"))
+      case _ => col(c).cast("long")
+    }
+    val longs = cols.map(asLong)
+    val aggs = longs.zipWithIndex.flatMap { case (l, i) =>
+      Seq(min(l).as(s"mn$i"), max(l).as(s"mx$i")) }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val maxCode = ((1L << graft.functions.ZOrderLong.Bits) - 1).toDouble
+    val scaled = longs.zipWithIndex.map { case (l, i) =>
+      val mn = if (row.isNullAt(row.fieldIndex(s"mn$i"))) 0L
+        else row.getAs[Long](s"mn$i")
+      val mx = if (row.isNullAt(row.fieldIndex(s"mx$i"))) 1L
+        else row.getAs[Long](s"mx$i")
+      val span = math.max(1L, mx - mn).toDouble
+      floor((l - lit(mn)).cast("double") / lit(span) * lit(maxCode)).cast("long")
+    }
+    if (scaled.size == 1) scaled.head
+    else graft.functions.ZOrderLong(scaled(0), scaled(1))
+  }
+
+  /** With `zorderBy` non-empty, compact switches from hash-salt packing
+    * to DATA CLUSTERING (Delta `OPTIMIZE ... ZORDER BY` shape): rewritten
+    * rows are range-partitioned on (partition cols, z-code), so each
+    * output file covers a tight box in the clustered dimension(s) and
+    * parquet footer min/max prunes whole files for point/range predicates
+    * on them — one column gives disjoint ranges, two gives Morton boxes
+    * that prune on EITHER dimension. File sizes become approximate
+    * (sampled equi-frequency ranges) instead of the exact per-partition
+    * bin counts of the default path; both paths leave full-size files
+    * untouched.
+    */
   def compact(maxFilesPerPartition: Int = 4,
-      targetFileBytes: Long = DefaultTargetFileBytes): Long = Locks.withLock(fs, root) {
+      targetFileBytes: Long = DefaultTargetFileBytes,
+      zorderBy: Seq[String] = Nil): Long = Locks.withLock(fs, root) {
     val (liveSet, liveStats) = Manifest.liveState(fs, root)
     // file sizes: independent driver metadata reads on the bounded pool
     val sizes: Map[String, Long] = {
@@ -297,14 +344,25 @@ class StatementStore(val spark: SparkSession, val rootStr: String, val shards: I
         coalesce(col(c).cast("string"), lit("__HIVE_DEFAULT_PARTITION__"))): _*)
     val fresh = smallByPartition.keys.groupBy(bucketOf).flatMap { case (bucket, parts) =>
       val files = parts.flatMap(smallByPartition).toSeq.sorted
-      val packed = spark.read.schema(Statement.schema).option("basePath", root.toString)
+      val base = spark.read.schema(Statement.schema).option("basePath", root.toString)
         .parquet(files.map(f => s"$rootStr/$f"): _*)
-        // deterministic per-partition salt spreads a large backlog over
-        // ceil(bytes/target) writer tasks — each (partition, salt) group
-        // is one task and one output file
-        .withColumn("__salt", pmod(hash(col("entity_id")),
-          coalesce(element_at(typedLit(nOutFiles), partKey), lit(1))))
-        .repartition((Statement.partitionColumns.map(col) :+ col("__salt")): _*)
+      val packed =
+        if (zorderBy.isEmpty)
+          // deterministic per-partition salt spreads a large backlog over
+          // ceil(bytes/target) writer tasks — each (partition, salt) group
+          // is one task and one output file
+          base.withColumn("__salt", pmod(hash(col("entity_id")),
+              coalesce(element_at(typedLit(nOutFiles), partKey), lit(1))))
+            .repartition((Statement.partitionColumns.map(col) :+ col("__salt")): _*)
+        else {
+          // clustering mode: range exchange on the z-code — task count
+          // stays byte-proportional (sum of the bin targets), file
+          // boundaries become data-space boundaries
+          val n = math.max(1, parts.map(p => nOutFiles(valueKey(p))).sum)
+          base.withColumn("__z", zColumn(base, zorderBy))
+            .repartitionByRange(n,
+              (Statement.partitionColumns.map(col) :+ col("__z")): _*)
+        }
       writeStaged(packed, sortCols, preClustered = true,
         compression = Some(compressionForBucket(bucket)))
     }.toSet

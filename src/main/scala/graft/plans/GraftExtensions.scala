@@ -48,6 +48,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("media_probe"),
       new ExpressionInfo(classOf[graft.functions.MediaProbe].getName, "media_probe"),
       (args: Seq[Expression]) => graft.functions.MediaProbe(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("z_order"),
+      new ExpressionInfo(classOf[graft.functions.ZOrderLong].getName, "z_order"),
+      (args: Seq[Expression]) => graft.functions.ZOrderLong(
+        org.apache.spark.sql.catalyst.expressions.Cast(args(0),
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.catalyst.expressions.Cast(args(1),
+          org.apache.spark.sql.types.LongType))))
     // table functions: the versioned statement store as a SQL-queryable
     // relation — `SELECT * FROM graft_table('<root>' [, version])` (time
     // travel by snapshot) and `graft_live('<root>')` (tombstone-filtered

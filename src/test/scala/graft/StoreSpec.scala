@@ -189,6 +189,62 @@ class StoreSpec extends SparkSpec {
     assert(perPartition.values.max >= 2, perPartition.toString)
   }
 
+  test("compact zorderBy clusters files into disjoint entity ranges; morton interleave exact") {
+    // expression unit facts + SQL registration
+    assert(graft.functions.ZOrderLong.interleave(3L, 0L) == 5L)
+    assert(graft.functions.ZOrderLong.interleave(0L, 3L) == 10L)
+    val m = (1L << 31) - 1
+    assert(graft.functions.ZOrderLong.interleave(m, m) == 0x3fffffffffffffffL)
+    assert(spark.sql("SELECT z_order(3, 0)").head().getLong(0) == 5L)
+
+    def mk(ids: Range, origin: String) = {
+      import spark.implicits._
+      // incompressible values so parquet file sizes track row counts
+      def blob(i: Int): String = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        (0 until 4).map(k => md.digest(s"$i-$k".getBytes)
+          .map(x => f"${x & 0xff}%02x").mkString).mkString
+      }
+      ids.map { i =>
+        Statement(
+          shard = "0", id = s"id$i-$origin", entity_id = f"e$i%03d",
+          dataset = "ds", bucket = "thing", origin = origin, source = None,
+          schema = "Person", prop = "name", prop_type = "string",
+          value = blob(i), original_value = None, lang = None,
+          external = false, first_seen = ts("2024-01-01 00:00:00"),
+          last_seen = ts("2024-01-02 00:00:00"), fragment = "",
+          deleted_at = None)
+      }.toDS().toDF()
+    }
+    val dir = Files.createTempDirectory("graft-zorder").toString
+    val store = new StatementStore(spark, dir, shards = 4)
+    // four appends each spanning the whole entity range: every pre-compact
+    // file's (min,max) covers ~everything, so nothing could be skipped
+    (0 until 4).foreach(k => store.append(mk(k until 800 by 4, "oZ")))
+    val before = store.raw.count()
+    // target sized between one input file and the small-file total, so the
+    // rewrite both triggers and splits into multiple range-clustered files
+    store.compact(maxFilesPerPartition = 1, targetFileBytes = 40000L,
+      zorderBy = Seq("entity_id"))
+    assert(store.raw.count() == before)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val live = graft.lake.Manifest.liveFiles(fs, root).toSeq.sorted
+    assert(live.size >= 2, s"want a multi-file split, got $live")
+    // each output file covers a DISJOINT entity range — the property that
+    // lets parquet footer min/max prune whole files for entity predicates
+    // (the default hash-salt path scatters: every file spans everything)
+    val ranges = live.map { f =>
+      val r = spark.read.parquet(s"$dir/$f")
+        .agg(min("entity_id"), max("entity_id")).head()
+      (r.getString(0), r.getString(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi <= lo2, ranges.toString)
+      case _ => ()
+    }
+  }
+
   test("concurrent appends serialize on the fence; both commits land") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
