@@ -41,6 +41,29 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("asofBackward agrees with the naive join+argmax reference on randomized data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    val left = (1L to 300L).map(i =>
+      (i, (rnd.nextInt(8) + 1).toLong, ts("2024-01-01 00:00:00").getTime + rnd.nextInt(5000).toLong))
+      .map { case (i, k, ms) => (i, k, new java.sql.Timestamp(ms)) }
+      .toDF("event_id", "k", "ts")
+    val right = (1000L to 1120L).map(i =>
+      (i, (rnd.nextInt(10) + 1).toLong, ts("2024-01-01 00:00:00").getTime + rnd.nextInt(5000).toLong))
+      .map { case (i, k, ms) => (i, k, new java.sql.Timestamp(ms)) }
+      .toDF("rid", "k", "ts")
+    val fast = TemporalJoins.asofBackward(left, right, "k", "ts", Seq("rid"))
+      .select(col("event_id"), col("r_rid"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    // reference: explode all at-or-before matches, keep max (ts, rid)
+    val naive = left.as("l").join(right.as("r"),
+        col("l.k") === col("r.k") && col("l.ts") >= col("r.ts"), "left_outer")
+      .groupBy(col("l.event_id"))
+      .agg(max_by(col("r.rid"), struct(col("r.ts"), col("r.rid"))).as("rid"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(fast.size == 300 && fast == naive)
+  }
+
   test("rangeJoinBinned: exact containment across bin boundaries, hash join not BNLJ") {
     import spark.implicits._
     val points = Seq((1L, 5L), (2L, 100L), (3L, 250L), (4L, 999L), (5L, 1000L))
