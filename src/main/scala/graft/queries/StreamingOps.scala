@@ -29,6 +29,12 @@ object StreamingOps {
     EventStream.sessionizeBatch(Tables.events(spark, dir), gapMinutes = 30)
       .orderBy(col("user_id"), col("session_seq"))
 
+  // Stream-stream interval join (clicks × same-user errors within the
+  // trailing 2 hours), both sides watermarked — bounded join state.
+  def st5IntervalJoin(spark: SparkSession, dir: String): DataFrame =
+    EventStream.intervalJoinStreaming(spark, dir)
+      .orderBy(col("click_id"), col("err_id"))
+
   // S9/S10: sorted CSV export and re-import round trip.
   def s9CsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -52,6 +58,7 @@ object StreamingOps {
     "st1_window_agg" -> (st1WindowAgg _),
     "st0_stream_window" -> (st0StreamWindow _),
     "st2_sessionize" -> (st2Sessionize _),
+    "st5_interval_join" -> (st5IntervalJoin _),
     "s9_csv_roundtrip" -> (s9CsvRoundtrip _),
     "s11_json_roundtrip" -> (s11JsonRoundtrip _))
 
@@ -78,6 +85,14 @@ object StreamingOps {
         |SELECT user_id, session_seq, COUNT(*) AS n_events,
         |  epoch_ms(MIN(ts)) AS start_ms, epoch_ms(MAX(ts)) AS end_ms
         |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+    "st5_interval_join" ->
+      """SELECT c.event_id AS click_id, e.event_id AS err_id,
+        |  epoch_ms(c.ts) AS click_ms, epoch_ms(e.ts) AS err_ms
+        |FROM events c JOIN events e
+        |  ON c.user_id = e.user_id
+        | AND e.ts >= c.ts - INTERVAL 2 HOUR AND e.ts <= c.ts
+        |WHERE c.event_type = 'click' AND e.event_type = 'error'
+        |ORDER BY click_id, err_id""".stripMargin,
     "s9_csv_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
     "s11_json_roundtrip" -> StatementOps.oracle("a4_entity_assembly"))

@@ -78,6 +78,58 @@ object EventStream {
         col("n"), col("total"))
   }
 
+  /** Stream-stream INTERVAL JOIN: clicks joined to the same user's
+    * errors from the preceding 2 hours, both sides watermarked so the
+    * join state is bounded — Spark buffers each side only for
+    * (watermark + interval), never the whole stream. This is the
+    * streaming twin of [[graft.ops.TemporalJoins]]: enrichment that at
+    * 100 TB/day runs continuously instead of as nightly batch. Drained
+    * with Trigger.AvailableNow against the static events table, so the
+    * result is deterministic and oracle-checkable against the batch SQL
+    * interval join.
+    */
+  def intervalJoinStreaming(spark: SparkSession, dir: String): DataFrame = {
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    def src(): DataFrame = {
+      val s = spark.readStream
+        .schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+      if (batch.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        s.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else s
+    }
+    val clicks = src().filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("cts"))
+      .withWatermark("cts", "1 hour")
+    val errors = src().filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id").as("err_user"),
+        col("ts").as("ets"))
+      .withWatermark("ets", "1 hour")
+    val joined = clicks.join(errors,
+      col("user_id") === col("err_user") &&
+        col("ets") >= col("cts") - expr("INTERVAL 2 HOURS") &&
+        col("ets") <= col("cts"))
+    val name = s"graft_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try {
+      joined.writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation",
+          s"${graft.functions.F.stageRoot(spark)}/ckpt-$name")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    q.awaitTermination()
+    spark.table(name).select(col("click_id"), col("err_id"),
+      unix_millis(col("cts")).as("click_ms"),
+      unix_millis(col("ets")).as("err_ms"))
+  }
+
   /** Batch sessionization: gaps-and-islands with a session break when the
     * per-user gap exceeds `gapMinutes`. One shuffle on user_id; the two
     * windows share the same partitioning.
