@@ -351,6 +351,35 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  // Temperature-scaled mixture planning over TOKEN budgets: sampling
+  // weight per source ∝ n_tokens^T with T = 1/2 (the multilingual
+  // temperature-sampling recipe — upweights small sources, tempers big
+  // ones), then per-source keep rates that land a fixed total token
+  // budget. T = 1/2 is deliberate: sqrt is IEEE correctly-rounded in
+  // every engine while pow(x, 0.3) is libm-implementation-defined, and
+  // the weights/targets stay in floor'd integer arithmetic (exact,
+  // order-free) with one final division per double column — bit-exact
+  // against the oracle.
+  //
+  // Scale shape: one map-side-partial groupBy over the source column;
+  // everything after operates on #sources rows.
+  def cur3TempMixture(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 100000L
+    val tok = docs(spark, dir)
+      .select(col("source"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("__nt"))
+      .groupBy(col("source")).agg(sum(col("__nt")).as("n_tokens"))
+      .withColumn("s", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+    tok.crossJoin(broadcast(tok.agg(sum(col("s")).as("s_total"))))
+      .withColumn("p", col("s").cast("double") / col("s_total").cast("double"))
+      .withColumn("target_tokens", expr(s"s * $budget div s_total"))
+      .withColumn("rate", least(lit(1.0),
+        col("target_tokens").cast("double") / col("n_tokens").cast("double")))
+      .select(col("source"), col("n_tokens"), col("s"), col("p"),
+        col("target_tokens"), col("rate"))
+      .orderBy(col("source"))
+  }
+
   // PII scrub: email/URL redaction with per-doc hit counts and the
   // fingerprint of the redacted text. Synthetic contacts are injected
   // deterministically so the scrub has real work on the test corpus.
@@ -620,6 +649,7 @@ object TrainingData {
     "smp1_stratified" -> (smp1Stratified _),
     "cur1_source_cap" -> (cur1SourceCap _),
     "cur2_mixture_sample" -> (cur2MixtureSample _),
+    "cur3_temp_mixture" -> (cur3TempMixture _),
     "t6_scrub" -> (t6Scrub _),
     "dc1_decontam" -> (dc1Decontam _),
     "t7_repetition" -> (t7Repetition _),
@@ -1167,6 +1197,18 @@ object TrainingData {
         |FROM documents d JOIN rates USING (lang)
         |WHERE (('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)),1,8))::BIGINT)::DOUBLE / 4294967296.0 < rate
         |ORDER BY d.doc_id""".stripMargin,
+    "cur3_temp_mixture" ->
+      """WITH tok AS (
+        |  SELECT source, CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |sq AS (SELECT source, n_tokens,
+        |  CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS s FROM tok),
+        |tot AS (SELECT CAST(SUM(s) AS BIGINT) AS s_total FROM sq)
+        |SELECT source, n_tokens, s,
+        |  CAST(s AS DOUBLE) / CAST(s_total AS DOUBLE) AS p,
+        |  (s * 100000) // s_total AS target_tokens,
+        |  least(1.0, CAST((s * 100000) // s_total AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS rate
+        |FROM sq, tot ORDER BY source""".stripMargin,
     "t6_scrub" ->
       """WITH e AS (
         |  SELECT doc_id, text ||
