@@ -227,6 +227,20 @@ object TrainingData {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // PQ encode + asymmetric-distance scan: every vector compresses to 8
+  // four-bit codes against the derived per-subspace codebook, then the
+  // fixed probe scores the whole corpus through centroid lookups alone —
+  // never touching the original vectors. Exact integer arithmetic end to
+  // end (see Similarity PQ block), so the DuckDB twin is bit-identical.
+  def sim7PqAdc(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    e.select(col("vec_id"),
+        Similarity.pqCodes(Similarity.quantize(col("embedding"))).as("codes"))
+      .withColumn("pq_dist", Similarity.pqAdcDist(col("codes")))
+      .orderBy(col("pq_dist"), col("vec_id"))
+      .limit(20)
+  }
+
   // Label-free twin: blocks come from the embedding itself (sign-LSH over
   // the leading components) — the 100 TB path when no cluster label
   // exists. Same per-block pair loop, same quantized arithmetic.
@@ -645,6 +659,7 @@ object TrainingData {
     "sim4_kmeans_update" -> (sim4KmeansUpdate _),
     "sim5_sq8_topk" -> (sim5Sq8TopK _),
     "sim6_ivf_sq8" -> (sim6IvfSq8 _),
+    "sim7_pq_adc" -> (sim7PqAdc _),
     "d7_split_assign" -> (d7SplitAssign _),
     "smp1_stratified" -> (smp1Stratified _),
     "cur1_source_cap" -> (cur1SourceCap _),
@@ -1197,6 +1212,32 @@ object TrainingData {
         |FROM documents d JOIN rates USING (lang)
         |WHERE (('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)),1,8))::BIGINT)::DOUBLE / 4294967296.0 < rate
         |ORDER BY d.doc_id""".stripMargin,
+    "sim7_pq_adc" ->
+      """WITH qv AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |grid AS (
+        |  SELECT vec_id, mm.m AS m, kk.k AS k,
+        |    list_sum(list_transform(range(0, 8), j ->
+        |      (q[mm.m*8 + j + 1] - ((((mm.m*131 + kk.k*31 + j*17 + 7) % 97) - 48) * 62)) *
+        |      (q[mm.m*8 + j + 1] - ((((mm.m*131 + kk.k*31 + j*17 + 7) % 97) - 48) * 62)))) AS d
+        |  FROM qv, (SELECT unnest(range(0, 8)) AS m) mm,
+        |            (SELECT unnest(range(0, 16)) AS k) kk),
+        |best AS (
+        |  SELECT vec_id, m, k FROM (
+        |    SELECT vec_id, m, k,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn
+        |    FROM grid) t
+        |  WHERE rn = 1),
+        |adc AS (
+        |  SELECT vec_id, list(k ORDER BY m) AS codes,
+        |    CAST(SUM(list_sum(list_transform(range(0, 8), j ->
+        |      ((((m*8 + j)*37 + 11) % 89 - 44) * 68 - ((((m*131 + k*31 + j*17 + 7) % 97) - 48) * 62)) *
+        |      ((((m*8 + j)*37 + 11) % 89 - 44) * 68 - ((((m*131 + k*31 + j*17 + 7) % 97) - 48) * 62))))) AS BIGINT) AS pq_dist
+        |  FROM best GROUP BY vec_id)
+        |SELECT vec_id, codes, pq_dist FROM adc
+        |ORDER BY pq_dist, vec_id LIMIT 20""".stripMargin,
     "cur3_temp_mixture" ->
       """WITH tok AS (
         |  SELECT source, CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS n_tokens

@@ -448,4 +448,70 @@ object Similarity {
     while (i < qa.length) { dot += qa(i) * qb(i); i += 1 }
     dot.toDouble / math.sqrt((na * nb).toDouble)
   }
+
+  // ---- Product quantization (Jégou et al. 2011, "Product Quantization
+  // for Nearest Neighbor Search") ----
+  //
+  // The third leg of the ANN stack (after sign-LSH buckets and IVF+SQ8):
+  // the vector splits into M subvectors, each quantized to one of K
+  // per-subspace centroids, so a 64-dim float vector becomes M=8 bytes —
+  // 32x smaller than float32, and query scoring never touches the
+  // original vectors (asymmetric distance: per-subspace lookup tables).
+  //
+  // The codebook here is DERIVED (a fixed integer formula over
+  // (m, k, j)), standing in for a trained one so the whole pipeline is
+  // deterministic and oracle-checkable; production drops in per-subspace
+  // [[kmeansTrain]] output as a broadcast lookup with the identical plan
+  // shape. Everything runs in the quantized-integer domain of this
+  // module: squared distances are exact integer sums (order-free,
+  // engine-identical), argmins tie-break on the centroid index, and no
+  // float fold order ever matters.
+
+  /** PQ subspace count, centroids per subspace, dims per subspace. */
+  val PqM = 8
+  val PqK = 16
+  val PqSub = 8
+
+  /** Derived integer centroid component for (subspace m, code k, dim j),
+    * in quantized units (±2976 ≈ ±0.3 raw — the data's actual range).
+    */
+  private def pqCentQ(m: Column, k: Column, j: Column): Column =
+    ((((m * 131) + (k * 31) + (j * 17) + lit(7)) % 97) - lit(48)).cast("long") * lit(62L)
+
+  /** Encode a quantized vector ([[quantize]]) to its M PQ codes: per
+    * subspace, the argmin-distance centroid index (ties → smaller k).
+    * Stateless per-row projection — zero shuffles over the corpus.
+    */
+  def pqCodes(qvec: Column, m: Int = PqM, k: Int = PqK, sub: Int = PqSub): Column =
+    transform(sequence(lit(0), lit(m - 1)), mm =>
+      aggregate(sequence(lit(0), lit(k - 1)),
+        struct(lit(Long.MaxValue).as("d"), lit(-1).as("k")),
+        (acc, kk) => {
+          val d = aggregate(sequence(lit(0), lit(sub - 1)), lit(0L),
+            (s, j) => {
+              val diff = element_at(qvec, mm * sub + j + 1) - pqCentQ(mm, kk, j)
+              s + diff * diff
+            })
+          when(d < acc.getField("d"), struct(d.as("d"), kk.as("k")))
+            .otherwise(acc)
+        },
+        acc => acc.getField("k")))
+
+  /** Derived query-vector component (quantized units) for global dim i —
+    * the fixed probe the ADC oracle scores against.
+    */
+  private def pqQueryQ(i: Column): Column =
+    ((((i * 37) + 11) % 89) - lit(44)).cast("long") * lit(68L)
+
+  /** Asymmetric PQ distance of the derived query to an encoded vector:
+    * sum over subspaces of ||q_m - centroid(m, code_m)||² — the
+    * lookup-table scan that makes PQ search O(M) per vector instead of
+    * O(D). Exact integer arithmetic end to end.
+    */
+  def pqAdcDist(codes: Column, m: Int = PqM, sub: Int = PqSub): Column =
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0L), (s, mm) =>
+      s + aggregate(sequence(lit(0), lit(sub - 1)), lit(0L), (s2, j) => {
+        val diff = pqQueryQ(mm * sub + j) - pqCentQ(mm, element_at(codes, mm + 1), j)
+        s2 + diff * diff
+      }))
 }

@@ -393,6 +393,46 @@ class TrainingDataSpec extends SparkSpec {
     assert(contA == 0.5 && jac == 1.0 / 3.0)
   }
 
+  test("PQ codes match a Scala brute-force twin; ADC is exact-integer; no shuffle") {
+    import spark.implicits._
+    def cent(m: Int, k: Int, j: Int): Long =
+      (((m * 131 + k * 31 + j * 17 + 7) % 97) - 48) * 62L
+    def qProbe(i: Int): Long = (((i * 37 + 11) % 89) - 44) * 68L
+    // deterministic fixture vectors, data-like range ±0.2
+    val vecs = (0 until 5).map { v =>
+      (v.toLong, Array.tabulate(64)(i => (((v * 7 + i) * 13) % 40 - 20) / 100.0f))
+    }
+    val expected = vecs.map { case (id, xs) =>
+      val q = xs.map(x => math.round(x.toDouble * 10000))
+      val codes = (0 until 8).map { m =>
+        (0 until 16).minBy { k =>
+          (0 until 8).map { j =>
+            val d = q(m * 8 + j) - cent(m, k, j); d * d
+          }.sum
+        }
+      }
+      val adc = (0 until 8).map { m =>
+        (0 until 8).map { j =>
+          val d = qProbe(m * 8 + j) - cent(m, codes(m), j); d * d
+        }.sum
+      }.sum
+      id -> ((codes, adc))
+    }.toMap
+    val df = vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        graft.similarity.Similarity.pqCodes(
+          graft.similarity.Similarity.quantize(col("embedding"))).as("codes"))
+      .withColumn("pq_dist", graft.similarity.Similarity.pqAdcDist(col("codes")))
+    val got = df.collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Int](1).toSeq, r.getLong(2)))).toMap
+    expected.foreach { case (id, (codes, adc)) =>
+      assert(got(id)._1 == codes, s"codes for $id")
+      assert(got(id)._2 == adc, s"adc for $id")
+    }
+    // encode + score is a stateless projection: no Exchange in the plan
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("MediaProbe parses real container headers; total over junk") {
     import spark.implicits._
     def hx(s: String): Array[Byte] = s.replaceAll("\\s", "")
