@@ -472,46 +472,20 @@ object Similarity {
   val PqK = 16
   val PqSub = 8
 
-  /** Derived integer centroid component for (subspace m, code k, dim j),
-    * in quantized units (±2976 ≈ ±0.3 raw — the data's actual range).
-    */
-  private def pqCentQ(m: Column, k: Column, j: Column): Column =
-    ((((m * 131) + (k * 31) + (j * 17) + lit(7)) % 97) - lit(48)).cast("long") * lit(62L)
-
   /** Encode a quantized vector ([[quantize]]) to its M PQ codes: per
     * subspace, the argmin-distance centroid index (ties → smaller k).
-    * Stateless per-row projection — zero shuffles over the corpus.
+    * Stateless per-row projection — zero shuffles over the corpus, and a
+    * fused codegen kernel ([[graft.functions.PqEncode]]): the HOF
+    * composition of this argmin interpreted ~M·K·sub lambdas per row and
+    * measured ~100× slower at sf0.1.
     */
-  def pqCodes(qvec: Column, m: Int = PqM, k: Int = PqK, sub: Int = PqSub): Column =
-    transform(sequence(lit(0), lit(m - 1)), mm =>
-      aggregate(sequence(lit(0), lit(k - 1)),
-        struct(lit(Long.MaxValue).as("d"), lit(-1).as("k")),
-        (acc, kk) => {
-          val d = aggregate(sequence(lit(0), lit(sub - 1)), lit(0L),
-            (s, j) => {
-              val diff = element_at(qvec, mm * sub + j + 1) - pqCentQ(mm, kk, j)
-              s + diff * diff
-            })
-          when(d < acc.getField("d"), struct(d.as("d"), kk.as("k")))
-            .otherwise(acc)
-        },
-        acc => acc.getField("k")))
+  def pqCodes(qvec: Column): Column = graft.functions.PqEncode(qvec)
 
-  /** Derived query-vector component (quantized units) for global dim i —
-    * the fixed probe the ADC oracle scores against.
-    */
-  private def pqQueryQ(i: Column): Column =
-    ((((i * 37) + 11) % 89) - lit(44)).cast("long") * lit(68L)
-
-  /** Asymmetric PQ distance of the derived query to an encoded vector:
-    * sum over subspaces of ||q_m - centroid(m, code_m)||² — the
-    * lookup-table scan that makes PQ search O(M) per vector instead of
+  /** Asymmetric PQ distance of the derived probe to an encoded vector:
+    * sum over subspaces of ||q_m - centroid(m, code_m)||² through a
+    * precomputed M×K lookup table ([[graft.functions.PqAdc]]) — the
+    * classic PQ trick that makes scoring O(M) per vector instead of
     * O(D). Exact integer arithmetic end to end.
     */
-  def pqAdcDist(codes: Column, m: Int = PqM, sub: Int = PqSub): Column =
-    aggregate(sequence(lit(0), lit(m - 1)), lit(0L), (s, mm) =>
-      s + aggregate(sequence(lit(0), lit(sub - 1)), lit(0L), (s2, j) => {
-        val diff = pqQueryQ(mm * sub + j) - pqCentQ(mm, element_at(codes, mm + 1), j)
-        s2 + diff * diff
-      }))
+  def pqAdcDist(codes: Column): Column = graft.functions.PqAdc(codes)
 }
