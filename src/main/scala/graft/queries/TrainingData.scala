@@ -435,6 +435,27 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  // Per-doc contamination FRACTION against a benchmark split — the
+  // overlap report (GPT-3/PaLM appendix style) that complements dc1's
+  // drop decision: how much of each training doc's distinct shingle set
+  // appears anywhere in the held-out set. One shuffle on the shingle
+  // key; the benchmark side is distinct'd before the join so each
+  // (doc, shingle) matches at most once, and the per-doc count is a
+  // map-side-partial aggregation.
+  def d13ContamFrac(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(Dedupe.tokenHash(col("doc_id").cast("string")), lit(100))
+    val withB = docShingleRows(spark, dir).withColumn("__b", bucket)
+    val train = withB.filter(col("__b") < 80).select(col("doc_id"), col("__tok"))
+    val bench = withB.filter(col("__b") >= 90).select(col("__tok")).distinct()
+    train.join(bench.withColumn("__hit", lit(1L)), Seq("__tok"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_contaminated"))
+      .withColumn("contam_frac",
+        col("n_contaminated").cast("double") / col("n_shingles").cast("double"))
+      .orderBy(col("doc_id"))
+  }
+
   // T8: Gopher-style quality rules — the word-count / mean-word-length /
   // digit-density gates of the standard pre-training filter stack. All
   // column arithmetic (no lambdas): total word chars = length - (n-1)
@@ -667,6 +688,7 @@ object TrainingData {
     "cur3_temp_mixture" -> (cur3TempMixture _),
     "t6_scrub" -> (t6Scrub _),
     "dc1_decontam" -> (dc1Decontam _),
+    "d13_contam_frac" -> (d13ContamFrac _),
     "t7_repetition" -> (t7Repetition _),
     "g1_top_ngrams" -> (g1TopNgrams _),
     "mm1_media_meta" -> (mm1MediaMeta _),
@@ -1212,6 +1234,24 @@ object TrainingData {
         |FROM documents d JOIN rates USING (lang)
         |WHERE (('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)),1,8))::BIGINT)::DOUBLE / 4294967296.0 < rate
         |ORDER BY d.doc_id""".stripMargin,
+    "d13_contam_frac" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(string_split(text,' '))-2, 1)),
+        |    i -> array_to_string((string_split(text,' '))[i:i+2], ' ')))) AS w
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, w,
+        |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 100 AS bk
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT w FROM b WHERE bk >= 90),
+        |train AS (SELECT doc_id, w FROM b WHERE bk < 80)
+        |SELECT t.doc_id, COUNT(*) AS n_shingles,
+        |  CAST(SUM(CASE WHEN bench.w IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+        |  CAST(SUM(CASE WHEN bench.w IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS contam_frac
+        |FROM train t LEFT JOIN bench ON t.w = bench.w
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     "sim7_pq_adc" ->
       """WITH qv AS (
         |  SELECT vec_id,
