@@ -45,9 +45,12 @@ object PqKernel {
   }
 
   /** Encode one quantized vector: per-subspace argmin centroid (ties →
-    * smaller k). Called from generated code.
+    * smaller k). Short/malformed vectors treat missing dims as 0 rather
+    * than throwing — one bad row can't kill a corpus scan. Called from
+    * generated code.
     */
   def encode(q: ArrayData): ArrayData = {
+    val n = q.numElements()
     val codes = new Array[Int](M)
     var m = 0
     while (m < M) {
@@ -58,7 +61,9 @@ object PqKernel {
         var d = 0L
         var j = 0
         while (j < Sub) {
-          val diff = q.getLong(m * Sub + j) - cent(m)(k)(j)
+          val i = m * Sub + j
+          val x = if (i < n) q.getLong(i) else 0L
+          val diff = x - cent(m)(k)(j)
           d += diff * diff
           j += 1
         }
