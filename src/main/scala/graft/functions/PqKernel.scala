@@ -83,6 +83,29 @@ object PqKernel {
     while (m < M) { s += lut(m)(codes.getInt(m)); m += 1 }
     s
   }
+
+  /** ADC distance of an ARBITRARY quantized vector (e.g. an IVF query
+    * residual) to an encoded vector: sum over subspaces of
+    * ||v_m − cent(m, code_m)||². Missing dims read as 0.
+    */
+  def adcVec(codes: ArrayData, v: ArrayData): Long = {
+    val n = v.numElements()
+    var s = 0L
+    var m = 0
+    while (m < M) {
+      val c = cent(m)(codes.getInt(m))
+      var j = 0
+      while (j < Sub) {
+        val i = m * Sub + j
+        val x = if (i < n) v.getLong(i) else 0L
+        val d = x - c(j)
+        s += d * d
+        j += 1
+      }
+      m += 1
+    }
+    s
+  }
 }
 
 /** array<long> quantized vector → array<int> PQ codes. */
@@ -127,4 +150,29 @@ case class PqAdc(child: Expression) extends UnaryExpression {
 object PqAdc {
   def apply(c: Column): Column =
     ColumnBridge.column(PqAdc(ColumnBridge.expression(c)))
+}
+
+/** (array<int> codes, array<long> vector) → exact-integer ADC distance. */
+case class PqAdcVec(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "pq_adc_vec"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PqKernel.adcVec(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.PqKernel.adcVec($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcVec =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqAdcVec {
+  def apply(codes: Column, v: Column): Column =
+    ColumnBridge.column(PqAdcVec(
+      ColumnBridge.expression(codes), ColumnBridge.expression(v)))
 }

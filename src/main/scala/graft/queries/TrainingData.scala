@@ -241,6 +241,16 @@ object TrainingData {
       .limit(20)
   }
 
+  // IVF+PQ composite: coarse-quantizer routing + residual PQ codes in
+  // the inverted lists + asymmetric-distance candidate scoring — the
+  // full FAISS IVFPQ shape, deterministic end to end.
+  def sim8IvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    Similarity.ivfPqTopK(e, "vec_id", e.filter(col("vec_id") < 10), k = 3,
+      nlist = 8, nprobe = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // Label-free twin: blocks come from the embedding itself (sign-LSH over
   // the leading components) — the 100 TB path when no cluster label
   // exists. Same per-block pair loop, same quantized arithmetic.
@@ -681,6 +691,7 @@ object TrainingData {
     "sim5_sq8_topk" -> (sim5Sq8TopK _),
     "sim6_ivf_sq8" -> (sim6IvfSq8 _),
     "sim7_pq_adc" -> (sim7PqAdc _),
+    "sim8_ivf_pq" -> (sim8IvfPq _),
     "d7_split_assign" -> (d7SplitAssign _),
     "smp1_stratified" -> (smp1Stratified _),
     "cur1_source_cap" -> (cur1SourceCap _),
@@ -1146,6 +1157,56 @@ object TrainingData {
          |      b.vec_id) AS rank
          |  FROM qa8 a JOIN ca8 b ON a.cid = b.cid AND b.vec_id <> a.vec_id)
          |SELECT query_id, neighbor_id, rank FROM scored
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "sim8_ivf_pq" ->
+      s"""WITH $qCte,
+         |cents AS (SELECT vec_id AS cid, qv AS kv, nrm AS knrm FROM p WHERE vec_id < 8),
+         |corpus_assign AS (
+         |  SELECT vec_id, cid, kv FROM (
+         |    SELECT p.vec_id, c.cid, c.kv,
+         |      ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+         |        CAST(list_sum(list_transform(list_zip(p.qv, c.kv), z -> CAST(z[1] AS BIGINT)*z[2])) AS DOUBLE) / sqrt(CAST(p.nrm*c.knrm AS DOUBLE)) DESC,
+         |        c.cid) AS crn
+         |    FROM p CROSS JOIN cents c) WHERE crn = 1),
+         |res AS (
+         |  SELECT a.vec_id, a.cid,
+         |    list_transform(list_zip(p.qv, a.kv), z -> CAST(z[1] AS BIGINT) - z[2]) AS r
+         |  FROM corpus_assign a JOIN p ON p.vec_id = a.vec_id),
+         |grid AS (
+         |  SELECT vec_id, cid, mm.m AS m, kk.k AS k,
+         |    list_sum(list_transform(range(0, 8), j ->
+         |      (r[mm.m*8 + j + 1] - ((((mm.m*131 + kk.k*31 + j*17 + 7) % 97) - 48) * 62)) *
+         |      (r[mm.m*8 + j + 1] - ((((mm.m*131 + kk.k*31 + j*17 + 7) % 97) - 48) * 62)))) AS d
+         |  FROM res, (SELECT unnest(range(0, 8)) AS m) mm,
+         |            (SELECT unnest(range(0, 16)) AS k) kk),
+         |codes AS (
+         |  SELECT vec_id, cid, m, k FROM (
+         |    SELECT vec_id, cid, m, k,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn
+         |    FROM grid) t WHERE rn = 1),
+         |query_assign AS (
+         |  SELECT vec_id, cid, kv FROM (
+         |    SELECT p.vec_id, c.cid, c.kv,
+         |      ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+         |        CAST(list_sum(list_transform(list_zip(p.qv, c.kv), z -> CAST(z[1] AS BIGINT)*z[2])) AS DOUBLE) / sqrt(CAST(p.nrm*c.knrm AS DOUBLE)) DESC,
+         |        c.cid) AS crn
+         |    FROM p CROSS JOIN cents c WHERE p.vec_id < 10) WHERE crn <= 2),
+         |qres AS (
+         |  SELECT a.vec_id, a.cid,
+         |    list_transform(list_zip(p.qv, a.kv), z -> CAST(z[1] AS BIGINT) - z[2]) AS qr
+         |  FROM query_assign a JOIN p ON p.vec_id = a.vec_id),
+         |dist AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    CAST(SUM(list_sum(list_transform(range(0, 8), j ->
+         |      (q.qr[c.m*8 + j + 1] - ((((c.m*131 + c.k*31 + j*17 + 7) % 97) - 48) * 62)) *
+         |      (q.qr[c.m*8 + j + 1] - ((((c.m*131 + c.k*31 + j*17 + 7) % 97) - 48) * 62))))) AS BIGINT) AS pq_dist
+         |  FROM qres q JOIN codes c ON c.cid = q.cid AND c.vec_id <> q.vec_id
+         |  GROUP BY q.vec_id, c.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, pq_dist,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY pq_dist, neighbor_id) AS rank
+         |  FROM dist)
+         |SELECT query_id, neighbor_id, pq_dist, rank FROM ranked
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "sim2_ann_bucket" ->
       s"""WITH $qCte,

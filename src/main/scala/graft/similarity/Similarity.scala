@@ -488,4 +488,53 @@ object Similarity {
     * O(D). Exact integer arithmetic end to end.
     */
   def pqAdcDist(codes: Column): Column = graft.functions.PqAdc(codes)
+
+  /** IVF+PQ — the full production ANN composite (FAISS `IVFx,PQy`
+    * shape): a coarse quantizer routes every vector to its nearest list
+    * (exact-integer cosine, map-side argmax), the list entry stores only
+    * the PQ codes of the RESIDUAL (vector − centroid), and each query
+    * probes its `nprobe` nearest lists scoring candidates by asymmetric
+    * distance between its own residual and the stored codes. The
+    * shuffled/broadcast artifacts carry 4-bit codes instead of vectors —
+    * the memory shape that makes 10B-vector indexes fit a cluster.
+    *
+    * Scale shape: one broadcast-centroid corpus scan (N rows shuffled,
+    * never N×nlist), candidate scoring keyed on the list id, per-query
+    * windowed top-k over the probed subset only. Deterministic end to
+    * end (exact integers, documented tie-breaks), so the SQL oracle
+    * replays it bit-for-bit.
+    */
+  def ivfPqTopK(emb: DataFrame, idCol: String, queries: DataFrame, k: Int,
+      nlist: Int, nprobe: Int): DataFrame = {
+    val prep = prepared(emb, idCol)
+    val cents = prep.filter(col(idCol) < nlist)
+      .select(col(idCol).as("__cid"), col("__q").as("__qk"), col("__n").as("__nk"))
+    val corpus = assignNearest(
+        prep.select(col(idCol).as("neighbor_id"), col("__q"), col("__n")),
+        "neighbor_id", cents, carry = Seq("__q", "__qk"))
+      .withColumn("__codes",
+        pqCodes(zip_with(col("__q"), col("__qk"), (a, b) => a - b)))
+      .select(col("neighbor_id"), col("__cid"), col("__codes"))
+    val qsScored = prepared(queries, idCol)
+      .select(col(idCol).as("query_id"), col("__q"), col("__n"))
+      .join(broadcast(cents))
+      .withColumn("__csim",
+        cosineQ(col("__q"), col("__qk"), col("__n"), col("__nk")))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("__csim").desc, col("__cid"))
+    val qs = qsScored.withColumn("__crn", row_number().over(wq))
+      .filter(col("__crn") <= nprobe)
+      .select(col("query_id"), col("__cid"),
+        zip_with(col("__q"), col("__qk"), (a, b) => a - b).as("__qres"))
+    val scored = corpus.join(broadcast(qs), Seq("__cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__dist",
+        graft.functions.PqAdcVec(col("__codes"), col("__qres")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__dist").asc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("__dist").as("pq_dist"), col("rank"))
+  }
 }
