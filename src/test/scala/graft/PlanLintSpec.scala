@@ -28,7 +28,8 @@ class PlanLintSpec extends SparkSpec {
     "sim3_ivf_topk" -> "nlist-bounded centroid table broadcast (assignment scan)",
     "sim4_kmeans_update" -> "nlist-bounded centroid table broadcast",
     "sim6_ivf_sq8" -> "nlist-bounded centroids + bounded probe set broadcast",
-    "d9_semantic_dedup" -> "nlist-bounded centroid table broadcast")
+    "d9_semantic_dedup" -> "nlist-bounded centroid table broadcast",
+    "sim8_ivf_pq" -> "nlist-bounded centroids + bounded probe set broadcast")
 
   test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only where justified") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
