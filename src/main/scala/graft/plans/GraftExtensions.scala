@@ -49,6 +49,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.MediaProbe].getName, "media_probe"),
       (args: Seq[Expression]) => graft.functions.MediaProbe(args.head)))
     ext.injectFunction((
+      FunctionIdentifier("pq_encode"),
+      new ExpressionInfo(classOf[graft.functions.PqEncode].getName, "pq_encode"),
+      (args: Seq[Expression]) => graft.functions.PqEncode(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("pq_adc"),
+      new ExpressionInfo(classOf[graft.functions.PqAdc].getName, "pq_adc"),
+      (args: Seq[Expression]) => graft.functions.PqAdc(args.head)))
+    ext.injectFunction((
       FunctionIdentifier("z_order"),
       new ExpressionInfo(classOf[graft.functions.ZOrderLong].getName, "z_order"),
       (args: Seq[Expression]) => graft.functions.ZOrderLong(

@@ -431,6 +431,29 @@ class TrainingDataSpec extends SparkSpec {
     }
     // encode + score is a stateless projection: no Exchange in the plan
     assert(!df.queryExecution.executedPlan.toString.contains("Exchange"))
+    // SQL surface: pq_encode/pq_adc registered and consistent with the
+    // Column path
+    val viaSql = spark.sql(
+      "SELECT pq_adc(pq_encode(array(" +
+        (0 until 64).map(_ => "0L").mkString(",") + ")))").head().getLong(0)
+    assert(viaSql == PqZeroAdc)
+  }
+
+  // ADC of the all-zeros vector's codes — pinned from the Scala twin
+  private lazy val PqZeroAdc: Long = {
+    def cent(m: Int, k: Int, j: Int): Long =
+      (((m * 131 + k * 31 + j * 17 + 7) % 97) - 48) * 62L
+    def qProbe(i: Int): Long = (((i * 37 + 11) % 89) - 44) * 68L
+    val codes = (0 until 8).map { m =>
+      (0 until 16).minBy(k => (0 until 8).map { j =>
+        val d = -cent(m, k, j); d * d
+      }.sum)
+    }
+    (0 until 8).map { m =>
+      (0 until 8).map { j =>
+        val d = qProbe(m * 8 + j) - cent(m, codes(m), j); d * d
+      }.sum
+    }.sum
   }
 
   test("MediaProbe parses real container headers; total over junk") {
