@@ -20,7 +20,8 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.StatementOps.queries ++
       graft.queries.TrainingData.queries ++
-      graft.queries.StreamingOps.queries
+      graft.queries.StreamingOps.queries ++
+      graft.queries.GraphOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +29,6 @@ object SparkEntry {
     graft.queries.Relational.oracle ++
       graft.queries.StatementOps.oracle ++
       graft.queries.TrainingData.oracle ++
-      graft.queries.StreamingOps.oracle
+      graft.queries.StreamingOps.oracle ++
+      graft.queries.GraphOps.oracle
 }

@@ -1,0 +1,129 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.F
+
+/** Entity-graph analytics over the statement lake's natural graph shape.
+  *
+  * FtM data is a graph: interval schemata (Ownership, Directorship,
+  * Payment) reference other entities through entity-typed properties
+  * (reference `model/statement.py` stores them as plain statements whose
+  * `prop_type` is `entity`; Aleph-style exploration expands along them).
+  * The reference stops at statement storage; these operators add the
+  * graph-side read path a lakehouse of resolved entities needs: degree
+  * profiles, bounded-hop neighbourhood expansion, and a deterministic
+  * PageRank for entity prominence ranking.
+  *
+  * On the testdata star schema the edge list is the customer–supplier
+  * bipartite graph derived from `orders ⋈ lineitem` — the same
+  * two-entity-reference shape an FtM `Payment` (payer → payee) produces.
+  *
+  * Scale shape: the edge list is staged once (one shuffle to distinct),
+  * and every algorithm below touches it only through hash joins on the
+  * edge endpoints — no adjacency matrices, no driver-side graph object.
+  * State per node is one row; per-iteration cost is one join + one
+  * aggregate over E edges, both map-side-combinable.
+  */
+object EntityGraph {
+
+  /** Distinct directed edge list (src, dst) from the order fact chain:
+    * customer `c<custkey>` → supplier `s<suppkey>` for every distinct
+    * (custkey, suppkey) with at least one lineitem between them.
+    *
+    * One join (orderkey, AQE picks broadcast vs shuffle by orders' actual
+    * size) + one distinct (single shuffle on the edge pair).
+    */
+  def customerSupplierEdges(spark: SparkSession, dir: String): DataFrame = {
+    val o = graft.Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val li = graft.Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(
+        concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+      .distinct()
+  }
+
+  /** Undirected view: each edge contributes both directions. */
+  def undirected(edges: DataFrame): DataFrame =
+    edges.unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+
+  /** Per-node degree over the undirected graph — one map-side-combinable
+    * aggregate; the edge distinct upstream guarantees simple-graph
+    * semantics (parallel edges collapse before counting).
+    */
+  def degrees(edges: DataFrame): DataFrame =
+    undirected(edges).groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("degree"))
+
+  /** Bounded-hop neighbourhood expansion from a seed set: returns
+    * (node, hop) where hop is the MINIMUM distance from any seed,
+    * hop ∈ [0, maxHops]. The Aleph "expand" primitive.
+    *
+    * Frontier BFS: each round joins only the CURRENT frontier against the
+    * edge table and anti-joins the visited set — cost per hop is
+    * O(frontier × avg-degree), not O(V), and the loop is bounded by
+    * `maxHops` (graph diameter caps it naturally). Frontiers are staged
+    * per round so lineage stays one join deep (no 2^hops recompute).
+    */
+  def expand(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0 && maxHops <= 16, s"maxHops out of range: $maxHops")
+    val und = F.materialize(undirected(edges))
+    var visited = F.materialize(
+      seeds.select(col("node")).distinct().withColumn("hop", lit(0)))
+    var frontier = visited.select(col("node"))
+    var hop = 0
+    while (hop < maxHops) {
+      hop += 1
+      val next = und.join(frontier, und("src") === frontier("node"))
+        .select(und("dst").as("node")).distinct()
+        .join(visited.select(col("node").as("__v")), col("node") === col("__v"), "left_anti")
+        .withColumn("hop", lit(hop))
+      val staged = F.materialize(next)
+      visited = F.materialize(visited.unionAll(staged))
+      frontier = staged.select(col("node"))
+    }
+    visited
+  }
+
+  /** Integer-exact PageRank: damping 0.85, fixed iteration count, all
+    * arithmetic in scaled BIGINT (scale = 1e9) with truncating division —
+    * sums of integers are associative, so the result is bit-identical
+    * regardless of partitioning or aggregation order, and a SQL oracle
+    * replays it exactly (same reasoning as cur3's integer-exact mixture
+    * planner). Runs on the undirected view; every node has degree ≥ 1 so
+    * there is no dangling-mass term.
+    *
+    * Scale shape: the (src, dst, out-degree) table is staged ONCE and
+    * reused every iteration; each iteration is one hash join (rank ⋈
+    * edges on src — E rows out) + one map-side-combinable sum groupBy
+    * (dst — one row per node leaves each task) + one left join back to
+    * the node set for isolated-contribution nodes. Rank state never
+    * leaves the cluster; iterations are a fixed small constant.
+    */
+  def pageRank(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters out of range: $iters")
+    val S = 1000000000L // rank scale: 1.0 == 1e9
+    val base = S * 15L / 100L
+    val und = undirected(edges)
+    val deg = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+    // (src, dst, d_src) staged once — reused by every iteration
+    val edgesDeg = F.materialize(
+      und.join(deg.withColumnRenamed("node", "src"), "src")
+        .select(col("src"), col("dst"), col("d")))
+    val nodes = F.materialize(deg.select(col("node")))
+    var rank = nodes.withColumn("rank", lit(S))
+    for (_ <- 1 to iters) {
+      val contrib = edgesDeg
+        .join(rank.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), expr("rank div d").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("s"))
+      rank = F.materialize(
+        nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            (lit(base) + expr(s"(85 * coalesce(s, 0L)) div 100")).as("rank")))
+    }
+    rank
+  }
+}

@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.graph.EntityGraph
+
+/** Entity-graph analytics queries (SURVEY §8): degree profile, bounded-hop
+  * expand, integer-exact PageRank — the Aleph-style graph read path over
+  * the lake's entity-reference edges, exercised on the customer–supplier
+  * bipartite graph of the testdata star schema.
+  *
+  * Oracle parity: all three are deterministic — degree/expand are plain
+  * relational algebra; PageRank does every arithmetic step in scaled
+  * BIGINT with truncating division (order-independent), so the DuckDB
+  * twin replays identical bits.
+  */
+object GraphOps {
+
+  /** gr1: per-node degree over the undirected customer–supplier graph. */
+  def gr1Degree(spark: SparkSession, dir: String): DataFrame =
+    EntityGraph.degrees(EntityGraph.customerSupplierEdges(spark, dir))
+      .orderBy(col("node"))
+
+  /** gr2: min-hop BFS expansion, 2 hops from every 100th customer. */
+  def gr2Expand(spark: SparkSession, dir: String): DataFrame = {
+    val edges = EntityGraph.customerSupplierEdges(spark, dir)
+    val seeds = graft.Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 100 === 0)
+      .select(concat(lit("c"), col("c_custkey")).as("node"))
+    EntityGraph.expand(edges, seeds, maxHops = 2)
+      .orderBy(col("hop"), col("node"))
+  }
+
+  /** gr3: 3-iteration integer-exact PageRank (damping 0.85, scale 1e9). */
+  def gr3Pagerank(spark: SparkSession, dir: String): DataFrame =
+    EntityGraph.pageRank(EntityGraph.customerSupplierEdges(spark, dir), iters = 3)
+      .orderBy(col("node"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gr1_degree" -> (gr1Degree _),
+    "gr2_expand" -> (gr2Expand _),
+    "gr3_pagerank" -> (gr3Pagerank _))
+
+  private val edgesCte =
+    """e AS (SELECT DISTINCT 'c'||o_custkey AS src, 's'||l_suppkey AS dst
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |und AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "gr1_degree" ->
+      s"""WITH $edgesCte
+         |SELECT src AS node, COUNT(*) AS degree FROM und
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "gr2_expand" ->
+      s"""WITH $edgesCte,
+         |seeds AS (SELECT DISTINCT 'c'||c_custkey AS node FROM customer
+         |  WHERE c_custkey % 100 = 0),
+         |h1 AS (SELECT DISTINCT und.dst AS node FROM und JOIN seeds ON und.src = seeds.node
+         |  WHERE und.dst NOT IN (SELECT node FROM seeds)),
+         |h2 AS (SELECT DISTINCT und.dst AS node FROM und JOIN h1 ON und.src = h1.node
+         |  WHERE und.dst NOT IN (SELECT node FROM seeds)
+         |    AND und.dst NOT IN (SELECT node FROM h1))
+         |SELECT node, 0 AS hop FROM seeds
+         |UNION ALL SELECT node, 1 AS hop FROM h1
+         |UNION ALL SELECT node, 2 AS hop FROM h2
+         |ORDER BY hop, node""".stripMargin,
+    "gr3_pagerank" ->
+      s"""WITH $edgesCte,
+         |deg AS (SELECT src AS node, COUNT(*) AS d FROM und GROUP BY 1),
+         |ed AS (SELECT u.src, u.dst, deg.d FROM und u JOIN deg ON deg.node = u.src),
+         |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank FROM deg),
+         |c1 AS (SELECT ed.dst AS node, CAST(SUM(r0.rank // ed.d) AS BIGINT) AS s
+         |  FROM ed JOIN r0 ON ed.src = r0.node GROUP BY 1),
+         |r1 AS (SELECT deg.node,
+         |  CAST(150000000 + (85 * COALESCE(c1.s, 0)) // 100 AS BIGINT) AS rank
+         |  FROM deg LEFT JOIN c1 ON deg.node = c1.node),
+         |c2 AS (SELECT ed.dst AS node, CAST(SUM(r1.rank // ed.d) AS BIGINT) AS s
+         |  FROM ed JOIN r1 ON ed.src = r1.node GROUP BY 1),
+         |r2 AS (SELECT deg.node,
+         |  CAST(150000000 + (85 * COALESCE(c2.s, 0)) // 100 AS BIGINT) AS rank
+         |  FROM deg LEFT JOIN c2 ON deg.node = c2.node),
+         |c3 AS (SELECT ed.dst AS node, CAST(SUM(r2.rank // ed.d) AS BIGINT) AS s
+         |  FROM ed JOIN r2 ON ed.src = r2.node GROUP BY 1),
+         |r3 AS (SELECT deg.node,
+         |  CAST(150000000 + (85 * COALESCE(c3.s, 0)) // 100 AS BIGINT) AS rank
+         |  FROM deg LEFT JOIN c3 ON deg.node = c3.node)
+         |SELECT node, rank FROM r3 ORDER BY node""".stripMargin)
+}

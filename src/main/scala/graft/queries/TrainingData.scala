@@ -548,6 +548,25 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  // CH1: context-window chunking — split each document into fixed-size
+  // character windows (500 chars, stride 400 → 100-char overlap), the
+  // pre-tokenization chunking step for pretraining corpora and RAG
+  // indexing. sequence+explode is generator-shaped: no driver loop, each
+  // task fans out only its own documents, and a 10 MB document yields a
+  // ~25k-int offset array, never a 10 MB×windows blow-up. Output carries
+  // an md5 per window instead of the window text, so result width is
+  // constant regardless of document size.
+  def ch1ChunkDocs(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .withColumn("pos",
+        explode(sequence(lit(1L), greatest(col("n_chars"), lit(1L)), lit(400L))))
+      .select(col("doc_id"),
+        expr("CAST((pos - 1) div 400 AS INT)").as("chunk_idx"),
+        expr("md5(substr(text, CAST(pos AS INT), 500))").as("chunk_md5"),
+        expr("CAST(length(substr(text, CAST(pos AS INT), 500)) AS BIGINT)").as("chunk_len"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
   // ---- multimodal plumbing ----
 
   def mm1MediaMeta(spark: SparkSession, dir: String): DataFrame =
@@ -679,6 +698,7 @@ object TrainingData {
     "t8_gopher_rules" -> (t8GopherRules _),
     "t9_length_stats" -> (t9LengthStats _),
     "pk1_pack_chunks" -> (pk1PackChunks _),
+    "ch1_chunk_docs" -> (ch1ChunkDocs _),
     "e1_quantize_export" -> (e1QuantizeExport _),
     "d5_embed_dup" -> (d5EmbedDup _),
     "d5b_embed_dup_lsh" -> (d5bEmbedDupLsh _),
@@ -1043,6 +1063,16 @@ object TrainingData {
         |SELECT doc_id, bucket, n_tokens,
         |  CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS chunk
         |FROM c ORDER BY doc_id""".stripMargin,
+    "ch1_chunk_docs" ->
+      """WITH p AS (
+        |  SELECT doc_id, text,
+        |    UNNEST(generate_series(1, GREATEST(n_chars, 1), 400)) AS pos
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST((pos - 1) // 400 AS INT) AS chunk_idx,
+        |  md5(substr(text, CAST(pos AS INT), 500)) AS chunk_md5,
+        |  CAST(len(substr(text, CAST(pos AS INT), 500)) AS BIGINT) AS chunk_len
+        |FROM p ORDER BY doc_id, chunk_idx""".stripMargin,
     "t9_length_stats" ->
       """WITH ranked AS (
         |  SELECT lang, n_chars,

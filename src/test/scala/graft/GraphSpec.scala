@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.graph.EntityGraph
+
+/** Entity-graph analytics: degree, bounded-hop expand (min-hop BFS),
+  * integer-exact PageRank. PageRank is checked against a naive driver-side
+  * reference that replays the identical scaled-BIGINT arithmetic — any
+  * divergence in join/aggregate shape, coalesce handling, or division
+  * order shows up as a bit mismatch.
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def edges(rows: (String, String)*) =
+    rows.toDF("src", "dst")
+
+  test("degrees counts both directions of the undirected view") {
+    val e = edges("a" -> "x", "a" -> "y", "b" -> "x")
+    val d = EntityGraph.degrees(e).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d === Map("a" -> 2L, "b" -> 1L, "x" -> 2L, "y" -> 1L))
+  }
+
+  test("expand reports minimum hop, respects maxHops, survives cycles") {
+    // a - x - b - y - c plus a cycle a-x-b-z-a reaching z at hop 2
+    val e = edges("a" -> "x", "b" -> "x", "b" -> "y", "c" -> "y", "b" -> "z", "z" -> "a")
+    val seeds = Seq("a").toDF("node")
+    val got = EntityGraph.expand(e, seeds, maxHops = 2)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    // hop0: a; hop1: x, z; hop2: b (via x) — y/c are 3+ hops, cut off
+    assert(got === Map("a" -> 0, "x" -> 1, "z" -> 1, "b" -> 2))
+  }
+
+  test("expand keeps isolated seeds at hop 0") {
+    val e = edges("a" -> "x")
+    val seeds = Seq("lonely").toDF("node")
+    val got = EntityGraph.expand(e, seeds, maxHops = 2).collect()
+    assert(got.map(r => (r.getString(0), r.getInt(1))).toSet === Set("lonely" -> 0))
+  }
+
+  test("pageRank matches a naive integer-arithmetic reference") {
+    val raw = Seq("a" -> "x", "a" -> "y", "b" -> "x", "c" -> "y", "c" -> "x")
+    val iters = 3
+    val got = EntityGraph.pageRank(edges(raw: _*), iters)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // naive reference: same scaled-BIGINT recurrence, computed in a loop
+    val und = raw ++ raw.map(_.swap)
+    val deg = und.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    val S = 1000000000L
+    var rank = deg.keys.map(_ -> S).toMap
+    for (_ <- 1 to iters) {
+      val sums = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      for ((s, d) <- und) sums(d) += rank(s) / deg(s)
+      rank = deg.keys.map(n => n -> (S * 15L / 100L + 85L * sums(n) / 100L)).toMap
+    }
+    assert(got === rank)
+  }
+
+  test("customer-supplier edge list is distinct and namespaced") {
+    val e = EntityGraph.customerSupplierEdges(spark, sf001)
+    assert(e.count() === e.distinct().count())
+    val bad = e.filter(!col("src").startsWith("c") || !col("dst").startsWith("s")).count()
+    assert(bad === 0L)
+  }
+}
