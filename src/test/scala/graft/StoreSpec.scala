@@ -392,6 +392,38 @@ class StoreSpec extends SparkSpec {
     assert(store.version == v)
   }
 
+  test("journal count() is incremental: already-counted files are never re-probed") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-journal-inc").toString
+    val journal = new Journal(spark, dir)
+
+    val s = Statement("0", "idA", "e1", "ds", "thing", "o1", None, "Person",
+      "name", "string", "Alice", None, None, external = false,
+      ts("2024-01-01 00:00:00"), ts("2024-01-01 00:00:00"), "", None)
+    journal.write(Seq(s).toDS().toDF())
+    assert(journal.count() == 1L)
+
+    // corrupt the ALREADY-COUNTED staged file in place (same name, junk
+    // bytes): a re-probe would now find an unreadable footer and drop it
+    // from the count; the incremental cache keeps the first probe's value
+    // — directly observing that count() is O(new files), not O(all files)
+    import scala.jdk.CollectionConverters._
+    val staged = java.nio.file.Paths.get(dir, "_graft/journal")
+    val f = java.nio.file.Files.list(staged).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).next()
+    java.nio.file.Files.write(f, "no longer parquet".getBytes("UTF-8"))
+    assert(journal.count() == 1L)
+
+    // new files still get probed (count grows), cached ones still don't
+    journal.write(Seq(s.copy(id = "idB"), s.copy(id = "idC")).toDS().toDF())
+    assert(journal.count() == 3L)
+
+    // eviction: once the file leaves the staging dir its cache entry dies
+    // — a fresh count() no longer includes it
+    java.nio.file.Files.delete(f)
+    assert(journal.count() == 2L)
+  }
+
   test("journal drain quarantines corrupt files and malformed rows, drains the rest") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-journal-bad").toString
