@@ -84,6 +84,14 @@ class QueryAssemblySpec extends SparkSpec {
     assert(FtmModel.propTypes("emitters") == "entity")
     assert(FtmModel.propTypes("grossRegisteredTonnage") == "number")
     assert(FtmModel.propTypes("peopleMentioned") == "name")
+    assert(FtmModel.propTypes("namesMentioned") == "name")
+    assert(FtmModel.propTypes("translatedText") == "text")
+    assert(FtmModel.propTypes("translatedLanguage") == "language")
+    assert(FtmModel.propTypes("inReplyToMessage") == "entity")
+    assert(FtmModel.propTypes("cpvCode") == "identifier")
+    assert(FtmModel.propTypes("osmId") == "identifier")
+    assert(FtmModel.propTypes("declarationUrl") == "url")
+    assert(FtmModel.propTypes("inceptionDate") == "date")
     // lang nulling is registry-driven: value types that can't carry a
     // language are nulled, linguistic ones keep theirs (F8)
     assert(FtmModel.nonLinguistic("iban") && FtmModel.nonLinguistic("ip"))
