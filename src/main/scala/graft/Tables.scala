@@ -25,18 +25,31 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "region")
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Sessions set spark.sql.legacy.parquet.nanosAsLong=true
-    * (see Sessions.configure) so the column arrives as LongType nanos; the
-    * data carries microsecond precision, so converting to TimestampType via
-    * integer division is lossless.
+  /** Normalizes an events-shaped `ts` column to TimestampType (instant).
+    * Generated data has shipped it three ways across rounds:
+    *   - TIMESTAMP(NANOS): Spark's vectorized reader rejects it; Sessions
+    *     sets spark.sql.legacy.parquet.nanosAsLong=true so it arrives as
+    *     LongType nanos — integer-divide to micros (data is micro-precise,
+    *     so lossless);
+    *   - TIMESTAMP_NTZ (micros, no zone): `withWatermark`/`unix_millis`
+    *     require an instant type, so cast — the session timezone is pinned
+    *     UTC (Sessions.configure), making the cast a deterministic
+    *     reinterpretation of the same wall-clock as a UTC instant, which is
+    *     exactly how the DuckDB oracle's epoch_ms reads it;
+    *   - TIMESTAMP (instant): pass through.
+    * Works identically on batch and streaming DataFrames.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    val raw = apply(spark, dir, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
-  }
+  def normalizeTs(df: DataFrame, tsCol: String = "ts"): DataFrame =
+    df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn(tsCol, timestamp_micros(expr(s"$tsCol div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(tsCol, col(tsCol).cast("timestamp"))
+      case _ => df
+    }
+
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeTs(apply(spark, dir, "events"))
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 }

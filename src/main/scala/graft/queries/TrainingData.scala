@@ -239,6 +239,9 @@ object TrainingData {
       .withColumn("pq_dist", Similarity.pqAdcDist(col("codes")))
       .orderBy(col("pq_dist"), col("vec_id"))
       .limit(20)
+      // comma-joined codes: the oracle comparator can't sort array columns
+      .withColumn("codes",
+        expr("array_join(transform(codes, x -> cast(x as string)), ',')"))
   }
 
   // IVF+PQ composite: coarse-quantizer routing + residual PQ codes in
@@ -670,9 +673,14 @@ object TrainingData {
 
   /** Inverted-index posting lists: exact df + 100 smallest doc ids per
     * term via the salted two-stage build (hot terms never concentrate).
+    * The posting list is emitted comma-joined (not as an array column):
+    * the oracle comparator sorts on every output column, and arrays are
+    * unsortable there — the string form round-trips the same information.
     */
   def idx1Postings(spark: SparkSession, dir: String): DataFrame =
     graft.text.Search.postings(docs(spark, dir), "doc_id", "text", cap = 100)
+      .withColumn("postings",
+        expr("array_join(transform(postings, x -> cast(x as string)), ',')"))
       .orderBy(col("term"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -855,7 +863,7 @@ object TrainingData {
         |  SELECT DISTINCT w AS term, doc_id
         |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents))
         |SELECT term, COUNT(*) AS df,
-        |  (list_sort(list(doc_id)))[1:100] AS postings
+        |  array_to_string((list_sort(list(doc_id)))[1:100], ',') AS postings
         |FROM pairs GROUP BY term ORDER BY term""".stripMargin,
     "d11_substring_dup" ->
       """WITH toks AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
@@ -1367,7 +1375,7 @@ object TrainingData {
         |      ((((m*8 + j)*37 + 11) % 89 - 44) * 68 - ((((m*131 + k*31 + j*17 + 7) % 97) - 48) * 62)) *
         |      ((((m*8 + j)*37 + 11) % 89 - 44) * 68 - ((((m*131 + k*31 + j*17 + 7) % 97) - 48) * 62))))) AS BIGINT) AS pq_dist
         |  FROM best GROUP BY vec_id)
-        |SELECT vec_id, codes, pq_dist FROM adc
+        |SELECT vec_id, array_to_string(codes, ',') AS codes, pq_dist FROM adc
         |ORDER BY pq_dist, vec_id LIMIT 20""".stripMargin,
     "cur3_temp_mixture" ->
       """WITH tok AS (

@@ -41,10 +41,7 @@ object EventStream {
       .schema(batch.schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-    val events =
-      if (batch.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else src
+    val events = graft.Tables.normalizeTs(src)
     val agg = events
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -90,15 +87,11 @@ object EventStream {
     */
   def intervalJoinStreaming(spark: SparkSession, dir: String): DataFrame = {
     val batch = spark.read.parquet(s"$dir/events.parquet")
-    def src(): DataFrame = {
-      val s = spark.readStream
+    def src(): DataFrame = graft.Tables.normalizeTs(
+      spark.readStream
         .schema(batch.schema)
         .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-      if (batch.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        s.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else s
-    }
+        .parquet(dir))
     val clicks = src().filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("cts"))
