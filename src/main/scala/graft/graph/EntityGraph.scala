@@ -52,9 +52,15 @@ object EntityGraph {
   /** Per-node degree over the undirected graph — one map-side-combinable
     * aggregate; the edge distinct upstream guarantees simple-graph
     * semantics (parallel edges collapse before counting).
+    *
+    * Uses explode(array(src, dst)) rather than `undirected(...)`: a
+    * self-union would inline the edge-derivation subtree (join+distinct)
+    * into the plan twice — explode doubles rows inside the SAME scan, so
+    * the upstream join and distinct each run exactly once.
     */
   def degrees(edges: DataFrame): DataFrame =
-    undirected(edges).groupBy(col("src").as("node"))
+    edges.select(explode(array(col("src"), col("dst"))).as("node"))
+      .groupBy(col("node"))
       .agg(count(lit(1)).as("degree"))
 
   /** Bounded-hop neighbourhood expansion from a seed set: returns
@@ -69,22 +75,33 @@ object EntityGraph {
     */
   def expand(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0 && maxHops <= 16, s"maxHops out of range: $maxHops")
-    val und = F.materialize(undirected(edges))
-    var visited = F.materialize(
+    // Stage the DIRECTED edge list and take the undirected view lazily:
+    // the derivation (join+distinct) runs once, each hop re-scans the
+    // staged file twice (cheap columnar read), and the staged bytes are
+    // half of what writing the undirected table would cost.
+    val e0 = F.materialize(edges)
+    val und = undirected(e0)
+    val seed0 = F.materialize(
       seeds.select(col("node")).distinct().withColumn("hop", lit(0)))
-    var frontier = visited.select(col("node"))
+    // Only each round's NEW frontier is staged; the visited set is the
+    // lazy union of the already-staged layers (scanning k small staged
+    // files beats re-writing a growing visited table every round — one
+    // job per hop instead of two, and no O(V) rewrite at each step).
+    var layers = Vector(seed0)
+    var frontier = seed0
     var hop = 0
     while (hop < maxHops) {
       hop += 1
-      val next = und.join(frontier, und("src") === frontier("node"))
+      val visited = layers.map(_.select(col("node"))).reduce(_ unionAll _)
+      val next = und.join(frontier.select(col("node")), und("src") === col("node"))
         .select(und("dst").as("node")).distinct()
         .join(visited.select(col("node").as("__v")), col("node") === col("__v"), "left_anti")
         .withColumn("hop", lit(hop))
       val staged = F.materialize(next)
-      visited = F.materialize(visited.unionAll(staged))
-      frontier = staged.select(col("node"))
+      layers :+= staged
+      frontier = staged
     }
-    visited
+    layers.reduce(_ unionAll _)
   }
 
   /** Integer-exact PageRank: damping 0.85, fixed iteration count, all
@@ -102,27 +119,40 @@ object EntityGraph {
     * the node set for isolated-contribution nodes. Rank state never
     * leaves the cluster; iterations are a fixed small constant.
     */
-  def pageRank(edges: DataFrame, iters: Int): DataFrame = {
+  def pageRank(edges: DataFrame, iters: Int, stageEvery: Int = 5): DataFrame = {
     require(iters >= 1 && iters <= 20, s"iters out of range: $iters")
     val S = 1000000000L // rank scale: 1.0 == 1e9
     val base = S * 15L / 100L
-    val und = undirected(edges)
-    val deg = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+    // Stage the DIRECTED edges once: `und` appears in the plan both as
+    // the join probe side and (via deg) the build side — without staging,
+    // the upstream join+distinct would be inlined and re-executed up to
+    // four times in the edgesDeg job.
+    val e0 = F.materialize(edges)
+    val und = undirected(e0)
+    val deg = degrees(e0).withColumnRenamed("degree", "d")
     // (src, dst, d_src) staged once — reused by every iteration
     val edgesDeg = F.materialize(
       und.join(deg.withColumnRenamed("node", "src"), "src")
         .select(col("src"), col("dst"), col("d")))
-    val nodes = F.materialize(deg.select(col("node")))
+    // node set re-derived from the STAGED edge table — a cheap columnar
+    // re-scan, not a second derivation of the join+distinct upstream
+    val nodes = edgesDeg.select(col("src").as("node")).distinct()
     var rank = nodes.withColumn("rank", lit(S))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = edgesDeg
         .join(rank.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), expr("rank div d").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("s"))
-      rank = F.materialize(
-        nodes.join(contrib, Seq("node"), "left")
-          .select(col("node"),
-            (lit(base) + expr(s"(85 * coalesce(s, 0L)) div 100")).as("rank")))
+      val next = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr(s"(85 * coalesce(s, 0L)) div 100")).as("rank"))
+      // Iterations CHAIN as lineage — each is one extra shuffle stage in
+      // the same job (the per-node rank state is small and AQE broadcasts
+      // it into the edge join, so no edge-sized exchange repeats). A
+      // periodic stage write caps plan depth for large iteration counts;
+      // for the common fixed 3-5 iterations the whole rank runs as ONE
+      // job instead of one write+read round trip per iteration.
+      rank = if (i % stageEvery == 0 && i < iters) F.materialize(next) else next
     }
     rank
   }
