@@ -88,6 +88,10 @@ class QueryAssemblySpec extends SparkSpec {
     assert(FtmModel.propTypes("translatedText") == "text")
     assert(FtmModel.propTypes("translatedLanguage") == "language")
     assert(FtmModel.propTypes("inReplyToMessage") == "entity")
+    assert(FtmModel.propTypes("employer") == "entity")
+    assert(FtmModel.propTypes("employee") == "entity")
+    assert(FtmModel.propTypes("receiver") == "entity")
+    assert(FtmModel.propTypes("numberOfSeats") == "number")
     assert(FtmModel.propTypes("cpvCode") == "identifier")
     assert(FtmModel.propTypes("osmId") == "identifier")
     assert(FtmModel.propTypes("declarationUrl") == "url")
