@@ -21,7 +21,8 @@ object SparkEntry {
       graft.queries.StatementOps.queries ++
       graft.queries.TrainingData.queries ++
       graft.queries.StreamingOps.queries ++
-      graft.queries.GraphOps.queries
+      graft.queries.GraphOps.queries ++
+      graft.queries.SketchOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +31,6 @@ object SparkEntry {
       graft.queries.StatementOps.oracle ++
       graft.queries.TrainingData.oracle ++
       graft.queries.StreamingOps.oracle ++
-      graft.queries.GraphOps.oracle
+      graft.queries.GraphOps.oracle ++
+      graft.queries.SketchOps.oracle
 }

@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedupe.Dedupe
+import graft.functions.F
+import graft.sketch.Sketches
+
+/** Corpus-sketch queries (count-min, KMV, Bloom) over the documents
+  * table — the estimator layer of the training-data pipeline, each with
+  * an exact-integer DuckDB twin (see [[graft.sketch.Sketches]] for the
+  * hash-family contract and scale shapes).
+  */
+object SketchOps {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+
+  /** sk1: count-min heavy hitters — the 20 most frequent corpus tokens
+    * with their true counts and the sketch's point estimates (CMS
+    * guarantees est ≥ true). The term-frequency table is staged once and
+    * feeds both the sketch build and the probe selection, mirroring a
+    * production run where the sketch is built in the same pass that
+    * sizes the vocabulary.
+    */
+  def sk1Countmin(spark: SparkSession, dir: String): DataFrame = {
+    val tf = F.materialize(
+      docs(spark, dir)
+        .select(explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("n_true")))
+    val sketch = Sketches.countMinFromCounts(tf, "term", "n_true")
+    val probes = tf.orderBy(col("n_true").desc, col("term")).limit(20)
+    probes
+      .join(Sketches.cmsEstimate(sketch, probes, "term"), Seq("term"))
+      .select(col("term"), col("n_true"), col("cms_est"))
+      .orderBy(col("term"))
+  }
+
+  /** sk2: KMV distinct-token cardinality per source — exact count next
+    * to the k=64 sketch estimate (the calibration report a pipeline runs
+    * at small scale before trusting the sketch at full scale).
+    */
+  def sk2KmvDistinct(spark: SparkSession, dir: String): DataFrame =
+    Sketches.kmvDistinct(
+        docs(spark, dir)
+          .select(col("source"), explode(split(col("text"), " ")).as("term")),
+        "source", "term", k = 64)
+      .orderBy(col("source"))
+
+  /** bf1: Bloom-filter benchmark screen — d13's contamination check
+    * restated as the 100 TB shape: the held-out split's shingles become
+    * a bounded 65536-position bit table (broadcast), and every training
+    * doc reports how many of its shingles the filter flags. One-sided by
+    * construction: bloom_frac ≥ d13's exact contam_frac per doc, no
+    * false negatives, and the false positives are deterministic hash
+    * arithmetic the oracle reproduces.
+    */
+  def bf1BloomScreen(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(Dedupe.tokenHash(col("doc_id").cast("string")), lit(100))
+    val withB = TrainingData.docShingleRows(spark, dir).withColumn("__b", bucket)
+    val bits = Sketches.bloomBits(
+      withB.filter(col("__b") >= 90).select(col("__tok")).distinct(), "__tok")
+    val train = withB.filter(col("__b") < 80).select(col("doc_id"), col("__tok"))
+    Sketches.bloomProbe(train, "__tok", bits)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), sum(col("bloom_hit")).as("n_bloom_hits"))
+      .withColumn("bloom_frac",
+        col("n_bloom_hits").cast("double") / col("n_shingles").cast("double"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sk1_countmin" -> (sk1Countmin _),
+    "sk2_kmv_distinct" -> (sk2KmvDistinct _),
+    "bf1_bloom_screen" -> (bf1BloomScreen _))
+
+  private val tokH = "(('0x'||substr(md5(w),1,8))::BIGINT)"
+
+  val oracle: Map[String, String] = Map(
+    "sk1_countmin" ->
+      s"""WITH toks AS (SELECT unnest(string_split(text,' ')) AS w FROM documents),
+         |tf AS (SELECT w, COUNT(*) AS n_true FROM toks GROUP BY w),
+         |hh AS (SELECT w, n_true, $tokH AS h FROM tf),
+         |cells AS (
+         |  SELECT hh.w, hh.n_true, i.i AS row,
+         |    (((CASE i.i WHEN 0 THEN 31 WHEN 1 THEN 131 WHEN 2 THEN 1031 ELSE 8191 END) * hh.h
+         |      + (CASE i.i WHEN 0 THEN 7 WHEN 1 THEN 17 WHEN 2 THEN 29 ELSE 43 END))
+         |     % 2147483647) % 1024 AS bucket
+         |  FROM hh, (SELECT unnest(range(0,4)) AS i) i),
+         |sketch AS (SELECT row, bucket, SUM(n_true) AS n FROM cells GROUP BY 1, 2),
+         |probes AS (SELECT w, n_true FROM tf ORDER BY n_true DESC, w LIMIT 20),
+         |est AS (
+         |  SELECT c.w, MIN(s.n) AS cms_est FROM cells c
+         |  JOIN sketch s USING (row, bucket)
+         |  WHERE c.w IN (SELECT w FROM probes) GROUP BY c.w)
+         |SELECT p.w AS term, p.n_true, CAST(e.cms_est AS BIGINT) AS cms_est
+         |FROM probes p JOIN est e ON e.w = p.w ORDER BY term""".stripMargin,
+    "sk2_kmv_distinct" ->
+      s"""WITH toks AS (SELECT source, unnest(string_split(text,' ')) AS w FROM documents),
+         |dt AS (SELECT DISTINCT source, w FROM toks),
+         |ex AS (SELECT source, COUNT(*) AS n_exact FROM dt GROUP BY source),
+         |hs AS (SELECT DISTINCT source, $tokH AS h FROM dt),
+         |r AS (SELECT source, h,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn,
+         |    COUNT(*) OVER (PARTITION BY source) AS nh FROM hs),
+         |kth AS (SELECT source, MAX(CASE WHEN rn <= 64 THEN h END) AS mk,
+         |    MAX(nh) AS nh FROM r GROUP BY source)
+         |SELECT ex.source, ex.n_exact,
+         |  CAST(CASE WHEN kth.nh < 64 THEN kth.nh
+         |       ELSE 270582939648 // greatest(kth.mk, 1) END AS BIGINT) AS kmv_est
+         |FROM ex JOIN kth USING (source) ORDER BY source""".stripMargin,
+    "bf1_bloom_screen" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, greatest(len(string_split(text,' '))-2, 1)),
+         |    i -> array_to_string((string_split(text,' '))[i:i+2], ' ')))) AS w
+         |  FROM documents),
+         |b AS (SELECT doc_id, w,
+         |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 100 AS bk
+         |  FROM toks),
+         |bh AS (SELECT DISTINCT $tokH AS h FROM b WHERE bk >= 90),
+         |bits AS (
+         |  SELECT DISTINCT ((31*h+7) % 2147483647) % 65536 AS pos FROM bh
+         |  UNION SELECT ((131*h+17) % 2147483647) % 65536 FROM bh
+         |  UNION SELECT ((1031*h+29) % 2147483647) % 65536 FROM bh),
+         |train AS (SELECT doc_id, w, $tokH AS h FROM b WHERE bk < 80),
+         |pr AS (SELECT doc_id,
+         |    ((31*h+7) % 2147483647) % 65536 AS p0,
+         |    ((131*h+17) % 2147483647) % 65536 AS p1,
+         |    ((1031*h+29) % 2147483647) % 65536 AS p2 FROM train),
+         |hits AS (SELECT doc_id,
+         |    CASE WHEN p0 IN (SELECT pos FROM bits) AND p1 IN (SELECT pos FROM bits)
+         |          AND p2 IN (SELECT pos FROM bits) THEN 1 ELSE 0 END AS hit FROM pr)
+         |SELECT doc_id, COUNT(*) AS n_shingles,
+         |  CAST(SUM(hit) AS BIGINT) AS n_bloom_hits,
+         |  CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS bloom_frac
+         |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+}

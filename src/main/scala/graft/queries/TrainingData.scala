@@ -105,7 +105,7 @@ object TrainingData {
       Dedupe.shingleRows(docs(spark, dir), "doc_id", "text", 3, distinct = false)
     }
 
-  private def docShingleRows(spark: SparkSession, dir: String): DataFrame =
+  private[queries] def docShingleRows(spark: SparkSession, dir: String): DataFrame =
     stagedTermTable(spark, dir, "shingle3") {
       docShingleRowsMulti(spark, dir).dropDuplicates("doc_id", "__tok")
     }

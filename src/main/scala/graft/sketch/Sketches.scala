@@ -1,0 +1,168 @@
+package graft.sketch
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.dedupe.Dedupe
+
+/** Distributed frequency/cardinality/membership sketches for corpus
+  * statistics at training-data scale — the estimators a 100 TB pipeline
+  * runs where exact global aggregation is too expensive, built so that
+  * every estimate is EXACT integer arithmetic over `Dedupe.tokenHash`
+  * (md5-prefix, 32-bit): a SQL oracle replays the same bits, so the
+  * approximation itself is deterministic and hash-checkable.
+  *
+  * The reference stops at statement-lake statistics (`logic/dataset.py`
+  * stats aggregation); these are the corpus-scale estimators layered on
+  * the same lake for LLM-data curation decisions (vocabulary sizing,
+  * heavy-hitter stop lists, benchmark-membership screens).
+  *
+  * Hash family: g_i(h) = ((a_i·h + b_i) mod P) mod width, P = 2^31−1
+  * (Mersenne), h = tokenHash ∈ [0, 2^32). All products stay far below
+  * 2^63 — no overflow, no floating point anywhere.
+  *
+  * Scale shapes:
+  *   - count-min: the sketch IS the aggregate — depth×width rows
+  *     (constant, ~4k) out of a map-side-combinable groupBy; lookups
+  *     broadcast the sketch.
+  *   - KMV: per-group k-smallest distinct hashes via the same salted
+  *     two-stage build as [[graft.text.Search.postings]] — hot groups
+  *     never concentrate on one task.
+  *   - Bloom: the bit table is bounded by `m` (constant) — broadcast to
+  *     the probe scan; the probe side is one pass, no shuffle of the
+  *     corpus.
+  */
+object Sketches {
+
+  /** Mersenne prime 2^31−1 — modulus of the universal-hash family. */
+  val P = 2147483647L
+
+  private def gHash(h: Column, a: Long, b: Long, width: Long): Column =
+    pmod(pmod(h * lit(a) + lit(b), lit(P)), lit(width))
+
+  // fixed hash-row constants: the sketch layout is part of the operator
+  // contract (the oracle replays them), so they are named, not seeded
+  val CmsA = Seq(31L, 131L, 1031L, 8191L)
+  val CmsB = Seq(7L, 17L, 29L, 43L)
+  val BloomA = Seq(31L, 131L, 1031L)
+  val BloomB = Seq(7L, 17L, 29L)
+
+  /** Count-min sketch from a pre-aggregated (term, count) table: the
+    * depth×width cell counts. Building from term FREQUENCIES rather than
+    * raw occurrences is the distributed form — the heavy shuffle is the
+    * upstream term count (map-side combinable), after which the sketch
+    * build explodes only |vocabulary| rows and aggregates to a CONSTANT
+    * depth·width cells.
+    */
+  def countMinFromCounts(termCounts: DataFrame, termCol: String,
+      countCol: String, width: Int = 1024): DataFrame = {
+    val h = Dedupe.tokenHash(col(termCol))
+    val cells = CmsA.zip(CmsB).zipWithIndex.map { case ((a, b), i) =>
+      struct(lit(i).as("row"), gHash(h, a, b, width.toLong).as("bucket"))
+    }
+    termCounts
+      .select(col(countCol).as("__n"), explode(array(cells: _*)).as("__rb"))
+      .groupBy(col("__rb.row").as("row"), col("__rb.bucket").as("bucket"))
+      .agg(sum(col("__n")).as("n"))
+  }
+
+  /** Point estimates for probe terms: min over the sketch's depth rows —
+    * the classic CMS upper bound (estimate ≥ true count, never under).
+    * The sketch is depth×width rows (constant) → explicit broadcast is
+    * provably bounded, unlike data-sized build sides.
+    */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, termCol: String,
+      width: Int = 1024): DataFrame = {
+    val h = Dedupe.tokenHash(col(termCol))
+    val cells = CmsA.zip(CmsB).zipWithIndex.map { case ((a, b), i) =>
+      struct(lit(i).as("row"), gHash(h, a, b, width.toLong).as("bucket"))
+    }
+    probes
+      .select(col(termCol), explode(array(cells: _*)).as("__rb"))
+      .select(col(termCol), col("__rb.row").as("row"), col("__rb.bucket").as("bucket"))
+      .join(broadcast(sketch), Seq("row", "bucket"), "left_outer")
+      .groupBy(col(termCol))
+      .agg(min(coalesce(col("n"), lit(0L))).as("cms_est"))
+  }
+
+  /** KMV (k-minimum-values) distinct-count sketch per group, alongside
+    * the exact distinct count for calibration: estimate =
+    * (k−1)·2^32 div m_k where m_k is the k-th smallest DISTINCT hash;
+    * groups with fewer than k distinct hashes report that exact hash
+    * count (the sketch holds the whole set). Truncating integer division
+    * — the oracle replays it bit-for-bit. Estimates cardinality of the
+    * HASH set (term-collision error ≤ |V|²/2^33 — negligible and, being
+    * deterministic, identical on both sides).
+    *
+    * Salted two-stage k-smallest (same shape as `Search.postings`): the
+    * salt partitions each group's distinct-hash space `salts` ways, each
+    * salted cell keeps its own k smallest (bounded state), and the
+    * group-grain merge sees ≤ salts·k pre-capped values — a hot group
+    * (every doc in one source) never concentrates its distinct set on a
+    * single task.
+    */
+  def kmvDistinct(items: DataFrame, groupCol: String, itemCol: String,
+      k: Int = 64, salts: Int = 16): DataFrame = {
+    require(k > 0 && salts > 0, s"k/salts must be positive: $k/$salts")
+    val M = 4294967296L // 2^32 — tokenHash range
+    val dt = items.select(col(groupCol), col(itemCol)).distinct()
+    val exact = dt.groupBy(col(groupCol)).agg(count(lit(1)).as("n_exact"))
+    val withH = dt.withColumn("__h", Dedupe.tokenHash(col(itemCol)))
+    val partial = withH
+      .groupBy(col(groupCol), pmod(col("__h"), lit(salts.toLong)).as("__salt"))
+      .agg(collect_set(col("__h")).as("__hs"))
+      // salt cells partition the hash space: partial distinct counts ADD,
+      // and the global k smallest are among each cell's k smallest
+      .select(col(groupCol), size(col("__hs")).cast("long").as("__pc"),
+        slice(sort_array(col("__hs")), 1, k).as("__pl"))
+    val kth = partial.groupBy(col(groupCol))
+      .agg(sum(col("__pc")).as("__nh"),
+        slice(sort_array(flatten(collect_list(col("__pl")))), 1, k).as("__ks"))
+      .select(col(groupCol), col("__nh"),
+        element_at(col("__ks"),
+          greatest(least(col("__nh"), lit(k.toLong)), lit(1L)).cast("int")).as("__mk"))
+    exact.join(kth, Seq(groupCol))
+      .withColumn("kmv_est",
+        when(col("__nh") < k, col("__nh"))
+          .otherwise(expr(s"${(k - 1).toLong * M}L div greatest(__mk, 1L)")))
+      .select(col(groupCol), col("n_exact"), col("kmv_est"))
+  }
+
+  /** Bloom bit-position table for a build-side item set: the DISTINCT
+    * g_j positions over [[BloomA]]/[[BloomB]], j = 3 hash functions over
+    * an m-bit space. Output is bounded by m rows regardless of input
+    * size — the broadcastable screen a 100 TB probe scans against.
+    */
+  def bloomBits(items: DataFrame, itemCol: String, m: Int = 65536): DataFrame = {
+    val h = Dedupe.tokenHash(col(itemCol))
+    val ps = BloomA.zip(BloomB).map { case (a, b) => gHash(h, a, b, m.toLong) }
+    items.select(explode(array(ps: _*)).as("pos")).distinct()
+  }
+
+  /** Probe items against a bloom bit table: an item "hits" iff ALL its
+    * positions are set — the standard one-sided test (no false negatives;
+    * false positives at the classic (1−e^{−kn/m})^k rate, and
+    * deterministic, so the oracle twin reports the same hits). The bit
+    * table is ≤ m rows → provably-bounded broadcast; the probe side is a
+    * single pass with three broadcast-hash lookups, never a shuffle of
+    * the probe corpus.
+    */
+  def bloomProbe(probe: DataFrame, itemCol: String, bits: DataFrame,
+      m: Int = 65536): DataFrame = {
+    val h = Dedupe.tokenHash(col(itemCol))
+    val ps = BloomA.zip(BloomB).map { case (a, b) => gHash(h, a, b, m.toLong) }
+    val withP = probe.withColumns(Map(
+      "__p0" -> ps(0), "__p1" -> ps(1), "__p2" -> ps(2)))
+    val flagged = Seq(0, 1, 2).foldLeft(withP) { (df, j) =>
+      df.join(
+        broadcast(bits.select(col("pos").as(s"__p$j"), lit(1L).as(s"__b$j"))),
+        Seq(s"__p$j"), "left_outer")
+    }
+    flagged
+      .withColumn("bloom_hit",
+        (col("__b0").isNotNull && col("__b1").isNotNull && col("__b2").isNotNull)
+          .cast("long"))
+      .drop("__p0", "__p1", "__p2", "__b0", "__b1", "__b2")
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedupe.Dedupe
+import graft.sketch.Sketches
+
+/** Corpus sketches: count-min (frequency upper bound), KMV distinct
+  * cardinality, Bloom membership screen. Each test pins the estimator's
+  * defining guarantee — CMS never underestimates, KMV is exact below k,
+  * Bloom has no false negatives — plus the determinism the oracle
+  * parity depends on (identical rebuild → identical bits).
+  */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def counts(rows: (String, Long)*) = rows.toDF("term", "n")
+
+  test("count-min estimates are upper bounds and exact without collisions") {
+    val tf = counts("alpha" -> 5L, "beta" -> 3L, "gamma" -> 11L, "delta" -> 2L)
+    val sk = Sketches.countMinFromCounts(tf, "term", "n", width = 1024)
+    // depth×width bound: never more cells than 4 rows × distinct terms
+    assert(sk.count() <= 4L * 4L)
+    val est = Sketches.cmsEstimate(sk, tf, "term", width = 1024)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = Map("alpha" -> 5L, "beta" -> 3L, "gamma" -> 11L, "delta" -> 2L)
+    truth.foreach { case (t, n) => assert(est(t) >= n, s"underestimated $t") }
+    // 4 terms in a 1024-wide sketch: no collisions, so exact
+    assert(est === truth)
+  }
+
+  test("count-min collisions only inflate, and rebuilds are bit-identical") {
+    // width 1 forces every term into one bucket per row: est = total mass
+    val tf = counts("a" -> 1L, "b" -> 2L, "c" -> 4L)
+    val sk = Sketches.countMinFromCounts(tf, "term", "n", width = 1)
+    val est = Sketches.cmsEstimate(sk, tf, "term", width = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.values.toSet === Set(7L))
+    val again = Sketches.cmsEstimate(
+      Sketches.countMinFromCounts(tf, "term", "n", width = 1), tf, "term", width = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again === est)
+  }
+
+  test("unknown probe terms estimate at least zero, never negative") {
+    val sk = Sketches.countMinFromCounts(counts("x" -> 9L), "term", "n")
+    val est = Sketches.cmsEstimate(sk, counts("neverseen" -> 0L), "term")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("neverseen") >= 0L)
+  }
+
+  test("KMV is exact below k and deterministic above it") {
+    val items = (1 to 300).map(i => ("big", s"tok$i")) ++
+      (1 to 10).map(i => ("small", s"tok$i"))
+    val df = items.toDF("source", "term")
+    val got = Sketches.kmvDistinct(df, "source", "term", k = 64, salts = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val bySource = got.map(t => t._1 -> (t._2, t._3)).toMap
+    // below k: the sketch holds the whole distinct-hash set → exact
+    assert(bySource("small") === ((10L, 10L)))
+    // above k: estimate is a real estimate in a sane band (±50% here),
+    // and the exact side is the true distinct count
+    assert(bySource("big")._1 === 300L)
+    assert(bySource("big")._2 > 150L && bySource("big")._2 < 450L,
+      s"KMV estimate out of band: ${bySource("big")._2}")
+    // determinism: the estimate is pure hash arithmetic
+    val again = Sketches.kmvDistinct(df, "source", "term", k = 64, salts = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(again.sortBy(_._1).toSeq === got.sortBy(_._1).toSeq)
+    // salting must not change the answer (partition-shape independence)
+    val otherSalt = Sketches.kmvDistinct(df, "source", "term", k = 64, salts = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(otherSalt.sortBy(_._1).toSeq === got.sortBy(_._1).toSeq)
+  }
+
+  test("bloom screen has no false negatives and a bounded bit table") {
+    val bench = (1 to 200).map(i => s"needle$i").toDF("item")
+    val bits = Sketches.bloomBits(bench, "item", m = 4096)
+    assert(bits.count() <= 4096L)
+    // every build-side item must hit (one-sided guarantee)
+    val hits = Sketches.bloomProbe(bench, "item", bits, m = 4096)
+      .agg(sum(col("bloom_hit"))).collect()(0).getLong(0)
+    assert(hits === 200L)
+    // a disjoint probe set mostly misses (3 hashes over 4096 bits,
+    // 600 set positions → false-positive rate well under 1%)
+    val other = (1 to 1000).map(i => s"hay$i").toDF("item")
+    val fp = Sketches.bloomProbe(other, "item", bits, m = 4096)
+      .agg(sum(col("bloom_hit"))).collect()(0).getLong(0)
+    assert(fp < 50L, s"implausible false-positive count: $fp")
+  }
+
+  test("bloom probe keeps probe-side rows and columns intact") {
+    val bits = Sketches.bloomBits(Seq("a").toDF("item"), "item")
+    val probe = Seq(("d1", "a"), ("d1", "b"), ("d2", "a")).toDF("doc", "item")
+    val out = Sketches.bloomProbe(probe, "item", bits)
+    assert(out.columns.toSet === Set("doc", "item", "bloom_hit"))
+    val rows = out.collect().map(r =>
+      (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(rows(("d1", "a")) === 1L && rows(("d2", "a")) === 1L)
+    assert(rows(("d1", "b")) === 0L)
+  }
+}
