@@ -71,9 +71,29 @@ object SketchOps {
       .orderBy(col("doc_id"))
   }
 
+  /** sk3: the count-min sketch maintained by a REAL Structured Streaming
+    * query over the events table (Complete-mode stateful agg, constant
+    * d×w state), probed for the top-20 heavy-hitter users. Drained with
+    * AvailableNow, so streamed == batch bit-for-bit and the batch SQL
+    * twin is the oracle — streaming sketch maintenance sits in the same
+    * correctness gate as everything else.
+    */
+  def sk3StreamCountmin(spark: SparkSession, dir: String): DataFrame = {
+    val sketch = graft.streaming.SketchStream.countMinStreaming(spark, dir)
+    val tf = Tables.events(spark, dir)
+      .select(col("user_id").cast("string").as("user_key"))
+      .groupBy(col("user_key")).agg(count(lit(1)).as("n_true"))
+    val probes = tf.orderBy(col("n_true").desc, col("user_key")).limit(20)
+    probes
+      .join(Sketches.cmsEstimate(sketch, probes, "user_key"), Seq("user_key"))
+      .select(col("user_key"), col("n_true"), col("cms_est"))
+      .orderBy(col("user_key"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sk1_countmin" -> (sk1Countmin _),
     "sk2_kmv_distinct" -> (sk2KmvDistinct _),
+    "sk3_stream_countmin" -> (sk3StreamCountmin _),
     "bf1_bloom_screen" -> (bf1BloomScreen _))
 
   private val tokH = "(('0x'||substr(md5(w),1,8))::BIGINT)"
@@ -111,6 +131,24 @@ object SketchOps {
          |  CAST(CASE WHEN kth.nh < 64 THEN kth.nh
          |       ELSE 270582939648 // greatest(kth.mk, 1) END AS BIGINT) AS kmv_est
          |FROM ex JOIN kth USING (source) ORDER BY source""".stripMargin,
+    "sk3_stream_countmin" ->
+      """WITH o AS (SELECT CAST(user_id AS VARCHAR) AS w FROM events),
+        |tf AS (SELECT w, COUNT(*) AS n_true FROM o GROUP BY w),
+        |hh AS (SELECT w, n_true, ('0x'||substr(md5(w),1,8))::BIGINT AS h FROM tf),
+        |cells AS (
+        |  SELECT hh.w, hh.n_true, i.i AS row,
+        |    (((CASE i.i WHEN 0 THEN 31 WHEN 1 THEN 131 WHEN 2 THEN 1031 ELSE 8191 END) * hh.h
+        |      + (CASE i.i WHEN 0 THEN 7 WHEN 1 THEN 17 WHEN 2 THEN 29 ELSE 43 END))
+        |     % 2147483647) % 1024 AS bucket
+        |  FROM hh, (SELECT unnest(range(0,4)) AS i) i),
+        |sketch AS (SELECT row, bucket, SUM(n_true) AS n FROM cells GROUP BY 1, 2),
+        |probes AS (SELECT w, n_true FROM tf ORDER BY n_true DESC, w LIMIT 20),
+        |est AS (
+        |  SELECT c.w, MIN(s.n) AS cms_est FROM cells c
+        |  JOIN sketch s USING (row, bucket)
+        |  WHERE c.w IN (SELECT w FROM probes) GROUP BY c.w)
+        |SELECT p.w AS user_key, p.n_true, CAST(e.cms_est AS BIGINT) AS cms_est
+        |FROM probes p JOIN est e ON e.w = p.w ORDER BY user_key""".stripMargin,
     "bf1_bloom_screen" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(list_distinct(list_transform(

@@ -55,17 +55,22 @@ object Sketches {
     * build explodes only |vocabulary| rows and aggregates to a CONSTANT
     * depth·width cells.
     */
-  def countMinFromCounts(termCounts: DataFrame, termCol: String,
-      countCol: String, width: Int = 1024): DataFrame = {
-    val h = Dedupe.tokenHash(col(termCol))
-    val cells = CmsA.zip(CmsB).zipWithIndex.map { case ((a, b), i) =>
+  /** The depth cells (row, bucket) a term hashes to — the shared
+    * expansion of batch build, streaming build, and lookup. */
+  def cmsCells(term: Column, width: Int = 1024): Column = {
+    val h = Dedupe.tokenHash(term)
+    array(CmsA.zip(CmsB).zipWithIndex.map { case ((a, b), i) =>
       struct(lit(i).as("row"), gHash(h, a, b, width.toLong).as("bucket"))
-    }
+    }: _*)
+  }
+
+  def countMinFromCounts(termCounts: DataFrame, termCol: String,
+      countCol: String, width: Int = 1024): DataFrame =
     termCounts
-      .select(col(countCol).as("__n"), explode(array(cells: _*)).as("__rb"))
+      .select(col(countCol).as("__n"),
+        explode(cmsCells(col(termCol), width)).as("__rb"))
       .groupBy(col("__rb.row").as("row"), col("__rb.bucket").as("bucket"))
       .agg(sum(col("__n")).as("n"))
-  }
 
   /** Point estimates for probe terms: min over the sketch's depth rows —
     * the classic CMS upper bound (estimate ≥ true count, never under).
@@ -74,12 +79,8 @@ object Sketches {
     */
   def cmsEstimate(sketch: DataFrame, probes: DataFrame, termCol: String,
       width: Int = 1024): DataFrame = {
-    val h = Dedupe.tokenHash(col(termCol))
-    val cells = CmsA.zip(CmsB).zipWithIndex.map { case ((a, b), i) =>
-      struct(lit(i).as("row"), gHash(h, a, b, width.toLong).as("bucket"))
-    }
     probes
-      .select(col(termCol), explode(array(cells: _*)).as("__rb"))
+      .select(col(termCol), explode(cmsCells(col(termCol), width)).as("__rb"))
       .select(col(termCol), col("__rb.row").as("row"), col("__rb.bucket").as("bucket"))
       .join(broadcast(sketch), Seq("row", "bucket"), "left_outer")
       .groupBy(col(termCol))

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.sketch.Sketches
+
+/** Streaming count-min sketch maintenance: the heavy-hitter estimator of
+  * [[graft.sketch.Sketches]] kept continuously up to date over an event
+  * stream — the abuse/hot-key detector shape (which users dominate the
+  * last N billion events?) that at 100 TB/day runs as a stream, never as
+  * a batch rescan.
+  *
+  * State is the sketch itself: depth×width counter cells (constant ~4k
+  * keys) in a Complete-mode stateful aggregation — state size is
+  * INDEPENDENT of stream volume, the defining property that makes a
+  * sketch the right streaming aggregate. The per-batch update is
+  * map-side combinable (explode d cells per event, partial-sum before
+  * the state shuffle).
+  *
+  * Drained with Trigger.AvailableNow against the static events table, so
+  * the result equals the batch build bit-for-bit and the DuckDB oracle
+  * replays it (same argument as `EventStream.windowAggStreaming`).
+  */
+object SketchStream {
+
+  /** Build the CMS over `user_id` occurrences by streaming the events
+    * table through a stateful (row, bucket) count. Returns the finished
+    * sketch (row, bucket, n).
+    */
+  def countMinStreaming(spark: SparkSession, dir: String,
+      width: Int = 1024): DataFrame = {
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val src = graft.Tables.normalizeTs(
+      spark.readStream
+        .schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
+    val agg = src
+      .select(explode(
+        Sketches.cmsCells(col("user_id").cast("string"), width)).as("__rb"))
+      .groupBy(col("__rb.row").as("row"), col("__rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val name = s"graft_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    // same rationale as EventStream: state partitions are sized to the
+    // key space (d×w cells), not the batch shuffle width
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try {
+      agg.writeStream
+        .outputMode(OutputMode.Complete())
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation",
+          s"${graft.functions.F.stageRoot(spark)}/ckpt-$name")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

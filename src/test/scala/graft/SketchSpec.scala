@@ -89,6 +89,18 @@ class SketchSpec extends SparkSpec {
     assert(fp < 50L, s"implausible false-positive count: $fp")
   }
 
+  test("streamed count-min equals the batch build bit-for-bit") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.SketchStream.countMinStreaming(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val tf = graft.Tables.events(spark, dir)
+      .select(col("user_id").cast("string").as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+    val batch = Sketches.countMinFromCounts(tf, "term", "n")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed === batch)
+  }
+
   test("bloom probe keeps probe-side rows and columns intact") {
     val bits = Sketches.bloomBits(Seq("a").toDF("item"), "item")
     val probe = Seq(("d1", "a"), ("d1", "b"), ("d2", "a")).toDF("doc", "item")
