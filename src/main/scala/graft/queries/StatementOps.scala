@@ -258,6 +258,23 @@ object StatementOps {
     stmtOut(store.raw)
   }
 
+  // TT1: time-travel — a version-pinned read must keep returning the
+  // OLD snapshot after later appends and merges land (the reader-pinning
+  // contract vacuum's keepVersions protects, here exercised through the
+  // correctness gate, not just a spec): build v1 from half the
+  // statements, advance the store with the other half, read at v1.
+  def tt1TimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = F.stageTempPath(spark, "tt")
+    val store = new graft.lake.StatementStore(spark, tmp, EventStatements.Shards)
+    val s = stmts(spark, dir)
+    val half = pmod(substring(col("entity_id"), 2, 100).cast("long"), lit(2))
+    store.append(s.filter(half === 0))
+    val v1 = store.merge()
+    store.append(s.filter(half === 1))
+    store.merge()
+    stmtOut(store.rawAt(v1))
+  }
+
   // Multi-dataset catalog end to end (reference catalog.py): two datasets
   // created under one lake root via ensureDataset, each holding a
   // deterministic half of the statement table; the catalog enumerates
@@ -411,6 +428,7 @@ object StatementOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_merge_dedupe" -> (a1MergeDedupe _),
     "s3_store_roundtrip" -> (s3StoreRoundtrip _),
+    "tt1_time_travel" -> (tt1TimeTravel _),
     "c1_catalog_stats" -> (c1CatalogStats _),
     "a3_changed_canonical" -> (a3ChangedCanonical _),
     "a4_entity_assembly" -> (a4EntityAssembly _),
@@ -438,6 +456,12 @@ object StatementOps {
   val oracle: Map[String, String] = Map(
     "a1_merge_dedupe" -> s"$mergeCte\n$stmtOutSql",
     "s3_store_roundtrip" -> s"$mergeCte\n$stmtOutSql",
+    "tt1_time_travel" ->
+      s"""WITH stmts0 AS (${EventStatements.SQL}),
+         |stmts AS (SELECT * FROM stmts0
+         |  WHERE CAST(substr(entity_id, 2) AS BIGINT) % 2 = 0),
+         |$mergeBody
+         |$stmtOutSql""".stripMargin,
     "c1_catalog_stats" ->
       s"""WITH stmts AS (${EventStatements.SQL}),
          |tagged AS (
