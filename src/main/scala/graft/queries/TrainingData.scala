@@ -407,6 +407,62 @@ object TrainingData {
       .orderBy(col("source"))
   }
 
+  // CUR4: materialize cur3's mixture plan as an actual document draw —
+  // the plan→draw step a curation pipeline runs next. Per-source
+  // inclusion is a deterministic hash threshold, cross-multiplied so the
+  // per-doc test `hb/M < alloc/src_tok` stays in exact integers:
+  // `hb * src_tok < alloc * M`. One groupBy for source totals
+  // (map-side-partial), the per-source allocation is a #sources-row
+  // broadcast into the corpus scan — the draw itself never shuffles.
+  def cur4MixtureDraw(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 100000L
+    val M = 1000000L
+    val tok = docs(spark, dir).select(col("source"), col("doc_id"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("__nt"))
+    val sq = tok.groupBy(col("source")).agg(sum(col("__nt")).as("src_tok"))
+      .withColumn("s", floor(sqrt(col("src_tok").cast("double"))).cast("long"))
+    val alloc = sq.crossJoin(broadcast(sq.agg(sum(col("s")).as("s_total"))))
+      .withColumn("alloc_tok", expr(s"($budget * s) div s_total"))
+      .select(col("source"), col("src_tok"), col("alloc_tok"))
+    val drawn = tok
+      .join(broadcast(alloc), Seq("source"))
+      .withColumn("__hb",
+        pmod(Dedupe.tokenHash(col("doc_id").cast("string")), lit(M)))
+      .filter(col("__hb") * col("src_tok") < col("alloc_tok") * lit(M))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sel"), sum(col("__nt")).as("tok_sel"))
+    alloc.join(drawn, Seq("source"), "left_outer")
+      .select(col("source"), col("src_tok"), col("alloc_tok"),
+        coalesce(col("n_sel"), lit(0L)).as("n_sel"),
+        coalesce(col("tok_sel"), lit(0L)).as("tok_sel"))
+      .orderBy(col("source"))
+  }
+
+  // QS1: per-source token-length quantiles from a 256-bin histogram —
+  // the MERGEABLE form of t9's exact percentile (bounded state per
+  // source, partial-aggregable, the 100 TB path where a global sort per
+  // group is off the table). Quantile = lower bound of the first bin
+  // whose cumulative count clears ceil(q·total), all integer arithmetic.
+  def qs1HistQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val binned = docs(spark, dir)
+      .select(col("source"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("__n"))
+      .select(col("source"), least(expr("__n div 32"), lit(255L)).as("bin"))
+    val hist = binned.groupBy(col("source"), col("bin")).agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("cum",
+        sum(col("c")).over(Window.partitionBy(col("source")).orderBy(col("bin"))))
+      .withColumn("total", sum(col("c")).over(Window.partitionBy(col("source"))))
+    val quantileCols = Seq(("p50_lo", 50L), ("p90_lo", 90L), ("p99_lo", 99L)).map {
+      case (nm, q) =>
+        min(when(col("cum") * 100 >= col("total") * q, col("bin") * 32)).as(nm)
+    }
+    cum.groupBy(col("source"))
+      .agg(max(col("total")).as("n_docs"), quantileCols: _*)
+      .orderBy(col("source"))
+  }
+
   // PII scrub: email/URL redaction with per-doc hit counts and the
   // fingerprint of the redacted text. Synthetic contacts are injected
   // deterministically so the scrub has real work on the test corpus.
@@ -725,6 +781,8 @@ object TrainingData {
     "cur1_source_cap" -> (cur1SourceCap _),
     "cur2_mixture_sample" -> (cur2MixtureSample _),
     "cur3_temp_mixture" -> (cur3TempMixture _),
+    "cur4_mixture_draw" -> (cur4MixtureDraw _),
+    "qs1_hist_quantiles" -> (qs1HistQuantiles _),
     "t6_scrub" -> (t6Scrub _),
     "dc1_decontam" -> (dc1Decontam _),
     "d13_contam_frac" -> (d13ContamFrac _),
@@ -1389,6 +1447,39 @@ object TrainingData {
         |  (s * 100000) // s_total AS target_tokens,
         |  least(1.0, CAST((s * 100000) // s_total AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS rate
         |FROM sq, tot ORDER BY source""".stripMargin,
+    "cur4_mixture_draw" ->
+      """WITH tok AS (
+        |  SELECT source, doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |src AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS src_tok FROM tok GROUP BY source),
+        |sq AS (SELECT source, src_tok,
+        |  CAST(floor(sqrt(CAST(src_tok AS DOUBLE))) AS BIGINT) AS s FROM src),
+        |tot AS (SELECT CAST(SUM(s) AS BIGINT) AS s_total FROM sq),
+        |alloc AS (SELECT source, src_tok, (100000 * s) // s_total AS alloc_tok FROM sq, tot),
+        |drawn AS (
+        |  SELECT t.source, t.n_tok FROM tok t JOIN alloc a USING (source)
+        |  WHERE (('0x'||substr(md5(CAST(t.doc_id AS VARCHAR)),1,8))::BIGINT % 1000000)
+        |        * a.src_tok < a.alloc_tok * 1000000),
+        |agg AS (SELECT source, COUNT(*) AS n_sel,
+        |  CAST(SUM(n_tok) AS BIGINT) AS tok_sel FROM drawn GROUP BY source)
+        |SELECT a.source, a.src_tok, a.alloc_tok,
+        |  COALESCE(g.n_sel, 0) AS n_sel, COALESCE(g.tok_sel, 0) AS tok_sel
+        |FROM alloc a LEFT JOIN agg g USING (source) ORDER BY a.source""".stripMargin,
+    "qs1_hist_quantiles" ->
+      """WITH b AS (
+        |  SELECT source,
+        |    least(CAST(len(string_split(text,' ')) AS BIGINT) // 32, 255) AS bin
+        |  FROM documents),
+        |h AS (SELECT source, bin, COUNT(*) AS c FROM b GROUP BY 1, 2),
+        |cw AS (SELECT source, bin, c,
+        |    SUM(c) OVER (PARTITION BY source ORDER BY bin
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(c) OVER (PARTITION BY source) AS total FROM h)
+        |SELECT source, CAST(MAX(total) AS BIGINT) AS n_docs,
+        |  MIN(CASE WHEN cum*100 >= total*50 THEN bin*32 END) AS p50_lo,
+        |  MIN(CASE WHEN cum*100 >= total*90 THEN bin*32 END) AS p90_lo,
+        |  MIN(CASE WHEN cum*100 >= total*99 THEN bin*32 END) AS p99_lo
+        |FROM cw GROUP BY source ORDER BY source""".stripMargin,
     "t6_scrub" ->
       """WITH e AS (
         |  SELECT doc_id, text ||

@@ -21,6 +21,7 @@ class PlanLintSpec extends SparkSpec {
   private val allowBnlj: Map[String, String] = Map(
     "cur2_mixture_sample" -> "single-row feasible-total broadcast onto #groups rows",
     "cur3_temp_mixture" -> "single-row token-total broadcast onto #sources rows",
+    "cur4_mixture_draw" -> "single-row sqrt-allocation total broadcast onto #sources rows",
     "kw1_tfidf_terms" -> "single-row corpus-count broadcast onto the (doc, term) table",
     "srch1_bm25" -> "single-row corpus-stats broadcast onto the scoring scan",
     "sim1_topk" -> "bounded probe set (k query vectors) broadcast against the corpus scan",
