@@ -96,16 +96,17 @@ object Dedupe {
     }.reduce(_ unionByName _)
   }
 
-  def lshCandidatePairs(sig: DataFrame, idCol: String, k: Int, rowsPerBand: Int): DataFrame = {
-    val spark = sig.sparkSession
+  /** The shared per-bucket pair loop: group banded rows per (band,
+    * bucket) and emit pairs in-task instead of a self-join — one shuffle
+    * on the bucket key, pair generation is a local loop bounded by
+    * bucket size (oversized buckets are dropped: a bucket that collects
+    * a large fraction of the corpus carries no discriminating signal).
+    */
+  private def bucketPairs(banded: DataFrame, idCol: String,
+      maxBucket: Int = 10000): DataFrame = {
+    val spark = banded.sparkSession
     import spark.implicits._
-    val banded = bandRows(sig, idCol, k, rowsPerBand)
-    // group per bucket and emit pairs in-task instead of a self-join: one
-    // shuffle on (band, bucket), pair generation is a local loop bounded
-    // by bucket size (cap oversized buckets — a bucket that collects a
-    // large fraction of the corpus carries no discriminating signal)
-    val maxBucket = 10000
-    banded.as[(Long, Int, String)]
+    banded.select(col(idCol), col("band"), col("bucket")).as[(Long, Int, String)]
       .groupByKey { case (_, band, bucket) => (band, bucket) }
       .flatMapGroups { (_: (Int, String), rows: Iterator[(Long, Int, String)]) =>
         val ids = rows.map(_._1).toArray.sorted
@@ -117,6 +118,46 @@ object Dedupe {
       }
       .toDF("id_a", "id_b")
       .distinct()
+  }
+
+  def lshCandidatePairs(sig: DataFrame, idCol: String, k: Int, rowsPerBand: Int): DataFrame =
+    bucketPairs(bandRows(sig, idCol, k, rowsPerBand), idCol)
+
+  /** Incremental LSH maintenance: candidate pairs TOUCHING a new ingest
+    * batch, recomputed over dirty (band, bucket) keys only — the
+    * daily-ingest form of [[lshCandidatePairs]], same equivalence
+    * argument as the xref dirty-block shortcut
+    * ([[graft.ops.Xref.incrementalScoredFromLive]]): a pair touching a
+    * new doc shares at least one band bucket CONTAINING that new doc, so
+    * every such bucket is dirty; bucket membership — and therefore the
+    * oversize cap — is unchanged by the restriction, so the dirty-bucket
+    * pairs filtered to touching-new equal the full recompute filtered
+    * the same way. Old-old pairs inside dirty buckets are dropped after
+    * the loop.
+    *
+    * Scale shape: the banded table is staged once (it feeds dirty-key
+    * discovery AND the pair loop); the new-batch keys arrive via one
+    * semi-join the optimizer broadcasts; on a quiet day the pair loop
+    * touches only the buckets the ingest touched, never the corpus.
+    */
+  def incrementalLshPairs(sig: DataFrame, newIds: DataFrame, idCol: String,
+      k: Int, rowsPerBand: Int): DataFrame = {
+    val banded = graft.functions.F.materialize(
+      bandRows(sig, idCol, k, rowsPerBand))
+    val nw = newIds
+      .select(col(newIds.columns.head).cast("long").as("__new")).distinct()
+    val dirtyKeys = banded
+      .join(nw, col(idCol) === col("__new"), "left_semi")
+      .select(col("band"), col("bucket")).distinct()
+    val pairs = bucketPairs(
+      banded.join(dirtyKeys, Seq("band", "bucket"), "left_semi"), idCol)
+    pairs
+      .join(nw.select(col("__new").as("id_a"), lit(true).as("__na")),
+        Seq("id_a"), "left_outer")
+      .join(nw.select(col("__new").as("id_b"), lit(true).as("__nb")),
+        Seq("id_b"), "left_outer")
+      .filter(col("__na").isNotNull || col("__nb").isNotNull)
+      .select(col("id_a"), col("id_b"))
   }
 
   /** 32-bit SimHash over the distinct token set: per bit position, the

@@ -146,6 +146,21 @@ object TrainingData {
     Dedupe.lshCandidatePairs(minhashSig(spark, dir), "doc_id", MinhashK, rowsPerBand = 2)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** D14: incremental LSH — pairs touching a simulated new-ingest batch
+    * (hash-bucketed 10% of docs), recomputed over dirty band buckets
+    * only. The oracle is deliberately the OTHER algorithm (full d2b
+    * recompute filtered to touching pairs): passing proves the
+    * dirty-bucket shortcut exact on touched pairs.
+    */
+  def d14IncrementalLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSig(spark, dir)
+    val newIds = sig
+      .filter(pmod(Dedupe.tokenHash(col("doc_id").cast("string")), lit(10)) === 0)
+      .select(col("doc_id"))
+    Dedupe.incrementalLshPairs(sig, newIds, "doc_id", MinhashK, rowsPerBand = 2)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   def d3Simhash(spark: SparkSession, dir: String): DataFrame =
     simhashSig(spark, dir).orderBy(col("doc_id"))
 
@@ -754,6 +769,7 @@ object TrainingData {
     "d1_exact_dup" -> (d1ExactDup _),
     "d2_minhash" -> (d2Minhash _),
     "d2b_lsh_pairs" -> (d2bLshPairs _),
+    "d14_incremental_lsh" -> (d14IncrementalLsh _),
     "d3_simhash" -> (d3Simhash _),
     "d3b_simhash_pairs" -> (d3bSimhashPairs _),
     "d4_jaccard_pairs" -> (d4JaccardPairs _),
@@ -1035,6 +1051,14 @@ object TrainingData {
       s"WITH $sigCte\nSELECT * FROM sig ORDER BY doc_id",
     "d2b_lsh_pairs" ->
       s"WITH $sigCte,\n$bandedCte\nSELECT id_a, id_b FROM cand ORDER BY id_a, id_b",
+    "d14_incremental_lsh" ->
+      s"""WITH $sigCte,
+         |$bandedCte,
+         |nw AS (SELECT doc_id FROM sig
+         |  WHERE ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 10 = 0)
+         |SELECT id_a, id_b FROM cand
+         |WHERE id_a IN (SELECT doc_id FROM nw) OR id_b IN (SELECT doc_id FROM nw)
+         |ORDER BY id_a, id_b""".stripMargin,
     "d3_simhash" ->
       s"""WITH toks AS (
          |  SELECT doc_id, $tokH AS h

@@ -33,6 +33,23 @@ class TrainingDataSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("incremental LSH equals full pairs restricted to touching-new") {
+    import spark.implicits._
+    val sh = TextFunctions.shingles(col("text"), 3)
+    val sig = Dedupe.minhashSignature(docsDf, "doc_id", sh, 8)
+    val full = Dedupe.lshCandidatePairs(sig, "doc_id", 8, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every choice of "new batch" must reproduce exactly the touching
+    // slice of the full recompute — including batches with no dups (2,3)
+    // and the empty batch
+    for (batch <- Seq(Seq(1L), Seq(4L), Seq(2L, 3L), Seq.empty[Long])) {
+      val inc = Dedupe.incrementalLshPairs(sig, batch.toDF("doc_id"), "doc_id", 8, 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = full.filter(p => batch.contains(p._1) || batch.contains(p._2))
+      assert(inc === expected, s"batch $batch")
+    }
+  }
+
   test("simhash: identical docs equal, near-dups hamming-close") {
     val sh = Dedupe.simhash32(docsDf, "doc_id", array_distinct(TextFunctions.tokens(col("text"))))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
