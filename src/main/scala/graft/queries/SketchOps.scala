@@ -60,8 +60,11 @@ object SketchOps {
   def bf1BloomScreen(spark: SparkSession, dir: String): DataFrame = {
     val bucket = pmod(Dedupe.tokenHash(col("doc_id").cast("string")), lit(100))
     val withB = TrainingData.docShingleRows(spark, dir).withColumn("__b", bucket)
-    val bits = Sketches.bloomBits(
-      withB.filter(col("__b") >= 90).select(col("__tok")).distinct(), "__tok")
+    // the bit table is joined three times (once per hash position) —
+    // staged, it is a ≤m-row file each join broadcasts; unstaged, the
+    // whole bench-split distinct+explode subtree re-runs per position
+    val bits = F.materialize(Sketches.bloomBits(
+      withB.filter(col("__b") >= 90).select(col("__tok")).distinct(), "__tok"))
     val train = withB.filter(col("__b") < 80).select(col("doc_id"), col("__tok"))
     Sketches.bloomProbe(train, "__tok", bits)
       .groupBy(col("doc_id"))

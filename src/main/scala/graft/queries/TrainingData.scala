@@ -407,11 +407,13 @@ object TrainingData {
   // everything after operates on #sources rows.
   def cur3TempMixture(spark: SparkSession, dir: String): DataFrame = {
     val budget = 100000L
-    val tok = docs(spark, dir)
+    // staged: feeds both the per-source rows and the global s_total —
+    // unstaged, the corpus token aggregation runs twice
+    val tok = graft.functions.F.materialize(docs(spark, dir)
       .select(col("source"),
         TextFunctions.tokenCount(col("text")).cast("long").as("__nt"))
       .groupBy(col("source")).agg(sum(col("__nt")).as("n_tokens"))
-      .withColumn("s", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+      .withColumn("s", floor(sqrt(col("n_tokens").cast("double"))).cast("long")))
     tok.crossJoin(broadcast(tok.agg(sum(col("s")).as("s_total"))))
       .withColumn("p", col("s").cast("double") / col("s_total").cast("double"))
       .withColumn("target_tokens", expr(s"s * $budget div s_total"))
@@ -434,8 +436,12 @@ object TrainingData {
     val M = 1000000L
     val tok = docs(spark, dir).select(col("source"), col("doc_id"),
       TextFunctions.tokenCount(col("text")).cast("long").as("__nt"))
-    val sq = tok.groupBy(col("source")).agg(sum(col("__nt")).as("src_tok"))
-      .withColumn("s", floor(sqrt(col("src_tok").cast("double"))).cast("long"))
+    // staged: sq feeds its own global total, the draw join, and the
+    // report join — unstaged, each consumer re-aggregates the corpus
+    // (the explain showed 10 full scans; staged it is 2: sq build + draw)
+    val sq = graft.functions.F.materialize(
+      tok.groupBy(col("source")).agg(sum(col("__nt")).as("src_tok"))
+        .withColumn("s", floor(sqrt(col("src_tok").cast("double"))).cast("long")))
     val alloc = sq.crossJoin(broadcast(sq.agg(sum(col("s")).as("s_total"))))
       .withColumn("alloc_tok", expr(s"($budget * s) div s_total"))
       .select(col("source"), col("src_tok"), col("alloc_tok"))

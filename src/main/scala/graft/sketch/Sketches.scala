@@ -107,7 +107,12 @@ object Sketches {
       k: Int = 64, salts: Int = 16): DataFrame = {
     require(k > 0 && salts > 0, s"k/salts must be positive: $k/$salts")
     val M = 4294967296L // 2^32 — tokenHash range
-    val dt = items.select(col(groupCol), col(itemCol)).distinct()
+    // staged: the distinct table feeds BOTH the exact count and the
+    // sketch build — unstaged, the corpus-wide distinct shuffle runs
+    // twice (the exact side exists for calibration; a pure-sketch
+    // production run drops it and the staging with it)
+    val dt = graft.functions.F.materialize(
+      items.select(col(groupCol), col(itemCol)).distinct())
     val exact = dt.groupBy(col(groupCol)).agg(count(lit(1)).as("n_exact"))
     val withH = dt.withColumn("__h", Dedupe.tokenHash(col(itemCol)))
     val partial = withH
