@@ -379,8 +379,11 @@ object TrainingData {
     val d = docs(spark, dir)
     val weights = Seq(("en", 0.4), ("de", 0.2), ("es", 0.2), ("fr", 0.1),
       ("zh", 0.1)).toDF("lang", "w")
-    val j = d.groupBy(col("lang")).agg(count(lit(1)).cast("double").as("n"))
-      .join(weights, Seq("lang"))
+    // staged: the per-lang count table feeds both the feasible-total agg
+    // and the rate projection — unstaged, the corpus agg runs twice
+    val j = graft.functions.F.materialize(
+      d.groupBy(col("lang")).agg(count(lit(1)).cast("double").as("n"))
+        .join(weights, Seq("lang")))
     val rates = j
       .crossJoin(broadcast(j.agg(min(col("n") / col("w")).as("t"))))
       .select(col("lang"),

@@ -94,9 +94,11 @@ object Search {
   def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = docs
+    // staged: tf feeds BOTH the df derivation and the scoring join —
+    // unstaged, the corpus-wide explode+count shuffle runs twice
+    val tf = graft.functions.F.materialize(docs
       .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf")))
     val dfTab = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("__N"))
     val scored = tf.join(dfTab, Seq("term"))
