@@ -171,6 +171,22 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  // W2: trailing event-time RANGE window — per event, how many same-user
+  // events landed in the preceding hour (rate-limit/abuse counters). The
+  // frame is by VALUE (epoch ms), so equal-timestamp ties all see the
+  // same count — deterministic without a row tiebreak. One shuffle on
+  // user_id; the range frame is Spark's O(n) sliding-frame fast path.
+  def w2RollingCounts(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_millis(col("ts")))
+      .rangeBetween(-3600000L, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("n_trailing_1h", count(lit(1)).over(w))
+      .select(col("event_id"), col("user_id"),
+        graft.functions.F.epochMs(col("ts")).as("ts_ms"), col("n_trailing_1h"))
+      .orderBy(col("event_id"))
+  }
+
   // O4 global top-k: Catalyst plans TakeOrderedAndProject — per-partition
   // heaps + single merge on the driver, no global sort.
   def o4GlobalTopk(spark: SparkSession, dir: String): DataFrame =
@@ -237,6 +253,7 @@ object Relational {
     "q3_rollup" -> (q3Rollup _),
     "q4_salted_distinct" -> (q4SaltedDistinct _),
     "w1_latest_per_key" -> (w1LatestPerKey _),
+    "w2_rolling_counts" -> (w2RollingCounts _),
     "o4_global_topk" -> (o4GlobalTopk _))
 
   val oracle: Map[String, String] = Map(
@@ -315,6 +332,11 @@ object Relational {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events) t
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "w2_rolling_counts" ->
+      """SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+        |  COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+        |    RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS n_trailing_1h
+        |FROM events ORDER BY event_id""".stripMargin,
     "o4_global_topk" ->
       """SELECT o_orderkey, o_totalprice, o_orderpriority
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,

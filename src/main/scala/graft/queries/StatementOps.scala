@@ -427,6 +427,16 @@ object StatementOps {
 
   // Set difference: entities appearing in the thing bucket but never in the
   // interval bucket (reference's DEL-detection shape, §2.7).
+  // Set intersection: values present in BOTH buckets (§2.7's other
+  // direction — Spark plans a left-semi over distinct, same as EXCEPT's
+  // anti shape).
+  def set2Intersect(spark: SparkSession, dir: String): DataFrame = {
+    val s = stmts(spark, dir)
+    s.filter(col("prop") === "click").select("value")
+      .intersect(s.filter(col("prop") === "view").select("value"))
+      .orderBy(col("value"))
+  }
+
   def set1Except(spark: SparkSession, dir: String): DataFrame = {
     val s = stmts(spark, dir)
     s.filter(col("prop") === "click").select("value")
@@ -458,6 +468,7 @@ object StatementOps {
     "j4_parent_chain" -> (j4ParentChain _),
     "p1_query_compile" -> (p1QueryCompile _),
     "set1_except" -> (set1Except _),
+    "set2_intersect" -> (set2Intersect _),
     "x1_xref_candidates" -> (x1XrefCandidates _),
     "x2_xref_scores" -> (x2XrefScores _),
     "x3_xref_incremental" -> (x3XrefIncremental _))
@@ -667,6 +678,12 @@ object StatementOps {
          |SELECT value FROM stmts WHERE prop = 'click'
          |EXCEPT
          |SELECT value FROM stmts WHERE prop = 'purchase'
+         |ORDER BY value""".stripMargin,
+    "set2_intersect" ->
+      s"""WITH stmts AS (${EventStatements.SQL})
+         |SELECT value FROM stmts WHERE prop = 'click'
+         |INTERSECT
+         |SELECT value FROM stmts WHERE prop = 'view'
          |ORDER BY value""".stripMargin,
     "x1_xref_candidates" ->
       s"""$mergeCte,
