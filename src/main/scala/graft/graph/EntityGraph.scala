@@ -147,11 +147,14 @@ object EntityGraph {
         .select(col("node"),
           (lit(base) + expr(s"(85 * coalesce(s, 0L)) div 100")).as("rank"))
       // Iterations CHAIN as lineage — each is one extra shuffle stage in
-      // the same job (the per-node rank state is small and AQE broadcasts
-      // it into the edge join, so no edge-sized exchange repeats). A
-      // periodic stage write caps plan depth for large iteration counts;
-      // for the common fixed 3-5 iterations the whole rank runs as ONE
-      // job instead of one write+read round trip per iteration.
+      // the same job. The rank⋈edges join is left to AQE: broadcast when
+      // the node count measures small, the standard per-iteration hash
+      // join on src (E-row exchange, the irreducible PageRank cost) when
+      // it does not — either way the staged edge table is re-scanned,
+      // never re-derived. A periodic stage write caps plan depth for
+      // large iteration counts; for the common fixed 3-5 iterations the
+      // whole rank runs as ONE job instead of one write+read round trip
+      // per iteration.
       rank = if (i % stageEvery == 0 && i < iters) F.materialize(next) else next
     }
     rank
