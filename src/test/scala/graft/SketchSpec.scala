@@ -42,6 +42,30 @@ class SketchSpec extends SparkSpec {
     assert(again === est)
   }
 
+  test("count-min is mergeable: sketch of the union == cell-wise sum of part sketches") {
+    // the property that makes the sketch a valid distributed aggregate:
+    // partitions sketch independently, cells add
+    val partA = counts("x" -> 3L, "y" -> 1L, "shared" -> 2L)
+    val partB = counts("z" -> 5L, "shared" -> 4L)
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      Sketches.countMinFromCounts(df, "term", "n")
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val merged = (cells(partA).keySet ++ cells(partB).keySet).map { k =>
+      k -> (cells(partA).getOrElse(k, 0L) + cells(partB).getOrElse(k, 0L))
+    }.toMap
+    val whole = cells(partA.unionAll(partB))
+    assert(whole === merged)
+  }
+
+  test("bloom bits are mergeable: bits of the union == union of part bits") {
+    import org.apache.spark.sql.DataFrame
+    val a = (1 to 50).map(i => s"a$i").toDF("item")
+    val b = (1 to 50).map(i => s"b$i").toDF("item")
+    def posSet(df: DataFrame) =
+      Sketches.bloomBits(df, "item").collect().map(_.getLong(0)).toSet
+    assert(posSet(a.unionAll(b)) === (posSet(a) ++ posSet(b)))
+  }
+
   test("unknown probe terms estimate at least zero, never negative") {
     val sk = Sketches.countMinFromCounts(counts("x" -> 9L), "term", "n")
     val est = Sketches.cmsEstimate(sk, counts("neverseen" -> 0L), "term")
