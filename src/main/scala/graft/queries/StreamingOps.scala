@@ -35,6 +35,13 @@ object StreamingOps {
     EventStream.intervalJoinStreaming(spark, dir)
       .orderBy(col("click_id"), col("err_id"))
 
+  // Stateful flatMapGroupsWithState sessionization drained against the
+  // static table — closed sessions only; oracle = batch sessions minus
+  // each user's final (still-open) session.
+  def st6StreamSessionize(spark: SparkSession, dir: String): DataFrame =
+    EventStream.sessionizeStreamingFromDir(spark, dir, gapMinutes = 30)
+      .orderBy(col("user_id"), col("session_seq"))
+
   // S9/S10: sorted CSV export and re-import round trip.
   def s9CsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -59,6 +66,7 @@ object StreamingOps {
     "st0_stream_window" -> (st0StreamWindow _),
     "st2_sessionize" -> (st2Sessionize _),
     "st5_interval_join" -> (st5IntervalJoin _),
+    "st6_stream_sessionize" -> (st6StreamSessionize _),
     "s9_csv_roundtrip" -> (s9CsvRoundtrip _),
     "s11_json_roundtrip" -> (s11JsonRoundtrip _))
 
@@ -85,6 +93,26 @@ object StreamingOps {
         |SELECT user_id, session_seq, COUNT(*) AS n_events,
         |  epoch_ms(MIN(ts)) AS start_ms, epoch_ms(MAX(ts)) AS end_ms
         |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+    "st6_stream_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |b AS (
+        |  SELECT *, CASE WHEN prev IS NULL OR epoch_ms(ts) - epoch_ms(prev) > 1800000
+        |    THEN 1 ELSE 0 END AS brk FROM g),
+        |s AS (
+        |  SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM b),
+        |sess AS (
+        |  SELECT user_id, session_seq, COUNT(*) AS n_events,
+        |    epoch_ms(MIN(ts)) AS start_ms, epoch_ms(MAX(ts)) AS end_ms
+        |  FROM s GROUP BY user_id, session_seq),
+        |mx AS (SELECT user_id, MAX(session_seq) AS mseq FROM sess GROUP BY user_id)
+        |SELECT sess.user_id AS user_id, session_seq, n_events, start_ms, end_ms
+        |FROM sess JOIN mx ON sess.user_id = mx.user_id
+        |WHERE session_seq < mseq
+        |ORDER BY sess.user_id, session_seq""".stripMargin,
     "st5_interval_join" ->
       """SELECT c.event_id AS click_id, e.event_id AS err_id,
         |  epoch_ms(c.ts) AS click_ms, epoch_ms(e.ts) AS err_ms

@@ -149,6 +149,44 @@ object EventStream {
   case class SessionOut(user_id: Long, session_seq: Long, n_events: Long,
       start_ms: Long, end_ms: Long)
 
+  /** Drained file-source form of [[sessionizeStreaming]]: the stateful
+    * flatMapGroupsWithState sessionizer run as a real streaming query
+    * over the events table and collected from the memory sink. Emits
+    * CLOSED sessions only — each user's final session is still open in
+    * state when the stream drains — so the oracle twin is the batch
+    * sessionization minus every user's last session. Deterministic:
+    * AvailableNow with no file/byte trigger cap processes the table in
+    * one micro-batch, and the handler sorts each user's events by
+    * (ts, event_id) before folding.
+    */
+  def sessionizeStreamingFromDir(spark: SparkSession, dir: String,
+      gapMinutes: Int): DataFrame = {
+    import spark.implicits._
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val src = graft.Tables.normalizeTs(
+      spark.readStream
+        .schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
+    val out = sessionizeStreaming(
+      src.select(col("user_id"), col("ts"), col("event_id")).as[Ev], gapMinutes)
+    val name = s"graft_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try {
+      out.writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation",
+          s"${graft.functions.F.stageRoot(spark)}/ckpt-$name")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** Streaming exact dedupe for continuous ingest: duplicate records
     * (same content key) are dropped with BOUNDED state —
     * `dropDuplicatesWithinWatermark` retains a key only for the watermark
