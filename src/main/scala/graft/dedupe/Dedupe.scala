@@ -109,19 +109,28 @@ object Dedupe {
     banded.select(col(idCol), col("band"), col("bucket")).as[(Long, Int, String)]
       .groupByKey { case (_, band, bucket) => (band, bucket) }
       .flatMapGroups { (_: (Int, String), rows: Iterator[(Long, Int, String)]) =>
-        val ids = rows.map(_._1).toArray.sorted
+        // take(cap+1) BEFORE toArray: an over-cap bucket is detected from
+        // the first cap+1 rows and never materialized in task memory —
+        // the remainder of the group iterator is simply left unconsumed
+        // (same bound as Xref.candidates / Similarity.nearDupPairs). A
+        // mega-bucket at 100 TB is a skip, not an OOM.
+        val ids = rows.map(_._1).take(maxBucket + 1).toArray
         if (ids.length > maxBucket) Iterator.empty
-        else for {
-          i <- ids.indices.iterator
-          j <- (i + 1 until ids.length).iterator
-        } yield (ids(i), ids(j))
+        else {
+          java.util.Arrays.sort(ids)
+          for {
+            i <- ids.indices.iterator
+            j <- (i + 1 until ids.length).iterator
+          } yield (ids(i), ids(j))
+        }
       }
       .toDF("id_a", "id_b")
       .distinct()
   }
 
-  def lshCandidatePairs(sig: DataFrame, idCol: String, k: Int, rowsPerBand: Int): DataFrame =
-    bucketPairs(bandRows(sig, idCol, k, rowsPerBand), idCol)
+  def lshCandidatePairs(sig: DataFrame, idCol: String, k: Int, rowsPerBand: Int,
+      maxBucket: Int = 10000): DataFrame =
+    bucketPairs(bandRows(sig, idCol, k, rowsPerBand), idCol, maxBucket)
 
   /** Incremental LSH maintenance: candidate pairs TOUCHING a new ingest
     * batch, recomputed over dirty (band, bucket) keys only — the
@@ -206,21 +215,28 @@ object Dedupe {
       .groupByKey { case (_, _, band, byte) => (band, byte) }
       .flatMapGroups { (key: (Int, Long), rows: Iterator[(Long, Long, Int, Long)]) =>
         val band = key._1
-        val docs = rows.map(r => (r._1, r._2)).toArray.sortBy(_._1)
+        // bounded materialization: take(cap+1) detects an over-cap bucket
+        // from its first cap+1 rows without pulling the rest into memory
+        // (see bucketPairs) — a hot byte-bucket is skipped, never an OOM
+        val docs = rows.map(r => (r._1, r._2)).take(maxBucket + 1).toArray
         if (docs.length > maxBucket) Iterator.empty
-        else for {
-          i <- docs.indices.iterator
-          j <- (i + 1 until docs.length).iterator
-          ham = java.lang.Long.bitCount(docs(i)._2 ^ docs(j)._2)
-          if ham <= maxHamming
-          // emit from the FIRST agreeing band only: near-identical hashes
-          // agree on several bytes, and re-emitting the pair per band
-          // would force a result-volume distinct shuffle afterwards. The
-          // first-band rule makes emission globally unique by
-          // construction — no dedup pass over the (huge) pair output.
-          x = docs(i)._2 ^ docs(j)._2
-          if !(0 until band).exists(b => ((x >> (b * 8)) & 255L) == 0L)
-        } yield (docs(i)._1, docs(j)._1, ham)
+        else {
+          java.util.Arrays.sort(docs,
+            java.util.Comparator.comparingLong((p: (Long, Long)) => p._1))
+          for {
+            i <- docs.indices.iterator
+            j <- (i + 1 until docs.length).iterator
+            ham = java.lang.Long.bitCount(docs(i)._2 ^ docs(j)._2)
+            if ham <= maxHamming
+            // emit from the FIRST agreeing band only: near-identical hashes
+            // agree on several bytes, and re-emitting the pair per band
+            // would force a result-volume distinct shuffle afterwards. The
+            // first-band rule makes emission globally unique by
+            // construction — no dedup pass over the (huge) pair output.
+            x = docs(i)._2 ^ docs(j)._2
+            if !(0 until band).exists(b => ((x >> (b * 8)) & 255L) == 0L)
+          } yield (docs(i)._1, docs(j)._1, ham)
+        }
       }
       .toDF("id_a", "id_b", "hamming")
   }

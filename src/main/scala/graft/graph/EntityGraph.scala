@@ -121,6 +121,9 @@ object EntityGraph {
     */
   def pageRank(edges: DataFrame, iters: Int, stageEvery: Int = 5): DataFrame = {
     require(iters >= 1 && iters <= 20, s"iters out of range: $iters")
+    // 0 would divide-by-zero the staging cadence check; negatives would
+    // silently disable staging and let the iteration lineage grow unbounded
+    require(stageEvery >= 1, s"stageEvery must be >= 1: $stageEvery")
     val S = 1000000000L // rank scale: 1.0 == 1e9
     val base = S * 15L / 100L
     // Stage the DIRECTED edges once: `und` appears in the plan both as

@@ -54,6 +54,13 @@ class Journal(spark: SparkSession, rootStr: String) {
     * (the journal's whole workload) O(n²) in cumulative driver IO between
     * flushes. Entries are evicted when their file leaves the staging dir
     * (drain, clear, or a concurrent writer's drain observed via listing).
+    *
+    * The cache is PER-INSTANCE, not shared: two `Journal` instances on
+    * the same root (e.g. two JVMs, or two instances in one process) each
+    * re-probe the other's files once on first sight — a cache miss costs
+    * one footer read, never a wrong count, because every call re-lists
+    * the directory and the footer content of an immutable staged file
+    * never changes.
     */
   private val fileCounts = scala.collection.concurrent.TrieMap.empty[String, Long]
 

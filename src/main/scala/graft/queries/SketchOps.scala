@@ -110,7 +110,7 @@ object SketchOps {
          |  SELECT hh.w, hh.n_true, i.i AS row,
          |    (((CASE i.i WHEN 0 THEN 31 WHEN 1 THEN 131 WHEN 2 THEN 1031 ELSE 8191 END) * hh.h
          |      + (CASE i.i WHEN 0 THEN 7 WHEN 1 THEN 17 WHEN 2 THEN 29 ELSE 43 END))
-         |     % 2147483647) % 1024 AS bucket
+         |     % 4294967311) % 1024 AS bucket
          |  FROM hh, (SELECT unnest(range(0,4)) AS i) i),
          |sketch AS (SELECT row, bucket, SUM(n_true) AS n FROM cells GROUP BY 1, 2),
          |probes AS (SELECT w, n_true FROM tf ORDER BY n_true DESC, w LIMIT 20),
@@ -142,7 +142,7 @@ object SketchOps {
         |  SELECT hh.w, hh.n_true, i.i AS row,
         |    (((CASE i.i WHEN 0 THEN 31 WHEN 1 THEN 131 WHEN 2 THEN 1031 ELSE 8191 END) * hh.h
         |      + (CASE i.i WHEN 0 THEN 7 WHEN 1 THEN 17 WHEN 2 THEN 29 ELSE 43 END))
-        |     % 2147483647) % 1024 AS bucket
+        |     % 4294967311) % 1024 AS bucket
         |  FROM hh, (SELECT unnest(range(0,4)) AS i) i),
         |sketch AS (SELECT row, bucket, SUM(n_true) AS n FROM cells GROUP BY 1, 2),
         |probes AS (SELECT w, n_true FROM tf ORDER BY n_true DESC, w LIMIT 20),
@@ -155,7 +155,7 @@ object SketchOps {
     "bf1_bloom_screen" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(list_distinct(list_transform(
-         |    generate_series(1, greatest(len(string_split(text,' '))-2, 1)),
+         |    generate_series(1, len(string_split(text,' '))-2),
          |    i -> array_to_string((string_split(text,' '))[i:i+2], ' ')))) AS w
          |  FROM documents),
          |b AS (SELECT doc_id, w,
@@ -163,14 +163,14 @@ object SketchOps {
          |  FROM toks),
          |bh AS (SELECT DISTINCT $tokH AS h FROM b WHERE bk >= 90),
          |bits AS (
-         |  SELECT DISTINCT ((31*h+7) % 2147483647) % 65536 AS pos FROM bh
-         |  UNION SELECT ((131*h+17) % 2147483647) % 65536 FROM bh
-         |  UNION SELECT ((1031*h+29) % 2147483647) % 65536 FROM bh),
+         |  SELECT DISTINCT ((31*h+7) % 4294967311) % 65536 AS pos FROM bh
+         |  UNION SELECT ((131*h+17) % 4294967311) % 65536 FROM bh
+         |  UNION SELECT ((1031*h+29) % 4294967311) % 65536 FROM bh),
          |train AS (SELECT doc_id, w, $tokH AS h FROM b WHERE bk < 80),
          |pr AS (SELECT doc_id,
-         |    ((31*h+7) % 2147483647) % 65536 AS p0,
-         |    ((131*h+17) % 2147483647) % 65536 AS p1,
-         |    ((1031*h+29) % 2147483647) % 65536 AS p2 FROM train),
+         |    ((31*h+7) % 4294967311) % 65536 AS p0,
+         |    ((131*h+17) % 4294967311) % 65536 AS p1,
+         |    ((1031*h+29) % 4294967311) % 65536 AS p2 FROM train),
          |hits AS (SELECT doc_id,
          |    CASE WHEN p0 IN (SELECT pos FROM bits) AND p1 IN (SELECT pos FROM bits)
          |          AND p2 IN (SELECT pos FROM bits) THEN 1 ELSE 0 END AS hit FROM pr)

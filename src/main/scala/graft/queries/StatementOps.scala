@@ -266,11 +266,34 @@ object StatementOps {
   // the two-version store is staged once per (session, sf-dir) — building
   // it is the import step (same precedent as c1's two-dataset lake); the
   // operator under test is the version-pinned READ
-  private val stagedTT =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, Long)]()
+  /** Session-scoped stage cache: a WEAK-keyed outer map so a static
+    * cache never pins a stopped SparkSession (and its staged store
+    * paths) for the JVM lifetime — entries vanish with the session;
+    * the staged files themselves live under stageTempPath's
+    * delete-on-exit root. Values must not reference the session.
+    */
+  private final class SessionScoped[V] {
+    private val maps = new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, V]]()
+    def getOrCompute(spark: SparkSession, key: String)(make: => V): V = {
+      val m = maps.synchronized {
+        var x = maps.get(spark)
+        if (x == null) {
+          x = new java.util.concurrent.ConcurrentHashMap[String, V]()
+          maps.put(spark, x)
+        }
+        x
+      }
+      m.computeIfAbsent(key, _ => make)
+    }
+  }
+
+  private val stagedTT = new SessionScoped[(String, Long)]
 
   def tt1TimeTravel(spark: SparkSession, dir: String): DataFrame = {
-    val (root, v1) = stagedTT.computeIfAbsent((spark, dir), { case (s, d) =>
+    val (root, v1) = stagedTT.getOrCompute(spark, dir) {
+      val s = spark
+      val d = dir
       val tmp = F.stageTempPath(s, "tt")
       val store = new graft.lake.StatementStore(s, tmp, EventStatements.Shards)
       val st = stmts(s, d)
@@ -280,7 +303,7 @@ object StatementOps {
       store.append(st.filter(half === 1))
       store.merge()
       (tmp, v)
-    })
+    }
     stmtOut(new graft.lake.StatementStore(spark, root, EventStatements.Shards).rawAt(v1))
   }
 
@@ -293,11 +316,14 @@ object StatementOps {
   // the two-dataset lake is staged once per (session, sf-dir), like the
   // statement table: building the stores is the import step, the catalog
   // operations under test are enumeration + per-dataset aggregation
-  private val stagedLake =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  // weak session key (SessionScoped) for the same no-pinning reason as
+  // stagedTT; path values don't reference the session
+  private val stagedLake = new SessionScoped[String]
 
   def c1CatalogStats(spark: SparkSession, dir: String): DataFrame = {
-    val lakeRoot = stagedLake.computeIfAbsent((spark, dir), { case (s, d) =>
+    val lakeRoot = stagedLake.getOrCompute(spark, dir) {
+      val s = spark
+      val d = dir
       val root = F.stageTempPath(s, "lake")
       val cat = new graft.lake.Catalog(s, root)
       val st = stmts(s, d)
@@ -308,7 +334,7 @@ object StatementOps {
       cat.store("beta").append(st.filter(half === 1))
       cat.writeIndex()
       root
-    })
+    }
     val cat = new graft.lake.Catalog(spark, lakeRoot)
     // enumerate through the catalog (not the names we just used) so the
     // listing itself is on the verified path

@@ -42,6 +42,14 @@ object StreamingOps {
     EventStream.sessionizeStreamingFromDir(spark, dir, gapMinutes = 30)
       .orderBy(col("user_id"), col("session_seq"))
 
+  // Event-time-timeout sessionization: idle sessions close when the
+  // watermark passes end + gap (no waiting for the user's next event),
+  // folded incrementally via interval merge — oracle = batch sessions
+  // with end + gap <= the table's max event time.
+  def st7SessionTimeout(spark: SparkSession, dir: String): DataFrame =
+    EventStream.sessionizeStreamingEventTimeFromDir(spark, dir, gapMinutes = 30)
+      .orderBy(col("user_id"), col("start_ms"))
+
   // S9/S10: sorted CSV export and re-import round trip.
   def s9CsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -67,6 +75,7 @@ object StreamingOps {
     "st2_sessionize" -> (st2Sessionize _),
     "st5_interval_join" -> (st5IntervalJoin _),
     "st6_stream_sessionize" -> (st6StreamSessionize _),
+    "st7_session_timeout" -> (st7SessionTimeout _),
     "s9_csv_roundtrip" -> (s9CsvRoundtrip _),
     "s11_json_roundtrip" -> (s11JsonRoundtrip _))
 
@@ -113,6 +122,25 @@ object StreamingOps {
         |FROM sess JOIN mx ON sess.user_id = mx.user_id
         |WHERE session_seq < mseq
         |ORDER BY sess.user_id, session_seq""".stripMargin,
+    "st7_session_timeout" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |b AS (
+        |  SELECT *, CASE WHEN prev IS NULL OR epoch_ms(ts) - epoch_ms(prev) > 1800000
+        |    THEN 1 ELSE 0 END AS brk FROM g),
+        |s AS (
+        |  SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM b),
+        |sess AS (
+        |  SELECT user_id, COUNT(*) AS n_events,
+        |    epoch_ms(MIN(ts)) AS start_ms, epoch_ms(MAX(ts)) AS end_ms
+        |  FROM s GROUP BY user_id, session_seq),
+        |wm AS (SELECT MAX(epoch_ms(ts)) AS w FROM events)
+        |SELECT user_id, n_events, start_ms, end_ms
+        |FROM sess, wm WHERE end_ms + 1800000 <= w
+        |ORDER BY user_id, start_ms""".stripMargin,
     "st5_interval_join" ->
       """SELECT c.event_id AS click_id, e.event_id AS err_id,
         |  epoch_ms(c.ts) AS click_ms, epoch_ms(e.ts) AS err_ms

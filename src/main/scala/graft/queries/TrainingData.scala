@@ -307,6 +307,20 @@ object TrainingData {
     Similarity.kmeansUpdate(emb(spark, dir), "vec_id", nlist = 8)
       .orderBy(col("cid"), col("dim"))
 
+  // sim9: the PRODUCTION quantizer path — IVF probe against centroids
+  // TRAINED by kmeansTrain (two deterministic spherical-k-means rounds
+  // from the seed quantizer). Deterministic end to end: seed cents are
+  // the first nlist vectors, assignment tie-breaks on lowest cid, means
+  // requantize on the exact-integer grid — so the oracle replays both
+  // training rounds and the probe in SQL.
+  def sim9IvfTrained(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val cents = Similarity.kmeansTrain(e, "vec_id", nlist = 8, iters = 2)
+    Similarity.ivfTopKWithCents(e, "vec_id", e.filter(col("vec_id") < 10),
+        k = 3, cents, nprobe = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // E1: int8 embedding quantization export — the compression step before
   // shipping vectors to an ANN index (4× smaller than float32, exact
   // integer arithmetic downstream). Clamped symmetric quantization at a
@@ -797,6 +811,7 @@ object TrainingData {
     "sim2_ann_bucket" -> (sim2AnnBucket _),
     "sim3_ivf_topk" -> (sim3IvfTopK _),
     "sim4_kmeans_update" -> (sim4KmeansUpdate _),
+    "sim9_ivf_trained" -> (sim9IvfTrained _),
     "sim5_sq8_topk" -> (sim5Sq8TopK _),
     "sim6_ivf_sq8" -> (sim6IvfSq8 _),
     "sim7_pq_adc" -> (sim7PqAdc _),
@@ -833,7 +848,7 @@ object TrainingData {
        |    MIN(($tokH*15+12351) % 4294967311) AS mh6,
        |    MIN(($tokH*17+12352) % 4294967311) AS mh7
        |  FROM (SELECT doc_id, unnest(list_distinct(list_transform(
-       |    generate_series(1, greatest(len(string_split(text,' '))-2, 1)),
+       |    generate_series(1, len(string_split(text,' '))-2),
        |    i -> array_to_string((string_split(text,' '))[i:i+2], ' ')))) AS w FROM documents)
        |  GROUP BY doc_id)""".stripMargin
 
@@ -860,6 +875,32 @@ object TrainingData {
 
   private val simExpr =
     "CAST(list_sum(list_transform(list_zip(a.qv, b.qv), z -> CAST(z[1] AS BIGINT)*z[2])) AS DOUBLE) / sqrt(CAST(a.nrm*b.nrm AS DOUBLE))"
+
+  /** One spherical-k-means round as oracle CTEs: argmax assignment under
+    * `$prev` (highest cosine, lowest cid — the assignNearest tie-break),
+    * per-(cid, dim) rounded integer mean, rebuilt centroid lists with
+    * empty clusters keeping their previous centroid — the exact
+    * kmeansTrain recipe.
+    */
+  private def kmRoundCtes(prev: String, r: Int): String = {
+    val (a, m, f, next) = (s"a$r", s"m$r", s"f$r", s"cents$r")
+    s"""$a AS (
+       |  SELECT vec_id, qv, cid FROM (
+       |    SELECT p.vec_id, p.qv, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+       |        CAST(list_sum(list_transform(list_zip(p.qv, c.kv), z -> CAST(z[1] AS BIGINT)*z[2])) AS DOUBLE) / sqrt(CAST(p.nrm*c.knrm AS DOUBLE)) DESC,
+       |        c.cid) AS crn
+       |    FROM p CROSS JOIN $prev c) WHERE crn = 1),
+       |$m AS (
+       |  SELECT cid, dim, CAST(round(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mq
+       |  FROM (SELECT cid, unnest(generate_series(1, len(qv))) - 1 AS dim, unnest(qv) AS v FROM $a)
+       |  GROUP BY cid, dim),
+       |$f AS (SELECT cid, list(mq ORDER BY dim) AS kv FROM $m GROUP BY cid),
+       |$next AS (
+       |  SELECT c.cid, COALESCE(f.kv, c.kv) AS kv,
+       |    list_sum(list_transform(list_zip(COALESCE(f.kv, c.kv), COALESCE(f.kv, c.kv)), z -> CAST(z[1] AS BIGINT)*z[2])) AS knrm
+       |  FROM $prev c LEFT JOIN $f f ON c.cid = f.cid)""".stripMargin
+  }
 
   // SQ8 twin of qCte/simExpr: per-vector max-abs int8 codes (cosine is
   // scale-invariant, so the scale never appears past quantization).
@@ -888,7 +929,7 @@ object TrainingData {
        |$bandedCte,
        |toks AS (
        |  SELECT doc_id, unnest(list_distinct(list_transform(
-       |    generate_series(1, greatest(len(string_split(text,' '))-2, 1)),
+       |    generate_series(1, len(string_split(text,' '))-2),
        |    i -> array_to_string((string_split(text,' '))[i:i+2], ' ')))) AS w FROM documents),
        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
        |inter AS (
@@ -1042,7 +1083,7 @@ object TrainingData {
     "t5_rolling_fingerprint" ->
       """WITH rolls AS (
         |  SELECT doc_id, unnest(list_transform(
-        |    generate_series(1, greatest(len(ws)-2, 1)),
+        |    generate_series(1, len(ws)-2),
         |    i -> ((('0x'||substr(md5(ws[i]),1,8))::BIGINT)*4096
         |        + (('0x'||substr(md5(ws[i+1]),1,8))::BIGINT)*64
         |        + (('0x'||substr(md5(ws[i+2]),1,8))::BIGINT)) % 1000003)) AS r
@@ -1107,7 +1148,7 @@ object TrainingData {
          |$bandedCte,
          |toks AS (
          |  SELECT doc_id, unnest(list_distinct(list_transform(
-         |    generate_series(1, greatest(len(string_split(text,' '))-2, 1)),
+         |    generate_series(1, len(string_split(text,' '))-2),
          |    i -> array_to_string((string_split(text,' '))[i:i+2], ' ')))) AS w FROM documents),
          |sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
          |inter AS (
@@ -1374,6 +1415,32 @@ object TrainingData {
          |    ON a.cid = b.cid AND b.vec_id <> a.vec_id)
          |SELECT query_id, neighbor_id, rank FROM scored
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "sim9_ivf_trained" ->
+      s"""WITH $qCte,
+         |cents0 AS (SELECT vec_id AS cid, qv AS kv, nrm AS knrm FROM p WHERE vec_id < 8),
+         |${kmRoundCtes("cents0", 1)},
+         |${kmRoundCtes("cents1", 2)},
+         |corpus_assign AS (
+         |  SELECT vec_id, qv, nrm, cid FROM (
+         |    SELECT p.vec_id, p.qv, p.nrm, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+         |        CAST(list_sum(list_transform(list_zip(p.qv, c.kv), z -> CAST(z[1] AS BIGINT)*z[2])) AS DOUBLE) / sqrt(CAST(p.nrm*c.knrm AS DOUBLE)) DESC,
+         |        c.cid) AS crn
+         |    FROM p CROSS JOIN cents2 c) WHERE crn = 1),
+         |query_assign AS (
+         |  SELECT vec_id, qv, nrm, cid FROM (
+         |    SELECT p.vec_id, p.qv, p.nrm, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+         |        CAST(list_sum(list_transform(list_zip(p.qv, c.kv), z -> CAST(z[1] AS BIGINT)*z[2])) AS DOUBLE) / sqrt(CAST(p.nrm*c.knrm AS DOUBLE)) DESC,
+         |        c.cid) AS crn
+         |    FROM p CROSS JOIN cents2 c WHERE p.vec_id < 10) WHERE crn <= 2),
+         |scored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY $simExpr DESC, b.vec_id) AS rank
+         |  FROM query_assign a JOIN corpus_assign b
+         |    ON a.cid = b.cid AND b.vec_id <> a.vec_id)
+         |SELECT query_id, neighbor_id, rank FROM scored
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "sim4_kmeans_update" ->
       s"""WITH $qCte,
          |cents AS (SELECT vec_id AS cid, qv AS kv, nrm AS knrm FROM p WHERE vec_id < 8),
@@ -1427,7 +1494,7 @@ object TrainingData {
     "d13_contam_frac" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    generate_series(1, greatest(len(string_split(text,' '))-2, 1)),
+        |    generate_series(1, len(string_split(text,' '))-2),
         |    i -> array_to_string((string_split(text,' '))[i:i+2], ' ')))) AS w
         |  FROM documents),
         |b AS (
@@ -1528,7 +1595,7 @@ object TrainingData {
     "dc1_decontam" ->
       """WITH rolls AS (
         |  SELECT doc_id, unnest(list_transform(
-        |    generate_series(1, greatest(len(ws)-2, 1)),
+        |    generate_series(1, len(ws)-2),
         |    i -> ((('0x'||substr(md5(ws[i]),1,8))::BIGINT)*4096
         |        + (('0x'||substr(md5(ws[i+1]),1,8))::BIGINT)*64
         |        + (('0x'||substr(md5(ws[i+2]),1,8))::BIGINT)) % 1000003)) AS r
@@ -1560,7 +1627,7 @@ object TrainingData {
     "g1_top_ngrams" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    generate_series(1, greatest(len(string_split(text,' '))-2, 1)),
+        |    generate_series(1, len(string_split(text,' '))-2),
         |    i -> array_to_string((string_split(text,' '))[i:i+2], ' ')))) AS w
         |  FROM documents)
         |SELECT w AS ngram, COUNT(*) AS df FROM toks

@@ -18,9 +18,10 @@ import graft.dedupe.Dedupe
   * the same lake for LLM-data curation decisions (vocabulary sizing,
   * heavy-hitter stop lists, benchmark-membership screens).
   *
-  * Hash family: g_i(h) = ((a_i·h + b_i) mod P) mod width, P = 2^31−1
-  * (Mersenne), h = tokenHash ∈ [0, 2^32). All products stay far below
-  * 2^63 — no overflow, no floating point anywhere.
+  * Hash family: g_i(h) = ((a_i·h + b_i) mod P) mod width, P = 4294967311
+  * (prime > 2^32, covering the tokenHash domain — a smaller modulus would
+  * collide h with h+P for every (a_i, b_i)), h = tokenHash ∈ [0, 2^32).
+  * All products stay below 2^63 — no overflow, no floating point anywhere.
   *
   * Scale shapes:
   *   - count-min: the sketch IS the aggregate — depth×width rows
@@ -35,8 +36,13 @@ import graft.dedupe.Dedupe
   */
 object Sketches {
 
-  /** Mersenne prime 2^31−1 — modulus of the universal-hash family. */
-  val P = 2147483647L
+  /** Prime > 2^32 — modulus of the universal-hash family. Must exceed
+    * the 32-bit tokenHash domain: with a modulus smaller than the input
+    * domain, h and h+P collide for every (a,b) and the family is not
+    * pairwise-independent (same prime as [[graft.dedupe.Dedupe.P]]).
+    * 64-bit-safe: max operand a·h ≈ 8191·2^32 < 2^63.
+    */
+  val P = 4294967311L
 
   private def gHash(h: Column, a: Long, b: Long, width: Long): Column =
     pmod(pmod(h * lit(a) + lit(b), lit(P)), lit(width))

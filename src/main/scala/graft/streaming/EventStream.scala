@@ -36,8 +36,12 @@ object EventStream {
     * Trigger.AvailableNow. Returns the finished result as a DataFrame.
     */
   def windowAggStreaming(spark: SparkSession, dir: String): DataFrame = {
-    val batch = spark.read.parquet(s"$dir/events.parquet")
-    val src = spark.readStream
+    // state partitioning sized to KEY cardinality (windows × event types
+    // — dozens) on a query-scoped session clone, never by mutating the
+    // shared session conf (see [[StreamConf.streamSession]])
+    val ss = StreamConf.streamSession(spark)
+    val batch = ss.read.parquet(s"$dir/events.parquet")
+    val src = ss.readStream
       .schema(batch.schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
@@ -48,29 +52,20 @@ object EventStream {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total"))
     val name = s"graft_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    // streaming state partitioning is pinned at first run and sized to the
-    // KEY cardinality (windows × event types — dozens), not the batch
-    // shuffle width: every state partition writes delta/commit files per
-    // micro-batch, so 32 near-empty state stores would quadruple the
-    // checkpoint file traffic for nothing
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val q = try {
-      agg.writeStream
-        .outputMode(OutputMode.Complete())
-        .format("memory")
-        .queryName(name)
-        // checkpoint on the session stage root (tmpfs under a local
-        // master): state-store commits are many tiny files and this
-        // host's disk has bursty metadata latency; a cluster deployment
-        // sets spark.graft.stage.dir to shared storage
-        .option("checkpointLocation",
-          s"${graft.functions.F.stageRoot(spark)}/ckpt-$name")
-        .trigger(Trigger.AvailableNow())
-        .start()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(name)
+      // checkpoint on the session stage root (tmpfs under a local
+      // master): state-store commits are many tiny files and this
+      // host's disk has bursty metadata latency; a cluster deployment
+      // sets spark.graft.stage.dir to shared storage
+      .option("checkpointLocation",
+        s"${graft.functions.F.stageRoot(ss)}/ckpt-$name")
+      .trigger(Trigger.AvailableNow())
+      .start()
     q.awaitTermination()
-    spark.table(name)
+    ss.table(name)
       .select(unix_millis(col("w.start")).as("window_ms"), col("event_type"),
         col("n"), col("total"))
   }
@@ -86,9 +81,10 @@ object EventStream {
     * interval join.
     */
   def intervalJoinStreaming(spark: SparkSession, dir: String): DataFrame = {
-    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val ss = StreamConf.streamSession(spark)
+    val batch = ss.read.parquet(s"$dir/events.parquet")
     def src(): DataFrame = graft.Tables.normalizeTs(
-      spark.readStream
+      ss.readStream
         .schema(batch.schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir))
@@ -105,20 +101,16 @@ object EventStream {
         col("ets") >= col("cts") - expr("INTERVAL 2 HOURS") &&
         col("ets") <= col("cts"))
     val name = s"graft_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val q = try {
-      joined.writeStream
-        .outputMode(OutputMode.Append())
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation",
-          s"${graft.functions.F.stageRoot(spark)}/ckpt-$name")
-        .trigger(Trigger.AvailableNow())
-        .start()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    val q = joined.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation",
+        s"${graft.functions.F.stageRoot(ss)}/ckpt-$name")
+      .trigger(Trigger.AvailableNow())
+      .start()
     q.awaitTermination()
-    spark.table(name).select(col("click_id"), col("err_id"),
+    ss.table(name).select(col("click_id"), col("err_id"),
       unix_millis(col("cts")).as("click_ms"),
       unix_millis(col("ets")).as("err_ms"))
   }
@@ -161,30 +153,136 @@ object EventStream {
     */
   def sessionizeStreamingFromDir(spark: SparkSession, dir: String,
       gapMinutes: Int): DataFrame = {
-    import spark.implicits._
-    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val ss = StreamConf.streamSession(spark)
+    import ss.implicits._
+    val batch = ss.read.parquet(s"$dir/events.parquet")
     val src = graft.Tables.normalizeTs(
-      spark.readStream
+      ss.readStream
         .schema(batch.schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir))
     val out = sessionizeStreaming(
       src.select(col("user_id"), col("ts"), col("event_id")).as[Ev], gapMinutes)
     val name = s"graft_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val q = try {
-      out.writeStream
-        .outputMode(OutputMode.Append())
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation",
-          s"${graft.functions.F.stageRoot(spark)}/ckpt-$name")
-        .trigger(Trigger.AvailableNow())
-        .start()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    val q = out.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation",
+        s"${graft.functions.F.stageRoot(ss)}/ckpt-$name")
+      .trigger(Trigger.AvailableNow())
+      .start()
     q.awaitTermination()
-    spark.table(name)
+    ss.table(name)
+  }
+
+  /** One open session interval per user: [start, end] with its event
+    * count. Intervals in a state list are disjoint and separated by more
+    * than the gap.
+    */
+  case class Interval(start: Long, end: Long, n: Long)
+  case class IntervalState(intervals: List[Interval])
+  case class SessionWin(user_id: Long, n_events: Long, start_ms: Long, end_ms: Long)
+
+  /** Event-time-timeout sessionization — the CONTINUOUS-stream form of
+    * [[sessionizeStreaming]]: a session closes when the watermark passes
+    * `end + gap`, so an idle user's final session is emitted without
+    * waiting for their next event (the NoTimeout variant's gap).
+    *
+    * Folds INCREMENTALLY: each event merges into a per-user set of open
+    * session intervals one at a time — no `toSeq.sortBy` buffer of the
+    * micro-batch, so a bot user with 10⁸ events in one batch costs
+    * O(#open intervals) memory, not O(events). Out-of-order events
+    * within the watermark are handled exactly: an event either extends
+    * an adjacent interval, bridges two intervals into one (sessions that
+    * looked separate merge when the gap between them is filled), or
+    * opens a new interval. This is the session-window merge algorithm
+    * Spark's native `session_window` aggregation applies internally,
+    * here with exact event counts carried through merges.
+    *
+    * State is bounded and self-cleaning: a user's state holds only OPEN
+    * intervals (closed ones are emitted and dropped), and the state is
+    * REMOVED once no interval remains — idle users cost nothing, unlike
+    * a per-user counter design. Output therefore carries no session_seq;
+    * sessions are identified by (user_id, start_ms), which the batch
+    * twin reproduces.
+    *
+    * Drained with watermark delay 0 against a static table, the emitted
+    * set is exactly the batch sessions with `end + gap <= max event ts`
+    * — the final (still-open) session of each user whose last activity
+    * is within the gap of the stream's end stays in state.
+    */
+  def sessionizeStreamingEventTime(events: Dataset[Ev], gapMinutes: Int,
+      delay: String = "0 seconds"): Dataset[SessionWin] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000
+    // merge one event into the disjoint interval list (kept sorted by
+    // start): at most the two adjacent intervals can be within the gap
+    def mergeEvent(ivs: List[Interval], t: Long): List[Interval] = {
+      val (near, far) = ivs.partition(iv => t >= iv.start - gapMs && t <= iv.end + gapMs)
+      val merged =
+        if (near.isEmpty) Interval(t, t, 1L)
+        else Interval(math.min(near.map(_.start).min, t),
+          math.max(near.map(_.end).max, t), near.map(_.n).sum + 1L)
+      (merged :: far).sortBy(_.start)
+    }
+    events
+      .withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[IntervalState, SessionWin](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[IntervalState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          var ivs = state.getOption.map(_.intervals).getOrElse(Nil)
+          if (!state.hasTimedOut)
+            for (e <- evs) ivs = mergeEvent(ivs, e.ts.getTime)
+          // intervals are disjoint with > gap between them, so the
+          // closable prefix (by start) is exactly those with end+gap <= wm
+          val (closed, open) = ivs.partition(_.end + gapMs <= wm)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(IntervalState(open))
+            // arm for the earliest possible close; the -1/+1 bracket keeps
+            // the fire point correct whether the engine's comparison
+            // against the watermark is strict or not, and satisfies the
+            // "timeout must be set beyond the watermark" requirement
+            state.setTimeoutTimestamp(
+              math.max(open.map(_.end).min + gapMs - 1, wm + 1))
+          }
+          closed.sortBy(_.start)
+            .map(iv => SessionWin(user, iv.n, iv.start, iv.end)).iterator
+      }
+  }
+
+  /** Drained file-source driver for [[sessionizeStreamingEventTime]] —
+    * same harness shape as [[sessionizeStreamingFromDir]]. AvailableNow
+    * runs the data batch (watermark still at its initial value), then
+    * the engine schedules a final batch because the advanced watermark
+    * crossed pending event-time timeouts — closed sessions flush there.
+    */
+  def sessionizeStreamingEventTimeFromDir(spark: SparkSession, dir: String,
+      gapMinutes: Int): DataFrame = {
+    val ss = StreamConf.streamSession(spark)
+    import ss.implicits._
+    val batch = ss.read.parquet(s"$dir/events.parquet")
+    val src = graft.Tables.normalizeTs(
+      ss.readStream
+        .schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
+    val out = sessionizeStreamingEventTime(
+      src.select(col("user_id"), col("ts"), col("event_id")).as[Ev], gapMinutes)
+    val name = s"graft_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = out.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation",
+        s"${graft.functions.F.stageRoot(ss)}/ckpt-$name")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ss.table(name)
   }
 
   /** Streaming exact dedupe for continuous ingest: duplicate records

@@ -31,9 +31,10 @@ object SketchStream {
     */
   def countMinStreaming(spark: SparkSession, dir: String,
       width: Int = 1024): DataFrame = {
-    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val ss = StreamConf.streamSession(spark)
+    val batch = ss.read.parquet(s"$dir/events.parquet")
     val src = graft.Tables.normalizeTs(
-      spark.readStream
+      ss.readStream
         .schema(batch.schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir))
@@ -44,20 +45,16 @@ object SketchStream {
       .agg(count(lit(1)).as("n"))
     val name = s"graft_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     // same rationale as EventStream: state partitions are sized to the
-    // key space (d×w cells), not the batch shuffle width
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val q = try {
-      agg.writeStream
-        .outputMode(OutputMode.Complete())
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation",
-          s"${graft.functions.F.stageRoot(spark)}/ckpt-$name")
-        .trigger(Trigger.AvailableNow())
-        .start()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    // key space (d×w cells) on a query-scoped session clone
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation",
+        s"${graft.functions.F.stageRoot(ss)}/ckpt-$name")
+      .trigger(Trigger.AvailableNow())
+      .start()
     q.awaitTermination()
-    spark.table(name)
+    ss.table(name)
   }
 }

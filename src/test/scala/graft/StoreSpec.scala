@@ -519,6 +519,28 @@ class StoreSpec extends SparkSpec {
     assert(new Journal(spark, dir).count() == 1L)
   }
 
+  test("two journal instances on one root: per-instance caches converge on listing") {
+    import spark.implicits._
+    // the fileCounts cache is per-instance; cross-instance writers must
+    // only cost a re-probe (one footer read on first sight), never a
+    // wrong count — both instances re-list the dir on every count()
+    val dir = Files.createTempDirectory("graft-journal-two").toString
+    val j1 = new Journal(spark, dir)
+    val j2 = new Journal(spark, dir)
+    val s = Statement("0", "idA", "e1", "ds", "thing", "o1", None, "Person",
+      "name", "string", "Alice", None, None, external = false,
+      ts("2024-01-01 00:00:00"), ts("2024-01-01 00:00:00"), "", None)
+    j1.write(Seq(s).toDS().toDF())
+    assert(j1.count() == 1L && j2.count() == 1L)
+    j2.write(Seq(s.copy(id = "idB", entity_id = "e2")).toDS().toDF())
+    assert(j1.count() == 2L && j2.count() == 2L)
+    // a drain through one instance is observed by the other via listing:
+    // its stale cache entries are evicted, count drops to zero
+    val store = new StatementStore(spark, dir, shards = 4)
+    j1.drain(store)
+    assert(j1.count() == 0L && j2.count() == 0L)
+  }
+
   test("default merge grace: fresh tombstones survive, stale ones are reaped") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-grace").toString

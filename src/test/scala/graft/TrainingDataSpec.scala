@@ -50,6 +50,31 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("mega-bucket is skipped under the cap, not materialized: LSH and simhash") {
+    import spark.implicits._
+    // 5000 docs sharing ONE signature → every band collects them into a
+    // single bucket far past the cap; the loop must skip it from the
+    // first cap+1 rows (take-bounded), never emit its ~12.5M pairs. Two
+    // extra docs share a bucket of their own and must still pair up.
+    val mega = (1L to 5000L).map(id => (id, 7L, 7L, 7L, 7L, 7L, 7L, 7L, 7L))
+    val small = Seq((9001L, 1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L),
+      (9002L, 1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L))
+    val sig = (mega ++ small).toDF("doc_id",
+      "mh0", "mh1", "mh2", "mh3", "mh4", "mh5", "mh6", "mh7")
+    val pairs = Dedupe.lshCandidatePairs(sig, "doc_id", 8, 2, maxBucket = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((9001L, 9002L)))
+
+    // simhash analogue: 5000 docs with one hash value flood all four
+    // byte-buckets; the distinct near pair (hamming 1) still emits
+    val megaSh = (1L to 5000L).map(id => (id, 0x11111111L))
+    val smallSh = Seq((9001L, 0x7F3F5F0FL), (9002L, 0x7F3F5F0EL))
+    val shSig = (megaSh ++ smallSh).toDF("doc_id", "simhash")
+    val shPairs = Dedupe.simhashPairs(shSig, "doc_id", maxHamming = 3, maxBucket = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(shPairs === Set((9001L, 9002L)))
+  }
+
   test("simhash: identical docs equal, near-dups hamming-close") {
     val sh = Dedupe.simhash32(docsDf, "doc_id", array_distinct(TextFunctions.tokens(col("text"))))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
