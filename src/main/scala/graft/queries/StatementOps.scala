@@ -451,6 +451,26 @@ object StatementOps {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  // SRCH2: ranked retrieval composed with the FtM surface — BM25 over the
+  // bodyText statements of the DOCUMENT lake's live view (the documents
+  // table mapped to PlainText entities, ~1% tombstoned). Tombstoned
+  // entities must be absent from the ranking purely by virtue of the live
+  // filter — search-over-the-lake, not search-over-raw-parquet.
+  // same per-(session, dir) staging pattern (and caveat) as stagedStmts:
+  // a DataFrame value strongly references its session, so the weak-keyed
+  // SessionScoped cache is NOT usable here
+  private val stagedDocLive =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def docLiveView(spark: SparkSession, dir: String): DataFrame =
+    stagedDocLive.computeIfAbsent((spark, dir),
+      { case (s, d) => F.materialize(MergeDedupe.live(
+          graft.lake.DocumentStatements.statements(Tables(s, d, "documents")))) })
+
+  def srch2EntitySearch(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Search.fromLive(docLiveView(spark, dir), "bodyText",
+      Seq("spark", "vector", "customer"), k = 20)
+
   // Set difference: entities appearing in the thing bucket but never in the
   // interval bucket (reference's DEL-detection shape, §2.7).
   // Set intersection: values present in BOTH buckets (§2.7's other
@@ -495,6 +515,7 @@ object StatementOps {
     "p1_query_compile" -> (p1QueryCompile _),
     "set1_except" -> (set1Except _),
     "set2_intersect" -> (set2Intersect _),
+    "srch2_entity_search" -> (srch2EntitySearch _),
     "x1_xref_candidates" -> (x1XrefCandidates _),
     "x2_xref_scores" -> (x2XrefScores _),
     "x3_xref_incremental" -> (x3XrefIncremental _))
@@ -711,6 +732,34 @@ object StatementOps {
          |INTERSECT
          |SELECT value FROM stmts WHERE prop = 'view'
          |ORDER BY value""".stripMargin,
+    // the doc-lake mapping has unique content-hash ids, fragment = '' and
+    // one row per id, so the two-branch merge is the identity on it — the
+    // oracle replays the live view as the tombstone filter alone
+    "srch2_entity_search" ->
+      s"""WITH dstmts AS (${graft.lake.DocumentStatements.SQL}),
+         |corpus AS (
+         |  SELECT entity_id, value AS text FROM dstmts
+         |  WHERE prop = 'bodyText' AND deleted_at IS NULL),
+         |d AS (SELECT entity_id, len(ws) AS dl,
+         |    len(list_filter(ws, w -> w = 'spark')) AS tf1,
+         |    len(list_filter(ws, w -> w = 'vector')) AS tf2,
+         |    len(list_filter(ws, w -> w = 'customer')) AS tf3
+         |  FROM (SELECT entity_id, string_split(text,' ') AS ws FROM corpus)),
+         |st AS (SELECT COUNT(*) AS n, SUM(dl) AS l,
+         |    SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         |    SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+         |    SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3 FROM d),
+         |s AS (SELECT entity_id, dl, tf1, tf2, tf3,
+         |    CAST(l AS DOUBLE) / CAST(n AS DOUBLE) AS avgdl,
+         |    (CAST(n - df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5) AS idf1,
+         |    (CAST(n - df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5) AS idf2,
+         |    (CAST(n - df3 AS DOUBLE) + 0.5) / (CAST(df3 AS DOUBLE) + 0.5) AS idf3
+         |  FROM d, st)
+         |SELECT entity_id, tf1, tf2, tf3,
+         |    (idf1 * ((CAST(tf1 AS DOUBLE) * 2.2) / (CAST(tf1 AS DOUBLE) + (1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE)) / avgdl)))))
+         |  + (idf2 * ((CAST(tf2 AS DOUBLE) * 2.2) / (CAST(tf2 AS DOUBLE) + (1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE)) / avgdl)))))
+         |  + (idf3 * ((CAST(tf3 AS DOUBLE) * 2.2) / (CAST(tf3 AS DOUBLE) + (1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE)) / avgdl))))) AS score
+         |FROM s ORDER BY score DESC, entity_id LIMIT 20""".stripMargin,
     "x1_xref_candidates" ->
       s"""$mergeCte,
          |keys AS (

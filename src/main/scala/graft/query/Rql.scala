@@ -174,6 +174,50 @@ object Rql {
     case _ => throw new IllegalArgumentException("filter value must be atom or tuple")
   }
 
+  private def opName(c: Comparator): String = c match {
+    case EqOp => "eq"
+    case NotOp => "ne"
+    case GtOp => "gt"
+    case GteOp => "gte"
+    case LtOp => "lt"
+    case LteOp => "lte"
+    case LikeOp => "like"
+    case InOp => "in"
+    case NotInOp => "not_in"
+    case NullOp => "null"
+    case NotNullOp => "not_null"
+  }
+
+  private def quote(s: String): String =
+    "\"" + s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case c => c.toString
+    } + "\""
+
+  private def leafRql(k: String, op: Comparator, vs: Seq[String]): String = op match {
+    case NullOp | NotNullOp => s"${opName(op)}(${quote(k)})"
+    case InOp | NotInOp =>
+      s"${opName(op)}(${quote(k)}, (${vs.map(quote).mkString(", ")}))"
+    case _ => s"${opName(op)}(${quote(k)}, ${quote(vs.head)})"
+  }
+
+  /** Serialize a Query's filter tree back to the RQL wire form (the
+    * inverse of [[parse]] over the filter slots; order/limit/offset ride
+    * as sibling fields and are not part of the wire string). Every key
+    * and value is emitted quoted with `\`-escaping, so arbitrary bytes —
+    * delimiters, quotes, whitespace — round-trip; PropertySpec pins
+    * `parse(render(q)) == q` over randomized trees.
+    */
+  def render(q: Query): String = {
+    val leaves =
+      q.origin.map(o => leafRql("origin", EqOp, Seq(o))).toSeq ++
+        q.schemata.map(s => leafRql("schema", EqOp, Seq(s))).toSeq ++
+        q.statementFilters.map(m => leafRql(m.field, m.op, m.values)) ++
+        q.propFilters.map(p => leafRql(p.prop, p.op, p.values))
+    s"and(${leaves.mkString(", ")})"
+  }
+
   /** Parse an RQL string plus the sibling sort/slice fields into a Query.
     * Multi-value `orderBy` follows the reference: the FIRST value's `-`
     * prefix sets the direction for every column

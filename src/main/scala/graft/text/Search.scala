@@ -79,6 +79,22 @@ object Search {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
 
+  /** Ranked retrieval composed with the FtM statement surface, the way
+    * [[graft.ops.Xref.fromLive]] composes blocking: the corpus is the
+    * live view's rows for one text-bearing prop — `entity_id` keys the
+    * result, the statement `value` is the scored text. Running through
+    * the live view (not raw parquet) means tombstoned entities drop out
+    * of retrieval the moment the merge sees them — no index rebuild.
+    * Scale shape is [[bm25TopK]]'s: one stats row broadcast, stateless
+    * scoring scan, TakeOrderedAndProject top-k.
+    */
+  def fromLive(live: DataFrame, textProp: String, terms: Seq[String],
+      k: Int): DataFrame =
+    bm25TopK(
+      live.filter(col("prop") === textProp)
+        .select(col("entity_id"), col("value").as("__text")),
+      "entity_id", "__text", terms, k)
+
   /** Per-document top-`k` terms by tf-idf (keyword extraction). The idf
     * is the same rational odds-ratio as [[bm25]] — exact cross-engine
     * float parity, monotone in the classic ln form.

@@ -30,7 +30,9 @@ class PlanLintSpec extends SparkSpec {
     "sim4_kmeans_update" -> "nlist-bounded centroid table broadcast",
     "sim6_ivf_sq8" -> "nlist-bounded centroids + bounded probe set broadcast",
     "d9_semantic_dedup" -> "nlist-bounded centroid table broadcast",
-    "sim8_ivf_pq" -> "nlist-bounded centroids + bounded probe set broadcast")
+    "sim8_ivf_pq" -> "nlist-bounded centroids + bounded probe set broadcast",
+    "sim9_ivf_trained" -> "nlist-bounded trained-centroid table + bounded probe set broadcast",
+    "srch2_entity_search" -> "single-row corpus-stats broadcast onto the scoring scan")
 
   test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only where justified") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]

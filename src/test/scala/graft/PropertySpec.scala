@@ -79,6 +79,54 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("RQL round-trips: parse(render(q)) == q over random filter trees") {
+    import graft.query.FtmQuery._
+    import graft.query.Rql
+    // values stress the wire format: delimiters, both quote chars,
+    // backslashes, whitespace, unicode, empty strings
+    val genValue: Gen[String] = Gen.choose(0, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(
+        4 -> Gen.alphaNumChar.map(_.toString),
+        3 -> Gen.oneOf(",", "(", ")", "\"", "'", "\\", " ", "\t", "é", "中"),
+        1 -> Gen.const("\\\""))).map(_.mkString))
+    // M keys: reserved statement fields; `origin` is excluded because
+    // origin+eq re-routes to the dedicated Query slot on parse (by design)
+    val mKeys = Seq("entity_id", "canonical_id", "dataset", "bucket",
+      "prop", "value", "lang", "external", "fragment", "id")
+    val binOps: Seq[Comparator] =
+      Seq(EqOp, NotOp, GtOp, GteOp, LtOp, LteOp, LikeOp)
+    val genLeafParts: Gen[(Comparator, Seq[String])] = Gen.frequency(
+      5 -> (for { op <- Gen.oneOf(binOps); v <- genValue } yield (op, Seq(v))),
+      3 -> (for {
+        op <- Gen.oneOf(InOp, NotInOp)
+        n <- Gen.choose(1, 5)
+        vs <- Gen.listOfN(n, genValue)
+      } yield (op, vs)),
+      1 -> Gen.oneOf(NullOp, NotNullOp).map(op => (op, Seq.empty[String])))
+    val genM: Gen[M] = for {
+      k <- Gen.oneOf(mKeys)
+      (op, vs) <- genLeafParts
+    } yield M(k, op, vs)
+    // P keys get a "p_" prefix so a random key can never collide with a
+    // reserved field (which would re-route to an M on parse)
+    val genP: Gen[P] = for {
+      k <- genValue.map("p_" + _)
+      (op, vs) <- genLeafParts
+    } yield P(k, op, vs)
+    val genQuery: Gen[Query] = for {
+      origin <- Gen.option(genValue)
+      schemata <- Gen.option(genValue)
+      nm <- Gen.choose(0, 5); ms <- Gen.listOfN(nm, genM)
+      np <- Gen.choose(0, 5); ps <- Gen.listOfN(np, genP)
+    } yield Query(schemata = schemata, origin = origin,
+      statementFilters = ms, propFilters = ps)
+    samples(genQuery, 1000).foreach { q =>
+      val wire = Rql.render(q)
+      val back = Rql.parse(wire)
+      assert(back == q, s"round-trip broke\n  q:    $q\n  wire: $wire\n  back: $back")
+    }
+  }
+
   test("stripNamespace column twin agrees with the scala function") {
     import spark.implicits._
     val genId = Gen.listOfN(8,

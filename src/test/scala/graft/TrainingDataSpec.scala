@@ -610,4 +610,26 @@ class TrainingDataSpec extends SparkSpec {
     assert(topk.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
     assert(topk.select("doc_id").as[Long].collect().toSeq == Seq(1L, 4L))
   }
+
+  test("search fromLive: tombstoned entities drop out of retrieval") {
+    import spark.implicits._
+    val docs = Tables(spark, sf001, "documents")
+    val live = graft.ops.MergeDedupe.live(
+      graft.lake.DocumentStatements.statements(docs))
+    // the mapping tombstones doc_id % 97 == 0; live view must not carry them
+    val tombed = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select(concat(lit("d"), col("doc_id"))).as[String].collect().toSet
+    assert(tombed.nonEmpty)
+    val liveIds = live.select("entity_id").distinct().as[String].collect().toSet
+    assert(tombed.intersect(liveIds).isEmpty)
+    // ranked retrieval over the live view can, by construction, never
+    // surface a tombstoned entity — the composition srch2 oracle-gates
+    val hits = graft.text.Search
+      .fromLive(live, "bodyText", Seq("the"), k = 50)
+      .select("entity_id").as[String].collect().toSet
+    assert(hits.nonEmpty && hits.intersect(tombed).isEmpty)
+    // and the live view carries the three-prop entity shape
+    val props = live.select("prop").distinct().as[String].collect().toSet
+    assert(props == Set("name", "bodyText", "language"))
+  }
 }
