@@ -243,6 +243,84 @@ class StreamingMakeSpec extends SparkSpec {
       new org.apache.hadoop.fs.Path(s"$base/state")))
   }
 
+  test("continuous ingest through catalog makeAll equals the batch-import run") {
+    import org.apache.spark.sql.functions._
+    // Two-dataset lake, mixed ingestion (reference e2e workflow
+    // tests/test_e2e_workflows.py:105-360 — crawl/import then make):
+    //   alpha: continuous path — readStream → IngestStream.run →
+    //          Journal.writeAutoFlush (tiny threshold → mid-stream
+    //          drains) → merge;
+    //   beta:  API-writer path — journal.write, drained by makeAll's
+    //          optimize step.
+    // The twin lake imports the same halves with plain batch appends.
+    // makeAll over both lakes must produce byte-identical data artifacts
+    // — ingestion route must never leak into published bytes.
+    val streamRoot = Files.createTempDirectory("graft-e2e-stream").toString
+    val batchRoot = Files.createTempDirectory("graft-e2e-batch").toString
+    val outStream = Files.createTempDirectory("graft-e2e-stream-out").toString
+    val outBatch = Files.createTempDirectory("graft-e2e-batch-out").toString
+
+    val stmtsBatch = lake.EventStatements.statements(Tables.events(spark, sf001))
+    val half = pmod(substring(col("entity_id"), 2, 100).cast("long"), lit(2))
+
+    // streamed lake
+    val cat = new lake.Catalog(spark, streamRoot)
+    cat.ensureDataset("alpha", shards = lake.EventStatements.Shards)
+    cat.ensureDataset("beta", shards = lake.EventStatements.Shards)
+    val src = spark.readStream
+      .schema(spark.read.parquet(s"$sf001/events.parquet").schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sf001)
+    val srcTs =
+      if (spark.read.parquet(s"$sf001/events.parquet").schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType)
+        src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else src
+    streaming.IngestStream.run(spark,
+      lake.EventStatements.statements(srcTs).filter(half === 0),
+      cat.store("alpha"), flushRows = 500)
+    cat.journal("beta").write(stmtsBatch.filter(half === 1))
+    val builtStream = cat.makeAll(outStream)
+
+    // batch twin lake
+    val twin = new lake.Catalog(spark, batchRoot)
+    twin.ensureDataset("alpha", shards = lake.EventStatements.Shards)
+    twin.ensureDataset("beta", shards = lake.EventStatements.Shards)
+    twin.store("alpha").append(stmtsBatch.filter(half === 0))
+    twin.store("beta").append(stmtsBatch.filter(half === 1))
+    val builtBatch = twin.makeAll(outBatch)
+
+    // both runs built the full artifact set for both datasets
+    for (b <- Seq(builtStream, builtBatch); ds <- Seq("alpha", "beta"))
+      assert(b(ds).contains("statements.csv") && b(ds).contains("entities.ftm.json"),
+        s"$ds built: ${b(ds)}")
+
+    // deterministic single-file artifacts are byte-identical across routes
+    def sha(p: String): String = {
+      val d = java.security.MessageDigest.getInstance("SHA-256")
+      d.digest(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)))
+        .map("%02x".format(_)).mkString
+    }
+    for (ds <- Seq("alpha", "beta"); a <- Seq("statements.csv", "entities.ftm.json")) {
+      assert(sha(s"$outStream/$ds/$a") == sha(s"$outBatch/$ds/$a"),
+        s"artifact $ds/$a differs between streamed and batch ingestion")
+    }
+    // statistics.json (spark json dir): same line set either route
+    def statLines(root: String, ds: String): Set[String] = {
+      val d = new java.io.File(s"$root/$ds/statistics.json")
+      d.listFiles().filter(_.getName.endsWith(".json"))
+        .flatMap(f => scala.io.Source.fromFile(f).getLines()).toSet
+    }
+    for (ds <- Seq("alpha", "beta"))
+      assert(statLines(outStream, ds) == statLines(outBatch, ds))
+    // the catalog index lists both datasets in both lakes
+    assert(cat.listDatasets().toSet == Set("alpha", "beta"))
+    val idx = scala.io.Source.fromFile(s"$streamRoot/catalog.json").mkString
+    assert(idx.contains("alpha") && idx.contains("beta"))
+    // and a second makeAll over the quiet streamed lake rebuilds nothing
+    assert(cat.makeAll(outStream).values.forall(_.isEmpty))
+  }
+
   test("make: exports are freshness-gated and skip when the store is current") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-make").toString
