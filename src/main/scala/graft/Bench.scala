@@ -103,14 +103,24 @@ object Bench {
       else "{\"queries_sampled_2plus\":" + ratios.size +
         ",\"median_over_min_median\":" + fmt(median(ratios)) +
         ",\"median_over_min_max\":" + fmt(ratios.max) + "}"
+    // scale-amortization evidence: tools/bench_scaled.sh writes
+    // BENCH_scaled.json (spark vs oracle at sf0.1 x10); when present it is
+    // embedded verbatim so each round's BENCH_full.json carries the
+    // larger-size ratios alongside the sf0.1 numbers
+    val scaledPath = java.nio.file.Paths.get("BENCH_scaled.json")
+    val scaledJson =
+      if (java.nio.file.Files.exists(scaledPath))
+        java.nio.file.Files.readString(scaledPath).trim
+      else "null"
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qs,"spread":$spreadJson,"noise":$noise,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qs,"spread":$spreadJson,"noise":$noise,"failed":$failedJson,"sf":"$sfDir","scaled":$scaledJson}"""
     // The driver captures only a bounded stdout tail (the r4 artifact shows a
     // 2000-char window); a 70-query single-line JSON outgrew it and arrived
     // unparseable. So: the COMPLETE per-query metrics go to a file next to the
     // build, and stdout carries a short self-contained JSON line (total + the
     // slowest queries + a pointer to the file) guaranteed to fit the window.
-    val outFile = java.nio.file.Paths.get("BENCH_full.json")
+    val outFile = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json"))
     java.nio.file.Files.write(outFile, (fullLine + "\n").getBytes("UTF-8"))
     // "queries" here is the slowest-10 subset so the line keeps the driver's
     // expected shape without outgrowing the window; the complete map (and

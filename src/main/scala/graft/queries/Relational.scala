@@ -239,7 +239,22 @@ object Relational {
       .orderBy(col("o_orderkey"))
   }
 
+  // Q5: pivot — wide-format reshaping with EXPLICIT pivot values, so the
+  // plan is ONE hash aggregation with conditional sums (an implicit pivot
+  // first runs a whole extra distinct scan to discover the columns, and
+  // its output schema depends on the data — both wrong at 100 TB).
+  // Map-side partial aggregation applies as in any groupBy.
+  def q5Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(dsum(col("l_quantity")))
+      .withColumnRenamed("F", "f_qty")
+      .withColumnRenamed("O", "o_qty")
+      .orderBy(col("l_returnflag"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q5_pivot" -> (q5Pivot _),
     "aj1_asof_join" -> (aj1AsofJoin _),
     "rj1_range_join" -> (rj1RangeJoin _),
     "q1_agg" -> (q1Agg _),
@@ -257,6 +272,11 @@ object Relational {
     "o4_global_topk" -> (o4GlobalTopk _))
 
   val oracle: Map[String, String] = Map(
+    "q5_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS f_qty,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS o_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "aj1_asof_join" ->
       """SELECT c.event_id, c.user_id, epoch_ms(c.ts) AS ts_ms,
         |  e.event_id AS err_id, epoch_ms(e.ts) AS err_ms,

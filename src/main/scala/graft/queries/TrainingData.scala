@@ -623,6 +623,29 @@ object TrainingData {
       .orderBy(col("df").desc, col("ngram"))
       .limit(20)
 
+  // TOK1: tokenizer vocabulary coverage — fix the vocab to the corpus's
+  // top-1000 tokens (count-ranked, ties token-asc), then score every
+  // doc's OOV rate against it: the coverage statistic a tokenizer build
+  // reports before committing to a vocab. Scale shape: the token table
+  // is staged (it feeds BOTH the vocab ranking and the scoring join);
+  // the ranked vocab is a bounded top-k (TakeOrderedAndProject) and is
+  // explicitly broadcast onto the scoring side — the corpus-sized table
+  // never shuffles for the join, only for the per-doc count.
+  def tok1VocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val toks = graft.functions.F.materialize(docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok")))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("tok")).limit(1000)
+      .select(col("tok"), lit(1).as("__v"))
+    toks.join(broadcast(vocab), Seq("tok"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+      .orderBy(col("doc_id"))
+  }
+
   // PK1: sequence packing — assign documents to fixed-token-budget chunks
   // (the concat-and-chunk step before tensorization). Global greedy
   // packing is inherently sequential, so the scalable form packs within
@@ -828,6 +851,7 @@ object TrainingData {
     "d13_contam_frac" -> (d13ContamFrac _),
     "t7_repetition" -> (t7Repetition _),
     "g1_top_ngrams" -> (g1TopNgrams _),
+    "tok1_vocab_coverage" -> (tok1VocabCoverage _),
     "mm1_media_meta" -> (mm1MediaMeta _),
     "mm2_frame_sample" -> (mm2FrameSample _),
     "mm3_media_probe" -> (mm3MediaProbe _))
@@ -1632,6 +1656,19 @@ object TrainingData {
         |  FROM documents)
         |SELECT w AS ngram, COUNT(*) AS df FROM toks
         |GROUP BY w ORDER BY df DESC, ngram LIMIT 20""".stripMargin,
+    "tok1_vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+        |vocab AS (SELECT tok FROM (
+        |  SELECT tok, COUNT(*) AS n FROM toks
+        |  GROUP BY tok ORDER BY n DESC, tok LIMIT 1000)),
+        |j AS (SELECT t.doc_id, v.tok AS vtok
+        |      FROM toks t LEFT JOIN vocab v ON t.tok = v.tok)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(CASE WHEN vtok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CAST(SUM(CASE WHEN vtok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "mm2_frame_sample" ->
       """WITH b AS (
         |  SELECT CAST(doc_id AS BIGINT) AS media_id,

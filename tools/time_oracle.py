@@ -1,8 +1,9 @@
 #!/usr/bin/env python3
 """Time each oracle SQL in DuckDB at a given sf dir (the bench's 2x bar).
 
-Usage: python3 tools/time_oracle.py <sfDir> <oracleSqlJson> [reps]
-Prints per-query seconds (min over reps) and the total.
+Usage: python3 tools/time_oracle.py <sfDir> <oracleSqlJson> [reps [query ...]]
+Prints per-query seconds (min over reps) and the total. With query names,
+only those oracles run (the scaled-bench subset path).
 """
 import json
 import sys
@@ -22,6 +23,9 @@ def main():
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(oracle_path))
+    only = set(sys.argv[4:])
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     times = {}
     for name in sorted(oracle):
         best = None
