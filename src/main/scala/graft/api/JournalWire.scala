@@ -1,0 +1,71 @@
+package graft.api
+
+import java.sql.Timestamp
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+import graft.lake.LakeRepository
+import graft.model.{FtmModel, Statement}
+
+/** JSONL statement wire shared by the HTTP journal/bulk route and the CLI
+  * `statements import` (reference journal.py:20-44 + cli/statements.py):
+  * one statement object per line; the shard is ALWAYS recomputed from the
+  * dataset's recorded shard count (config authority, never the writer's
+  * idea); id/bucket/prop_type default from the content recipe and the
+  * model when absent.
+  */
+object JournalWire {
+
+  private val mapper = new ObjectMapper()
+
+  def writeRows(spark: SparkSession, r: LakeRepository, ds: String,
+      lines: Seq[String]): Long = {
+    val clean = lines.map(_.trim).filter(_.nonEmpty)
+    if (clean.isEmpty) return 0L
+    val stmts = clean.map(parseRow(_, ds))
+    import spark.implicits._
+    val df = stmts.toDS().toDF()
+      .withColumn("shard", Hashing.shardOf(col("entity_id"), r.shards))
+      .withColumn("id", when(col("id") === "",
+        Hashing.statementKey(col("dataset"), col("entity_id"), col("prop"), col("value")))
+        .otherwise(col("id")))
+    r.journal.write(df)
+    clean.size.toLong
+  }
+
+  private def parseRow(line: String, ds: String): Statement = {
+    val n =
+      try mapper.readTree(line)
+      catch { case e: Exception =>
+        throw new IllegalArgumentException(s"invalid JSON row: ${e.getMessage}")
+      }
+    def str(f: String): Option[String] =
+      Option(n.get(f)).filterNot(_.isNull).map(_.asText).filter(_.nonEmpty)
+    def req(f: String) = str(f).getOrElse(
+      throw new IllegalArgumentException(s"missing field `$f` in journal row"))
+    val schema = str("schema").getOrElse("Thing")
+    val now = new Timestamp(System.currentTimeMillis() / 1000 * 1000)
+    Statement(
+      shard = "", // recomputed by writeRows from config authority
+      id = str("id").getOrElse(""),
+      entity_id = req("entity_id"), dataset = ds,
+      bucket = str("bucket").getOrElse(FtmModel.bucketOf(schema)),
+      origin = str("origin").getOrElse("bulk"), source = None,
+      schema = schema, prop = req("prop"),
+      prop_type = str("prop_type").getOrElse("string"),
+      value = req("value"), original_value = str("original_value"),
+      lang = str("lang"), external = false,
+      first_seen = str("first_seen").map(parseTs).getOrElse(now),
+      last_seen = str("last_seen").map(parseTs).getOrElse(now),
+      fragment = str("fragment").getOrElse(""),
+      deleted_at = str("deleted_at").map(parseTs))
+  }
+
+  private[api] def parseTs(s: String): Timestamp =
+    try Timestamp.from(java.time.Instant.parse(s))
+    catch { case _: Exception => Timestamp.valueOf(s.replace("T", " ").stripSuffix("Z")) }
+}

@@ -1,0 +1,212 @@
+package graft.cli
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.lake.{Archive, Catalog, DatasetConfig, LakeRepository, Locks}
+import graft.ops.Explode
+
+/** The reference's CLI surface (cli/__init__.py and submodules) as a
+  * plain Scala main over the same repository/catalog code paths the API
+  * uses — no CLI framework, subcommand dispatch on argv:
+  *
+  * {{{
+  *   graft.cli.Main --lake <root> ls
+  *   graft.cli.Main --lake <root> datasets
+  *   graft.cli.Main --lake <root> configure <ds> [--shards N] [--compression C] [--public-url U]
+  *   graft.cli.Main --lake <root> entities iterate <ds>
+  *   graft.cli.Main --lake <root> entities import <ds> < payload.ndjson
+  *   graft.cli.Main --lake <root> statements iterate <ds>
+  *   graft.cli.Main --lake <root> statements import <ds> < rows.jsonl
+  *   graft.cli.Main --lake <root> statements sql <ds> "SELECT ... FROM statements"
+  *   graft.cli.Main --lake <root> make <ds> [--out DIR] [--force]
+  *   graft.cli.Main --lake <root> optimize <ds>
+  *   graft.cli.Main --lake <root> unlock <ds>
+  *   graft.cli.Main --lake <root> archive ls|get|head <ds> [checksum]
+  *   graft.cli.Main --lake <root> serve [--port N]
+  * }}}
+  *
+  * Reference mapping: `ls`/`datasets`/`configure` (cli/__init__.py:168-204),
+  * `entities iterate|import` (cli/entities.py), `statements
+  * iterate|import|sql` (cli/statements.py — `sql` runs Spark SQL over the
+  * live view registered as `statements`, where the reference hands the
+  * parquet to DuckDB), `make`/`export`/`optimize`/`unlock`
+  * (cli/maintenance.py), `archive` (cli/archive.py), `serve` (the S14
+  * HTTP app). The zfs group is host-infrastructure, not engine surface.
+  *
+  * All streaming IO is line-oriented NDJSON on stdin/stdout via
+  * `toLocalIterator`, so piping a million entities through the CLI holds
+  * one Spark partition in driver memory at a time.
+  */
+object Main {
+
+  private val mapper = new ObjectMapper()
+
+  def main(args: Array[String]): Unit = {
+    val (flags, pos) = parseArgs(args.toList)
+    val lakeRoot = flags.getOrElse("lake",
+      sys.env.getOrElse("GRAFT_LAKE_URI",
+        fail("--lake <root> or GRAFT_LAKE_URI required")))
+    val spark = graft.Sessions.local("graft-cli")
+    try run(spark, lakeRoot, flags, pos)
+    finally spark.stop()
+  }
+
+  private def fail(msg: String): Nothing = {
+    System.err.println(s"error: $msg"); sys.exit(2)
+  }
+
+  /** `--key value` flags (plus bare `--force`) anywhere; the rest are
+    * positional subcommand words.
+    */
+  private[graft] def parseArgs(args: List[String]): (Map[String, String], List[String]) = {
+    val boolFlags = Set("force")
+    def loop(rest: List[String], flags: Map[String, String],
+        pos: List[String]): (Map[String, String], List[String]) = rest match {
+      case Nil => (flags, pos.reverse)
+      case f :: tail if f.startsWith("--") =>
+        val key = f.drop(2)
+        if (boolFlags(key)) loop(tail, flags + (key -> "true"), pos)
+        else tail match {
+          case v :: t2 => loop(t2, flags + (key -> v), pos)
+          case Nil => fail(s"flag --$key needs a value")
+        }
+      case w :: tail => loop(tail, flags, w :: pos)
+    }
+    loop(args, Map.empty, Nil)
+  }
+
+  private[graft] def run(spark: SparkSession, lakeRoot: String,
+      flags: Map[String, String], pos: List[String]): Unit = {
+    val cat = new Catalog(spark, lakeRoot)
+    def repo(ds: String): LakeRepository = {
+      Catalog.validateName(ds)
+      val p = cat.datasetPath(ds)
+      val shards = DatasetConfig.load(
+        p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+        .map(_.shards).getOrElse(16)
+      new LakeRepository(spark, p.toString, ds, shards)
+    }
+    pos match {
+      case "ls" :: Nil =>
+        cat.listDatasets().foreach(println)
+
+      case "datasets" :: Nil =>
+        // one JSON line per dataset (reference `datasets` table output)
+        cat.index().toJSON.toLocalIterator.asScala.foreach(println)
+
+      case "configure" :: ds :: Nil =>
+        Catalog.validateName(ds)
+        if (!cat.datasetExists(ds))
+          cat.ensureDataset(ds, shards = flags.get("shards").map(_.toInt).getOrElse(16))
+        if (flags.contains("compression") || flags.contains("public-url"))
+          cat.updateDataset(ds,
+            compression = flags.get("compression"),
+            publicUrlPrefix = flags.get("public-url").map(Some(_)))
+        println(s"configured $ds")
+
+      case "entities" :: "iterate" :: ds :: Nil =>
+        repo(ds).query(graft.query.FtmQuery.Query()).toJSON
+          .toLocalIterator.asScala.foreach(println)
+
+      case "entities" :: "import" :: ds :: Nil =>
+        // NDJSON entity payloads {id, schema, properties{prop: [values]}}
+        // exploded through the journal (reference cli/entities.py import)
+        val r = repo(ds)
+        val payloads = scala.io.Source.stdin.getLines()
+          .filter(_.trim.nonEmpty).map(parsePayload).toSeq
+        import spark.implicits._
+        r.addEntities(payloads.toDS(), origin = flags.getOrElse("origin", "default"))
+        r.flush()
+        println(payloads.size)
+
+      case "statements" :: "iterate" :: ds :: Nil =>
+        repo(ds).live.drop("canonical_id").toJSON
+          .toLocalIterator.asScala.foreach(println)
+
+      case "statements" :: "import" :: ds :: Nil =>
+        val r = repo(ds)
+        val rows = scala.io.Source.stdin.getLines()
+          .filter(_.trim.nonEmpty).toSeq
+        val n = graft.api.JournalWire.writeRows(spark, r, ds, rows)
+        r.flush()
+        println(n)
+
+      case "statements" :: "sql" :: ds :: query :: Nil =>
+        // the reference hands the parquet path to DuckDB; here the live
+        // view registers as `statements` and Spark SQL runs the query
+        repo(ds).live.drop("canonical_id").createOrReplaceTempView("statements")
+        spark.sql(query).toJSON.toLocalIterator.asScala.foreach(println)
+
+      case "make" :: ds :: Nil =>
+        val out = flags.getOrElse("out", cat.datasetPath(ds).toString + "/_exports")
+        val built = repo(ds).make(out, force = flags.contains("force"))
+        println(built.mkString("\n"))
+
+      case "export" :: ds :: Nil =>
+        val out = flags.getOrElse("out", fail("export needs --out DIR"))
+        println(repo(ds).make(out, force = true).mkString("\n"))
+
+      case "optimize" :: ds :: Nil =>
+        println(repo(ds).optimize())
+
+      case "unlock" :: ds :: Nil =>
+        val p = cat.datasetPath(ds)
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        println(if (Locks.unlock(fs, p)) "unlocked" else "was not locked")
+
+      case "archive" :: "ls" :: ds :: Nil =>
+        val r = repo(ds)
+        r.live.filter(col("prop") === "contentHash").select("value")
+          .distinct().orderBy("value")
+          .toLocalIterator.asScala.foreach(row => println(row.getString(0)))
+
+      case "archive" :: "get" :: ds :: checksum :: Nil =>
+        archive(spark, cat, ds).get(checksum) match {
+          case Some(bytes) => System.out.write(bytes); System.out.flush()
+          case None => fail(s"no blob for $checksum")
+        }
+
+      case "archive" :: "head" :: ds :: checksum :: Nil =>
+        println(
+          if (archive(spark, cat, ds).exists(checksum)) s"$checksum exists"
+          else s"$checksum missing")
+
+      case "serve" :: Nil =>
+        val server = new graft.api.LakeHttpServer(spark, lakeRoot,
+          flags.get("port").map(_.toInt).getOrElse(8080))
+        val port = server.start()
+        println(s"serving lake $lakeRoot on 127.0.0.1:$port")
+        Thread.currentThread().join() // until killed
+
+      case other =>
+        fail("unknown command: " + other.mkString(" "))
+    }
+  }
+
+  /** Per-dataset blob root `<dataset>/archive` (reference path
+    * conventions, core/conventions/path.py:144-212).
+    */
+  private def archive(spark: SparkSession, cat: Catalog, ds: String): Archive = {
+    val p = new org.apache.hadoop.fs.Path(cat.datasetPath(ds), "archive")
+    new Archive(p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  private def parsePayload(line: String): Explode.EntityPayload = {
+    val n = mapper.readTree(line)
+    val id = Option(n.get("id")).map(_.asText).getOrElse(fail("payload missing id"))
+    val schema = Option(n.get("schema")).map(_.asText).getOrElse("Thing")
+    val props = Option(n.get("properties")).map { p =>
+      p.fieldNames.asScala.map { k =>
+        k -> p.get(k).elements.asScala.map(_.asText).toSeq
+      }.toMap
+    }.getOrElse(Map.empty[String, Seq[String]])
+    Explode.EntityPayload(id, schema, props)
+  }
+}

@@ -51,12 +51,18 @@ class LakeRepository(val spark: SparkSession, val rootStr: String,
     * so the tombstones shadow their rows through the next merge's grace
     * window.
     */
-  def deleteEntity(entityId: String, now: Timestamp = nowTs()): Unit =
-    journal.write(
+  def deleteEntity(entityId: String, now: Timestamp = nowTs()): Long = {
+    // staged once: the tombstone set feeds both the returned count (the
+    // API contract, reference entities_delete) and the journal write
+    val tomb = graft.functions.F.materialize(
       store.raw.unionByName(journal.staged())
         .filter(col("entity_id") === entityId && col("deleted_at").isNull)
         .dropDuplicates("id", "fragment", "origin")
         .withColumn("deleted_at", lit(now)))
+    val n = tomb.count()
+    if (n > 0) journal.write(tomb)
+    n
+  }
 
   /** Canonical live view (A1 at read time — correct even before merge). */
   def live: DataFrame =

@@ -251,6 +251,17 @@ object Rql {
           q = q.copy(propFilters = q.propFilters :+ P(k, op, vs))
       }
     }
+    applySiblings(q, orderBy, limit, offset)
+  }
+
+  /** Fold the sibling sort/slice fields into a Query — shared by [[parse]]
+    * and by API bodies that carry order/limit/offset WITHOUT an RQL filter
+    * string (reference QueryBody.to_query, api/dependencies.py:155-167).
+    * Multi-value `orderBy` follows the reference: the FIRST value's `-`
+    * prefix sets the direction for every column.
+    */
+  def applySiblings(q: Query, orderBy: Seq[String],
+      limit: Option[Int], offset: Int): Query = {
     val ordered =
       if (orderBy.isEmpty) q
       else {

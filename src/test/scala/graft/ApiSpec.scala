@@ -1,0 +1,119 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import graft.api.LakeHttpServer
+import graft.lake.Catalog
+
+/** S14: the HTTP surface end to end over a real lake — bulk-import
+  * through the journal route, flush, RQL query with paging, statement
+  * streaming, stats, delete, operations — mirroring the reference's API
+  * contract (api/routes/entities.py, journal.py, operations.py).
+  */
+class ApiSpec extends SparkSpec {
+
+  private lazy val root = Files.createTempDirectory("graft-api").toString
+  private lazy val server = new LakeHttpServer(spark, root)
+  private lazy val port = server.start()
+  private lazy val client = HttpClient.newHttpClient()
+
+  private def url(path: String) = URI.create(s"http://127.0.0.1:$port$path")
+  private def get(path: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(url(path)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+  private def post(path: String, body: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(url(path))
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+  private def delete(path: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(url(path)).DELETE().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("api lifecycle: bulk import, flush, query, stats, delete, operations") {
+    val cat = new Catalog(spark, root)
+    cat.ensureDataset("apitest", shards = 4)
+
+    // bulk JSONL into the journal; shard/id/bucket derived server-side
+    val rows = Seq(
+      """{"entity_id":"jane","schema":"Person","prop":"name","value":"Jane Doe","prop_type":"name","first_seen":"2024-01-01T00:00:00Z","last_seen":"2024-01-01T00:00:00Z"}""",
+      """{"entity_id":"jane","schema":"Person","prop":"nationality","value":"us","prop_type":"country","first_seen":"2024-01-01T00:00:00Z","last_seen":"2024-01-01T00:00:00Z"}""",
+      """{"entity_id":"john","schema":"Person","prop":"name","value":"John Doe","prop_type":"name","first_seen":"2024-01-01T00:00:00Z","last_seen":"2024-01-01T00:00:00Z"}""",
+      """{"entity_id":"acme","schema":"Company","prop":"name","value":"Acme Corp","prop_type":"name","first_seen":"2024-01-01T00:00:00Z","last_seen":"2024-01-01T00:00:00Z"}""")
+    val bulk = post("/apitest/_api/journal/bulk", rows.mkString("\n"))
+    assert(bulk.statusCode == 200 && bulk.body == "4", bulk.body)
+    assert(get("/apitest/_api/journal/count").body == "4")
+
+    // journal iterate streams the staged rows with recomputed shards
+    val staged = get("/apitest/_api/journal/iterate").body.trim.split("\n")
+    assert(staged.length == 4 && staged.forall(_.contains("\"shard\"")))
+
+    // entities flush drains journal → store; version advances
+    assert(post("/apitest/_api/entities/flush", "").body == "4")
+    assert(get("/apitest/_api/journal/count").body == "0")
+    // first commit is version 0 (clamped `v or 0` like the reference)
+    assert(get("/apitest/_api/entities/statements/version").body.toLong >= 0)
+
+    // RQL query: entity-grain prop filter returns assembled docs
+    val q = post("/apitest/_api/entities/query",
+      """{"query":"eq(name, \"Jane Doe\")"}""")
+    assert(q.statusCode == 200, q.body)
+    val lines = q.body.trim.split("\n")
+    assert(lines.length == 1 && lines(0).contains("\"id\":\"jane\"")
+      && lines(0).contains("\"nationality\":[\"us\"]"), q.body)
+
+    // ordered page: schema filter + order_by/limit sibling fields
+    val page = post("/apitest/_api/entities/query",
+      """{"query":"eq(schema, \"LegalEntity\")","order_by":["name"],"limit":2}""")
+    val ids = page.body.trim.split("\n").map(l =>
+      l.split("\"id\":\"")(1).takeWhile(_ != '"')).toSeq
+    assert(ids == Seq("acme", "jane"), ids)
+
+    // statements query carries fragment on the wire
+    val st = post("/apitest/_api/entities/statements/query",
+      """{"query":"eq(entity_id, \"jane\")"}""")
+    val stLines = st.body.trim.split("\n")
+    assert(stLines.length == 2 && stLines.forall(_.contains("\"fragment\"")), st.body)
+
+    // stats facets as JSON
+    val stats = get("/apitest/_api/entities/stats").body
+    assert(stats.contains("\"thing/Person\"") && stats.contains("\"countries\""), stats)
+
+    // unknown body keys 400 (extra=forbid twin); bad RQL 400; DoS cap 400
+    assert(post("/apitest/_api/entities/query", """{"nope":1}""").statusCode == 400)
+    assert(post("/apitest/_api/entities/query", """{"query":"eq(name"}""").statusCode == 400)
+    val hostile = "and(" + (1 to 50).map(i => s"eq(p$i, \"v\")").mkString(",") + ")"
+    assert(post("/apitest/_api/entities/query",
+      s"""{"query":"${hostile.replace("\"", "\\\"")}"}""").statusCode == 400)
+
+    // unknown dataset 404; invalid dataset name 400
+    assert(get("/nope/_api/journal/count").statusCode == 404)
+    assert(get("/NOPE!/_api/journal/count").statusCode == 400)
+
+    // delete tombstones every statement of the entity (through journal)
+    assert(delete("/apitest/_api/entities/jane").body == "2")
+    assert(post("/apitest/_api/entities/flush", "").body.toLong >= 2)
+    val after = post("/apitest/_api/entities/query", "{}").body
+    assert(!after.contains("\"id\":\"jane\""), after)
+
+    // operations: optimize then make build artifacts; unknown op 400
+    val opt = post("/apitest/_api/operations", """{"name":"OptimizeJob"}""")
+    assert(opt.statusCode == 200 && opt.body.contains("\"version\""), opt.body)
+    val mk = post("/apitest/_api/operations", """{"name":"MakeJob"}""")
+    assert(mk.statusCode == 200 && mk.body.contains("statements.csv"), mk.body)
+    assert(post("/apitest/_api/operations", """{"name":"NopeJob"}""").statusCode == 400)
+
+    // catalog index at the root lists the dataset
+    assert(get("/").body.contains("\"apitest\""))
+
+    // journal flush route: stage a row, stream it back, storage cleared
+    post("/apitest/_api/journal/bulk",
+      """{"entity_id":"tmp","schema":"Person","prop":"name","value":"Tmp"}""")
+    val jf = post("/apitest/_api/journal/flush", "")
+    assert(jf.body.trim.split("\n").length == 1 && jf.body.contains("\"tmp\""))
+    assert(get("/apitest/_api/journal/count").body == "0")
+
+    server.stop()
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, PrintStream}
+import java.nio.file.Files
+
+/** The CLI surface (reference cli/__init__.py + submodules) driven through
+  * `Main.run` with captured stdout/stdin: configure → import → iterate →
+  * sql → make → optimize → unlock over a real lake.
+  */
+class CliSpec extends SparkSpec {
+
+  private def cli(root: String, args: String*)(stdin: String = ""): String = {
+    val out = new ByteArrayOutputStream()
+    val oldIn = System.in
+    try {
+      System.setIn(new ByteArrayInputStream(stdin.getBytes("UTF-8")))
+      Console.withOut(new PrintStream(out, true, "UTF-8")) {
+        val (flags, pos) = graft.cli.Main.parseArgs(args.toList)
+        graft.cli.Main.run(spark, root, flags, pos)
+      }
+    } finally System.setIn(oldIn)
+    out.toString("UTF-8").trim
+  }
+
+  test("cli lifecycle: configure, import, iterate, sql, make, optimize, unlock") {
+    val root = Files.createTempDirectory("graft-cli").toString
+
+    assert(cli(root, "configure", "clitest")() == "configured clitest")
+    assert(cli(root, "ls")() == "clitest")
+    assert(cli(root, "datasets")().contains("\"dataset\":\"clitest\""))
+
+    // statements import: JSONL rows through the shared wire, flushed
+    val rows = Seq(
+      """{"entity_id":"e1","schema":"Person","prop":"name","value":"Ann","prop_type":"name"}""",
+      """{"entity_id":"e2","schema":"Person","prop":"name","value":"Bob","prop_type":"name"}""")
+    assert(cli(root, "statements", "import", "clitest")(rows.mkString("\n")) == "2")
+
+    // statements iterate: canonical live rows as NDJSON
+    val it = cli(root, "statements", "iterate", "clitest")().split("\n")
+    assert(it.length == 2 && it.forall(_.contains("\"schema\":\"Person\"")))
+
+    // statements sql over the registered live view
+    val sql = cli(root, "statements", "sql", "clitest",
+      "SELECT entity_id FROM statements ORDER BY entity_id")().split("\n")
+    assert(sql.toSeq == Seq("{\"entity_id\":\"e1\"}", "{\"entity_id\":\"e2\"}"))
+
+    // entities import (payload shape) + iterate round trip
+    val payload = """{"id":"acme","schema":"Company","properties":{"name":["Acme"]}}"""
+    assert(cli(root, "entities", "import", "clitest")(payload) == "1")
+    val ents = cli(root, "entities", "iterate", "clitest")()
+    assert(ents.contains("\"id\":\"acme\"") && ents.contains("\"id\":\"e1\""))
+
+    // make builds the artifact set; optimize reports the version
+    val out = Files.createTempDirectory("graft-cli-out").toString
+    val made = cli(root, "make", "clitest", "--out", out)()
+    assert(made.contains("statements.csv") && made.contains("entities.ftm.json"))
+    assert(new java.io.File(s"$out/statements.csv").exists())
+    assert(cli(root, "optimize", "clitest")().toLong >= 0)
+    assert(cli(root, "unlock", "clitest")() == "was not locked")
+  }
+}
