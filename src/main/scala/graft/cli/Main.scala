@@ -144,6 +144,29 @@ object Main {
         repo(ds).live.drop("canonical_id").createOrReplaceTempView("statements")
         spark.sql(query).toJSON.toLocalIterator.asScala.foreach(println)
 
+      case "crawl" :: ds :: Nil =>
+        // reference top-level `crawl` (cli/crawl.py): archive every file
+        // under --src into the dataset blob store and import the file /
+        // folder entities through the journal
+        val src = flags.getOrElse("src", fail("crawl needs --src DIR"))
+        val r = repo(ds)
+        val srcPath = new org.apache.hadoop.fs.Path(src)
+        val fs = srcPath.getFileSystem(spark.sessionState.newHadoopConf())
+        val include = flags.get("include") match {
+          case Some(glob) =>
+            val m = java.nio.file.FileSystems.getDefault
+              .getPathMatcher(s"glob:$glob")
+            (rel: String) => m.matches(java.nio.file.Paths.get(rel))
+          case None => (_: String) => true
+        }
+        val crawled = graft.ops.Documents.crawl(
+          fs, srcPath, archive(spark, cat, ds), include)
+        import spark.implicits._
+        r.addEntities(graft.ops.Documents.crawlPayloads(crawled).toDS(),
+          origin = flags.getOrElse("origin", "crawl"))
+        r.flush()
+        println(crawled.size)
+
       case "make" :: ds :: Nil =>
         val out = flags.getOrElse("out", cat.datasetPath(ds).toString + "/_exports")
         val built = repo(ds).make(out, force = flags.contains("force"))

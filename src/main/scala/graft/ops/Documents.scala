@@ -60,6 +60,40 @@ object Documents {
     out.toList
   }
 
+  /** Crawled files (+ their ancestor directories as Folder entities,
+    * chained by `parent`) as entity payloads for the statement import
+    * path — the `make_entities` half of the reference's crawl operation
+    * (cli/crawl.py:27-29 → operation/crawl.py): file props fileName /
+    * contentHash / mimeType / fileSize / parent, so [[documentsTable]]
+    * and J4 path resolution work on the result unchanged.
+    */
+  def crawlPayloads(crawled: Seq[CrawledFile]): Seq[Explode.EntityPayload] = {
+    val files = crawled.map { f =>
+      val base = Map(
+        "fileName" -> Seq(f.fileName),
+        "contentHash" -> Seq(f.checksum),
+        "mimeType" -> Seq(f.mimeType),
+        "fileSize" -> Seq(f.size.toString))
+      val withParent =
+        if (f.parentId.nonEmpty) base + ("parent" -> Seq(f.parentId)) else base
+      Explode.EntityPayload(f.id, f.schema, withParent)
+    }
+    val dirs = crawled.map(_.path.split('/').dropRight(1)).filter(_.nonEmpty)
+      .flatMap(parts => (1 to parts.length).map(i => parts.take(i).toSeq))
+      .distinct
+    val folders = dirs.map { parts =>
+      val rel = parts.mkString("/")
+      val base = Map("fileName" -> Seq(parts.last))
+      val withParent =
+        if (parts.length > 1)
+          base + ("parent" ->
+            Seq(folderId(parts(parts.length - 2), parts.dropRight(1).mkString("/"))))
+        else base
+      Explode.EntityPayload(folderId(parts.last, rel), "Folder", withParent)
+    }
+    files ++ folders
+  }
+
   /** F10-adjacent: extension → mimetype (content sniffing would slot in
     * here; the schema routing goes through FtmModel.schemaForMime).
     */

@@ -58,4 +58,46 @@ class CliSpec extends SparkSpec {
     assert(cli(root, "optimize", "clitest")().toLong >= 0)
     assert(cli(root, "unlock", "clitest")() == "was not locked")
   }
+
+  test("cli crawl: files archived, file/folder entities imported, paths resolve") {
+    val root = Files.createTempDirectory("graft-cli-crawl").toString
+    cli(root, "configure", "crawltest")()
+    val src = Files.createTempDirectory("graft-cli-src")
+    Files.createDirectories(src.resolve("inner/deep"))
+    Files.write(src.resolve("top.txt"), "top level".getBytes)
+    Files.write(src.resolve("inner/deep/leaf.pdf"), "%PDF-1.4 x".getBytes)
+
+    assert(cli(root, "crawl", "crawltest", "--src", src.toString)() == "2")
+
+    // blobs are in the dataset archive, listed via contentHash statements
+    val sums = cli(root, "archive", "ls", "crawltest")().split("\n")
+    assert(sums.length == 2)
+    assert(cli(root, "archive", "head", "crawltest", sums(0))().endsWith("exists"))
+    val topSum = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("top level".getBytes).map("%02x".format(_)).mkString
+    assert(new String(
+      cliBytes(root, "archive", "get", "crawltest", topSum)) == "top level")
+
+    // entities: 2 files + 2 folders (inner, inner/deep) with parent chain
+    val ents = cli(root, "entities", "iterate", "crawltest")().split("\n")
+    assert(ents.length == 4, ents.mkString("|"))
+    assert(ents.count(_.contains("\"schema\":\"Folder\"")) == 2)
+    // documents.csv resolves leaf.pdf's folder path through the chain
+    val out = Files.createTempDirectory("graft-cli-crawl-out").toString
+    cli(root, "make", "crawltest", "--out", out)()
+    val csv = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/documents.csv")))
+    assert(csv.contains("inner/deep"), csv)
+  }
+
+  private def cliBytes(root: String, args: String*): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val old = System.out
+    try {
+      System.setOut(new PrintStream(out, true, "UTF-8"))
+      val (flags, pos) = graft.cli.Main.parseArgs(args.toList)
+      graft.cli.Main.run(spark, root, flags, pos)
+    } finally System.setOut(old)
+    out.toByteArray
+  }
 }
