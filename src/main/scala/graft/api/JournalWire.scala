@@ -22,19 +22,28 @@ object JournalWire {
 
   private val mapper = new ObjectMapper()
 
+  /** Rows-per-journal-write chunk: a bulk post is parsed lazily and
+    * written in bounded batches, so an arbitrarily large JSONL body never
+    * holds more than one chunk of Statement objects in driver memory.
+    */
+  val ChunkRows = 100000
+
   def writeRows(spark: SparkSession, r: LakeRepository, ds: String,
-      lines: Seq[String]): Long = {
-    val clean = lines.map(_.trim).filter(_.nonEmpty)
-    if (clean.isEmpty) return 0L
-    val stmts = clean.map(parseRow(_, ds))
-    import spark.implicits._
-    val df = stmts.toDS().toDF()
-      .withColumn("shard", Hashing.shardOf(col("entity_id"), r.shards))
-      .withColumn("id", when(col("id") === "",
-        Hashing.statementKey(col("dataset"), col("entity_id"), col("prop"), col("value")))
-        .otherwise(col("id")))
-    r.journal.write(df)
-    clean.size.toLong
+      lines: IterableOnce[String]): Long = {
+    var n = 0L
+    lines.iterator.map(_.trim).filter(_.nonEmpty)
+      .grouped(ChunkRows).foreach { chunk =>
+        val stmts = chunk.map(parseRow(_, ds))
+        import spark.implicits._
+        val df = stmts.toDS().toDF()
+          .withColumn("shard", Hashing.shardOf(col("entity_id"), r.shards))
+          .withColumn("id", when(col("id") === "",
+            Hashing.statementKey(col("dataset"), col("entity_id"), col("prop"), col("value")))
+            .otherwise(col("id")))
+        r.journal.write(df)
+        n += chunk.size
+      }
+    n
   }
 
   private def parseRow(line: String, ds: String): Statement = {

@@ -139,11 +139,14 @@ class LakeHttpServer(spark: SparkSession, lakeRoot: String, port: Int = 0) {
       case ("POST", List("journal", "flush")) =>
         // reference journal/flush: stream every staged row, then delete
         // them WITHOUT writing to the store (the store-writing path is
-        // entities/flush) — the caller owns what it drained
+        // entities/flush) — the caller owns what it drained. Rows stream
+        // straight off the staged parquet (never buffered whole on the
+        // driver); the clear runs after the stream completes, so — like
+        // the reference's yield-then-delete loop — a client that
+        // disconnects mid-stream forfeits the rows it already consumed.
         val r = repo(ds)
-        val rows = stagedRows(ds).toList
+        ndjson(ex, stagedRows(ds))
         r.journal.clear()
-        ndjson(ex, rows.iterator)
       case ("GET", List("journal", "count")) =>
         plain(ex, 200, repo(ds).journal.count().toString)
       case ("DELETE", List("journal", "clear")) =>
@@ -231,9 +234,13 @@ class LakeHttpServer(spark: SparkSession, lakeRoot: String, port: Int = 0) {
     * the CLI's `statements import`).
     */
   private def journalBulk(ds: String, ex: HttpExchange): Long = {
-    val lines = new String(ex.getRequestBody.readAllBytes(), UTF_8)
-      .split("\n").toSeq
-    JournalWire.writeRows(spark, repo(ds), ds, lines)
+    // stream the body line by line — an arbitrarily large bulk post is
+    // parsed lazily and written in JournalWire.ChunkRows batches, never
+    // materialized whole in driver memory
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(ex.getRequestBody, UTF_8))
+    JournalWire.writeRows(spark, repo(ds), ds,
+      Iterator.continually(reader.readLine()).takeWhile(_ != null))
   }
 
   private def stagedRows(ds: String): Iterator[String] =

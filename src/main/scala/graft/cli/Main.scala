@@ -131,10 +131,10 @@ object Main {
           .toLocalIterator.asScala.foreach(println)
 
       case "statements" :: "import" :: ds :: Nil =>
+        // stdin streams through the chunked wire — bounded driver memory
         val r = repo(ds)
-        val rows = scala.io.Source.stdin.getLines()
-          .filter(_.trim.nonEmpty).toSeq
-        val n = graft.api.JournalWire.writeRows(spark, r, ds, rows)
+        val n = graft.api.JournalWire.writeRows(spark, r, ds,
+          scala.io.Source.stdin.getLines())
         r.flush()
         println(n)
 

@@ -125,6 +125,22 @@ class PropertySpec extends SparkSpec {
       val back = Rql.parse(wire)
       assert(back == q, s"round-trip broke\n  q:    $q\n  wire: $wire\n  back: $back")
     }
+    // sibling sort/slice fields ride OUTSIDE the wire string: parse with
+    // them must equal applySiblings over the round-tripped filter tree
+    // (first value's '-' prefix sets the direction for every column)
+    val genSiblings = for {
+      q <- genQuery
+      nOrd <- Gen.choose(0, 3)
+      cols <- Gen.listOfN(nOrd, Gen.alphaLowerStr.map(_.take(5)).suchThat(_.nonEmpty))
+      desc <- Gen.oneOf(true, false)
+      limit <- Gen.option(Gen.choose(1, 500))
+      offset <- Gen.choose(0, 50)
+    } yield (q, cols.map(c => if (desc) s"-$c" else c), limit, offset)
+    samples(genSiblings, 300).foreach { case (q, orderBy, limit, offset) =>
+      val back = Rql.parse(Rql.render(q), orderBy, limit, offset)
+      val want = Rql.applySiblings(q, orderBy, limit, offset)
+      assert(back == want, s"siblings broke: $orderBy $limit $offset\n  $back\n  $want")
+    }
   }
 
   test("stripNamespace column twin agrees with the scala function") {
