@@ -37,10 +37,26 @@ object GraphOps {
     EntityGraph.pageRank(EntityGraph.customerSupplierEdges(spark, dir), iters = 3)
       .orderBy(col("node"))
 
+  /** gr4: connected components — min-label propagation to fixpoint over
+    * the undirected graph, reusing the dedupe clusterer (same algorithm,
+    * same scale shape: one join + one map-side-combinable min per round,
+    * label state re-staged, no driver graph). The oracle replays exactly
+    * `maxRounds` chained rounds: labels are STABLE once converged, so the
+    * early-exiting Spark loop and the always-16-round SQL agree bit for
+    * bit whether convergence lands at round 3 or never.
+    */
+  def gr4Components(spark: SparkSession, dir: String): DataFrame =
+    graft.dedupe.Dedupe.dupClusters(
+      EntityGraph.customerSupplierEdges(spark, dir)
+        .select(col("src").as("id_a"), col("dst").as("id_b")))
+      .select(col("doc_id").as("node"), col("cluster_id").as("component"))
+      .orderBy(col("node"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gr1_degree" -> (gr1Degree _),
     "gr2_expand" -> (gr2Expand _),
-    "gr3_pagerank" -> (gr3Pagerank _))
+    "gr3_pagerank" -> (gr3Pagerank _),
+    "gr4_components" -> (gr4Components _))
 
   private val edgesCte =
     """e AS (SELECT DISTINCT 'c'||o_custkey AS src, 's'||l_suppkey AS dst
@@ -85,5 +101,19 @@ object GraphOps {
          |r3 AS (SELECT deg.node,
          |  CAST(150000000 + (85 * COALESCE(c3.s, 0)) // 100 AS BIGINT) AS rank
          |  FROM deg LEFT JOIN c3 ON deg.node = c3.node)
-         |SELECT node, rank FROM r3 ORDER BY node""".stripMargin)
+         |SELECT node, rank FROM r3 ORDER BY node""".stripMargin,
+    "gr4_components" -> {
+      // Dedupe.dupClusters runs at most 16 rounds (round 1 fused into
+      // init) — generate the same 16 rounds as chained CTEs
+      val rounds = (1 to 15).map { i =>
+        s"""l$i AS (SELECT s.src AS node, MIN(l.lbl) AS lbl
+           |  FROM star s JOIN l${i - 1} l ON l.node = s.dst GROUP BY s.src)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $edgesCte,
+         |star AS (SELECT src, dst FROM und
+         |  UNION ALL SELECT DISTINCT src, src FROM und),
+         |l0 AS (SELECT src AS node, MIN(dst) AS lbl FROM star GROUP BY src),
+         |$rounds
+         |SELECT node, lbl AS component FROM l15 ORDER BY node""".stripMargin
+    })
 }
