@@ -40,6 +40,9 @@ import graft.query.{FtmQuery, Rql}
   *   GET    /{ds}/_api/journal/count                 staged count text
   *   DELETE /{ds}/_api/journal/clear                 cleared count text
   *   POST   /{ds}/_api/operations?force=             {"name": <job>} JSON
+  *   PUT    /{ds}/_api/archive                       blob in, checksum out
+  *   GET    /{ds}/_api/archive/{checksum}            blob bytes
+  *   HEAD   /{ds}/_api/archive/{checksum}            200/404
   * }}}
   *
   * Query bodies follow the reference's QueryBody contract
@@ -78,6 +81,18 @@ class LakeHttpServer(spark: SparkSession, lakeRoot: String, port: Int = 0) {
       p.getFileSystem(spark.sessionState.newHadoopConf()), p)
       .map(_.shards).getOrElse(16)
     new LakeRepository(spark, p.toString, ds, shards)
+  }
+
+  /** Per-dataset blob root `<dataset>/archive` (same convention as the
+    * CLI archive group).
+    */
+  private def datasetArchive(ds: String): graft.lake.Archive = {
+    Catalog.validateName(ds)
+    if (!catalog.datasetExists(ds))
+      throw new NoSuchElementException(s"no such dataset: $ds")
+    val p = new org.apache.hadoop.fs.Path(catalog.datasetPath(ds), "archive")
+    new graft.lake.Archive(
+      p.getFileSystem(spark.sessionState.newHadoopConf()), p)
   }
 
   private val router = new HttpHandler {
@@ -153,6 +168,20 @@ class LakeHttpServer(spark: SparkSession, lakeRoot: String, port: Int = 0) {
         plain(ex, 200, repo(ds).journal.clear().toString)
       case ("POST", List("operations")) =>
         operations(ex, ds)
+      // blob store over HTTP (the reference mounts its blob API on the
+      // same app, main.py:66-76): PUT body → checksum; GET/HEAD by
+      // checksum. Content-addressed, so PUT is idempotent.
+      case ("PUT", List("archive")) =>
+        val bytes = ex.getRequestBody.readAllBytes()
+        plain(ex, 200, datasetArchive(ds).put(bytes))
+      case ("GET", List("archive", checksum)) =>
+        datasetArchive(ds).get(checksum) match {
+          case Some(bytes) => respond(ex, 200, "application/octet-stream", bytes)
+          case None => plain(ex, 404, s"no blob for $checksum")
+        }
+      case ("HEAD", List("archive", checksum)) =>
+        ex.sendResponseHeaders(
+          if (datasetArchive(ds).exists(checksum)) 200 else 404, -1)
       case _ => plain(ex, 404, s"not found: $ds/_api/${rest.mkString("/")}")
     }
 

@@ -107,6 +107,19 @@ class ApiSpec extends SparkSpec {
     // catalog index at the root lists the dataset
     assert(get("/").body.contains("\"apitest\""))
 
+    // archive blob routes: PUT is idempotent content-addressing; GET
+    // round-trips bytes; HEAD answers existence
+    val putReq = HttpRequest.newBuilder(url("/apitest/_api/archive"))
+      .PUT(HttpRequest.BodyPublishers.ofString("blob bytes here")).build()
+    val sum = client.send(putReq, HttpResponse.BodyHandlers.ofString()).body
+    assert(sum.matches("[0-9a-f]{64}"), sum)
+    assert(client.send(putReq, HttpResponse.BodyHandlers.ofString()).body == sum)
+    assert(get(s"/apitest/_api/archive/$sum").body == "blob bytes here")
+    assert(get("/apitest/_api/archive/" + "0" * 64).statusCode == 404)
+    val headReq = HttpRequest.newBuilder(url(s"/apitest/_api/archive/$sum"))
+      .method("HEAD", HttpRequest.BodyPublishers.noBody()).build()
+    assert(client.send(headReq, HttpResponse.BodyHandlers.ofString()).statusCode == 200)
+
     // journal flush route: stage a row, stream it back, storage cleared
     post("/apitest/_api/journal/bulk",
       """{"entity_id":"tmp","schema":"Person","prop":"name","value":"Tmp"}""")
