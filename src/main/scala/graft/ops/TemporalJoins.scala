@@ -64,6 +64,44 @@ object TemporalJoins {
         carry.map(c => col(s"__m.$c").as(s"$prefix$c"))): _*)
   }
 
+  /** Forward as-of join: the EARLIEST right row with `right.t >= left.t`
+    * per key — the mirror of [[asofBackward]] (window frame flipped to
+    * [current, unbounded following] with `first(ignoreNulls)`; at equal
+    * timestamps the right row sorts after the left row, so a right row
+    * AT the left row's timestamp still matches). Same N+M single-shuffle
+    * scale shape.
+    */
+  def asofForward(left: DataFrame, right: DataFrame, key: String,
+      t: String, carry: Seq[String], prefix: String = "r_",
+      toleranceMs: Option[Long] = None): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val carryStruct = struct(col(t).as("__rt") +: carry.map(col): _*)
+    val rightU = right.select(
+      leftCols.map {
+        case c if c == key || c == t => col(c)
+        case c => lit(null).cast(left.schema(c).dataType).as(c)
+      } :+ carryStruct.as("__carry") :+ lit(2).as("__side"): _*)
+    val carryType = rightU.schema("__carry").dataType
+    val leftU = left.select(
+      leftCols.map(col) :+ lit(null).cast(carryType).as("__carry") :+
+        lit(1).as("__side"): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(t).asc, col("__side").asc, col("__carry").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val matched = rightU.unionByName(leftU)
+      .withColumn("__asof", first(col("__carry"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    val inTol: Column = toleranceMs match {
+      case Some(ms) => col("__asof").isNotNull &&
+        unix_millis(col("__asof.__rt")) - unix_millis(col(t)) <= ms
+      case None => col("__asof").isNotNull
+    }
+    val gated = matched.withColumn("__m", when(inTol, col("__asof")))
+    gated.select(leftCols.map(col) ++
+      (col("__m.__rt").as(s"$prefix$t") +:
+        carry.map(c => col(s"__m.$c").as(s"$prefix$c"))): _*)
+  }
+
   /** Containment range join on pre-binned long axes (caller converts
     * timestamps to epoch millis): every `points` row joins every
     * `intervals` row with `startCol <= point <= endCol`. `binWidth`

@@ -217,6 +217,26 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  // AJ2: forward as-of join (clicks → EARLIEST at-or-after error per
+  // user) — the mirror of aj1, against DuckDB's native forward ASOF.
+  def aj2AsofForward(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("event_id").as("err_id"),
+        col("value").as("err_value"))
+    graft.ops.TemporalJoins.asofForward(
+        clicks, errors, "user_id", "ts", Seq("err_id", "err_value"))
+      .select(col("event_id"), col("user_id"),
+        graft.functions.F.epochMs(col("ts")).as("ts_ms"),
+        col("r_err_id").as("err_id"),
+        graft.functions.F.epochMs(col("r_ts")).as("err_ms"),
+        col("r_err_value").as("err_value"))
+      .withColumn("gap_ms", col("err_ms") - col("ts_ms"))
+      .orderBy(col("event_id"))
+  }
+
   // RJ1: containment range join (shipments falling inside the 30-day
   // windows of the 20 largest orders) via bin bucketing — an equi-key
   // hash join on the bin instead of the BroadcastNestedLoopJoin a raw
@@ -253,9 +273,34 @@ object Relational {
       .withColumnRenamed("O", "o_qty")
       .orderBy(col("l_returnflag"))
 
+  // PROF1: per-column table profile — null count, distinct count, min,
+  // max for every column in ONE aggregation pass (the multi-distinct
+  // expands map-side; the scan still runs once), then a stack unpivot to
+  // the (column, stats) grain. The profiling staple every lakehouse
+  // debugging session starts with; scales as a single scan regardless of
+  // column count.
+  def prof1TableProfile(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val df = Tables(spark, dir, "documents")
+    val aggs = cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
+      countDistinct(col(c)).as(s"__nd_$c"),
+      min(col(c)).cast("string").as(s"__mn_$c"),
+      max(col(c)).cast("string").as(s"__mx_$c"))) :+ count(lit(1)).as("__n")
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', __nn_$c, __nd_$c, __mn_$c, __mx_$c").mkString(", ")
+    row.selectExpr(
+      s"stack(${cols.size}, $stackArgs) AS (col_name, n_nulls, n_distinct, min_value, max_value)",
+      "__n AS n_rows")
+      .orderBy(col("col_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "prof1_table_profile" -> (prof1TableProfile _),
     "q5_pivot" -> (q5Pivot _),
     "aj1_asof_join" -> (aj1AsofJoin _),
+    "aj2_asof_forward" -> (aj2AsofForward _),
     "rj1_range_join" -> (rj1RangeJoin _),
     "q1_agg" -> (q1Agg _),
     "q2_star_join" -> (q2StarJoin _),
@@ -272,6 +317,22 @@ object Relational {
     "o4_global_topk" -> (o4GlobalTopk _))
 
   val oracle: Map[String, String] = Map(
+    "prof1_table_profile" -> {
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      val stats = cols.zipWithIndex.map { case (c, i) =>
+        s"""CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn$i,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS nd$i,
+           |  CAST(MIN($c) AS VARCHAR) AS mn$i, CAST(MAX($c) AS VARCHAR) AS mx$i""".stripMargin
+      }.mkString(",\n  ")
+      val rows = cols.zipWithIndex.map { case (c, i) =>
+        s"SELECT '$c' AS col_name, nn$i AS n_nulls, nd$i AS n_distinct, mn$i AS min_value, mx$i AS max_value, n AS n_rows FROM s"
+      }.mkString("\nUNION ALL ")
+      s"""WITH s AS (SELECT COUNT(*) AS n,
+         |  $stats
+         |FROM documents)
+         |$rows
+         |ORDER BY col_name""".stripMargin
+    },
     "q5_pivot" ->
       """SELECT l_returnflag,
         |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS f_qty,
@@ -285,6 +346,15 @@ object Relational {
         |FROM (SELECT * FROM events WHERE event_type = 'click') c
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
         |  ON c.user_id = e.user_id AND c.ts >= e.ts
+        |ORDER BY c.event_id""".stripMargin,
+    "aj2_asof_forward" ->
+      """SELECT c.event_id, c.user_id, epoch_ms(c.ts) AS ts_ms,
+        |  e.event_id AS err_id, epoch_ms(e.ts) AS err_ms,
+        |  e.value AS err_value,
+        |  epoch_ms(e.ts) - epoch_ms(c.ts) AS gap_ms
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        |  ON c.user_id = e.user_id AND c.ts <= e.ts
         |ORDER BY c.event_id""".stripMargin,
     "rj1_range_join" ->
       """WITH t AS (

@@ -41,6 +41,36 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("asofForward: at-or-after match per key, tolerance, no-match nulls, no join node") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:05")),  // next right is 00:10
+      (2L, 10L, ts("2024-01-01 00:00:10")),  // exactly AT a right row
+      (3L, 10L, ts("2024-01-01 00:00:11")),  // after every right row
+      (4L, 30L, ts("2024-01-01 00:00:30")))  // key with no right rows
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, 10L, ts("2024-01-01 00:00:03"), 1.5),
+      (101L, 10L, ts("2024-01-01 00:00:10"), 2.5))
+      .toDF("rid", "user_id", "ts", "rv")
+    val out = TemporalJoins.asofForward(
+        left, right, "user_id", "ts", Seq("rid", "rv"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(4)), Option(r.get(5))))).toMap
+    assert(out(1L) == ((Some(101L), Some(2.5)))) // earliest at-or-after 00:05
+    assert(out(2L) == ((Some(101L), Some(2.5)))) // equal timestamp matches
+    assert(out(3L) == ((None, None)))            // nothing after
+    assert(out(4L) == ((None, None)))            // key absent on right
+    // tolerance: 00:10 is 5s after the 00:05 click; a 1s cap nulls it
+    val tol = TemporalJoins.asofForward(
+        left, right, "user_id", "ts", Seq("rid"), toleranceMs = Some(1000L))
+      .collect().map(r => r.getLong(0) -> Option(r.get(4))).toMap
+    assert(tol(1L).isEmpty && tol(2L) == Some(101L))
+    val plan = TemporalJoins.asofForward(left, right, "user_id", "ts", Seq("rid"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("asofBackward agrees with the naive join+argmax reference on randomized data") {
     import spark.implicits._
     val rnd = new scala.util.Random(20260813L)
