@@ -296,7 +296,22 @@ object Relational {
       .orderBy(col("col_name"))
   }
 
+  // TS1: per-user hourly event series regularized onto the hour grid —
+  // gap hours get n_events = 0 and carry the last observed hourly sum
+  // forward (LOCF). The resample primitive every metrics pipeline needs.
+  def ts1Gapfill(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("user_id"),
+        graft.functions.F.epochMs(date_trunc("hour", col("ts"))).as("hour_ms"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+    graft.ops.TimeSeries.gapFill(hourly, "user_id", "hour_ms",
+        stepMs = 3600000L, fillZero = Seq("n_events"),
+        carryForward = Seq("sum_value"))
+      .orderBy(col("user_id"), col("hour_ms"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts1_gapfill" -> (ts1Gapfill _),
     "prof1_table_profile" -> (prof1TableProfile _),
     "q5_pivot" -> (q5Pivot _),
     "aj1_asof_join" -> (aj1AsofJoin _),
@@ -317,6 +332,24 @@ object Relational {
     "o4_global_topk" -> (o4GlobalTopk _))
 
   val oracle: Map[String, String] = Map(
+    "ts1_gapfill" ->
+      """WITH hourly AS (
+        |  SELECT user_id, epoch_ms(date_trunc('hour', ts)) AS hour_ms,
+        |    COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s
+        |  FROM events GROUP BY 1, 2),
+        |spans AS (SELECT user_id, MIN(hour_ms) AS mn, MAX(hour_ms) AS mx
+        |  FROM hourly GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(generate_series(mn, mx, 3600000)) AS hour_ms
+        |  FROM spans),
+        |j AS (SELECT g.user_id, g.hour_ms, h.n, h.s
+        |  FROM grid g LEFT JOIN hourly h
+        |    ON g.user_id = h.user_id AND g.hour_ms = h.hour_ms)
+        |SELECT user_id, hour_ms,
+        |  COALESCE(n, 0) AS n_events,
+        |  LAST_VALUE(s IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hour_ms
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_value,
+        |  n IS NULL AS filled
+        |FROM j ORDER BY user_id, hour_ms""".stripMargin,
     "prof1_table_profile" -> {
       val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
       val stats = cols.zipWithIndex.map { case (c, i) =>

@@ -71,6 +71,25 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("gapFill: grid completion, zero-fill, LOCF carry, single-bucket key") {
+    import spark.implicits._
+    val hourly = Seq(
+      (1L, 0L, 2L, 5.0),      // key 1: buckets 0 and 3000 observed, 1000/2000 gaps
+      (1L, 3000L, 1L, 7.0),
+      (2L, 5000L, 4L, 9.0))   // key 2: single bucket -> no gaps
+      .toDF("k", "b", "n", "s")
+    val out = graft.ops.TimeSeries.gapFill(hourly, "k", "b", stepMs = 1000L,
+        fillZero = Seq("n"), carryForward = Seq("s"))
+      .orderBy("k", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 2L, 5.0, false),
+      (1L, 1000L, 0L, 5.0, true),   // gap: zero count, carried sum
+      (1L, 2000L, 0L, 5.0, true),
+      (1L, 3000L, 1L, 7.0, false),
+      (2L, 5000L, 4L, 9.0, false)))
+  }
+
   test("asofBackward agrees with the naive join+argmax reference on randomized data") {
     import spark.implicits._
     val rnd = new scala.util.Random(20260813L)
