@@ -310,7 +310,59 @@ object Relational {
       .orderBy(col("user_id"), col("hour_ms"))
   }
 
+  // FN1: ordered funnel (view → click → purchase per user, each stage's
+  // timestamp the MIN at-or-after the previous stage). No per-user event
+  // buffering (a bot user with 10^8 events would OOM a collect_list
+  // fold): three chained min-aggregations with equi-joins on user_id —
+  // every step map-side-partial, every join AQE-broadcastable.
+  def fn1Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def stage(evType: String, after: Option[DataFrame], afterCol: String,
+        out: String): DataFrame = {
+      val base = ev.filter(col("event_type") === evType)
+        .select(col("user_id"), col("ts"))
+      val scoped = after match {
+        case Some(prev) => base.join(prev, Seq("user_id"))
+          .filter(col("ts") >= col(afterCol))
+        case None => base
+      }
+      scoped.groupBy(col("user_id"))
+        .agg(graft.functions.F.epochMs(min(col("ts"))).as(out))
+    }
+    val v = stage("view", None, "", "view_ms")
+    val c = stage("click", Some(v.withColumn("t",
+      expr("timestamp_millis(view_ms)"))), "t", "click_ms")
+    val p = stage("purchase", Some(c.withColumn("t",
+      expr("timestamp_millis(click_ms)"))), "t", "purchase_ms")
+    ev.select(col("user_id")).distinct()
+      .join(v, Seq("user_id"), "left_outer")
+      .join(c, Seq("user_id"), "left_outer")
+      .join(p, Seq("user_id"), "left_outer")
+      .withColumn("stage",
+        when(col("purchase_ms").isNotNull, 3)
+          .when(col("click_ms").isNotNull, 2)
+          .when(col("view_ms").isNotNull, 1).otherwise(0))
+      .orderBy(col("user_id"))
+  }
+
+  // COH1: weekly retention cohorts — users grouped by first-active ISO
+  // week, activity counted per week offset. Two map-side-partial
+  // aggregations + one equi-join; the classic cohort triangle.
+  def coh1Retention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val weekly = ev.select(col("user_id"),
+      graft.functions.F.epochMs(date_trunc("week", col("ts"))).as("w")).distinct()
+    val cohorts = weekly.groupBy(col("user_id")).agg(min(col("w")).as("cohort_ms"))
+    weekly.join(cohorts, Seq("user_id"))
+      .withColumn("week_n", ((col("w") - col("cohort_ms")) / 604800000L).cast("long"))
+      .groupBy(col("cohort_ms"), col("week_n"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_ms"), col("week_n"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn1_funnel" -> (fn1Funnel _),
+    "coh1_retention" -> (coh1Retention _),
     "ts1_gapfill" -> (ts1Gapfill _),
     "prof1_table_profile" -> (prof1TableProfile _),
     "q5_pivot" -> (q5Pivot _),
@@ -332,6 +384,38 @@ object Relational {
     "o4_global_topk" -> (o4GlobalTopk _))
 
   val oracle: Map[String, String] = Map(
+    "fn1_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, epoch_ms(MIN(ts)) AS view_ms
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, epoch_ms(MIN(e.ts)) AS click_ms
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND epoch_ms(e.ts) >= v.view_ms
+        |  GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, epoch_ms(MIN(e.ts)) AS purchase_ms
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) >= c.click_ms
+        |  GROUP BY 1),
+        |u AS (SELECT DISTINCT user_id FROM events)
+        |SELECT u.user_id, v.view_ms, c.click_ms, p.purchase_ms,
+        |  CASE WHEN p.purchase_ms IS NOT NULL THEN 3
+        |       WHEN c.click_ms IS NOT NULL THEN 2
+        |       WHEN v.view_ms IS NOT NULL THEN 1 ELSE 0 END AS stage
+        |FROM u LEFT JOIN v ON u.user_id = v.user_id
+        |       LEFT JOIN c ON u.user_id = c.user_id
+        |       LEFT JOIN p ON u.user_id = p.user_id
+        |ORDER BY u.user_id""".stripMargin,
+    "coh1_retention" ->
+      """WITH weekly AS (
+        |  SELECT DISTINCT user_id, epoch_ms(date_trunc('week', ts)) AS w
+        |  FROM events),
+        |cohorts AS (SELECT user_id, MIN(w) AS cohort_ms FROM weekly GROUP BY 1)
+        |SELECT c.cohort_ms, CAST((w.w - c.cohort_ms) / 604800000 AS BIGINT) AS week_n,
+        |  COUNT(DISTINCT w.user_id) AS n_users
+        |FROM weekly w JOIN cohorts c ON w.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "ts1_gapfill" ->
       """WITH hourly AS (
         |  SELECT user_id, epoch_ms(date_trunc('hour', ts)) AS hour_ms,
