@@ -156,9 +156,11 @@ class LakeHttpServer(spark: SparkSession, lakeRoot: String, port: Int = 0) {
         // them WITHOUT writing to the store (the store-writing path is
         // entities/flush) — the caller owns what it drained. Rows stream
         // straight off the staged parquet (never buffered whole on the
-        // driver); the clear runs after the stream completes, so — like
-        // the reference's yield-then-delete loop — a client that
-        // disconnects mid-stream forfeits the rows it already consumed.
+        // driver). Delivery is at-least-once: the clear runs only after
+        // the stream COMPLETES, so a mid-stream disconnect aborts before
+        // the delete and the retry re-reads everything — rows can be
+        // re-delivered but never lost (strictly safer than a
+        // yield-as-you-delete loop, which loses undelivered rows).
         val r = repo(ds)
         ndjson(ex, stagedRows(ds))
         r.journal.clear()
