@@ -766,6 +766,38 @@ object TrainingData {
   /** BM25 top-20 for a fixed 3-term query (rational-idf parity variant;
     * see [[graft.text.Search]]).
     */
+  /** HYB1: hybrid retrieval — BM25 text arm fused with a cosine vector
+    * arm by reciprocal-rank fusion (RRF, c=60; Cormack et al. 2009).
+    * Scale shape: each arm is a bounded top-k FIRST (TakeOrderedAndProject
+    * / per-query window), so the rank windows and the full-outer fusion
+    * join run over ≤k rows by construction — the corpus is scanned once
+    * per arm and never joined against itself. The rrf score is a single
+    * fixed-order IEEE expression, bit-replayable in SQL.
+    */
+  def hyb1RrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 50
+    val textTop = graft.text.Search.bm25TopK(docs(spark, dir), "doc_id", "text",
+        Seq("spark", "vector", "customer"), k)
+      .select(col("doc_id"), col("score"))
+    // single-partition window is sanctioned here: input is the k-row
+    // top-k result, bounded by construction
+    val wT = Window.orderBy(col("score").desc, col("doc_id"))
+    val textRank = textTop
+      .withColumn("t_rank", row_number().over(wT).cast("long"))
+      .select(col("doc_id"), col("t_rank"))
+    val e = emb(spark, dir)
+    val vecRank = Similarity.bruteForceTopK(
+        e, "vec_id", e.filter(col("vec_id") === 0), k)
+      .select(col("neighbor_id").as("doc_id"), col("rank").cast("long").as("v_rank"))
+    textRank.join(vecRank, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60.0) + col("t_rank").cast("double")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("v_rank").cast("double")), lit(0.0)))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(20)
+  }
+
   def srch1Bm25(spark: SparkSession, dir: String): DataFrame =
     graft.text.Search.bm25TopK(docs(spark, dir), "doc_id", "text",
       Seq("spark", "vector", "customer"), k = 20)
@@ -804,6 +836,7 @@ object TrainingData {
     "d11_substring_dup" -> (d11SubstringDup _),
     "ovl1_source_overlap" -> (ovl1SourceOverlap _),
     "srch1_bm25" -> (srch1Bm25 _),
+    "hyb1_rrf_fusion" -> (hyb1RrfFusion _),
     "qc1_linear_quality" -> (qc1LinearQuality _),
     "kw1_tfidf_terms" -> (kw1TfidfTerms _),
     "idx1_postings" -> (idx1Postings _),
@@ -1044,6 +1077,43 @@ object TrainingData {
         |  CAST(n_common AS DOUBLE)/CAST(za.n + zb.n - n_common AS DOUBLE) AS jaccard
         |FROM inter JOIN sz za ON sa = za.source JOIN sz zb ON sb = zb.source
         |ORDER BY src_a, src_b""".stripMargin,
+    "hyb1_rrf_fusion" ->
+      s"""WITH $qCte,
+         |d AS (SELECT doc_id, len(ws) AS dl,
+         |    len(list_filter(ws, w -> w = 'spark')) AS tf1,
+         |    len(list_filter(ws, w -> w = 'vector')) AS tf2,
+         |    len(list_filter(ws, w -> w = 'customer')) AS tf3
+         |  FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents)),
+         |st AS (SELECT COUNT(*) AS n, SUM(dl) AS l,
+         |    SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         |    SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+         |    SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3 FROM d),
+         |s AS (SELECT doc_id, dl, tf1, tf2, tf3,
+         |    CAST(l AS DOUBLE) / CAST(n AS DOUBLE) AS avgdl,
+         |    (CAST(n - df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5) AS idf1,
+         |    (CAST(n - df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5) AS idf2,
+         |    (CAST(n - df3 AS DOUBLE) + 0.5) / (CAST(df3 AS DOUBLE) + 0.5) AS idf3
+         |  FROM d, st),
+         |tscore AS (SELECT doc_id,
+         |    (idf1 * ((CAST(tf1 AS DOUBLE) * 2.2) / (CAST(tf1 AS DOUBLE) + (1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE)) / avgdl)))))
+         |  + (idf2 * ((CAST(tf2 AS DOUBLE) * 2.2) / (CAST(tf2 AS DOUBLE) + (1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE)) / avgdl)))))
+         |  + (idf3 * ((CAST(tf3 AS DOUBLE) * 2.2) / (CAST(tf3 AS DOUBLE) + (1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE)) / avgdl))))) AS score
+         |  FROM s),
+         |ttop AS (SELECT doc_id, score FROM tscore ORDER BY score DESC, doc_id LIMIT 50),
+         |trank AS (SELECT doc_id,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS t_rank
+         |  FROM ttop),
+         |vrank AS (SELECT doc_id, v_rank FROM (
+         |  SELECT b.vec_id AS doc_id,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY $simExpr DESC, b.vec_id) AS BIGINT) AS v_rank
+         |  FROM p a JOIN p b ON a.vec_id = 0 AND b.vec_id <> 0)
+         |  WHERE v_rank <= 50),
+         |f AS (SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id, t.t_rank, v.v_rank
+         |  FROM trank t FULL OUTER JOIN vrank v ON t.doc_id = v.doc_id)
+         |SELECT doc_id, t_rank, v_rank,
+         |  COALESCE(1.0 / (60.0 + CAST(t_rank AS DOUBLE)), CAST(0.0 AS DOUBLE))
+         |    + COALESCE(1.0 / (60.0 + CAST(v_rank AS DOUBLE)), CAST(0.0 AS DOUBLE)) AS rrf
+         |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
     "srch1_bm25" ->
       """WITH d AS (SELECT doc_id, len(ws) AS dl,
         |    len(list_filter(ws, w -> w = 'spark')) AS tf1,

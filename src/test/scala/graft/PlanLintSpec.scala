@@ -32,7 +32,8 @@ class PlanLintSpec extends SparkSpec {
     "d9_semantic_dedup" -> "nlist-bounded centroid table broadcast",
     "sim8_ivf_pq" -> "nlist-bounded centroids + bounded probe set broadcast",
     "sim9_ivf_trained" -> "nlist-bounded trained-centroid table + bounded probe set broadcast",
-    "srch2_entity_search" -> "single-row corpus-stats broadcast onto the scoring scan")
+    "srch2_entity_search" -> "single-row corpus-stats broadcast onto the scoring scan",
+    "hyb1_rrf_fusion" -> "single query vector + single-row corpus-stats broadcasts; fusion join is k-row bounded")
 
   test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only where justified") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
