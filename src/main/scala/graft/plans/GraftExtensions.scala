@@ -87,6 +87,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[GraftExtensions].getName, "graft_changed_since"),
       (args: Seq[Expression]) => GraftExtensions.changedSincePlan(args)))
     ext.injectOptimizerRule(_ => RewriteZeroOffsetLead)
+    // name-based SQL over the lake catalog: `SELECT ... FROM
+    // graft.<dataset>` resolves to the dataset's LIVE view (the read
+    // surface), rooted at spark.graft.lake.root — the resolution-rule
+    // twin of a DSv2 TableCatalog, expanding straight to the
+    // manifest-scoped parquet plan so pushdown/pruning stay intact
+    ext.injectResolutionRule(s => ResolveGraftRelations(s))
+  }
+}
+
+/** Resolves `graft.<dataset>` relations against the catalog at
+  * `spark.graft.lake.root`. Only the two-part `graft.x` namespace is
+  * claimed; every other unresolved relation passes through untouched.
+  */
+case class ResolveGraftRelations(spark: org.apache.spark.sql.SparkSession)
+    extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    case u: UnresolvedRelation
+        if u.multipartIdentifier.length == 2 &&
+          u.multipartIdentifier.head.equalsIgnoreCase("graft") =>
+      val root = spark.conf.getOption("spark.graft.lake.root").getOrElse(
+        throw new IllegalArgumentException(
+          "set spark.graft.lake.root to resolve graft.<dataset> relations"))
+      val cat = new graft.lake.Catalog(spark, root)
+      // Catalog.store validates the dataset exists and reads its shard
+      // config; .live is the canonical read view (A1 + tombstone filter)
+      cat.store(u.multipartIdentifier(1)).live.queryExecution.analyzed
   }
 }
 

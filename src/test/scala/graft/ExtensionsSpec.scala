@@ -76,6 +76,47 @@ class ExtensionsSpec extends SparkSpec {
     assert(changed.count() == 2L) // the o2 commit's rows only
   }
 
+  test("graft.<dataset> relations resolve to the catalog's live view") {
+    import java.nio.file.Files
+    import java.sql.Timestamp
+    import spark.implicits._
+    import graft.model.Statement
+    val root = Files.createTempDirectory("graft-sqlcat").toString
+    val cat = new graft.lake.Catalog(spark, root)
+    cat.ensureDataset("alpha", shards = 4)
+    val rows = (0 until 4).map { i =>
+      Statement(shard = "0", id = s"id$i", entity_id = s"e$i", dataset = "alpha",
+        bucket = "thing", origin = "o1", source = None, schema = "Person",
+        prop = "name", prop_type = "string", value = s"v$i", original_value = None,
+        lang = None, external = false,
+        first_seen = Timestamp.valueOf("2024-01-01 00:00:00"),
+        last_seen = Timestamp.valueOf("2024-01-02 00:00:00"), fragment = "",
+        deleted_at = if (i == 0) Some(Timestamp.valueOf("2024-01-03 00:00:00")) else None)
+    }.toDS().toDF()
+    cat.store("alpha").append(rows)
+    spark.conf.set("spark.graft.lake.root", root)
+    try {
+      // live view through the name: tombstoned e0 is filtered
+      assert(spark.sql("SELECT COUNT(*) FROM graft.alpha").collect()(0).getLong(0) == 3L)
+      // filters reach the parquet scan through the resolved relation
+      val plan = spark.sql("SELECT entity_id FROM graft.alpha WHERE origin = 'o1'")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters") && plan.contains("origin"), plan)
+      // unknown dataset fails with the catalog's error, not a silent scan
+      val err = intercept[Exception](spark.sql("SELECT * FROM graft.nope").collect())
+      assert(err.getMessage.contains("no such dataset") ||
+        Option(err.getCause).exists(_.getMessage.contains("no such dataset")), err.getMessage)
+      // joins across two datasets by name
+      cat.ensureDataset("beta", shards = 4)
+      cat.store("beta").append(rows.withColumn("dataset",
+        org.apache.spark.sql.functions.lit("beta")))
+      val joined = spark.sql(
+        """SELECT COUNT(*) FROM graft.alpha a JOIN graft.beta b
+          |ON a.entity_id = b.entity_id""".stripMargin).collect()(0).getLong(0)
+      assert(joined == 3L)
+    } finally spark.conf.unset("spark.graft.lake.root")
+  }
+
   test("lead(c, 0) windows collapse to a projection (quadratic-frame guard)") {
     import spark.implicits._
     val df = Seq((1, "a"), (1, "b"), (2, "c")).toDF("k", "v")
