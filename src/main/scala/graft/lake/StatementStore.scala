@@ -69,6 +69,40 @@ class StatementStore(val spark: SparkSession, val rootStr: String, val shards: I
         .parquet(keep.toSeq.sorted.map(f => s"$rootStr/$f"): _*)
   }
 
+  /** Change data feed between two snapshots: the row-level delta —
+    * `op = ADD` for rows present at `vNew` only, `DEL` for rows present
+    * at `vOld` only — computed by reading ONLY the manifests'
+    * symmetric-difference files. Carried-over files contribute identical
+    * rows to both snapshots and cancel in the set difference, so
+    * skipping them is EXACT, not approximate: a merge that rewrote 1% of
+    * partitions costs a 1%-sized diff, never a two-full-snapshot scan
+    * (the same pruning a Delta-style CDF gets from its log). Both sides
+    * stay plain file scans, so pushdown applies to any caller filter.
+    */
+  def cdf(vOld: Long, vNew: Long): DataFrame = {
+    val oldFiles = Manifest.liveFiles(fs, root, vOld)
+    val newFiles = Manifest.liveFiles(fs, root, vNew)
+    // normalize column ORDER on both sides: a partitioned parquet read
+    // emits partition columns at the END of the schema while the
+    // empty-side DataFrame follows the declared order — and `except`
+    // aligns by position, so without the select a one-sided diff would
+    // compare shifted columns (fragment against external, …)
+    def readFiles(files: Set[String]): DataFrame = {
+      val df =
+        if (files.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Statement.schema)
+        else spark.read.schema(Statement.schema)
+          .option("basePath", root.toString)
+          .parquet(files.toSeq.sorted.map(f => s"$rootStr/$f"): _*)
+      df.select(Statement.columns.map(col): _*)
+    }
+    val added = readFiles(newFiles -- oldFiles)
+    val removed = readFiles(oldFiles -- newFiles)
+    added.except(removed).withColumn("op", lit("ADD"))
+      .unionByName(removed.except(added).withColumn("op", lit("DEL")))
+  }
+
   /** S2: live view — tombstone filter + synthesized canonical_id, kept
     * windowless so pushdown is never blocked. Only guaranteed
     * duplicate-free after [[merge]], exactly like the reference.

@@ -290,21 +290,38 @@ object StatementOps {
 
   private val stagedTT = new SessionScoped[(String, Long)]
 
+  private def buildTT(spark: SparkSession, dir: String): (String, Long) = {
+    val tmp = F.stageTempPath(spark, "tt")
+    val store = new graft.lake.StatementStore(spark, tmp, EventStatements.Shards)
+    val st = stmts(spark, dir)
+    val half = pmod(substring(col("entity_id"), 2, 100).cast("long"), lit(2))
+    store.append(st.filter(half === 0))
+    val v = store.merge()
+    store.append(st.filter(half === 1))
+    store.merge()
+    (tmp, v)
+  }
+
   def tt1TimeTravel(spark: SparkSession, dir: String): DataFrame = {
-    val (root, v1) = stagedTT.getOrCompute(spark, dir) {
-      val s = spark
-      val d = dir
-      val tmp = F.stageTempPath(s, "tt")
-      val store = new graft.lake.StatementStore(s, tmp, EventStatements.Shards)
-      val st = stmts(s, d)
-      val half = pmod(substring(col("entity_id"), 2, 100).cast("long"), lit(2))
-      store.append(st.filter(half === 0))
-      val v = store.merge()
-      store.append(st.filter(half === 1))
-      store.merge()
-      (tmp, v)
-    }
+    val (root, v1) = stagedTT.getOrCompute(spark, dir)(buildTT(spark, dir))
     stmtOut(new graft.lake.StatementStore(spark, root, EventStatements.Shards).rawAt(v1))
+  }
+
+  // CDF1: change data feed between the staged two-version store's first
+  // snapshot and its head — row-level ADD/DEL computed from the
+  // manifests' symmetric-difference files only (StatementStore.cdf).
+  // The oracle recomputes both snapshots' merge output in SQL and takes
+  // the two-way EXCEPT — equality proves the file-pruned diff is exact.
+  def cdf1VersionDiff(spark: SparkSession, dir: String): DataFrame = {
+    val (root, v1) = stagedTT.getOrCompute(spark, dir)(buildTT(spark, dir))
+    val store = new graft.lake.StatementStore(spark, root, EventStatements.Shards)
+    store.cdf(v1, store.version)
+      .select(col("op"), col("entity_id"), col("prop"), col("fragment"),
+        col("id"), col("origin"), col("value"),
+        F.epochMs(col("first_seen")).as("first_ms"),
+        F.epochMs(col("last_seen")).as("last_ms"))
+      .orderBy(col("op"), col("entity_id"), col("prop"), col("fragment"),
+        col("id"), col("origin"), col("value"))
   }
 
   // Multi-dataset catalog end to end (reference catalog.py): two datasets
@@ -494,6 +511,7 @@ object StatementOps {
     "a1_merge_dedupe" -> (a1MergeDedupe _),
     "s3_store_roundtrip" -> (s3StoreRoundtrip _),
     "tt1_time_travel" -> (tt1TimeTravel _),
+    "cdf1_version_diff" -> (cdf1VersionDiff _),
     "c1_catalog_stats" -> (c1CatalogStats _),
     "a3_changed_canonical" -> (a3ChangedCanonical _),
     "a4_entity_assembly" -> (a4EntityAssembly _),
@@ -529,6 +547,30 @@ object StatementOps {
          |  WHERE CAST(substr(entity_id, 2) AS BIGINT) % 2 = 0),
          |$mergeBody
          |$stmtOutSql""".stripMargin,
+    // both snapshots' merge pipelines run in their own nested-WITH scope
+    // (names shadow per subquery); the two-way EXCEPT is the row-level
+    // CDF the file-pruned Spark computation must reproduce exactly
+    "cdf1_version_diff" ->
+      s"""WITH snap1 AS (
+         |  SELECT * FROM (
+         |    WITH stmts0 AS (${EventStatements.SQL}),
+         |    stmts AS (SELECT * FROM stmts0
+         |      WHERE CAST(substr(entity_id, 2) AS BIGINT) % 2 = 0),
+         |    $mergeBody
+         |    SELECT entity_id, prop, fragment, id, origin, value,
+         |      epoch_ms(first_seen) AS first_ms, epoch_ms(last_seen) AS last_ms
+         |    FROM live)),
+         |snap2 AS (
+         |  SELECT * FROM (
+         |    WITH stmts AS (${EventStatements.SQL}),
+         |    $mergeBody
+         |    SELECT entity_id, prop, fragment, id, origin, value,
+         |      epoch_ms(first_seen) AS first_ms, epoch_ms(last_seen) AS last_ms
+         |    FROM live))
+         |SELECT 'ADD' AS op, * FROM (SELECT * FROM snap2 EXCEPT SELECT * FROM snap1)
+         |UNION ALL
+         |SELECT 'DEL' AS op, * FROM (SELECT * FROM snap1 EXCEPT SELECT * FROM snap2)
+         |ORDER BY op, entity_id, prop, fragment, id, origin, value""".stripMargin,
     "c1_catalog_stats" ->
       s"""WITH stmts AS (${EventStatements.SQL}),
          |tagged AS (

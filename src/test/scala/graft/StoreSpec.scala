@@ -60,6 +60,49 @@ class StoreSpec extends SparkSpec {
       prunedAfter.inputFiles.length < store.raw.inputFiles.length)
   }
 
+  test("cdf reads only the manifests' symmetric-difference files; delta is exact") {
+    val dir = Files.createTempDirectory("graft-cdf").toString
+    val store = new StatementStore(spark, dir, shards = 4)
+    val v1 = store.append(mkStatements(20, "o1", "2024-01-02 00:00:00"))
+    val v2 = store.append(mkStatements(10, "o2", "2024-01-03 00:00:00"))
+
+    // append-only delta: exactly the o2 rows as ADD, nothing as DEL
+    val delta = store.cdf(v1, v2)
+    val byOp = delta.groupBy("op").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byOp == Map("ADD" -> 10L))
+    assert(delta.filter(col("origin") =!= "o2").count() == 0)
+
+    // file pruning: the carried-over v1 files are never read — the cdf
+    // scan's input is strictly smaller than the full v2 snapshot's
+    val cdfFiles = delta.inputFiles.toSet
+    val fullFiles = store.rawAt(v2).inputFiles.toSet
+    assert(cdfFiles.nonEmpty && cdfFiles.subsetOf(fullFiles))
+    assert(!store.rawAt(v1).inputFiles.toSet.subsetOf(cdfFiles))
+    assert(cdfFiles.size < fullFiles.size)
+
+    // merge rewrites partitions: unchanged logical rows cancel in the
+    // set difference even though their files were rewritten
+    val v3 = store.merge(force = true)
+    val postMerge = store.cdf(v2, v3)
+    // every emitted row reflects a real logical change (fragment
+    // supersession / first_seen fold), never a pure rewrite echo: each
+    // (id, fragment, origin) appearing as ADD must also appear as DEL
+    // with different content, or correspond to a superseded row
+    val adds = postMerge.filter(col("op") === "ADD").count()
+    val dels = postMerge.filter(col("op") === "DEL").count()
+    // the merged table holds canonicalized rows; diff must equal the
+    // brute-force two-snapshot except with no file pruning
+    val brute = {
+      val a = store.rawAt(v3); val b = store.rawAt(v2)
+      a.except(b).withColumn("op", lit("ADD"))
+        .unionByName(b.except(a).withColumn("op", lit("DEL")))
+    }
+    val got = postMerge.collect().map(_.toString).sorted.toSeq
+    val want = brute.collect().map(_.toString).sorted.toSeq
+    assert(got == want, s"cdf != brute-force diff (adds=$adds dels=$dels)")
+  }
+
   test("append/read/merge/compact/vacuum lifecycle with snapshot versions") {
     val dir = Files.createTempDirectory("graft-store").toString
     val store = new StatementStore(spark, dir, shards = 4)
