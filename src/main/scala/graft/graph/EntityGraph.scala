@@ -162,4 +162,71 @@ object EntityGraph {
     }
     rank
   }
+
+  /** Co-participation edges between suppliers: `a — b` when suppliers a
+    * and b appear in at least `minCoOrders` common orders — the
+    * projection of the bipartite order–supplier graph onto suppliers,
+    * thresholded so hub orders don't densify the projection into a
+    * near-clique (the same reason xref thresholds its candidate scores).
+    *
+    * Scale shape: the self-join keys on the order id, so both sides
+    * hash-partition identically (one co-partitioned shuffle) and the
+    * per-order pair fan-out is bounded by the order's supplier count
+    * squared — order size is bounded by the business domain (TPC-H ≤ 7
+    * lineitems), never by corpus size. The pair aggregate is map-side
+    * combinable. Canonical orientation src < dst.
+    */
+  def coSupplierEdges(spark: SparkSession, dir: String,
+      minCoOrders: Int = 8): DataFrame = {
+    val li = graft.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).distinct()
+    li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
+      .groupBy(col("a.sk").as("src"), col("b.sk").as("dst"))
+      .agg(count(lit(1)).as("n_co"))
+      .filter(col("n_co") >= minCoOrders)
+      .select(col("src"), col("dst"))
+  }
+
+  /** Per-node triangle counts over an undirected simple graph given as
+    * canonical (src < dst) edges — the clustering-structure primitive
+    * (community cores, collusion rings) on the entity graph.
+    *
+    * Degree-ordered node-iterator (the MapReduce formulation of
+    * Cohen 2009 / Suri–Vassilvitskii 2011): every edge is oriented from
+    * its lower-(degree, id) endpoint to the higher one, so each
+    * triangle is counted exactly once at its lowest-rank corner and —
+    * the scale argument — the oriented OUT-degree is O(√E) even for
+    * hubs: a node keeps only neighbours of higher rank, and fewer than
+    * √E nodes can have degree above √E. The wedge self-join is therefore
+    * Σ out-deg² ≤ E^1.5 instead of the Σ deg² blow-up a naive
+    * id-ordered orientation hits when a low-id hub keeps all its edges.
+    *
+    * Two shuffle joins over the staged oriented-edge table (wedge
+    * build on u, closing-edge semi-join on (b, c)) + one
+    * map-side-combinable corner count. The triangle SET is orientation-
+    * independent, so the id-ordered SQL enumeration is the oracle twin.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e = F.materialize(
+      edges.select(col("src").cast("long"), col("dst").cast("long")))
+    val deg = degrees(e)
+    val er = e
+      .join(deg.select(col("node").as("src"), col("degree").as("ds")), "src")
+      .join(deg.select(col("node").as("dst"), col("degree").as("dd")), "dst")
+    val ru = struct(col("ds"), col("src"))
+    val rv = struct(col("dd"), col("dst"))
+    val oriented = F.materialize(er.select(
+      when(ru < rv, col("src")).otherwise(col("dst")).as("u"),
+      when(ru < rv, col("dst")).otherwise(col("src")).as("v"),
+      when(ru < rv, col("dd")).otherwise(col("ds")).as("dv")))
+    val wedges = oriented.as("x").join(oriented.as("y"),
+        col("x.u") === col("y.u") &&
+          (struct(col("x.dv"), col("x.v")) < struct(col("y.dv"), col("y.v"))))
+      .select(col("x.u").as("a"), col("x.v").as("b"), col("y.v").as("c"))
+    val tri = wedges.join(
+      oriented.select(col("u").as("b"), col("v").as("c")), Seq("b", "c"), "left_semi")
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+  }
 }

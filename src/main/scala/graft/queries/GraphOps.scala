@@ -52,11 +52,22 @@ object GraphOps {
       .select(col("doc_id").as("node"), col("cluster_id").as("component"))
       .orderBy(col("node"))
 
+  /** gr5: per-node triangle counts over the thresholded co-supplier
+    * projection (suppliers sharing ≥ 8 orders) — degree-ordered
+    * node-iterator; the oracle enumerates the same triangle set with
+    * id-ordered canonical edges (orientation only changes WHERE each
+    * triangle is counted, never the set).
+    */
+  def gr5Triangles(spark: SparkSession, dir: String): DataFrame =
+    EntityGraph.triangleCounts(EntityGraph.coSupplierEdges(spark, dir))
+      .orderBy(col("node"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gr1_degree" -> (gr1Degree _),
     "gr2_expand" -> (gr2Expand _),
     "gr3_pagerank" -> (gr3Pagerank _),
-    "gr4_components" -> (gr4Components _))
+    "gr4_components" -> (gr4Components _),
+    "gr5_triangles" -> (gr5Triangles _))
 
   private val edgesCte =
     """e AS (SELECT DISTINCT 'c'||o_custkey AS src, 's'||l_suppkey AS dst
@@ -102,6 +113,17 @@ object GraphOps {
          |  CAST(150000000 + (85 * COALESCE(c3.s, 0)) // 100 AS BIGINT) AS rank
          |  FROM deg LEFT JOIN c3 ON deg.node = c3.node)
          |SELECT node, rank FROM r3 ORDER BY node""".stripMargin,
+    "gr5_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+        |pc AS (SELECT a.sk AS s, b.sk AS t, COUNT(*) AS n_co
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.sk < b.sk GROUP BY 1, 2),
+        |e AS (SELECT s, t FROM pc WHERE n_co >= 8),
+        |tri AS (SELECT ab.s AS a, ab.t AS b, bc.t AS c
+        |  FROM e ab JOIN e bc ON ab.t = bc.s
+        |  JOIN e ac ON ac.s = ab.s AND ac.t = bc.t),
+        |corners AS (SELECT a AS node FROM tri
+        |  UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+        |SELECT node, COUNT(*) AS n_tri FROM corners GROUP BY 1 ORDER BY 1""".stripMargin,
     "gr4_components" -> {
       // Dedupe.dupClusters runs at most 16 rounds (round 1 fused into
       // init) — generate the same 16 rounds as chained CTEs

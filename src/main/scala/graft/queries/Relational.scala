@@ -299,6 +299,39 @@ object Relational {
   // TS1: per-user hourly event series regularized onto the hour grid —
   // gap hours get n_events = 0 and carry the last observed hourly sum
   // forward (LOCF). The resample primitive every metrics pipeline needs.
+  /** ts2: trailing-window outlier detection over the event stream — the
+    * monitoring primitive a pipeline runs on ingest volumes and metric
+    * feeds. A point is anomalous when its deviation from the trailing
+    * 12-point mean exceeds 3σ of that same window (n ≥ 8 points of
+    * history required).
+    *
+    * Integer-exact: values scale to thousandths (floor — identical on
+    * the IEEE product in both engines) and the z-test is cleared of
+    * divisions: |x − S/n| > 3σ  ⇔  (n·x − S)² > 9·(n·Σx² − S²), all in
+    * BIGINT (operands bounded: |n·x − S| ≤ 12·5·10⁵ so the square
+    * ≤ 3.5e13, the variance side ≤ 3.1e14 — far inside 2⁶³).
+    *
+    * Scale shape: one shuffle on the key; the three frame aggregates
+    * share a single window pass with O(frame) state per key — no
+    * self-join, no global sort (the trailing ROWS frame is Spark's O(1)
+    * sliding-frame path).
+    */
+  def ts2Anomaly(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-11, 0)
+    Tables.events(spark, dir)
+      .withColumn("__v", floor(col("value") * 1000).cast("long"))
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__s", sum(col("__v")).over(w))
+      .withColumn("__sxx", sum(col("__v") * col("__v")).over(w))
+      .filter(col("__n") >= 8 &&
+        (col("__n") * col("__v") - col("__s")) * (col("__n") * col("__v") - col("__s")) >
+          lit(9L) * (col("__n") * col("__sxx") - col("__s") * col("__s")))
+      .select(col("user_id"), graft.functions.F.epochMs(col("ts")).as("ts_ms"),
+        col("event_id"), col("__v").as("v_scaled"))
+      .orderBy(col("user_id"), col("ts_ms"), col("event_id"))
+  }
+
   def ts1Gapfill(spark: SparkSession, dir: String): DataFrame = {
     val hourly = Tables.events(spark, dir)
       .groupBy(col("user_id"),
@@ -364,6 +397,7 @@ object Relational {
     "fn1_funnel" -> (fn1Funnel _),
     "coh1_retention" -> (coh1Retention _),
     "ts1_gapfill" -> (ts1Gapfill _),
+    "ts2_anomaly" -> (ts2Anomaly _),
     "prof1_table_profile" -> (prof1TableProfile _),
     "q5_pivot" -> (q5Pivot _),
     "aj1_asof_join" -> (aj1AsofJoin _),
@@ -416,6 +450,16 @@ object Relational {
         |  COUNT(DISTINCT w.user_id) AS n_users
         |FROM weekly w JOIN cohorts c ON w.user_id = c.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ts2_anomaly" ->
+      """WITH sc AS (SELECT user_id, ts, event_id,
+        |    CAST(FLOOR(value*1000) AS BIGINT) AS v FROM events),
+        |ws AS (SELECT user_id, ts, event_id, v,
+        |    COUNT(*) OVER w AS n, SUM(v) OVER w AS s, SUM(v*v) OVER w AS sxx
+        |  FROM sc WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 11 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, v AS v_scaled
+        |FROM ws WHERE n >= 8 AND (n*v - s)*(n*v - s) > 9*(n*sxx - s*s)
+        |ORDER BY user_id, ts_ms, event_id""".stripMargin,
     "ts1_gapfill" ->
       """WITH hourly AS (
         |  SELECT user_id, epoch_ms(date_trunc('hour', ts)) AS hour_ms,

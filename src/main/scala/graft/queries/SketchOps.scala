@@ -93,11 +93,60 @@ object SketchOps {
       .orderBy(col("user_key"))
   }
 
+  /** sk4: HyperLogLog distinct-shingle cardinality per source, next to
+    * the exact count — the calibration run for the third estimator
+    * family (CMS = frequency, KMV/HLL = cardinality, Bloom =
+    * membership). Shingles are doc-grain (the staged `shingle3` table —
+    * shingling at source grain would run windows across document
+    * boundaries), with the source attached by a broadcast join against
+    * the 2-column documents projection.
+    */
+  def sk4Hll(spark: SparkSession, dir: String): DataFrame = {
+    val src = docs(spark, dir).select(col("doc_id"), col("source"))
+    val items = TrainingData.docShingleRows(spark, dir)
+      .join(broadcast(src), Seq("doc_id"))
+    Sketches.hllDistinct(items, "source", "__tok").orderBy(col("source"))
+  }
+
+  /** bf2: Bloom-screened semi-join — the 100 TB join-pruning shape. The
+    * urgent-order key set becomes a ≤65536-row bit table broadcast to
+    * the lineitem scan; only rows passing all three hash probes reach
+    * the exact verify join, which scrubs the (deterministic) false
+    * positives. The report keeps BOTH counts per flag: `n_bloom_pass`
+    * pins the screen's arithmetic into the gate, `n_exact`/`sum_qty` are
+    * the join's true answer — identical to the plain semi-join, which is
+    * the point: the screen changes the data volume reaching the shuffle,
+    * never the result.
+    */
+  def bf2BloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    val keys = F.materialize(
+      graft.Tables.orders(spark, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").cast("string").as("__k")).distinct())
+    val bits = F.materialize(Sketches.bloomBits(keys, "__k"))
+    val li = graft.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      .withColumn("__k", col("l_orderkey").cast("string"))
+    val pass = Sketches.bloomProbe(li, "__k", bits)
+      .filter(col("bloom_hit") === 1)
+    pass
+      .join(broadcast(keys.withColumn("__t", lit(1L))), Seq("__k"), "left_outer")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_bloom_pass"),
+        sum(coalesce(col("__t"), lit(0L))).as("n_exact"),
+        sum(when(col("__t").isNotNull,
+          col("l_quantity").cast("decimal(18,2)"))).cast("double").as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sk1_countmin" -> (sk1Countmin _),
     "sk2_kmv_distinct" -> (sk2KmvDistinct _),
     "sk3_stream_countmin" -> (sk3StreamCountmin _),
-    "bf1_bloom_screen" -> (bf1BloomScreen _))
+    "sk4_hll" -> (sk4Hll _),
+    "bf1_bloom_screen" -> (bf1BloomScreen _),
+    "bf2_bloom_join" -> (bf2BloomJoin _))
 
   private val tokH = "(('0x'||substr(md5(w),1,8))::BIGINT)"
 
@@ -152,6 +201,52 @@ object SketchOps {
         |  WHERE c.w IN (SELECT w FROM probes) GROUP BY c.w)
         |SELECT p.w AS user_key, p.n_true, CAST(e.cms_est AS BIGINT) AS cms_est
         |FROM probes p JOIN est e ON e.w = p.w ORDER BY user_key""".stripMargin,
+    "sk4_hll" ->
+      s"""WITH toks AS (
+         |  SELECT source, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(string_split(text,' '))-2),
+         |    i -> array_to_string((string_split(text,' '))[i:i+2], ' ')))) AS w
+         |  FROM documents),
+         |dt AS (SELECT DISTINCT source, w FROM toks),
+         |ex AS (SELECT source, COUNT(*) AS n_exact FROM dt GROUP BY source),
+         |hh AS (SELECT source, $tokH AS h FROM dt),
+         |reg AS (SELECT source, h >> 26 AS idx,
+         |  MAX(CASE WHEN (h & 67108863) = 0 THEN 27
+         |      ELSE 27 - length(format('{:b}', h & 67108863)) END) AS mj
+         |  FROM hh GROUP BY 1, 2),
+         |grid AS (SELECT ex.source AS source, g.idx
+         |  FROM ex, (SELECT unnest(range(0,64)) AS idx) g),
+         |ss AS (SELECT grid.source AS source,
+         |  SUM(1::BIGINT << (27 - COALESCE(reg.mj, 0))) AS s
+         |  FROM grid LEFT JOIN reg ON reg.source = grid.source AND reg.idx = grid.idx
+         |  GROUP BY 1)
+         |SELECT ex.source, ex.n_exact,
+         |  CAST((709::BIGINT * 4096 * 134217728) // (1000 * ss.s) AS BIGINT) AS hll_est
+         |FROM ex JOIN ss ON ex.source = ss.source ORDER BY ex.source""".stripMargin,
+    "bf2_bloom_join" ->
+      """WITH k AS (SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS w FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'),
+        |kh AS (SELECT ('0x'||substr(md5(w),1,8))::BIGINT AS h FROM k),
+        |bits AS (
+        |  SELECT DISTINCT ((31*h+7) % 4294967311) % 65536 AS pos FROM kh
+        |  UNION SELECT ((131*h+17) % 4294967311) % 65536 FROM kh
+        |  UNION SELECT ((1031*h+29) % 4294967311) % 65536 FROM kh),
+        |li AS (SELECT l_orderkey, l_returnflag, l_quantity,
+        |    ('0x'||substr(md5(CAST(l_orderkey AS VARCHAR)),1,8))::BIGINT AS h
+        |  FROM lineitem),
+        |pr AS (SELECT l_orderkey, l_returnflag, l_quantity,
+        |    ((31*h+7) % 4294967311) % 65536 AS p0,
+        |    ((131*h+17) % 4294967311) % 65536 AS p1,
+        |    ((1031*h+29) % 4294967311) % 65536 AS p2 FROM li),
+        |pass AS (SELECT l_orderkey, l_returnflag, l_quantity FROM pr
+        |  WHERE p0 IN (SELECT pos FROM bits) AND p1 IN (SELECT pos FROM bits)
+        |    AND p2 IN (SELECT pos FROM bits)),
+        |v AS (SELECT p.l_returnflag, p.l_quantity, (k.w IS NOT NULL) AS m
+        |  FROM pass p LEFT JOIN k ON k.w = CAST(p.l_orderkey AS VARCHAR))
+        |SELECT l_returnflag, COUNT(*) AS n_bloom_pass,
+        |  CAST(COUNT(*) FILTER (WHERE m) AS BIGINT) AS n_exact,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE m) AS DOUBLE) AS sum_qty
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
     "bf1_bloom_screen" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(list_distinct(list_transform(

