@@ -140,11 +140,33 @@ object SketchOps {
       .orderBy(col("l_returnflag"))
   }
 
+  /** sk5: the HLL registers maintained by a REAL Structured Streaming
+    * query over the events table (constant group×64 max state, no dedup
+    * — see [[graft.streaming.SketchStream.hllStreaming]]), finished into
+    * per-event_type estimates next to the exact distinct-user count.
+    * AvailableNow drain ⇒ streamed registers == batch registers, so the
+    * batch SQL twin is the oracle.
+    */
+  def sk5StreamHll(spark: SparkSession, dir: String): DataFrame = {
+    // staged: the finish self-joins the register table (grid ⋈ regs), and
+    // a memory-sink view reuses the same attribute ids on both sides —
+    // the stage write gives the second consumer fresh references (and the
+    // drained registers are ≤ groups×64 rows, so the write is trivial)
+    val regs = F.materialize(graft.streaming.SketchStream.hllStreaming(spark, dir))
+    val est = Sketches.hllEstimateFromRegisters(regs, "event_type")
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+      .join(est, Seq("event_type"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sk1_countmin" -> (sk1Countmin _),
     "sk2_kmv_distinct" -> (sk2KmvDistinct _),
     "sk3_stream_countmin" -> (sk3StreamCountmin _),
     "sk4_hll" -> (sk4Hll _),
+    "sk5_stream_hll" -> (sk5StreamHll _),
     "bf1_bloom_screen" -> (bf1BloomScreen _),
     "bf2_bloom_join" -> (bf2BloomJoin _))
 
@@ -223,6 +245,27 @@ object SketchOps {
          |SELECT ex.source, ex.n_exact,
          |  CAST((709::BIGINT * 4096 * 134217728) // (1000 * ss.s) AS BIGINT) AS hll_est
          |FROM ex JOIN ss ON ex.source = ss.source ORDER BY ex.source""".stripMargin,
+    "sk5_stream_hll" ->
+      """WITH hh AS (SELECT DISTINCT event_type,
+        |    ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,8))::BIGINT AS h
+        |  FROM events),
+        |reg AS (SELECT event_type, h >> 26 AS idx,
+        |  MAX(CASE WHEN (h & 67108863) = 0 THEN 27
+        |      ELSE 27 - length(format('{:b}', h & 67108863)) END) AS mj
+        |  FROM hh GROUP BY 1, 2),
+        |ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+        |  FROM events GROUP BY 1),
+        |grid AS (SELECT ex.event_type AS event_type, g.idx
+        |  FROM ex, (SELECT unnest(range(0,64)) AS idx) g),
+        |ss AS (SELECT grid.event_type AS event_type,
+        |  SUM(1::BIGINT << (27 - COALESCE(reg.mj, 0))) AS s
+        |  FROM grid LEFT JOIN reg
+        |    ON reg.event_type = grid.event_type AND reg.idx = grid.idx
+        |  GROUP BY 1)
+        |SELECT ex.event_type, ex.n_exact,
+        |  CAST((709::BIGINT * 4096 * 134217728) // (1000 * ss.s) AS BIGINT) AS hll_est
+        |FROM ex JOIN ss ON ex.event_type = ss.event_type
+        |ORDER BY ex.event_type""".stripMargin,
     "bf2_bloom_join" ->
       """WITH k AS (SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS w FROM orders
         |  WHERE o_orderpriority = '1-URGENT'),

@@ -200,33 +200,52 @@ object Sketches {
     * cell-wise sum). The m-row grid join keeps empty registers in the
     * denominator without densifying anything upstream.
     */
-  def hllDistinct(items: DataFrame, groupCol: String, itemCol: String): DataFrame = {
-    val m = 64
-    val suffixBits = 26 // 32 - log2(m)
+  private val HllM = 64
+  private val HllSuffixBits = 26 // 32 - log2(m)
+
+  /** The per-group register table (group, __idx, __mj) — max rank per
+    * register, dup-insensitive (max of a multiset ignores repeats), so
+    * the SAME aggregation serves the batch build, the streaming build
+    * (Complete-mode stateful max over constant group×m state — no
+    * `distinct` needed before a streaming sink, which is what makes HLL
+    * the streaming cardinality sketch), and cross-shard merging.
+    */
+  def hllRegisters(items: DataFrame, groupCol: String, itemCol: String): DataFrame = {
     val h = Dedupe.tokenHash(col(itemCol))
-    val dt = graft.functions.F.materialize(
-      items.select(col(groupCol), col(itemCol)).distinct())
-    val exact = dt.groupBy(col(groupCol)).agg(count(lit(1)).as("n_exact"))
-    val regs = dt
+    items
       .select(col(groupCol), h.as("__h"))
-      .withColumn("__idx", shiftright(col("__h"), suffixBits))
-      .withColumn("__w", col("__h").bitwiseAND(lit((1L << suffixBits) - 1)))
+      .withColumn("__idx", shiftright(col("__h"), HllSuffixBits))
+      .withColumn("__w", col("__h").bitwiseAND(lit((1L << HllSuffixBits) - 1)))
       // rank ρ(w) = leading zeros in the 26-bit suffix + 1
       //           = 27 − bit_length(w), with ρ(0) = 27
-      .withColumn("__rho", lit(suffixBits + 1) -
+      .withColumn("__rho", lit(HllSuffixBits + 1) -
         when(col("__w") === 0, lit(0)).otherwise(length(bin(col("__w")))))
       .groupBy(col(groupCol), col("__idx"))
       .agg(max(col("__rho")).as("__mj"))
+  }
+
+  /** Finish a register table into (group, hll_est). */
+  def hllEstimateFromRegisters(regs: DataFrame, groupCol: String): DataFrame = {
     // all m registers per group: an empty register contributes 2^27 (ρ=0)
-    val grid = exact.select(col(groupCol),
-      explode(sequence(lit(0L), lit(m - 1L))).as("__idx"))
-    val est = grid.join(regs, Seq(groupCol, "__idx"), "left_outer")
+    val grid = regs.select(col(groupCol)).distinct()
+      .select(col(groupCol), explode(sequence(lit(0L), lit(HllM - 1L))).as("__idx"))
+    grid.join(regs.select(col(groupCol), col("__idx"), col("__mj")),
+        Seq(groupCol, "__idx"), "left_outer")
       .withColumn("__t",
-        expr(s"shiftleft(cast(1 as bigint), ${suffixBits + 1} - coalesce(__mj, 0L))"))
+        expr(s"shiftleft(cast(1 as bigint), ${HllSuffixBits + 1} - coalesce(__mj, 0L))"))
       .groupBy(col(groupCol)).agg(sum(col("__t")).as("__s"))
       // α·m²·2^27 / Σ — exact integer numerator 709·64²·2^27 / 1000·Σ
       .withColumn("hll_est",
-        expr(s"(709L * ${m.toLong * m} * ${1L << (suffixBits + 1)}) div (1000L * __s)"))
-    exact.join(est.select(col(groupCol), col("hll_est")), Seq(groupCol))
+        expr(s"(709L * ${HllM.toLong * HllM} * ${1L << (HllSuffixBits + 1)}) div (1000L * __s)"))
+      .select(col(groupCol), col("hll_est"))
+  }
+
+  def hllDistinct(items: DataFrame, groupCol: String, itemCol: String): DataFrame = {
+    val dt = graft.functions.F.materialize(
+      items.select(col(groupCol), col(itemCol)).distinct())
+    val exact = dt.groupBy(col(groupCol)).agg(count(lit(1)).as("n_exact"))
+    exact.join(
+      hllEstimateFromRegisters(hllRegisters(dt, groupCol, itemCol), groupCol),
+      Seq(groupCol))
   }
 }

@@ -57,4 +57,38 @@ object SketchStream {
     q.awaitTermination()
     ss.table(name)
   }
+
+  /** Streaming HyperLogLog register maintenance: per-event_type distinct
+    * user cardinality kept continuously current. The register update is
+    * a Complete-mode stateful MAX over (group, register) — constant
+    * group×64 state, and because max is duplicate-insensitive the stream
+    * needs NO dedup before the aggregate (the property that makes HLL
+    * the streaming cardinality sketch where an exact count-distinct
+    * would hold unbounded user-id state). Drained with AvailableNow so
+    * the registers equal the batch [[Sketches.hllRegisters]] build
+    * bit-for-bit and the DuckDB oracle replays them.
+    */
+  def hllStreaming(spark: SparkSession, dir: String): DataFrame = {
+    val ss = StreamConf.streamSession(spark)
+    val batch = ss.read.parquet(s"$dir/events.parquet")
+    val src = graft.Tables.normalizeTs(
+      ss.readStream
+        .schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
+    val regs = Sketches.hllRegisters(
+      src.select(col("event_type"), col("user_id").cast("string").as("uid")),
+      "event_type", "uid")
+    val name = s"graft_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = regs.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation",
+        s"${graft.functions.F.stageRoot(ss)}/ckpt-$name")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ss.table(name)
+  }
 }

@@ -158,6 +158,18 @@ class SketchSpec extends SparkSpec {
     assert(union >= partOnly) // registers only grow under union
   }
 
+  test("streamed hll registers equal the batch build bit-for-bit") {
+    val dir = "/root/testdata/sf0.001"
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val streamed = key(graft.streaming.SketchStream.hllStreaming(spark, dir))
+    val batch = key(Sketches.hllRegisters(
+      graft.Tables.events(spark, dir)
+        .select(col("event_type"), col("user_id").cast("string").as("uid")),
+      "event_type", "uid"))
+    assert(streamed === batch)
+  }
+
   test("bloom probe keeps probe-side rows and columns intact") {
     val bits = Sketches.bloomBits(Seq("a").toDF("item"), "item")
     val probe = Seq(("d1", "a"), ("d1", "b"), ("d2", "a")).toDF("doc", "item")
