@@ -348,6 +348,44 @@ object Relational {
   // buffering (a bot user with 10^8 events would OOM a collect_list
   // fold): three chained min-aggregations with equi-joins on user_id —
   // every step map-side-partial, every join AQE-broadcastable.
+  /** fn2: linear multi-touch attribution — every purchase spreads one
+    * unit of credit (1e6 ppm, integer-exact) equally over the user's
+    * clicks in the 24 h before it; the earliest touch absorbs the
+    * truncating-division remainder so each purchase's credit sums to
+    * exactly 1e6. Reported per click: total credit and purchases
+    * touched.
+    *
+    * Scale shape: a per-user equi join with a residual time-range
+    * predicate — fan-out is (user's purchases × user's clicks-in-window),
+    * bounded by per-user activity, never corpus size (a bot-grade hot
+    * user gets the same salting treatment as any skewed key). The two
+    * windows share the p_id partitioning; the final aggregate is
+    * map-side combinable.
+    */
+  def fn2Attribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        graft.functions.F.epochMs(col("ts")).as("p_ms"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("c_id"),
+        graft.functions.F.epochMs(col("ts")).as("c_ms"))
+    val touches = p.join(c, Seq("user_id"))
+      .filter(col("c_ms") <= col("p_ms") &&
+        col("c_ms") > col("p_ms") - lit(86400000L))
+    val nW = Window.partitionBy(col("p_id"))
+    val rankW = Window.partitionBy(col("p_id")).orderBy(col("c_ms"), col("c_id"))
+    touches
+      .withColumn("__n", count(lit(1)).over(nW))
+      .withColumn("__rn", row_number().over(rankW))
+      .withColumn("__credit", expr("1000000L div __n") +
+        when(col("__rn") === 1,
+          expr("1000000L - (1000000L div __n) * __n")).otherwise(lit(0L)))
+      .groupBy(col("c_id"), col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("__credit")).as("credit_ppm"))
+      .orderBy(col("c_id"))
+  }
+
   def fn1Funnel(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     def stage(evType: String, after: Option[DataFrame], afterCol: String,
@@ -395,6 +433,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fn1_funnel" -> (fn1Funnel _),
+    "fn2_attribution" -> (fn2Attribution _),
     "coh1_retention" -> (coh1Retention _),
     "ts1_gapfill" -> (ts1Gapfill _),
     "ts2_anomaly" -> (ts2Anomaly _),
@@ -418,6 +457,24 @@ object Relational {
     "o4_global_topk" -> (o4GlobalTopk _))
 
   val oracle: Map[String, String] = Map(
+    "fn2_attribution" ->
+      """WITH p AS (SELECT user_id, event_id AS p_id, epoch_ms(ts) AS p_ms
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id AS c_id, epoch_ms(ts) AS c_ms
+        |  FROM events WHERE event_type = 'click'),
+        |t AS (SELECT p.p_id, c.c_id, c.user_id, c.c_ms
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |    AND c.c_ms <= p.p_ms AND c.c_ms > p.p_ms - 86400000),
+        |r AS (SELECT *, COUNT(*) OVER (PARTITION BY p_id) AS n,
+        |    ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY c_ms, c_id) AS rn
+        |  FROM t),
+        |cr AS (SELECT c_id, user_id,
+        |    (1000000 // n) + CASE WHEN rn = 1
+        |      THEN 1000000 - (1000000 // n) * n ELSE 0 END AS credit
+        |  FROM r)
+        |SELECT c_id, user_id, COUNT(*) AS n_purchases,
+        |  CAST(SUM(credit) AS BIGINT) AS credit_ppm
+        |FROM cr GROUP BY 1, 2 ORDER BY c_id""".stripMargin,
     "fn1_funnel" ->
       """WITH v AS (
         |  SELECT user_id, epoch_ms(MIN(ts)) AS view_ms

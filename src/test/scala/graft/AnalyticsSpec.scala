@@ -39,4 +39,28 @@ class AnalyticsSpec extends SparkSpec {
     // ordinary neighbours under 3σ
     assert(flagged.filter(_._1 == 2L).map(_._2).toSeq === Seq(120L))
   }
+
+  test("fn2 attribution: credit splits integer-exactly, window excludes stale clicks") {
+    val dir = Files.createTempDirectory("graft-fn2-").toString
+    val base = 1700000000000L
+    val H = 3600000L
+    // user 1: three clicks inside the 24h window then a purchase —
+    // 1e6 ppm split 3 ways, earliest click absorbs the remainder;
+    // a 4th click 25h before the purchase is OUT of the window.
+    // user 2: click AFTER its purchase — never credited.
+    val rows = Seq(
+      (1L, new Timestamp(base - 25 * H), 1L, "click", 1.0, "{}"),
+      (2L, new Timestamp(base - 3 * H), 1L, "click", 1.0, "{}"),
+      (3L, new Timestamp(base - 2 * H), 1L, "click", 1.0, "{}"),
+      (4L, new Timestamp(base - 1 * H), 1L, "click", 1.0, "{}"),
+      (5L, new Timestamp(base), 1L, "purchase", 9.0, "{}"),
+      (6L, new Timestamp(base + H), 2L, "click", 1.0, "{}"),
+      (7L, new Timestamp(base), 2L, "purchase", 5.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val credit = graft.queries.Relational.fn2Attribution(spark, dir)
+      .select("c_id", "credit_ppm").as[(Long, Long)].collect().toMap
+    assert(credit === Map(2L -> 333334L, 3L -> 333333L, 4L -> 333333L))
+    assert(credit.values.sum === 1000000L) // conservation per purchase
+  }
 }

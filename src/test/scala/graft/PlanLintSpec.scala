@@ -33,7 +33,10 @@ class PlanLintSpec extends SparkSpec {
     "sim8_ivf_pq" -> "nlist-bounded centroids + bounded probe set broadcast",
     "sim9_ivf_trained" -> "nlist-bounded trained-centroid table + bounded probe set broadcast",
     "srch2_entity_search" -> "single-row corpus-stats broadcast onto the scoring scan",
-    "hyb1_rrf_fusion" -> "single query vector + single-row corpus-stats broadcasts; fusion join is k-row bounded")
+    "hyb1_rrf_fusion" -> "single query vector + single-row corpus-stats broadcasts; fusion join is k-row bounded",
+    "cur5_dsir_weights" -> "single-row corpus/target token-total broadcast onto the 1024-bucket stats",
+    "sim10_recall" -> "nlist-bounded centroids + bounded probe set broadcast (the IVF arm)",
+    "tok2_bpe_merges" -> "single-row winning-pair broadcast onto the token stream (per round)")
 
   test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only where justified") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
