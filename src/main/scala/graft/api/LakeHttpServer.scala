@@ -303,6 +303,55 @@ class LakeHttpServer(spark: SparkSession, lakeRoot: String, port: Int = 0) {
         val built = r.make(outDir, force = force)
         o.put("name", "MakeJob"); o.put("version", r.store.version)
         val a = o.putArray("built"); built.foreach(a.add)
+      case "ExportJob" =>
+        // reference operation/export.py dispatches one artifact kind per
+        // job; make() already carries the per-artifact freshness skip, so
+        // a kind-scoped job runs the same export funnel and reports the
+        // artifacts actually (re)built
+        val kind = strField(body, "kind").getOrElse(
+          throw new IllegalArgumentException("ExportJob needs `kind`"))
+        val outDir = strField(body, "out_dir").getOrElse(
+          catalog.datasetPath(ds).toString + "/_exports")
+        val built = r.make(outDir, force = force)
+        o.put("name", "ExportJob"); o.put("kind", kind)
+        val a = o.putArray("built"); built.foreach(a.add)
+      case "CrawlJob" =>
+        // reference operation/crawl.py: archive every file under `uri`
+        // into the dataset blob store, import file/folder entities
+        val uri = strField(body, "uri").getOrElse(
+          throw new IllegalArgumentException("CrawlJob needs `uri`"))
+        val srcPath = new org.apache.hadoop.fs.Path(uri)
+        val fs = srcPath.getFileSystem(spark.sessionState.newHadoopConf())
+        val include = strField(body, "glob") match {
+          case Some(glob) =>
+            val m = java.nio.file.FileSystems.getDefault
+              .getPathMatcher(s"glob:$glob")
+            (rel: String) => m.matches(java.nio.file.Paths.get(rel))
+          case None =>
+            val prefix = strField(body, "prefix").getOrElse("")
+            (rel: String) => rel.startsWith(prefix)
+        }
+        val crawled = graft.ops.Documents.crawl(
+          fs, srcPath, datasetArchive(ds), include)
+        val session = spark
+        import session.implicits._
+        r.addEntities(graft.ops.Documents.crawlPayloads(crawled).toDS(),
+          origin = strField(body, "origin").getOrElse("crawl"))
+        r.flush()
+        o.put("name", "CrawlJob"); o.put("done", crawled.size)
+      case "DownloadArchiveJob" =>
+        // reference operation/download.py: export archive blobs to their
+        // nice paths; the documents table derives from the live view
+        // (the same projection make() exports as documents.csv)
+        val target = strField(body, "target").getOrElse(
+          throw new IllegalArgumentException("DownloadArchiveJob needs `target`"))
+        val docs = graft.ops.Documents.documentsTable(r.live)
+        val archiveRoot =
+          new org.apache.hadoop.fs.Path(catalog.datasetPath(ds), "archive")
+        val (done, skipped) = graft.ops.Documents.downloadArchive(
+          docs, archiveRoot.toString, target)
+        o.put("name", "DownloadArchiveJob")
+        o.put("done", done); o.put("skipped", skipped)
       case other =>
         throw new IllegalArgumentException(s"Unknown operation: `$other`")
     }

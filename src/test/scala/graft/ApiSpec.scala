@@ -127,6 +127,30 @@ class ApiSpec extends SparkSpec {
     assert(jf.body.trim.split("\n").length == 1 && jf.body.contains("\"tmp\""))
     assert(get("/apitest/_api/journal/count").body == "0")
 
+    // CrawlJob: archive a source tree, import file entities via journal
+    val crawlSrc = Files.createTempDirectory("graft-api-crawl")
+    Files.writeString(crawlSrc.resolve("note.txt"), "crawled body")
+    Files.createDirectories(crawlSrc.resolve("sub"))
+    Files.writeString(crawlSrc.resolve("sub/page.pdf"), "pdf bytes")
+    val cr = post("/apitest/_api/operations",
+      s"""{"name":"CrawlJob","uri":"${crawlSrc.toString}"}""")
+    assert(cr.statusCode == 200 && cr.body.contains("\"done\":2"), cr.body)
+    val crawledQ = post("/apitest/_api/entities/query",
+      """{"query":"eq(schema, \"PlainText\")"}""")
+    assert(crawledQ.body.contains("note.txt"), crawledQ.body)
+
+    // ExportJob: kind-scoped export runs the make funnel
+    val exp = post("/apitest/_api/operations",
+      """{"name":"ExportJob","kind":"documents","force":true}""")
+    assert(exp.statusCode == 200 && exp.body.contains("\"kind\":\"documents\""), exp.body)
+
+    // DownloadArchiveJob: blobs land at their document paths
+    val dlTarget = Files.createTempDirectory("graft-api-dl")
+    val dl = post("/apitest/_api/operations",
+      s"""{"name":"DownloadArchiveJob","target":"${dlTarget.toString}"}""")
+    assert(dl.statusCode == 200 && dl.body.contains("\"done\":"), dl.body)
+    assert(Files.readString(dlTarget.resolve("note.txt")) == "crawled body", dl.body)
+
     server.stop()
   }
 }
