@@ -115,6 +115,11 @@ object Main {
         repo(ds).query(graft.query.FtmQuery.Query()).toJSON
           .toLocalIterator.asScala.foreach(println)
 
+      case "entities" :: "stream" :: ds :: Nil =>
+        // reference cli/entities.py stream: byte-stream the pre-exported
+        // entities.ftm.json artifact (frozen view), no re-assembly
+        streamArtifact(cat, ds, "entities.ftm.json")
+
       case "entities" :: "import" :: ds :: Nil =>
         // NDJSON entity payloads {id, schema, properties{prop: [values]}}
         // exploded through the journal (reference cli/entities.py import)
@@ -129,6 +134,9 @@ object Main {
       case "statements" :: "iterate" :: ds :: Nil =>
         repo(ds).live.drop("canonical_id").toJSON
           .toLocalIterator.asScala.foreach(println)
+
+      case "statements" :: "stream" :: ds :: Nil =>
+        streamArtifact(cat, ds, "statements.csv")
 
       case "statements" :: "import" :: ds :: Nil =>
         // stdin streams through the chunked wire — bounded driver memory
@@ -196,6 +204,17 @@ object Main {
           case None => fail(s"no blob for $checksum")
         }
 
+      case "archive" :: "download" :: ds :: Nil =>
+        // reference cli/archive.py download → operation/download.py:
+        // every document blob lands at its nice path under --target
+        val target = flags.getOrElse("target", fail("download needs --target DIR"))
+        val r = repo(ds)
+        val docs = graft.ops.Documents.documentsTable(r.live)
+        val aroot = new org.apache.hadoop.fs.Path(cat.datasetPath(ds), "archive")
+        val (done, skipped) = graft.ops.Documents.downloadArchive(
+          docs, aroot.toString, target)
+        println(s"done=$done skipped=$skipped")
+
       case "archive" :: "head" :: ds :: checksum :: Nil =>
         println(
           if (archive(spark, cat, ds).exists(checksum)) s"$checksum exists"
@@ -216,6 +235,31 @@ object Main {
   /** Per-dataset blob root `<dataset>/archive` (reference path
     * conventions, core/conventions/path.py:144-212).
     */
+  /** Byte-stream a pre-exported artifact (`_exports/<name>[.gz|.zst]`) to
+    * stdout, decompressed — the reference's `stream` commands trust the
+    * export and skip any re-assembly (cli/entities.py stream).
+    */
+  private def streamArtifact(cat: Catalog, ds: String, name: String): Unit = {
+    val base = new org.apache.hadoop.fs.Path(cat.datasetPath(ds), "_exports")
+    val fs = base.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val candidate = Seq(name, s"$name.gz", s"$name.zst")
+      .map(new org.apache.hadoop.fs.Path(base, _))
+      .find(fs.exists)
+      .getOrElse(fail(s"no exported $name under $base — run `make` first"))
+    val raw = fs.open(candidate)
+    val in: java.io.InputStream = candidate.getName match {
+      case n if n.endsWith(".gz") => new java.util.zip.GZIPInputStream(raw)
+      case n if n.endsWith(".zst") => new com.github.luben.zstd.ZstdInputStream(raw)
+      case _ => raw
+    }
+    try {
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) { System.out.write(buf, 0, n); n = in.read(buf) }
+      System.out.flush()
+    } finally in.close()
+  }
+
   private def archive(spark: SparkSession, cat: Catalog, ds: String): Archive = {
     val p = new org.apache.hadoop.fs.Path(cat.datasetPath(ds), "archive")
     new Archive(p.getFileSystem(spark.sessionState.newHadoopConf()), p)

@@ -12,13 +12,17 @@ class CliSpec extends SparkSpec {
   private def cli(root: String, args: String*)(stdin: String = ""): String = {
     val out = new ByteArrayOutputStream()
     val oldIn = System.in
+    val oldOut = System.out
     try {
       System.setIn(new ByteArrayInputStream(stdin.getBytes("UTF-8")))
+      // both streams: println goes through Console, the byte-streaming
+      // commands (archive get, entities/statements stream) write System.out
+      System.setOut(new PrintStream(out, true, "UTF-8"))
       Console.withOut(new PrintStream(out, true, "UTF-8")) {
         val (flags, pos) = graft.cli.Main.parseArgs(args.toList)
         graft.cli.Main.run(spark, root, flags, pos)
       }
-    } finally System.setIn(oldIn)
+    } finally { System.setIn(oldIn); System.setOut(oldOut) }
     out.toString("UTF-8").trim
   }
 
@@ -57,6 +61,26 @@ class CliSpec extends SparkSpec {
     assert(new java.io.File(s"$out/statements.csv").exists())
     assert(cli(root, "optimize", "clitest")().toLong >= 0)
     assert(cli(root, "unlock", "clitest")() == "was not locked")
+
+    // stream commands: byte-stream the default _exports artifacts
+    // default out dir <dataset>/_exports; --force because the earlier
+    // make stamped the per-artifact freshness tags (they are dataset-
+    // scoped, not out-dir-scoped)
+    cli(root, "make", "clitest", "--force")()
+    val streamed = cli(root, "entities", "stream", "clitest")()
+    assert(streamed.contains("\"id\":\"acme\""), streamed.take(200))
+    val stCsv = cli(root, "statements", "stream", "clitest")()
+    assert(stCsv.linesIterator.next().contains("entity_id"), stCsv.take(200))
+
+    // archive download: crawl a tree in, download blobs to nice paths
+    val src = Files.createTempDirectory("graft-cli-src")
+    Files.writeString(src.resolve("doc.txt"), "cli crawl body")
+    assert(cli(root, "crawl", "clitest", "--src", src.toString)() == "1")
+    val dl = Files.createTempDirectory("graft-cli-dl")
+    val res = cli(root, "archive", "download", "clitest",
+      "--target", dl.toString)()
+    assert(res.startsWith("done=1"), res)
+    assert(Files.readString(dl.resolve("doc.txt")) == "cli crawl body")
   }
 
   test("cli crawl: files archived, file/folder entities imported, paths resolve") {
