@@ -62,12 +62,26 @@ object GraphOps {
     EntityGraph.triangleCounts(EntityGraph.coSupplierEdges(spark, dir))
       .orderBy(col("node"))
 
+  /** gr6: personalized PageRank from the gr2 seed set (every 100th
+    * customer), 3 iterations — walk-with-restart prominence around the
+    * seeds; far-from-seed nodes carry exact 0.
+    */
+  def gr6Ppr(spark: SparkSession, dir: String): DataFrame = {
+    val seeds = graft.Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 100 === 0)
+      .select(concat(lit("c"), col("c_custkey")).as("node"))
+    EntityGraph.personalizedPageRank(
+        EntityGraph.customerSupplierEdges(spark, dir), seeds, iters = 3)
+      .orderBy(col("node"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gr1_degree" -> (gr1Degree _),
     "gr2_expand" -> (gr2Expand _),
     "gr3_pagerank" -> (gr3Pagerank _),
     "gr4_components" -> (gr4Components _),
-    "gr5_triangles" -> (gr5Triangles _))
+    "gr5_triangles" -> (gr5Triangles _),
+    "gr6_ppr" -> (gr6Ppr _))
 
   private val edgesCte =
     """e AS (SELECT DISTINCT 'c'||o_custkey AS src, 's'||l_suppkey AS dst
@@ -113,6 +127,28 @@ object GraphOps {
          |  CAST(150000000 + (85 * COALESCE(c3.s, 0)) // 100 AS BIGINT) AS rank
          |  FROM deg LEFT JOIN c3 ON deg.node = c3.node)
          |SELECT node, rank FROM r3 ORDER BY node""".stripMargin,
+    "gr6_ppr" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""c$i AS (SELECT ed.dst AS node, CAST(SUM(r${i - 1}.rank // ed.d) AS BIGINT) AS s
+           |  FROM ed JOIN r${i - 1} ON ed.src = r${i - 1}.node GROUP BY 1),
+           |r$i AS (SELECT n.node,
+           |  CAST(n.base + (85 * COALESCE(c$i.s, 0)) // 100 AS BIGINT) AS rank
+           |  FROM n LEFT JOIN c$i ON n.node = c$i.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $edgesCte,
+         |seeds AS (SELECT DISTINCT 'c'||c_custkey AS node FROM customer
+         |  WHERE c_custkey % 100 = 0),
+         |deg AS (SELECT src AS node, COUNT(*) AS d FROM und GROUP BY 1),
+         |ed AS (SELECT u.src, u.dst, deg.d FROM und u JOIN deg ON deg.node = u.src),
+         |n AS (SELECT deg.node,
+         |  CASE WHEN s.node IS NOT NULL THEN CAST(150000000 AS BIGINT)
+         |       ELSE CAST(0 AS BIGINT) END AS base
+         |  FROM deg LEFT JOIN seeds s ON deg.node = s.node),
+         |r0 AS (SELECT node, CASE WHEN base > 0 THEN CAST(1000000000 AS BIGINT)
+         |  ELSE CAST(0 AS BIGINT) END AS rank FROM n),
+         |$rounds
+         |SELECT node, rank FROM r3 ORDER BY node""".stripMargin
+    },
     "gr5_triangles" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
         |pc AS (SELECT a.sk AS s, b.sk AS t, COUNT(*) AS n_co

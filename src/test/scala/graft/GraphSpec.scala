@@ -86,6 +86,23 @@ class GraphSpec extends SparkSpec {
     assert(one === Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
   }
 
+  test("personalized PageRank: rank decays from seeds, other components stay 0") {
+    // path a-b-c-d seeded at a, plus a disconnected edge x-y
+    val e = edges("a" -> "b", "b" -> "c", "c" -> "d", "x" -> "y")
+    val seeds = Seq("a").toDF("node")
+    val got = EntityGraph.personalizedPageRank(e, seeds, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet === Set("a", "b", "c", "d", "x", "y"))
+    // every reachable node carries mass; decay compares nodes of the SAME
+    // walk parity (finite iterations leave the odd/even oscillation of a
+    // path walk unmixed, so a-vs-b is parity, not distance): at even
+    // distance a > c, at odd distance b > d
+    assert(Seq("a", "b", "c", "d").forall(got(_) > 0L))
+    assert(got("a") > got("c") && got("b") > got("d"))
+    // the unreachable component carries exact zero
+    assert(got("x") === 0L && got("y") === 0L)
+  }
+
   test("co-supplier projection is canonical and thresholded") {
     val e = EntityGraph.coSupplierEdges(spark, sf001, minCoOrders = 2)
     assert(e.filter(col("src") >= col("dst")).count() === 0L)
