@@ -562,6 +562,62 @@ object TrainingData {
       .orderBy(col("round"))
   }
 
+  /** qc2: train the hashed-feature quality/language classifier IN the
+    * engine — a batch perceptron over 64 hashed-unigram count features
+    * (positive class: lang = 'en'), two epochs, all-integer. The batch
+    * (not online) update rule is what makes training a DISTRIBUTED
+    * aggregate: each epoch scores every doc against the broadcast
+    * weight vector (map-side), collects the misclassified set, and sums
+    * their signed feature vectors into one 64-row weight delta —
+    * order-free, so the result is independent of partitioning and a SQL
+    * twin replays it exactly (epoch 1 from w=0 degenerates to the sum
+    * over ALL docs, since y·0 ≤ 0 counts as misclassified).
+    *
+    * Scale shape: the (doc, bucket, count) table stages once; per epoch
+    * one broadcast join (64-row weights) + two map-side-combinable
+    * aggregates. Weights stay bounded (|w| ≤ epochs·corpus tokens).
+    * qc1 SCORES with fixed weights; qc2 closes the loop by LEARNING
+    * them from labels — the fastText-style classifier shape of corpus
+    * quality filtering, minus FP softmax (perceptron keeps it integer).
+    */
+  def qc2Perceptron(spark: SparkSession, dir: String): DataFrame =
+    perceptronWeights(
+      docs(spark, dir).select(col("doc_id"),
+        (col("lang") === "en").cast("boolean").as("label"), col("text")))
+
+  /** Core of qc2: two-epoch batch perceptron over any
+    * (doc_id, label, text) corpus; returns (bucket, w1, w2).
+    */
+  def perceptronWeights(corpus: DataFrame): DataFrame = {
+    val tb = graft.functions.F.materialize(
+      corpus
+        .select(col("doc_id"),
+          when(col("label"), 1L).otherwise(-1L).as("__y"),
+          explode(split(col("text"), " ")).as("__tok"))
+        .withColumn("__b", pmod(Dedupe.tokenHash(col("__tok")), lit(64L)))
+        .groupBy(col("doc_id"), col("__y"), col("__b"))
+        .agg(count(lit(1)).as("__x")))
+    // epoch 1 from w = 0: every doc has y·score = 0 ≤ 0 → the update is
+    // the signed feature sum over the whole corpus
+    val w1 = tb.groupBy(col("__b"))
+      .agg(sum(col("__y") * col("__x")).as("w1"))
+    val scored = tb
+      .join(broadcast(w1), Seq("__b"), "left_outer")
+      .groupBy(col("doc_id"), col("__y"))
+      .agg(sum(col("__x") * coalesce(col("w1"), lit(0L))).as("__score"))
+    val mis = scored.filter(col("__y") * col("__score") <= 0)
+      .select(col("doc_id"))
+    val upd = tb.join(mis, Seq("doc_id"), "left_semi")
+      .groupBy(col("__b")).agg(sum(col("__y") * col("__x")).as("__dw"))
+    val grid = tb.sparkSession.range(0, 64).select(col("id").as("bucket"))
+    grid
+      .join(w1.select(col("__b").as("bucket"), col("w1")), Seq("bucket"), "left_outer")
+      .join(upd.select(col("__b").as("bucket"), col("__dw")), Seq("bucket"), "left_outer")
+      .select(col("bucket"), coalesce(col("w1"), lit(0L)).as("w1"),
+        (coalesce(col("w1"), lit(0L)) + coalesce(col("__dw"), lit(0L))).as("w2"))
+      .orderBy(col("bucket"))
+  }
+
   /** sim10: ANN recall calibration — recall@3 of the IVF index (sim3's
     * nlist=8 / nprobe=2 configuration) against the brute-force exact
     * top-3, per query. THE metric an ANN deployment tracks before
@@ -990,6 +1046,7 @@ object TrainingData {
     "cur5_dsir_weights" -> (cur5DsirWeights _),
     "sim10_recall" -> (sim10Recall _),
     "tok2_bpe_merges" -> (tok2BpeMerges _),
+    "qc2_perceptron" -> (qc2Perceptron _),
     "qs1_hist_quantiles" -> (qs1HistQuantiles _),
     "t6_scrub" -> (t6Scrub _),
     "dc1_decontam" -> (dc1Decontam _),
@@ -1816,6 +1873,26 @@ object TrainingData {
         |  FROM tb JOIN wb USING (b) GROUP BY 1, 2)
         |SELECT doc_id, source, n_tokens, CAST(sw // n_tokens AS BIGINT) AS score
         |FROM sc ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
+    "qc2_perceptron" ->
+      """WITH toks AS (SELECT doc_id,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+        |    unnest(string_split(text,' ')) AS w FROM documents),
+        |tb AS (SELECT doc_id, y,
+        |    (('0x'||substr(md5(w),1,8))::BIGINT) % 64 AS b, COUNT(*) AS x
+        |  FROM toks GROUP BY 1, 2, 3),
+        |w1 AS (SELECT b, CAST(SUM(y*x) AS BIGINT) AS w FROM tb GROUP BY b),
+        |s2 AS (SELECT tb.doc_id, MAX(tb.y) AS y,
+        |    SUM(tb.x * COALESCE(w1.w, 0)) AS score
+        |  FROM tb LEFT JOIN w1 USING (b) GROUP BY tb.doc_id),
+        |mis AS (SELECT doc_id FROM s2 WHERE y * score <= 0),
+        |upd AS (SELECT tb.b, CAST(SUM(tb.y * tb.x) AS BIGINT) AS dw
+        |  FROM tb JOIN mis USING (doc_id) GROUP BY tb.b),
+        |grid AS (SELECT unnest(range(0,64)) AS bucket)
+        |SELECT grid.bucket, COALESCE(w1.w, 0) AS w1,
+        |  COALESCE(w1.w, 0) + COALESCE(upd.dw, 0) AS w2
+        |FROM grid LEFT JOIN w1 ON w1.b = grid.bucket
+        |LEFT JOIN upd ON upd.b = grid.bucket
+        |ORDER BY grid.bucket""".stripMargin,
     "tok2_bpe_merges" ->
       s"""WITH s0 AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
          |t0 AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS pos,

@@ -686,6 +686,29 @@ class TrainingDataSpec extends SparkSpec {
     assert(top2.select("a", "b").as[(String, String)].head() === (("m", "n")))
   }
 
+  test("qc2 perceptron: trained weights separate a separable corpus") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, true, "good clean prose here"),
+      (2L, true, "clean good wording here"),
+      (3L, false, "spam junk noise blob"),
+      (4L, false, "junk spam blob noise"))
+      .toDF("doc_id", "label", "text")
+    val w = graft.queries.TrainingData.perceptronWeights(corpus)
+      .select("bucket", "w2").as[(Long, Long)].collect().toMap
+    // score each doc with the trained vector — positives above negatives,
+    // and with disjoint vocabularies the signs separate exactly
+    def score(text: String): Long =
+      text.split(" ").groupBy(identity).map { case (tok, occ) =>
+        val h = java.math.BigInteger.valueOf(
+          java.lang.Long.parseLong(
+            org.apache.commons.codec.digest.DigestUtils.md5Hex(tok).take(8), 16))
+        w(h.longValue() % 64) * occ.length
+      }.sum
+    assert(score("good clean prose here") > 0)
+    assert(score("spam junk noise blob") < 0)
+  }
+
   test("sim10 recall: IVF probing every list recovers brute force exactly") {
     import spark.implicits._
     val e = Tables(spark, sf001, "embeddings")
