@@ -562,6 +562,59 @@ object TrainingData {
       .orderBy(col("round"))
   }
 
+  /** cur6: the curation FUNNEL — the gates this library provides, chained
+    * the way a production corpus build runs them, with per-stage
+    * survivor counts (the report a data team reads before training):
+    * raw → Gopher quality gates (t8's bounds) → exact dedupe (min-id per
+    * text hash, d1's rule) → per-source cap (cur1's rank rule, top 15) →
+    * sqrt-temperature mixture draw (cur4's integer threshold, 8k-token
+    * budget over the SURVIVORS).
+    *
+    * The point is composition: every stage is the same declarative
+    * DataFrame the standalone query gates, so the funnel is one lazy
+    * plan; only the parse projection (st0) and the multi-consumer
+    * survivor set (st3: feeds its own totals, the draw, and the report)
+    * are staged. Per-stage counts re-scan the STAGED parse, not the
+    * corpus.
+    */
+  def cur6CurationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.F
+    val W = org.apache.spark.sql.expressions.Window
+    val n = size(split(col("text"), " ")).cast("long")
+    val wl = (length(col("text")) - (n - lit(1))).cast("double") / n.cast("double")
+    val st0 = F.materialize(docs(spark, dir).select(
+      col("doc_id"), col("source"), col("n_chars"),
+      n.as("__nt"), wl.as("__wl"), md5(col("text")).as("__key")))
+    val st1 = st0.filter(col("__nt") >= 50 && col("__nt") <= 100000 &&
+      col("__wl") >= 3.0 && col("__wl") <= 10.0)
+    val st2 = st1
+      .withColumn("__mn", min(col("doc_id")).over(W.partitionBy(col("__key"))))
+      .filter(col("doc_id") === col("__mn"))
+    val st3 = F.materialize(st2
+      .withColumn("__rk", row_number().over(
+        W.partitionBy(col("source")).orderBy(col("n_chars").desc, col("doc_id"))))
+      .filter(col("__rk") <= 15)
+      .select(col("doc_id"), col("source"), col("__nt")))
+    val sq = st3.groupBy(col("source")).agg(sum(col("__nt")).as("src_tok"))
+      .withColumn("s", floor(sqrt(col("src_tok").cast("double"))).cast("long"))
+    val alloc = sq.crossJoin(broadcast(sq.agg(sum(col("s")).as("s_total"))))
+      .withColumn("alloc_tok", expr("(8000 * s) div s_total"))
+      .select(col("source"), col("src_tok"), col("alloc_tok"))
+    val st4 = st3.join(broadcast(alloc), Seq("source"))
+      .filter(pmod(Dedupe.tokenHash(col("doc_id").cast("string")), lit(1000000L)) *
+        col("src_tok") < col("alloc_tok") * lit(1000000L))
+    def stage(i: Int, name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens"))
+        .select(lit(i).as("stage"), lit(name).as("stage_name"),
+          col("n_docs"), col("n_tokens"))
+    stage(0, "raw", st0)
+      .unionByName(stage(1, "gopher", st1))
+      .unionByName(stage(2, "exact_dedupe", st2))
+      .unionByName(stage(3, "source_cap", st3))
+      .unionByName(stage(4, "mixture_draw", st4))
+      .orderBy(col("stage"))
+  }
+
   /** qc2: train the hashed-feature quality/language classifier IN the
     * engine — a batch perceptron over 64 hashed-unigram count features
     * (positive class: lang = 'en'), two epochs, all-integer. The batch
@@ -1047,6 +1100,7 @@ object TrainingData {
     "sim10_recall" -> (sim10Recall _),
     "tok2_bpe_merges" -> (tok2BpeMerges _),
     "qc2_perceptron" -> (qc2Perceptron _),
+    "cur6_curation_funnel" -> (cur6CurationFunnel _),
     "qs1_hist_quantiles" -> (qs1HistQuantiles _),
     "t6_scrub" -> (t6Scrub _),
     "dc1_decontam" -> (dc1Decontam _),
@@ -1873,6 +1927,37 @@ object TrainingData {
         |  FROM tb JOIN wb USING (b) GROUP BY 1, 2)
         |SELECT doc_id, source, n_tokens, CAST(sw // n_tokens AS BIGINT) AS score
         |FROM sc ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
+    "cur6_curation_funnel" ->
+      """WITH base AS (SELECT doc_id, source, n_chars, md5(text) AS key,
+        |    len(string_split(text,' ')) AS nt,
+        |    CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
+        |      / CAST(len(string_split(text,' ')) AS DOUBLE) AS wl
+        |  FROM documents),
+        |s1 AS (SELECT * FROM base
+        |  WHERE nt >= 50 AND nt <= 100000 AND wl >= 3.0 AND wl <= 10.0),
+        |s2 AS (SELECT * FROM (
+        |    SELECT *, MIN(doc_id) OVER (PARTITION BY key) AS mn FROM s1)
+        |  WHERE doc_id = mn),
+        |s3 AS (SELECT * FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rk FROM s2)
+        |  WHERE rk <= 15),
+        |sq AS (SELECT source, CAST(SUM(nt) AS BIGINT) AS src_tok,
+        |    CAST(FLOOR(SQRT(CAST(SUM(nt) AS DOUBLE))) AS BIGINT) AS s
+        |  FROM s3 GROUP BY source),
+        |tot AS (SELECT CAST(SUM(s) AS BIGINT) AS s_total FROM sq),
+        |alloc AS (SELECT source, src_tok, (8000 * s) // s_total AS alloc_tok
+        |  FROM sq, tot),
+        |s4 AS (SELECT t.* FROM s3 t JOIN alloc a USING (source)
+        |  WHERE (('0x'||substr(md5(CAST(t.doc_id AS VARCHAR)),1,8))::BIGINT % 1000000)
+        |        * a.src_tok < a.alloc_tok * 1000000)
+        |SELECT 0 AS stage, 'raw' AS stage_name, COUNT(*) AS n_docs,
+        |  CAST(SUM(nt) AS BIGINT) AS n_tokens FROM base
+        |UNION ALL SELECT 1, 'gopher', COUNT(*), CAST(SUM(nt) AS BIGINT) FROM s1
+        |UNION ALL SELECT 2, 'exact_dedupe', COUNT(*), CAST(SUM(nt) AS BIGINT) FROM s2
+        |UNION ALL SELECT 3, 'source_cap', COUNT(*), CAST(SUM(nt) AS BIGINT) FROM s3
+        |UNION ALL SELECT 4, 'mixture_draw', COUNT(*), CAST(SUM(nt) AS BIGINT) FROM s4
+        |ORDER BY stage""".stripMargin,
     "qc2_perceptron" ->
       """WITH toks AS (SELECT doc_id,
         |    CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
