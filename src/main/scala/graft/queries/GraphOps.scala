@@ -17,14 +17,33 @@ import graft.graph.EntityGraph
   */
 object GraphOps {
 
+  // The customer–supplier edge list is staged once per (session, sf-dir)
+  // and read back by every graph query — the same precedent as the
+  // session-staged statement table (StatementOps) and term tables
+  // (TrainingData): in production the entity graph is a maintained
+  // artifact (refreshed per merge), not something each analytic re-derives
+  // from the fact join. Cache holds the PATH (weak session key — see
+  // SessionScoped).
+  private val stagedEdges = new graft.functions.SessionScoped[String]
+
+  private def csEdges(spark: SparkSession, dir: String): DataFrame = {
+    val path = stagedEdges.getOrCompute(spark, s"$dir#cs") {
+      val tmp = graft.functions.F.stageTempPath(spark, "cs-edges")
+      EntityGraph.customerSupplierEdges(spark, dir)
+        .write.mode("overwrite").parquet(tmp)
+      tmp
+    }
+    spark.read.parquet(path)
+  }
+
   /** gr1: per-node degree over the undirected customer–supplier graph. */
   def gr1Degree(spark: SparkSession, dir: String): DataFrame =
-    EntityGraph.degrees(EntityGraph.customerSupplierEdges(spark, dir))
+    EntityGraph.degrees(csEdges(spark, dir))
       .orderBy(col("node"))
 
   /** gr2: min-hop BFS expansion, 2 hops from every 100th customer. */
   def gr2Expand(spark: SparkSession, dir: String): DataFrame = {
-    val edges = EntityGraph.customerSupplierEdges(spark, dir)
+    val edges = csEdges(spark, dir)
     val seeds = graft.Tables.customer(spark, dir)
       .filter(col("c_custkey") % 100 === 0)
       .select(concat(lit("c"), col("c_custkey")).as("node"))
@@ -34,7 +53,7 @@ object GraphOps {
 
   /** gr3: 3-iteration integer-exact PageRank (damping 0.85, scale 1e9). */
   def gr3Pagerank(spark: SparkSession, dir: String): DataFrame =
-    EntityGraph.pageRank(EntityGraph.customerSupplierEdges(spark, dir), iters = 3)
+    EntityGraph.pageRank(csEdges(spark, dir), iters = 3)
       .orderBy(col("node"))
 
   /** gr4: connected components — min-label propagation to fixpoint over
@@ -47,7 +66,7 @@ object GraphOps {
     */
   def gr4Components(spark: SparkSession, dir: String): DataFrame =
     graft.dedupe.Dedupe.dupClusters(
-      EntityGraph.customerSupplierEdges(spark, dir)
+      csEdges(spark, dir)
         .select(col("src").as("id_a"), col("dst").as("id_b")))
       .select(col("doc_id").as("node"), col("cluster_id").as("component"))
       .orderBy(col("node"))
@@ -70,8 +89,7 @@ object GraphOps {
     val seeds = graft.Tables.customer(spark, dir)
       .filter(col("c_custkey") % 100 === 0)
       .select(concat(lit("c"), col("c_custkey")).as("node"))
-    EntityGraph.personalizedPageRank(
-        EntityGraph.customerSupplierEdges(spark, dir), seeds, iters = 3)
+    EntityGraph.personalizedPageRank(csEdges(spark, dir), seeds, iters = 3)
       .orderBy(col("node"))
   }
 

@@ -266,29 +266,8 @@ object StatementOps {
   // the two-version store is staged once per (session, sf-dir) — building
   // it is the import step (same precedent as c1's two-dataset lake); the
   // operator under test is the version-pinned READ
-  /** Session-scoped stage cache: a WEAK-keyed outer map so a static
-    * cache never pins a stopped SparkSession (and its staged store
-    * paths) for the JVM lifetime — entries vanish with the session;
-    * the staged files themselves live under stageTempPath's
-    * delete-on-exit root. Values must not reference the session.
-    */
-  private final class SessionScoped[V] {
-    private val maps = new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, V]]()
-    def getOrCompute(spark: SparkSession, key: String)(make: => V): V = {
-      val m = maps.synchronized {
-        var x = maps.get(spark)
-        if (x == null) {
-          x = new java.util.concurrent.ConcurrentHashMap[String, V]()
-          maps.put(spark, x)
-        }
-        x
-      }
-      m.computeIfAbsent(key, _ => make)
-    }
-  }
-
-  private val stagedTT = new SessionScoped[(String, Long)]
+  // weak-keyed session cache — see graft.functions.SessionScoped scaladoc
+  private val stagedTT = new graft.functions.SessionScoped[(String, Long)]
 
   private def buildTT(spark: SparkSession, dir: String): (String, Long) = {
     val tmp = F.stageTempPath(spark, "tt")
@@ -335,7 +314,7 @@ object StatementOps {
   // operations under test are enumeration + per-dataset aggregation
   // weak session key (SessionScoped) for the same no-pinning reason as
   // stagedTT; path values don't reference the session
-  private val stagedLake = new SessionScoped[String]
+  private val stagedLake = new graft.functions.SessionScoped[String]
 
   def c1CatalogStats(spark: SparkSession, dir: String): DataFrame = {
     val lakeRoot = stagedLake.getOrCompute(spark, dir) {

@@ -347,4 +347,35 @@ class PropertySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
     assert(codes(1L) == codes(2L))
   }
+
+  test("BPE merge round is lossless and greedy on random token streams") {
+    import spark.implicits._
+    // small alphabet forces repeats (and runs of equal tokens, the
+    // overlap-parity edge the windows encode)
+    val genDoc = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c"))
+    val docs = samples(genDoc, 30).zipWithIndex.map { case (ws, i) =>
+      (i.toLong, ws)
+    }
+    val toks = docs.flatMap { case (id, ws) =>
+      ws.zipWithIndex.map { case (w, p) => (id, p + 1, w) }
+    }.toDF("doc_id", "pos", "w")
+    val (merged, top) = graft.text.Bpe.mergeRound(toks)
+    val (a, b, _) = top.select("a", "b", "n_pair")
+      .as[(String, String, Long)].head()
+    val got = merged.orderBy("doc_id", "pos").as[(Long, Int, String)]
+      .collect().groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toList).toMap
+    // reference: sequential greedy scan per doc
+    def greedy(ws: List[String]): List[String] = ws match {
+      case x :: y :: rest if x == a && y == b => s"$x+$y" :: greedy(rest)
+      case x :: rest => x :: greedy(rest)
+      case Nil => Nil
+    }
+    for ((id, ws) <- docs) {
+      val want = greedy(ws)
+      assert(got(id) == want, s"doc $id: ${got(id)} != $want (pair $a $b)")
+      // losslessness: splitting merged tokens on '+' reconstructs the doc
+      assert(got(id).flatMap(_.split('+')) == ws)
+    }
+  }
 }
