@@ -299,6 +299,64 @@ object Relational {
   // TS1: per-user hourly event series regularized onto the hour grid —
   // gap hours get n_events = 0 and carry the last observed hourly sum
   // forward (LOCF). The resample primitive every metrics pipeline needs.
+  /** scd1: SCD-type-2 dimension derivation from a change log — the
+    * versioned-dimension maintenance every lakehouse runs (the statement
+    * store's first_seen/last_seen lifecycle, restated on an event-grain
+    * attribute): collapse each user's event-type stream into validity
+    * intervals [valid_from, valid_to) per distinct run (consecutive
+    * repeats of the same value merge into one version; the open current
+    * version has NULL valid_to).
+    *
+    * Gaps-and-islands with two window passes over ONE partitioning
+    * (user_id): a change flag via lag, a running change-count as the
+    * island id, then min/max per island — no self-join, state bounded by
+    * a user's history. Integer-exact (epoch ms).
+    */
+  def scd1Dimension(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("__chg",
+        when(lag(col("event_type"), 1).over(byUser).isNull ||
+          lag(col("event_type"), 1).over(byUser) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("__island", sum(col("__chg")).over(cum))
+      .groupBy(col("user_id"), col("__island"))
+      .agg(first(col("event_type")).as("event_type"),
+        graft.functions.F.epochMs(min(col("ts"))).as("valid_from_ms"),
+        count(lit(1)).as("n_events"))
+      .withColumn("valid_to_ms",
+        lead(col("valid_from_ms"), 1).over(
+          Window.partitionBy(col("user_id")).orderBy(col("__island"))))
+      .select(col("user_id"), col("__island").as("version"),
+        col("event_type"), col("valid_from_ms"), col("valid_to_ms"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  /** w3: daily new-user and cumulative-user counts — the running
+    * count-distinct every growth dashboard needs, restated so it needs
+    * NO distinct-state at read time: a user contributes to exactly the
+    * day of their FIRST event (one map-side-combinable min per user),
+    * and the cumulative series is a running sum over the ≤|days| daily
+    * rows. The classic trick that turns an O(users) streaming-state
+    * problem into two tiny aggregates.
+    */
+  def w3CumulativeUsers(spark: SparkSession, dir: String): DataFrame = {
+    val firsts = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("__first"))
+      .select(to_date(col("__first")).cast("string").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+    firsts
+      .withColumn("cum_users", sum(col("new_users")).over(
+        Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy(col("day"))
+  }
+
   /** ts2: trailing-window outlier detection over the event stream — the
     * monitoring primitive a pipeline runs on ingest volumes and metric
     * feeds. A point is anomalous when its deviation from the trailing
@@ -437,6 +495,8 @@ object Relational {
     "coh1_retention" -> (coh1Retention _),
     "ts1_gapfill" -> (ts1Gapfill _),
     "ts2_anomaly" -> (ts2Anomaly _),
+    "scd1_dimension" -> (scd1Dimension _),
+    "w3_cumulative_users" -> (w3CumulativeUsers _),
     "prof1_table_profile" -> (prof1TableProfile _),
     "q5_pivot" -> (q5Pivot _),
     "aj1_asof_join" -> (aj1AsofJoin _),
@@ -507,6 +567,28 @@ object Relational {
         |  COUNT(DISTINCT w.user_id) AS n_users
         |FROM weekly w JOIN cohorts c ON w.user_id = c.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "scd1_dimension" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type FROM events),
+        |f AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+        |      OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |i AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS island FROM f),
+        |g AS (SELECT user_id, island AS version, MIN(event_type) AS event_type,
+        |    epoch_ms(MIN(ts)) AS valid_from_ms, COUNT(*) AS n_events
+        |  FROM i GROUP BY 1, 2)
+        |SELECT user_id, version, event_type, valid_from_ms,
+        |  lead(valid_from_ms) OVER (PARTITION BY user_id ORDER BY version) AS valid_to_ms,
+        |  n_events
+        |FROM g ORDER BY user_id, version""".stripMargin,
+    "w3_cumulative_users" ->
+      """WITH firsts AS (SELECT user_id, MIN(ts) AS f FROM events GROUP BY 1),
+        |daily AS (SELECT CAST(CAST(f AS DATE) AS VARCHAR) AS day,
+        |    COUNT(*) AS new_users FROM firsts GROUP BY 1)
+        |SELECT day, new_users,
+        |  CAST(SUM(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS cum_users
+        |FROM daily ORDER BY day""".stripMargin,
     "ts2_anomaly" ->
       """WITH sc AS (SELECT user_id, ts, event_id,
         |    CAST(FLOOR(value*1000) AS BIGINT) AS v FROM events),
