@@ -69,6 +69,14 @@ object StreamingOps {
       .orderBy(col("entity_id"))
   }
 
+  /** st8: stream-static enrichment (stateless broadcast join per
+    * micro-batch + constant #nations aggregate) — see
+    * [[graft.streaming.EventStream.streamStaticEnrich]].
+    */
+  def st8StreamStatic(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.streamStaticEnrich(spark, dir)
+      .orderBy(col("n_name"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_window_agg" -> (st1WindowAgg _),
     "st0_stream_window" -> (st0StreamWindow _),
@@ -76,6 +84,7 @@ object StreamingOps {
     "st5_interval_join" -> (st5IntervalJoin _),
     "st6_stream_sessionize" -> (st6StreamSessionize _),
     "st7_session_timeout" -> (st7SessionTimeout _),
+    "st8_stream_static" -> (st8StreamStatic _),
     "s9_csv_roundtrip" -> (s9CsvRoundtrip _),
     "s11_json_roundtrip" -> (s11JsonRoundtrip _))
 
@@ -86,6 +95,13 @@ object StreamingOps {
       |FROM events GROUP BY 1, 2 ORDER BY window_ms, event_type""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "st8_stream_static" ->
+      """SELECT n.n_name, COUNT(*) AS n,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events e
+        |JOIN customer c ON e.user_id = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "st1_window_agg" -> windowSql,
     "st0_stream_window" -> windowSql,
     "st2_sessionize" ->

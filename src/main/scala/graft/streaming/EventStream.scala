@@ -70,6 +70,47 @@ object EventStream {
         col("n"), col("total"))
   }
 
+  /** STREAM-STATIC enrichment join: the event stream joined to the
+    * customer→nation dimension (a static broadcastable table) and
+    * aggregated per nation — the standard continuous-enrichment shape
+    * (fact stream × dimension snapshot). The join itself is STATELESS:
+    * each micro-batch hash-joins against the broadcast dimension, so the
+    * only streaming state is the constant #nations aggregate — at
+    * 100 TB/day the dimension broadcast is what keeps enrichment off the
+    * shuffle entirely. Drained with AvailableNow ⇒ equals the batch join
+    * and the SQL twin is the oracle.
+    */
+  def streamStaticEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val ss = StreamConf.streamSession(spark)
+    val batch = ss.read.parquet(s"$dir/events.parquet")
+    val src = graft.Tables.normalizeTs(
+      ss.readStream
+        .schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
+    val dim = broadcast(
+      graft.Tables.customer(ss, dir)
+        .select(col("c_custkey").as("user_id"), col("c_nationkey"))
+        .join(graft.Tables.nation(ss, dir),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("user_id"), col("n_name")))
+    val agg = src.join(dim, Seq("user_id"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total"))
+    val name = s"graft_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation",
+        s"${graft.functions.F.stageRoot(ss)}/ckpt-$name")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ss.table(name)
+  }
+
   /** Stream-stream INTERVAL JOIN: clicks joined to the same user's
     * errors from the preceding 2 hours, both sides watermarked so the
     * join state is bounded — Spark buffers each side only for
