@@ -46,7 +46,7 @@ object JournalWire {
     n
   }
 
-  private def parseRow(line: String, ds: String): Statement = {
+  private[graft] def parseRow(line: String, ds: String): Statement = {
     val n =
       try mapper.readTree(line)
       catch { case e: Exception =>
@@ -63,7 +63,10 @@ object JournalWire {
       id = str("id").getOrElse(""),
       entity_id = req("entity_id"), dataset = ds,
       bucket = str("bucket").getOrElse(FtmModel.bucketOf(schema)),
-      origin = str("origin").getOrElse("bulk"), source = None,
+      // origin flows into partition values and storage paths — boundary-
+      // validated like the reference (util.py safe_name on every origin)
+      origin = graft.lake.Catalog.safePathComponent(
+        str("origin").getOrElse("bulk"), "origin"), source = None,
       schema = schema, prop = req("prop"),
       prop_type = str("prop_type").getOrElse("string"),
       value = req("value"), original_value = str("original_value"),

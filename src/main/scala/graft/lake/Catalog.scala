@@ -201,4 +201,24 @@ object Catalog {
     require(name.matches("[a-z0-9][a-z0-9_-]*"), s"invalid dataset name: `$name`")
     name
   }
+
+  /** Validate a caller-supplied string that flows into a path component
+    * or partition value (`origin`, file ids) — rejects empty, `.`/`..`,
+    * path separators, control characters, and over-long values
+    * (reference util.py:38-76 `safe_name`). Spark's partition writer
+    * URL-escapes values, so traversal cannot actually escape the table
+    * root — but a hostile origin would still mint unreadable partition
+    * keys and storage paths downstream; the boundary rejects it early,
+    * like the reference.
+    */
+  def safePathComponent(value: String, field: String = "name"): String = {
+    require(value != null && value.nonEmpty, s"$field must not be empty")
+    require(value.length <= 255, s"$field too long (${value.length} > 255)")
+    require(value != "." && value != "..", s"$field must not be a path marker: `$value`")
+    require(!value.exists(c => c < ' ' || c == '\u007f'),
+      s"$field must not contain control characters")
+    require(!value.contains('/') && !value.contains('\\'),
+      s"$field must not contain path separators: `$value`")
+    value
+  }
 }

@@ -38,9 +38,13 @@ class LakeRepository(val spark: SparkSession, val rootStr: String,
     * drains automatically past the WAL threshold.
     */
   def addEntities(entities: Dataset[Explode.EntityPayload],
-      origin: String = "default", now: Timestamp = nowTs()): Unit =
+      origin: String = "default", now: Timestamp = nowTs()): Unit = {
+    // origin is a partition value — boundary-validated like the
+    // reference (util.py safe_name on every origin entry point)
+    Catalog.safePathComponent(origin, "origin")
     journal.writeAutoFlush(
       Explode.explode(entities, dataset, origin, shards, now), store)
+  }
 
   /** Drain the journal into the statement store. */
   def flush(): Long = journal.drain(store)

@@ -118,4 +118,21 @@ class CatalogSpec extends SparkSpec {
     val again = cat.makeAll(out)
     assert(again.values.forall(_.isEmpty))
   }
+
+  test("safePathComponent: path-flowing strings validated at the boundary") {
+    import graft.lake.Catalog.safePathComponent
+    // valid origins pass through unchanged
+    for (ok <- Seq("bulk", "crawl", "src:a b", "UPPER.case-1_x", "données"))
+      assert(safePathComponent(ok, "origin") == ok)
+    // traversal markers, separators, control chars, empties, oversize: rejected
+    val bad = Seq("", ".", "..", "a/b", "a\\b", "a\nb", "\u007f", "x" * 256)
+    for (v <- bad)
+      assertThrows[IllegalArgumentException](safePathComponent(v, "origin"))
+    // the journal wire enforces it on incoming rows
+    assertThrows[IllegalArgumentException] {
+      graft.api.JournalWire.parseRow(
+        """{"entity_id":"e","prop":"name","value":"v","origin":"../../evil"}""",
+        "ds")
+    }
+  }
 }
