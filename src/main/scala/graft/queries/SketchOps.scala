@@ -129,8 +129,13 @@ object SketchOps {
       .withColumn("__k", col("l_orderkey").cast("string"))
     val pass = Sketches.bloomProbe(li, "__k", bits)
       .filter(col("bloom_hit") === 1)
+    // the verify join is NOT hinted: the key set scales with the dim-side
+    // selection (unbounded at 100 TB — only the ≤m-row bit table is
+    // bounded by construction), so AQE picks broadcast at small sizes and
+    // a shuffle join at scale; either way the Bloom prefilter has already
+    // cut the probe volume reaching this join
     pass
-      .join(broadcast(keys.withColumn("__t", lit(1L))), Seq("__k"), "left_outer")
+      .join(keys.withColumn("__t", lit(1L)), Seq("__k"), "left_outer")
       .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n_bloom_pass"),
