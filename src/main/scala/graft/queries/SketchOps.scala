@@ -102,9 +102,12 @@ object SketchOps {
     * the 2-column documents projection.
     */
   def sk4Hll(spark: SparkSession, dir: String): DataFrame = {
+    // no broadcast hint: the (doc_id, source) projection scales with the
+    // corpus — AQE broadcasts while it measures small and falls back to a
+    // doc_id-keyed shuffle join at scale (both sides already hash evenly)
     val src = docs(spark, dir).select(col("doc_id"), col("source"))
     val items = TrainingData.docShingleRows(spark, dir)
-      .join(broadcast(src), Seq("doc_id"))
+      .join(src, Seq("doc_id"))
     Sketches.hllDistinct(items, "source", "__tok").orderBy(col("source"))
   }
 
