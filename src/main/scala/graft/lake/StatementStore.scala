@@ -417,9 +417,69 @@ class StatementStore(val spark: SparkSession, val rootStr: String, val shards: I
     * caller knows no concurrent reader exists (pinned by StoreSpec
     * "vacuum contract").
     */
+  // ---- snapshot pins: named version pointers (Iceberg-style tags) ----
+
+  private val PinPrefix = "pins/"
+
+  /** Pin snapshot `v` (default: current) under `name`. Pinned versions
+    * are retained by [[vacuum]] regardless of `keepVersions`, so
+    * [[rawAtPin]] stays readable past the rolling retention window — the
+    * release/audit-freeze primitive on top of the manifest log. Returns
+    * the pinned version.
+    */
+  def pin(name: String, v: Long = -1L): Long = Locks.withLock(fs, root) {
+    Catalog.safePathComponent(name, "pin")
+    val target = if (v >= 0) v else version
+    require(Manifest.presentVersions(fs, root).contains(target),
+      s"no such snapshot version to pin: $target")
+    tags.put(PinPrefix + name, target.toString)
+    target
+  }
+
+  def pinnedVersion(name: String): Option[Long] =
+    tags.get(PinPrefix + name).map(_.trim.toLong)
+
+  def unpin(name: String): Unit = tags.delete(PinPrefix + name)
+
+  def pins(): Map[String, Long] =
+    tags.keys(PinPrefix).flatMap { k =>
+      tags.get(k).map(v => k.stripPrefix(PinPrefix) -> v.trim.toLong)
+    }.toMap
+
+  def rawAtPin(name: String): DataFrame =
+    rawAt(pinnedVersion(name).getOrElse(
+      throw new NoSuchElementException(s"no such pin: $name")))
+
+  /** Frozen physical copy of snapshot `v` (default: current) at
+    * `destRoot`: the snapshot's live files copy over and commit as the
+    * clone's version 0 — a self-contained dataset sharing no storage
+    * with the source, so source appends/merges/vacuums can never
+    * invalidate it (the local-FS semantics; an object-store deployment
+    * would swap the byte copy for a server-side/reference copy and keep
+    * the same manifest commit). Zone-map stats carry over, so the
+    * clone's changed-since file skipping works from the first read.
+    */
+  def cloneAt(destRoot: String, v: Long = -1L): StatementStore = {
+    val srcV = if (v >= 0) v else version
+    require(Manifest.presentVersions(fs, root).contains(srcV),
+      s"no such snapshot version to clone: $srcV")
+    val (files, stats) = Manifest.liveState(fs, root, srcV)
+    val dest = new Path(destRoot)
+    val conf = spark.sessionState.newHadoopConf()
+    val dfs = dest.getFileSystem(conf)
+    for (f <- files)
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, new Path(root, f), dfs, new Path(dest, f), false, conf)
+    Manifest.commit(dfs, dest, files, "clone", stats)
+    new StatementStore(spark, destRoot, shards)
+  }
+
   def vacuum(keepVersions: Int = 2): Seq[String] = Locks.withLock(fs, root) {
     val current = version
-    val keepFrom = math.max(0L, current - keepVersions + 1)
+    // pinned versions are always inside the retention window — a pin
+    // extends the window back to the oldest pinned snapshot
+    val keepFrom = (pins().values.toSeq :+
+      math.max(0L, current - keepVersions + 1)).min
     // a prior vacuum with a tighter window may already have expired
     // manifests inside [keepFrom, current] — read only versions that still
     // exist, or liveFiles throws FileNotFoundException inside the lock

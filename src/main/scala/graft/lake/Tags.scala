@@ -43,6 +43,14 @@ class Tags(fs: FileSystem, root: Path) {
 
   def delete(key: String): Unit = fs.delete(pathOf(key), false)
 
+  /** Keys under a directory-shaped prefix (e.g. `pins/`) — one listing. */
+  def keys(prefix: String): Seq[String] = {
+    val d = new Path(new Path(root, "_graft/tags"), prefix)
+    if (!fs.exists(d)) Nil
+    else fs.listStatus(d).filter(_.isFile)
+      .map(s => prefix + s.getPath.getName).toSeq.sorted
+  }
+
   /** True when `target` exists and is at least as new as every dependency
     * that exists. A missing target is never latest; missing deps don't
     * invalidate (matching the reference's semantics of "nothing newer").

@@ -348,6 +348,26 @@ class PropertySpec extends SparkSpec {
     assert(codes(1L) == codes(2L))
   }
 
+  test("journal wire parser is total: junk parses or IllegalArgumentException") {
+    // the same totality contract as the RQL parser: any byte junk from
+    // the network must map to a clean 400, never an NPE/ClassCast/OOM
+    val genJunk = Gen.oneOf(
+      Gen.asciiPrintableStr,
+      Gen.listOf(Gen.choose(Char.MinValue, Char.MaxValue)).map(_.mkString),
+      Gen.oneOf("{", "}", "[]", "null", "123", "\"str\"",
+        """{"entity_id":null}""", """{"entity_id":"e"}""",
+        """{"entity_id":"e","prop":"p","value":"v","origin":"../x"}""",
+        """{"entity_id":"e","prop":"p","value":"v","first_seen":"junk"}"""))
+    for (s <- samples(genJunk, 300)) {
+      try graft.api.JournalWire.parseRow(s, "ds")
+      catch { case _: IllegalArgumentException => () }
+    }
+    // a fully-formed row still parses with recomputed defaults
+    val ok = graft.api.JournalWire.parseRow(
+      """{"entity_id":"e1","prop":"name","value":"Ann","prop_type":"name"}""", "ds")
+    assert(ok.entity_id == "e1" && ok.origin == "bulk" && ok.dataset == "ds")
+  }
+
   test("BPE merge round is lossless and greedy on random token streams") {
     import spark.implicits._
     // small alphabet forces repeats (and runs of equal tokens, the

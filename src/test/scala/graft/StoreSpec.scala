@@ -197,6 +197,39 @@ class StoreSpec extends SparkSpec {
     intercept[Exception](store.rawAt(prev).count())
   }
 
+  test("snapshot pins survive vacuum; clone is frozen against source changes") {
+    val dir = Files.createTempDirectory("graft-pin").toString
+    val store = new StatementStore(spark, dir, shards = 4)
+    store.append(mkStatements(10, "o1", "2024-01-01 00:00:00"))
+    val v0count = store.raw.count()
+    val pinnedV = store.pin("release-1") // pins the current version
+    // clone the pinned snapshot before the table moves on
+    val cloneDir = Files.createTempDirectory("graft-clone").toString
+    val clone = store.cloneAt(cloneDir, pinnedV)
+    assert(clone.version == 0L && clone.raw.count() == v0count)
+
+    // advance the table well past any retention window
+    (0 until 3).foreach(_ => store.append(mkStatements(10, "o1", "2024-01-02 00:00:00")))
+    store.compact(maxFilesPerPartition = 1)
+    // keepVersions=1 would normally reap everything below current — the
+    // pin extends the window back to the pinned snapshot
+    store.vacuum(keepVersions = 1)
+    assert(store.pins() == Map("release-1" -> pinnedV))
+    assert(store.rawAtPin("release-1").count() == v0count)
+    // the clone never referenced the source's files: still intact, and
+    // source mutations didn't leak in
+    assert(clone.raw.count() == v0count)
+
+    // unpinned, the old snapshot is reclaimable on the next vacuum
+    store.unpin("release-1")
+    store.vacuum(keepVersions = 1)
+    intercept[Exception](store.rawAt(pinnedV).count())
+    intercept[NoSuchElementException](store.rawAtPin("release-1"))
+    // pin names are boundary-validated like every path component
+    intercept[IllegalArgumentException](store.pin("../evil"))
+    intercept[IllegalArgumentException](store.pin("x", 999L))
+  }
+
   test("compact packs sub-target files per partition; full-size files are never rewritten") {
     val dir = Files.createTempDirectory("graft-compact").toString
     val store = new StatementStore(spark, dir, shards = 4)
