@@ -187,6 +187,23 @@ object Main {
       case "optimize" :: ds :: Nil =>
         println(repo(ds).optimize())
 
+      case "snapshot" :: "pin" :: ds :: name :: Nil =>
+        val v = flags.get("version").map(_.toLong).getOrElse(-1L)
+        println(repo(ds).store.pin(name, v))
+
+      case "snapshot" :: "unpin" :: ds :: name :: Nil =>
+        repo(ds).store.unpin(name); println(s"unpinned $name")
+
+      case "snapshot" :: "ls" :: ds :: Nil =>
+        repo(ds).store.pins().toSeq.sortBy(_._1)
+          .foreach { case (n, v) => println(s"$n\t$v") }
+
+      case "snapshot" :: "clone" :: ds :: Nil =>
+        val dest = flags.getOrElse("dest", fail("clone needs --dest DIR"))
+        val v = flags.get("version").map(_.toLong).getOrElse(-1L)
+        repo(ds).store.cloneAt(dest, v)
+        println(s"cloned to $dest")
+
       case "unlock" :: ds :: Nil =>
         val p = cat.datasetPath(ds)
         val fs = p.getFileSystem(spark.sessionState.newHadoopConf())

@@ -81,6 +81,16 @@ class CliSpec extends SparkSpec {
       "--target", dl.toString)()
     assert(res.startsWith("done=1"), res)
     assert(Files.readString(dl.resolve("doc.txt")) == "cli crawl body")
+
+    // snapshot pins + clone round-trip through the CLI
+    val pv = cli(root, "snapshot", "pin", "clitest", "stable")().toLong
+    assert(cli(root, "snapshot", "ls", "clitest")() == s"stable\t$pv")
+    val cdir = Files.createTempDirectory("graft-cli-clone").toString
+    assert(cli(root, "snapshot", "clone", "clitest", "--dest", cdir)()
+      == s"cloned to $cdir")
+    assert(new java.io.File(s"$cdir/_graft/manifest").exists())
+    assert(cli(root, "snapshot", "unpin", "clitest", "stable")() == "unpinned stable")
+    assert(cli(root, "snapshot", "ls", "clitest")() == "")
   }
 
   test("cli crawl: files archived, file/folder entities imported, paths resolve") {
