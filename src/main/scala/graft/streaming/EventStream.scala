@@ -338,9 +338,21 @@ object EventStream {
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("event_id")
 
-  /** Stateful streaming sessionization: one state record per user; closed
-    * sessions are emitted when the gap is exceeded within the stream or on
-    * state timeout. The batch twin above is the oracle for its semantics.
+  /** Stateful streaming sessionization with per-user session ORDINALS
+    * (session_seq): one state record per user; closed sessions are
+    * emitted when the gap is exceeded within the stream or on state
+    * timeout. The batch twin above is the oracle for its semantics.
+    *
+    * Per-key memory bound — read before using on a continuous stream:
+    * the ordinal semantics require a total event order per user, so each
+    * invocation SORTS the user's micro-batch (`evs.toSeq.sortBy`) —
+    * memory is O(user's events in ONE micro-batch). That is fine for the
+    * drained AvailableNow form (this operator's gate) and for
+    * micro-batches bounded by trigger interval × per-user rate, but a
+    * bot-grade key in a huge batch pays O(batch) memory. For continuous
+    * deployments prefer [[sessionizeStreamingEventTime]] (st7): it folds
+    * incrementally in O(#open intervals) and closes idle sessions at the
+    * watermark, at the cost of not carrying an ordinal.
     */
   def sessionizeStreaming(events: Dataset[Ev], gapMinutes: Int): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
