@@ -49,6 +49,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.MediaProbe].getName, "media_probe"),
       (args: Seq[Expression]) => graft.functions.MediaProbe(args.head)))
     ext.injectFunction((
+      FunctionIdentifier("wav_pcm_stats"),
+      new ExpressionInfo(classOf[graft.functions.WavPcmStats].getName, "wav_pcm_stats"),
+      (args: Seq[Expression]) => graft.functions.WavPcmStats(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("bmp_pixel_stats"),
+      new ExpressionInfo(classOf[graft.functions.BmpPixelStats].getName, "bmp_pixel_stats"),
+      (args: Seq[Expression]) => graft.functions.BmpPixelStats(args.head)))
+    ext.injectFunction((
       FunctionIdentifier("pq_encode"),
       new ExpressionInfo(classOf[graft.functions.PqEncode].getName, "pq_encode"),
       (args: Seq[Expression]) => graft.functions.PqEncode(args.head)))

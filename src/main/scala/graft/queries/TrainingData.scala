@@ -966,6 +966,62 @@ object TrainingData {
       .orderBy(col("media_id"))
   }
 
+  /** MM4: REAL media decode for the uncompressed containers — PCM WAV
+    * samples and 24-bit BMP pixels parse from plain byte layouts with no
+    * codec library, so [[graft.functions.MediaDecode]] produces
+    * production numbers (loudness stats, channel sums), unlike the gated
+    * compressed-codec stubs. The fixture constructs VALID files whose
+    * sample/pixel bytes derive from doc_id; Spark runs the genuine
+    * chunk-walking decoders over them while the oracle computes the
+    * expected aggregates arithmetically from the construction — the mm3
+    * known-answer pattern extended from headers to payload decode.
+    */
+  def mm4PcmBmpDecode(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    val id = col("doc_id")
+    def b2(c: Column) = lpad(hex(c.bitwiseAND(lit(255L))), 2, "0")
+    def le16(c: Column) = concat(b2(c), b2(shiftright(c, 8).bitwiseAND(lit(255L))))
+    def le32(c: Column) = concat(le16(c.bitwiseAND(lit(65535L))),
+      le16(shiftright(c, 16).bitwiseAND(lit(65535L))))
+    // WAV: n = id%16+4 samples of 16-bit PCM; stored word i is
+    // (id*131 + i*2311) % 65536 — multipliers sized so the words wrap
+    // past 32768 and the decoder's SIGNED interpretation is exercised
+    // in-gate, not just in the spec
+    val n = id % 16 + 4
+    val dataHex = array_join(transform(sequence(lit(0L), n - 1),
+      i => le16((id * 131 + i * 2311) % 65536)), "")
+    val wav = concat(
+      lit("52494646"), le32(n * 2 + 36), lit("57415645"),
+      lit("666D7420"), le32(lit(16L)), le16(lit(1L)), le16(lit(1L)),
+      le32(lit(8000L)), le32(lit(16000L)), le16(lit(2L)), le16(lit(16L)),
+      lit("64617461"), le32(n * 2), dataHex)
+    // BMP: W×H 24bpp, rows padded to 4 bytes; pixel-array byte j is
+    // (id*13 + j*7) % 256
+    val w = id % 4 + 1
+    val h = id % 3 + 1
+    val rowSize = expr("(((doc_id % 4 + 1) * 3 + 3) div 4) * 4")
+    val pixHex = array_join(transform(sequence(lit(0L), rowSize * h - 1),
+      j => b2((id * 13 + j * 7) % 256)), "")
+    val bmp = concat(
+      lit("424D"), le32(rowSize * h + 54), lit("00000000"), le32(lit(54L)),
+      le32(lit(40L)), le32(w), le32(h), le16(lit(1L)), le16(lit(24L)),
+      le32(lit(0L)), le32(lit(0L)), le32(lit(0L)), le32(lit(0L)),
+      le32(lit(0L)), le32(lit(0L)), pixHex)
+    docs(spark, dir)
+      .withColumn("payload", unhex(when(id % 2 === 0, wav).otherwise(bmp)))
+      .select(id.cast("long").as("media_id"),
+        when(id % 2 === 0, lit("wav")).otherwise(lit("bmp")).as("kind"),
+        graft.functions.WavPcmStats(col("payload")).as("__w"),
+        graft.functions.BmpPixelStats(col("payload")).as("__b"))
+      .select(col("media_id"), col("kind"),
+        col("__w.n_samples").as("n_samples"), col("__w.peak").as("peak"),
+        col("__w.sum_abs").as("sum_abs"),
+        col("__b.width").as("width"), col("__b.height").as("height"),
+        col("__b.sum_r").as("sum_r"), col("__b.sum_g").as("sum_g"),
+        col("__b.sum_b").as("sum_b"))
+      .orderBy(col("media_id"))
+  }
+
   /** Substring-level exact-dup coverage (Lee et al. 2022 k-gram window
     * stand-in for the suffix array), k=8 over whitespace tokens.
     */
@@ -1110,7 +1166,8 @@ object TrainingData {
     "tok1_vocab_coverage" -> (tok1VocabCoverage _),
     "mm1_media_meta" -> (mm1MediaMeta _),
     "mm2_frame_sample" -> (mm2FrameSample _),
-    "mm3_media_probe" -> (mm3MediaProbe _))
+    "mm3_media_probe" -> (mm3MediaProbe _),
+    "mm4_pcm_bmp_decode" -> (mm4PcmBmpDecode _))
 
   // ---- DuckDB oracle twins ----
 
@@ -2122,6 +2179,38 @@ object TrainingData {
         |SELECT media_id, CAST(fi AS INT) AS frame_idx, fi * 1000 AS frame_ms,
         |  substr(hx, CAST((fi * 64) % greatest(len, 1) AS BIGINT) * 2 + 1, 128) AS frame_hex
         |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+    "mm4_pcm_bmp_decode" ->
+      """WITH m AS (
+        |  SELECT doc_id, doc_id % 16 + 4 AS n,
+        |    doc_id % 4 + 1 AS w, doc_id % 3 + 1 AS h,
+        |    (((doc_id % 4 + 1) * 3 + 3) // 4) * 4 AS row_size
+        |  FROM documents),
+        |wavs AS (
+        |  SELECT doc_id, CAST(n AS INT) AS n_samples,
+        |    CAST(list_max(list_transform(range(0, n), i ->
+        |      abs(CASE WHEN (doc_id*131 + i*2311) % 65536 < 32768
+        |           THEN (doc_id*131 + i*2311) % 65536
+        |           ELSE (doc_id*131 + i*2311) % 65536 - 65536 END))) AS INT) AS peak,
+        |    CAST(list_sum(list_transform(range(0, n), i ->
+        |      abs(CASE WHEN (doc_id*131 + i*2311) % 65536 < 32768
+        |           THEN (doc_id*131 + i*2311) % 65536
+        |           ELSE (doc_id*131 + i*2311) % 65536 - 65536 END))) AS BIGINT) AS sum_abs
+        |  FROM m WHERE doc_id % 2 = 0),
+        |bmps AS (
+        |  SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |    CAST(list_sum(list_transform(range(0, w*h), p ->
+        |      (doc_id*13 + ((p // w)*row_size + 3*(p % w) + 2)*7) % 256)) AS BIGINT) AS sum_r,
+        |    CAST(list_sum(list_transform(range(0, w*h), p ->
+        |      (doc_id*13 + ((p // w)*row_size + 3*(p % w) + 1)*7) % 256)) AS BIGINT) AS sum_g,
+        |    CAST(list_sum(list_transform(range(0, w*h), p ->
+        |      (doc_id*13 + ((p // w)*row_size + 3*(p % w))*7) % 256)) AS BIGINT) AS sum_b
+        |  FROM m WHERE doc_id % 2 = 1)
+        |SELECT CAST(m.doc_id AS BIGINT) AS media_id,
+        |  CASE WHEN m.doc_id % 2 = 0 THEN 'wav' ELSE 'bmp' END AS kind,
+        |  wv.n_samples, wv.peak, wv.sum_abs,
+        |  bp.width, bp.height, bp.sum_r, bp.sum_g, bp.sum_b
+        |FROM m LEFT JOIN wavs wv USING (doc_id) LEFT JOIN bmps bp USING (doc_id)
+        |ORDER BY media_id""".stripMargin,
     "mm3_media_probe" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,

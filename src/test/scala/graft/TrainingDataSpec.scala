@@ -686,6 +686,44 @@ class TrainingDataSpec extends SparkSpec {
     assert(top2.select("a", "b").as[(String, String)].head() === (("m", "n")))
   }
 
+  test("MediaDecode: real PCM/BMP decode on hand-built byte fixtures") {
+    import spark.implicits._
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // WAV with 3 samples: +1, -2 (FEFF), -32768 (0080) — signed decode
+    val wav = hx("52494646" + "2A000000" + "57415645" +
+      "666D7420" + "10000000" + "0100" + "0100" + "401F0000" + "803E0000" +
+      "0200" + "1000" + "64617461" + "06000000" + "0100" + "FEFF" + "0080")
+    // BMP 2×2 24bpp (rowSize 8: 6 data + 2 pad bytes per row)
+    val pix = "010203" + "040506" + "0000" + "070809" + "0A0B0C" + "0000"
+    val bmpUp = hx("424D" + "46000000" + "00000000" + "36000000" +
+      "28000000" + "02000000" + "02000000" + "0100" + "1800" +
+      "00000000" * 6 + pix)
+    // top-down twin: negative height, same pixel bytes → same sums
+    val bmpDown = hx("424D" + "46000000" + "00000000" + "36000000" +
+      "28000000" + "02000000" + "FEFFFFFF" + "0100" + "1800" +
+      "00000000" * 6 + pix)
+    val rows = Seq(
+      (1L, wav), (2L, bmpUp), (3L, bmpDown),
+      (4L, "not media".getBytes), (5L, wav.take(20)) // foreign + truncated
+    ).toDF("id", "payload")
+      .select(col("id"),
+        graft.functions.WavPcmStats(col("payload")).as("w"),
+        graft.functions.BmpPixelStats(col("payload")).as("b"))
+      .collect().map(r => r.getLong(0) -> (r.get(1), r.get(2))).toMap
+    val w = rows(1L)._1.asInstanceOf[org.apache.spark.sql.Row]
+    assert((w.getInt(0), w.getInt(1), w.getLong(2)) === ((3, 32768, 32771L)))
+    for (id <- Seq(2L, 3L)) {
+      val b = rows(id)._2.asInstanceOf[org.apache.spark.sql.Row]
+      assert((b.getInt(0), b.getInt(1)) === ((2, 2)))
+      assert((b.getLong(2), b.getLong(3), b.getLong(4)) === ((30L, 26L, 22L)))
+    }
+    // decoders never throw: foreign/truncated payloads are null, and the
+    // wav decoder rejects a bmp (and vice versa)
+    assert(rows(1L)._2 == null && rows(2L)._1 == null)
+    assert(rows(4L) == ((null, null)) && rows(5L) == ((null, null)))
+  }
+
   test("qc2 perceptron: trained weights separate a separable corpus") {
     import spark.implicits._
     val corpus = Seq(
