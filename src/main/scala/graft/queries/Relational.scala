@@ -299,6 +299,25 @@ object Relational {
   // TS1: per-user hourly event series regularized onto the hour grid —
   // gap hours get n_events = 0 and carry the last observed hourly sum
   // forward (LOCF). The resample primitive every metrics pipeline needs.
+  /** dq1: declarative data-quality expectations over the lineitem fact
+    * — all row rules in ONE pass (conditional sums in a single
+    * map-side-combinable aggregate, never a scan per rule) plus a
+    * uniqueness law as its own keyed aggregate
+    * ([[graft.ops.Expectations]]). The promote-gate report a lakehouse
+    * runs before publishing a snapshot.
+    */
+  def dq1Expectations(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Expectations.RowRule
+    graft.ops.Expectations.check(
+      Tables.lineitem(spark, dir),
+      Seq(
+        RowRule("flag_domain", col("l_returnflag").isin("A", "N", "R")),
+        RowRule("not_null_orderkey", col("l_orderkey").isNotNull),
+        RowRule("qty_range", col("l_quantity") >= 1 && col("l_quantity") <= 50),
+        RowRule("tax_nonneg", col("l_tax") >= 0)),
+      unique = Seq(Seq("l_orderkey", "l_linenumber")))
+  }
+
   /** scd1: SCD-type-2 dimension derivation from a change log — the
     * versioned-dimension maintenance every lakehouse runs (the statement
     * store's first_seen/last_seen lifecycle, restated on an event-grain
@@ -496,6 +515,7 @@ object Relational {
     "ts1_gapfill" -> (ts1Gapfill _),
     "ts2_anomaly" -> (ts2Anomaly _),
     "scd1_dimension" -> (scd1Dimension _),
+    "dq1_expectations" -> (dq1Expectations _),
     "w3_cumulative_users" -> (w3CumulativeUsers _),
     "prof1_table_profile" -> (prof1TableProfile _),
     "q5_pivot" -> (q5Pivot _),
@@ -567,6 +587,24 @@ object Relational {
         |  COUNT(DISTINCT w.user_id) AS n_users
         |FROM weekly w JOIN cohorts c ON w.user_id = c.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "dq1_expectations" ->
+      """WITH rowr AS (
+        |  SELECT COUNT(*) AS n,
+        |    COUNT(*) FILTER (WHERE NOT COALESCE(l_returnflag IN ('A','N','R'), FALSE)) AS v_flag,
+        |    COUNT(*) FILTER (WHERE NOT COALESCE(l_orderkey IS NOT NULL, FALSE)) AS v_null,
+        |    COUNT(*) FILTER (WHERE NOT COALESCE(l_quantity >= 1 AND l_quantity <= 50, FALSE)) AS v_qty,
+        |    COUNT(*) FILTER (WHERE NOT COALESCE(l_tax >= 0, FALSE)) AS v_tax
+        |  FROM lineitem),
+        |uniq AS (
+        |  SELECT COUNT(*) AS groups,
+        |    CAST(COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS BIGINT) AS dups
+        |  FROM (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber))
+        |SELECT 'flag_domain' AS expectation, n AS n_checked, v_flag AS n_violations FROM rowr
+        |UNION ALL SELECT 'not_null_orderkey', n, v_null FROM rowr
+        |UNION ALL SELECT 'qty_range', n, v_qty FROM rowr
+        |UNION ALL SELECT 'tax_nonneg', n, v_tax FROM rowr
+        |UNION ALL SELECT 'unique(l_orderkey,l_linenumber)', groups, dups FROM uniq
+        |ORDER BY expectation""".stripMargin,
     "scd1_dimension" ->
       """WITH e AS (SELECT user_id, ts, event_id, event_type FROM events),
         |f AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL

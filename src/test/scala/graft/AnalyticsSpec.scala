@@ -40,6 +40,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(flagged.filter(_._1 == 2L).map(_._2).toSeq === Seq(120L))
   }
 
+  test("expectations: one-pass row rules, null counts as violation, unique law") {
+    import spark.implicits._
+    import graft.ops.Expectations
+    import graft.ops.Expectations.RowRule
+    val df = Seq(
+      (1L, Some(5), "a"), (2L, Some(60), "a"), (3L, None, "b"), (3L, Some(7), "b"))
+      .toDF("id", "qty", "grp")
+    val rep = Expectations.check(df,
+      Seq(RowRule("qty_range", col("qty") >= 1 && col("qty") <= 50),
+        RowRule("qty_present", col("qty").isNotNull)),
+      unique = Seq(Seq("id")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // NULL qty fails the range rule too (a rule that can't evaluate is a
+    // violation — the conservative reading a promote gate needs)
+    assert(rep("qty_range") === ((4L, 2L)))
+    assert(rep("qty_present") === ((4L, 1L)))
+    // unique(id): 3 groups checked, the duplicated id contributes its
+    // full multiplicity as violations
+    assert(rep("unique(id)") === ((3L, 2L)))
+    // the row-rule report is ONE aggregate over ONE scan — no per-rule jobs
+    val plan = Expectations.check(df,
+      Seq(RowRule("a", col("qty") >= 0), RowRule("b", col("id") > 0)))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Union"), plan) // rules fused, not unioned scans
+  }
+
   test("fn2 attribution: credit splits integer-exactly, window excludes stale clicks") {
     val dir = Files.createTempDirectory("graft-fn2-").toString
     val base = 1700000000000L
