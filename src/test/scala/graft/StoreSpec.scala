@@ -321,6 +321,30 @@ class StoreSpec extends SparkSpec {
     }
   }
 
+  test("crash debris: uncommitted part files are invisible and vacuum reaps them") {
+    val dir = Files.createTempDirectory("graft-debris").toString
+    val store = new StatementStore(spark, dir, shards = 4)
+    store.append(mkStatements(20, "o1", "2024-01-01 00:00:00"))
+    val before = store.raw.count()
+    // simulate a writer that crashed after writing a part file but before
+    // its manifest commit: clone a committed file under a fresh name
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val committed = graft.lake.Manifest.liveFiles(fs, root).head
+    val debris = committed.reverse.dropWhile(_ != '/').reverse + "part-crashed-debris.parquet"
+    org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(root, committed),
+      fs, new org.apache.hadoop.fs.Path(root, debris), false,
+      spark.sessionState.newHadoopConf())
+    // readers are manifest-scoped: the debris never shows up
+    assert(store.raw.count() === before)
+    // vacuum's orphan sweep = physical files minus every retained
+    // snapshot's live set — exactly the crash-debris contract
+    val reaped = store.vacuum(keepVersions = 2)
+    assert(reaped.contains(debris), reaped.mkString(","))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, debris)))
+    assert(store.raw.count() === before)
+  }
+
   test("concurrent appends serialize on the fence; both commits land") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
