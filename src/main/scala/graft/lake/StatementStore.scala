@@ -467,6 +467,10 @@ class StatementStore(val spark: SparkSession, val rootStr: String, val shards: I
     val dest = new Path(destRoot)
     val conf = spark.sessionState.newHadoopConf()
     val dfs = dest.getFileSystem(conf)
+    // a clone is a FRESH table: committing into an existing manifest log
+    // would splice foreign history into another table's timeline
+    require(Manifest.currentVersion(dfs, dest) < 0,
+      s"clone destination already has a manifest log: $destRoot")
     for (f <- files)
       org.apache.hadoop.fs.FileUtil.copy(
         fs, new Path(root, f), dfs, new Path(dest, f), false, conf)

@@ -28,6 +28,10 @@ object Expectations {
   def check(df: DataFrame, rules: Seq[RowRule],
       unique: Seq[Seq[String]] = Nil): DataFrame = {
     require(rules.nonEmpty || unique.nonEmpty, "no expectations given")
+    // rule names are interpolated into the stack() SQL below — keep them
+    // identifier-shaped so a name can't smuggle expression syntax
+    rules.foreach(r => require(r.name.matches("[A-Za-z0-9_]+"),
+      s"rule name must be identifier-shaped: `${r.name}`"))
     val spark = df.sparkSession
     val rowReport: Option[DataFrame] =
       if (rules.isEmpty) None

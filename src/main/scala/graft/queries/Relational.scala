@@ -343,7 +343,10 @@ object Relational {
           .otherwise(0L))
       .withColumn("__island", sum(col("__chg")).over(cum))
       .groupBy(col("user_id"), col("__island"))
-      .agg(first(col("event_type")).as("event_type"),
+      // min, not first: values are constant within an island, but min is
+      // deterministic by construction (and matches the oracle) while
+      // first() is order-dependent in general
+      .agg(min(col("event_type")).as("event_type"),
         graft.functions.F.epochMs(min(col("ts"))).as("valid_from_ms"),
         count(lit(1)).as("n_events"))
       .withColumn("valid_to_ms",

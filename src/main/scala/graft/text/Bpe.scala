@@ -38,6 +38,11 @@ object Bpe {
   /** One merge round. `toks`: (doc_id, pos, w) with pos consecutive
     * from 1 per doc. Returns the merged stream (same shape, renumbered)
     * and a 1-row summary (a, b, n_pair) of the winning pair.
+    *
+    * Merged units join with `+`; a production tokenizer keeps the merge
+    * PAIR list as the vocabulary artifact (token strings containing a
+    * literal `+` would alias — use the pair list, not string surgery,
+    * to interpret merged units).
     */
   def mergeRound(toks: DataFrame): (DataFrame, DataFrame) = {
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
