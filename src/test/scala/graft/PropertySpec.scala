@@ -348,6 +348,30 @@ class PropertySpec extends SparkSpec {
     assert(codes(1L) == codes(2L))
   }
 
+  test("triangleCounts equals brute-force enumeration on random graphs") {
+    import spark.implicits._
+    // random simple graphs on ≤12 nodes — dense enough to have triangles,
+    // small enough for the O(n³) reference
+    val genEdges = Gen.listOf(Gen.zip(Gen.choose(0L, 11L), Gen.choose(0L, 11L)))
+    for (raw <- samples(genEdges, 12)) {
+      val edges = raw.collect { case (a, b) if a != b =>
+        (math.min(a, b), math.max(a, b)) }.distinct
+      if (edges.nonEmpty) {
+        val got = graft.graph.EntityGraph.triangleCounts(
+          edges.toDF("src", "dst"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val es = edges.toSet
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+        val want = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+        for {
+          a <- nodes; b <- nodes if b > a && es((a, b))
+          c <- nodes if c > b && es((b, c)) && es((a, c))
+        } { want(a) += 1; want(b) += 1; want(c) += 1 }
+        assert(got === want.toMap, s"edges: $edges")
+      }
+    }
+  }
+
   test("journal wire parser is total: junk parses or IllegalArgumentException") {
     // the same totality contract as the RQL parser: any byte junk from
     // the network must map to a clean 400, never an NPE/ClassCast/OOM
