@@ -34,6 +34,19 @@ class ExtensionsSpec extends SparkSpec {
     assert(rows == Seq("a", "plain", ".lead", "trail"))
   }
 
+  test("wav_pcm_stats / bmp_pixel_stats are callable from SQL") {
+    // a minimal WAV (one sample, value -2) through the SQL surface
+    val wavHex = "52494646" + "26000000" + "57415645" +
+      "666D7420" + "10000000" + "0100" + "0100" + "401F0000" + "803E0000" +
+      "0200" + "1000" + "64617461" + "02000000" + "FEFF"
+    val r = spark.sql(
+      s"SELECT wav_pcm_stats(unhex('$wavHex')) AS w, " +
+        "bmp_pixel_stats(unhex('00')) AS b").collect()(0)
+    val w = r.getStruct(0)
+    assert((w.getInt(0), w.getInt(1), w.getLong(2)) === ((1, 2, 2L)))
+    assert(r.isNullAt(1)) // not a BMP → null, never an exception
+  }
+
   test("graft_table/graft_live TVFs: snapshot reads, time travel, pushdown-capable plan") {
     import java.nio.file.Files
     import java.sql.Timestamp
