@@ -211,6 +211,43 @@ object EntityGraph {
     rank
   }
 
+  /** k-core: the maximal subgraph in which every node has degree ≥ k —
+    * the standard cohesion filter (community cores, collusion rings)
+    * computed by iterative peeling: drop all nodes with induced degree
+    * < k, recompute, repeat to fixpoint. Peeling converges in at most
+    * |V| rounds but in practice a handful; the loop early-exits when the
+    * edge count is stable, and the FIXED-round oracle agrees because a
+    * converged subgraph is invariant under further peels (the gr4
+    * early-exit == fixed-round argument).
+    *
+    * Scale shape per round: one map-side-combinable degree aggregate +
+    * two semi-joins of the edge table against the ≤|V|-row keep set
+    * (AQE broadcasts it while small); the shrinking edge table is
+    * re-staged each round so lineage stays one round deep. Returns the
+    * surviving nodes with their core degrees.
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 12): DataFrame = {
+    require(k >= 1 && maxRounds >= 1, s"bad k/maxRounds: $k/$maxRounds")
+    var e = F.materialize(edges.select(col("src"), col("dst")))
+    var lastCount = -1L
+    var r = 0
+    var stable = false
+    while (r < maxRounds && !stable) {
+      r += 1
+      val keep = degrees(e).filter(col("degree") >= k).select(col("node"))
+      val (next, n) = F.materializeObserved(
+        e.join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+          .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+          .select(col("src"), col("dst")),
+        count(lit(1)))
+      stable = n == lastCount
+      lastCount = n
+      e = next
+    }
+    degrees(e).filter(col("degree") >= k)
+      .select(col("node"), col("degree").as("core_degree"))
+  }
+
   /** Co-participation edges between suppliers: `a — b` when suppliers a
     * and b appear in at least `minCoOrders` common orders — the
     * projection of the bipartite order–supplier graph onto suppliers,

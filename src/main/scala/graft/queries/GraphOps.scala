@@ -93,7 +93,16 @@ object GraphOps {
       .orderBy(col("node"))
   }
 
+  /** gr7: 3-core of the thresholded co-supplier projection — iterative
+    * peeling with early exit; the oracle replays 12 fixed rounds
+    * (converged graphs are peel-invariant, the gr4 argument).
+    */
+  def gr7KCore(spark: SparkSession, dir: String): DataFrame =
+    EntityGraph.kCore(EntityGraph.coSupplierEdges(spark, dir), k = 3)
+      .orderBy(col("node"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gr7_kcore" -> (gr7KCore _),
     "gr1_degree" -> (gr1Degree _),
     "gr2_expand" -> (gr2Expand _),
     "gr3_pagerank" -> (gr3Pagerank _),
@@ -166,6 +175,25 @@ object GraphOps {
          |  ELSE CAST(0 AS BIGINT) END AS rank FROM n),
          |$rounds
          |SELECT node, rank FROM r3 ORDER BY node""".stripMargin
+    },
+    "gr7_kcore" -> {
+      // each e$i is referenced twice (u$i and e$(i+1)) — MATERIALIZED, or
+      // DuckDB's inlining makes the 12-round chain exponential in scans
+      val rounds = (0 until 12).map { i =>
+        s"""u$i AS (SELECT s, t FROM e$i UNION ALL SELECT t AS s, s AS t FROM e$i),
+           |d$i AS (SELECT s AS node, COUNT(*) AS d FROM u$i GROUP BY 1),
+           |k$i AS (SELECT node FROM d$i WHERE d >= 3),
+           |e${i + 1} AS MATERIALIZED (SELECT e.s, e.t FROM e$i e
+           |  JOIN k$i a ON e.s = a.node JOIN k$i b ON e.t = b.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+         |pc AS (SELECT a.sk AS s, b.sk AS t, COUNT(*) AS n_co
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.sk < b.sk GROUP BY 1, 2),
+         |e0 AS MATERIALIZED (SELECT s, t FROM pc WHERE n_co >= 8),
+         |$rounds,
+         |uf AS (SELECT s, t FROM e12 UNION ALL SELECT t AS s, s AS t FROM e12),
+         |df AS (SELECT s AS node, COUNT(*) AS d FROM uf GROUP BY 1)
+         |SELECT node, d AS core_degree FROM df WHERE d >= 3 ORDER BY node""".stripMargin
     },
     "gr5_triangles" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),

@@ -103,6 +103,27 @@ class GraphSpec extends SparkSpec {
     assert(got("x") === 0L && got("y") === 0L)
   }
 
+  test("kCore peels to the maximal subgraph of min degree k") {
+    import spark.implicits._
+    // 4-clique {1..4} is the 3-core; node 5 hangs off it with degree 3
+    // via {2,3,4} BUT its neighbors keep degree ≥ 3 without it only
+    // through the clique — build: 5-2, 5-3, 5-4 gives 5 degree 3, so 5
+    // SURVIVES a 3-core; chain 6-7 peels immediately
+    val e = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 2L), (5L, 3L), (5L, 4L), (6L, 7L)).toDF("src", "dst")
+    val got = graft.graph.EntityGraph.kCore(e, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    assert(got(1L) === 3L && got(2L) === 4L && got(5L) === 3L)
+    // cascade: removing one clique edge demotes the whole structure —
+    // peeling must CASCADE (1 falls, then others lose degree, ...)
+    val e2 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    assert(graft.graph.EntityGraph.kCore(e2, k = 3).count() === 0L)
+    // a cycle IS its own 2-core
+    assert(graft.graph.EntityGraph.kCore(e2, k = 2).count() === 4L)
+  }
+
   test("co-supplier projection is canonical and thresholded") {
     val e = EntityGraph.coSupplierEdges(spark, sf001, minCoOrders = 2)
     assert(e.filter(col("src") >= col("dst")).count() === 0L)
