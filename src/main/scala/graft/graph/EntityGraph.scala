@@ -226,20 +226,36 @@ object EntityGraph {
     * re-staged each round so lineage stays one round deep. Returns the
     * surviving nodes with their core degrees.
     */
-  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 12): DataFrame = {
-    require(k >= 1 && maxRounds >= 1, s"bad k/maxRounds: $k/$maxRounds")
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 12,
+      stageEvery: Int = 3): DataFrame = {
+    require(k >= 1 && maxRounds >= 1 && stageEvery >= 1,
+      s"bad k/maxRounds/stageEvery: $k/$maxRounds/$stageEvery")
     var e = F.materialize(edges.select(col("src"), col("dst")))
     var lastCount = -1L
-    var r = 0
+    var done = 0
     var stable = false
-    while (r < maxRounds && !stable) {
-      r += 1
-      val keep = degrees(e).filter(col("degree") >= k).select(col("node"))
-      val (next, n) = F.materializeObserved(
-        e.join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+    // peel rounds CHAIN as lineage between stage writes: `stageEvery`
+    // peels run as one job (the per-round fixed cost — job launch +
+    // staged write — dominates on a fast-shrinking graph). Within a
+    // block the unstaged intermediate feeds both its degree aggregate
+    // and the next peel's join, so a block recomputes each intermediate
+    // once more than the staged form — the cheap side of the trade
+    // until the graph is huge, where stageEvery = 1 restores one-job-
+    // per-round. Stability is checked at stage points: edge counts are
+    // monotone non-increasing, so an unchanged count across a whole
+    // block means every peel in it removed nothing — converged.
+    while (done < maxRounds && !stable) {
+      var cur = e
+      val steps = math.min(stageEvery, maxRounds - done)
+      for (_ <- 1 to steps) {
+        val keep = degrees(cur).filter(col("degree") >= k).select(col("node"))
+        cur = cur
+          .join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
           .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
-          .select(col("src"), col("dst")),
-        count(lit(1)))
+          .select(col("src"), col("dst"))
+      }
+      val (next, n) = F.materializeObserved(cur, count(lit(1)))
+      done += steps
       stable = n == lastCount
       lastCount = n
       e = next

@@ -94,11 +94,14 @@ object GraphOps {
   }
 
   /** gr7: 3-core of the thresholded co-supplier projection — iterative
-    * peeling with early exit; the oracle replays 12 fixed rounds
-    * (converged graphs are peel-invariant, the gr4 argument).
+    * peeling with early exit, capped at 8 rounds (the cap is part of the
+    * operator contract and the oracle replays exactly 8; on a graph that
+    * converges earlier the early exit and the fixed-round replay agree
+    * because converged graphs are peel-invariant — the gr4 argument).
     */
   def gr7KCore(spark: SparkSession, dir: String): DataFrame =
-    EntityGraph.kCore(EntityGraph.coSupplierEdges(spark, dir), k = 3)
+    EntityGraph.kCore(EntityGraph.coSupplierEdges(spark, dir), k = 3,
+        maxRounds = 8)
       .orderBy(col("node"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -178,8 +181,8 @@ object GraphOps {
     },
     "gr7_kcore" -> {
       // each e$i is referenced twice (u$i and e$(i+1)) — MATERIALIZED, or
-      // DuckDB's inlining makes the 12-round chain exponential in scans
-      val rounds = (0 until 12).map { i =>
+      // DuckDB's inlining makes the round chain exponential in scans
+      val rounds = (0 until 8).map { i =>
         s"""u$i AS (SELECT s, t FROM e$i UNION ALL SELECT t AS s, s AS t FROM e$i),
            |d$i AS (SELECT s AS node, COUNT(*) AS d FROM u$i GROUP BY 1),
            |k$i AS (SELECT node FROM d$i WHERE d >= 3),
@@ -191,7 +194,7 @@ object GraphOps {
          |  FROM li a JOIN li b ON a.ok = b.ok AND a.sk < b.sk GROUP BY 1, 2),
          |e0 AS MATERIALIZED (SELECT s, t FROM pc WHERE n_co >= 8),
          |$rounds,
-         |uf AS (SELECT s, t FROM e12 UNION ALL SELECT t AS s, s AS t FROM e12),
+         |uf AS (SELECT s, t FROM e8 UNION ALL SELECT t AS s, s AS t FROM e8),
          |df AS (SELECT s AS node, COUNT(*) AS d FROM uf GROUP BY 1)
          |SELECT node, d AS core_degree FROM df WHERE d >= 3 ORDER BY node""".stripMargin
     },
