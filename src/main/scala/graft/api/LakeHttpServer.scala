@@ -305,14 +305,23 @@ class LakeHttpServer(spark: SparkSession, lakeRoot: String, port: Int = 0) {
         val a = o.putArray("built"); built.foreach(a.add)
       case "ExportJob" =>
         // reference operation/export.py dispatches one artifact kind per
-        // job; make() already carries the per-artifact freshness skip, so
-        // a kind-scoped job runs the same export funnel and reports the
-        // artifacts actually (re)built
+        // job: `kind` scopes make() to that single artifact (plus the
+        // shared optimize pass), and the response reports what rebuilt
         val kind = strField(body, "kind").getOrElse(
           throw new IllegalArgumentException("ExportJob needs `kind`"))
         val outDir = strField(body, "out_dir").getOrElse(
           catalog.datasetPath(ds).toString + "/_exports")
-        val built = r.make(outDir, force = force)
+        // short kinds name the reference's export operations; a full
+        // artifact filename is accepted verbatim
+        val artifact = kind match {
+          case "statements" => "statements.csv"
+          case "entities" => "entities.ftm.json"
+          case "documents" => "documents.csv"
+          case "statistics" => "statistics.json"
+          case "index" => "index.json"
+          case other => other
+        }
+        val built = r.make(outDir, force = force, only = Some(artifact))
         o.put("name", "ExportJob"); o.put("kind", kind)
         val a = o.putArray("built"); built.foreach(a.add)
       case "CrawlJob" =>

@@ -86,4 +86,21 @@ object F {
     }
     (spark.read.parquet(tmp), m)
   }
+
+  /** [[materializeObserved]] with two metrics in the one job — for loops
+    * that steer on two measures per round (e.g. k-core's convergence
+    * count + graph size).
+    */
+  def materializeObserved2(df: DataFrame, m1: Column,
+      m2: Column): (DataFrame, Long, Long) = {
+    val spark = df.sparkSession
+    val tmp = stageTempPath(spark, "stage")
+    val obs = org.apache.spark.sql.Observation()
+    df.observe(obs, m1.as("m1"), m2.as("m2")).write.mode("overwrite").parquet(tmp)
+    def asLong(v: Any): Long = v match {
+      case null => 0L
+      case n: Number => n.longValue()
+    }
+    (spark.read.parquet(tmp), asLong(obs.get("m1")), asLong(obs.get("m2")))
+  }
 }

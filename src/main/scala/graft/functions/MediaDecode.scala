@@ -93,25 +93,29 @@ object MediaDecode {
     if (b == null || b.length < 44) return null
     if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
         b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return null
-    var pos = 12
+    // chunk walk runs in Long: a payload-declared size near 2^31 must not
+    // wrap `pos` negative past the bounds guard (one corrupt blob would
+    // otherwise throw and kill the scan, breaking the null contract)
+    var pos = 12L
     var fmtOk = false
     var dataAt = -1
     var dataLen = 0
     while (pos + 8 <= b.length && (dataAt < 0 || !fmtOk)) {
-      val id = new String(b, pos, 4, "US-ASCII")
-      val size = le32(b, pos + 4)
+      val p = pos.toInt
+      val id = new String(b, p, 4, "US-ASCII")
+      val size = le32(b, p + 4)
       if (size < 0) return null
       if (id == "fmt " && pos + 8 + 16 <= b.length) {
-        val audioFormat = le16(b, pos + 8)
-        val bits = le16(b, pos + 8 + 14)
+        val audioFormat = le16(b, p + 8)
+        val bits = le16(b, p + 8 + 14)
         if (audioFormat != 1 || bits != 16) return null // not uncompressed PCM16
         fmtOk = true
       } else if (id == "data") {
-        dataAt = pos + 8
+        dataAt = p + 8
         dataLen = math.min(size, b.length - dataAt)
       }
       // chunks are word-aligned: odd sizes carry a pad byte
-      pos += 8 + size + (size & 1)
+      pos += 8L + size + (size & 1)
     }
     if (!fmtOk || dataAt < 0) return null
     val n = dataLen / 2
@@ -148,8 +152,14 @@ object MediaDecode {
     val bpp = le16(b, 28)
     val compression = le32(b, 30)
     if (w <= 0 || h == 0 || planes != 1 || bpp != 24 || compression != 0) return null
-    val rowSize = ((3 * w + 3) / 4) * 4
-    if (pixelAt < 54 || pixelAt.toLong + rowSize.toLong * h > b.length) return null
+    // row arithmetic in Long: a header width near 2^31 overflows 3*w+3 to
+    // a negative Int rowSize that would slip past the bounds check and
+    // throw in the pixel loop; rowSize ≤ payload also bounds rowSize*h
+    // (each ≤ 2^31) so the Long product below cannot itself overflow
+    val rowSizeL = ((3L * w + 3) / 4) * 4
+    if (rowSizeL <= 0 || rowSizeL > b.length) return null
+    val rowSize = rowSizeL.toInt
+    if (pixelAt < 54 || pixelAt.toLong + rowSizeL * h > b.length) return null
     var sr = 0L; var sg = 0L; var sb = 0L
     var y = 0
     while (y < h) {

@@ -220,47 +220,93 @@ object EntityGraph {
     * converged subgraph is invariant under further peels (the gr4
     * early-exit == fixed-round argument).
     *
-    * Scale shape per round: one map-side-combinable degree aggregate +
-    * two semi-joins of the edge table against the ≤|V|-row keep set
-    * (AQE broadcasts it while small); the shrinking edge table is
-    * re-staged each round so lineage stays one round deep. Returns the
-    * surviving nodes with their core degrees.
+    * Scale shape: degrees are computed ONCE and then carried — each peel
+    * decrements the surviving neighbours of just-dropped nodes instead
+    * of re-aggregating the whole graph (the Batagelj–Zaveršnik update,
+    * distributed): one broadcast-join classification pass over the edge
+    * table + a decrement aggregate over only the removed edges. The
+    * edge table shrinks lazily at stage points; decrements aimed at
+    * already-dead endpoints are ignored by the degree join, which is
+    * what makes the lazy shrink exact. Returns the surviving nodes with
+    * their induced core degrees.
     */
   def kCore(edges: DataFrame, k: Int, maxRounds: Int = 12,
-      stageEvery: Int = 3): DataFrame = {
-    require(k >= 1 && maxRounds >= 1 && stageEvery >= 1,
-      s"bad k/maxRounds/stageEvery: $k/$maxRounds/$stageEvery")
-    var e = F.materialize(edges.select(col("src"), col("dst")))
-    var lastCount = -1L
-    var done = 0
-    var stable = false
-    // peel rounds CHAIN as lineage between stage writes: `stageEvery`
-    // peels run as one job (the per-round fixed cost — job launch +
-    // staged write — dominates on a fast-shrinking graph). Within a
-    // block the unstaged intermediate feeds both its degree aggregate
-    // and the next peel's join, so a block recomputes each intermediate
-    // once more than the staged form — the cheap side of the trade
-    // until the graph is huge, where stageEvery = 1 restores one-job-
-    // per-round. Stability is checked at stage points: edge counts are
-    // monotone non-increasing, so an unchanged count across a whole
-    // block means every peel in it removed nothing — converged.
-    while (done < maxRounds && !stable) {
-      var cur = e
-      val steps = math.min(stageEvery, maxRounds - done)
-      for (_ <- 1 to steps) {
-        val keep = degrees(cur).filter(col("degree") >= k).select(col("node"))
-        cur = cur
-          .join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
-          .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
-          .select(col("src"), col("dst"))
-      }
-      val (next, n) = F.materializeObserved(cur, count(lit(1)))
-      done += steps
-      stable = n == lastCount
-      lastCount = n
-      e = next
+      stageEvery: Int = 0): DataFrame = {
+    require(k >= 1 && maxRounds >= 1,
+      s"bad k/maxRounds: $k/$maxRounds")
+    // the DOUBLED adjacency (each undirected edge as two directed rows)
+    // is the loop's working table: "edges removed by dropping node u"
+    // are exactly the rows with s = u, so one broadcast semi-scan per
+    // peel replaces the canonical table's two-key classification. Staged
+    // once; its degree aggregate doubles as the first observe, which
+    // also measures the edge count (Σ degree / 2) for the adaptive plan
+    // below — steering costs no extra jobs.
+    var und = F.materialize(
+      edges.select(col("src").as("s"), col("dst").as("t")).unionAll(
+        edges.select(col("dst").as("s"), col("src").as("t"))))
+    val belowK = sum(when(col("degree") < k, 1L).otherwise(0L))
+    val (deg0, nDrop0, degSum) = F.materializeObserved2(
+      und.groupBy(col("s")).agg(count(lit(1)).as("degree"))
+        .select(col("s").as("node"), col("degree")),
+      belowK, sum(col("degree")))
+    var deg = deg0
+    var nDrop = nDrop0
+    // degrees are CARRIED and decremented, never re-aggregated (the
+    // Batagelj–Zaveršnik update, distributed): a peel's induced degrees
+    // differ from the previous round's only at surviving neighbours of
+    // just-dropped nodes, so one peel = one broadcast join of the
+    // adjacency against the tiny drop set + a decrement aggregate over
+    // only the removed rows. A decrement aimed at an endpoint that died
+    // in an earlier round lands on a node absent from the degree table
+    // and is ignored — which is what makes a lazily-shrunk adjacency
+    // exact.
+    def peel(d: DataFrame): DataFrame = {
+      val drop = d.filter(col("degree") < k).select(col("node").as("s"))
+      val dec = und.join(broadcast(drop), Seq("s"))
+        .groupBy(col("t")).agg(count(lit(1)).as("__dec"))
+        .select(col("t").as("node"), col("__dec"))
+      d.filter(col("degree") >= k) // the anti-join IS the < k filter
+        .join(dec, Seq("node"), "left")
+        .select(col("node"),
+          (col("degree") - coalesce(col("__dec"), lit(0L))).as("degree"))
     }
-    degrees(e).filter(col("degree") >= k)
+    // stageEvery ≤ 0 = adaptive, steered by the OBSERVED edge count (the
+    // AQE-style runtime re-plan): a graph that fits comfortably in one
+    // task's working set chains 2 peels per job and never bothers
+    // shrinking the adjacency (job launch + stage write is the whole
+    // cost down here — and chains deeper than ~2 lose more to plan
+    // growth and per-broadcast AQE jobs than they save in launches,
+    // measured in tools/KCoreProbe), while a genuinely big graph runs
+    // one staged round per job so the shrinking table is scanned once
+    // per peel and lineage stays flat.
+    val small = degSum / 2 <= 2_000_000L
+    val blockLen = if (stageEvery > 0) stageEvery else if (small) 2 else 1
+    var done = 0
+    while (done < maxRounds && nDrop > 0) {
+      // peels inside a block chain as one job; a peel on an already-
+      // converged graph drops nothing, so skipping the per-round
+      // convergence check inside a block cannot change the result
+      // (peel-invariance)
+      val steps = math.min(blockLen, maxRounds - done)
+      var d = deg
+      for (_ <- 1 to steps) d = peel(d)
+      val step = F.materializeObserved(d, belowK)
+      deg = step._1
+      nDrop = step._2
+      done += steps
+      // on a big graph, shrink + stage the adjacency at block ends so
+      // later rounds scan only the remaining graph (pure scan-size
+      // optimization — decrements to dead endpoints are ignored either
+      // way, see above); a small graph skips the write and rescans the
+      // staged table, which is ≤ 2 cheap scans per block
+      if (!small && done < maxRounds && nDrop > 0) {
+        und = F.materialize(und
+          .join(deg.select(col("node").as("s")), Seq("s"), "left_semi")
+          .join(deg.select(col("node").as("t")), Seq("t"), "left_semi")
+          .select(col("s"), col("t")))
+      }
+    }
+    deg.filter(col("degree") >= k)
       .select(col("node"), col("degree").as("core_degree"))
   }
 

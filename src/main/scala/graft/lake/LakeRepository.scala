@@ -125,9 +125,10 @@ class LakeRepository(val spark: SparkSession, val rootStr: String,
 
   def optimize(): Long = Make.optimize(store, journal)
 
-  def make(outDir: String, force: Boolean = false): Seq[String] =
+  def make(outDir: String, force: Boolean = false,
+      only: Option[String] = None): Seq[String] =
     Make.make(store, journal, outDir, datasetNameOpt = Some(dataset),
-      force = force)
+      force = force, only = only)
 
   def exportDiff(outDir: String): Option[String] = Diff.exportDiff(store, outDir)
 

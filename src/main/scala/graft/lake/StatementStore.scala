@@ -460,21 +460,26 @@ class StatementStore(val spark: SparkSession, val rootStr: String, val shards: I
     * clone's changed-since file skipping works from the first read.
     */
   def cloneAt(destRoot: String, v: Long = -1L): StatementStore = {
-    val srcV = if (v >= 0) v else version
-    require(Manifest.presentVersions(fs, root).contains(srcV),
-      s"no such snapshot version to clone: $srcV")
-    val (files, stats) = Manifest.liveState(fs, root, srcV)
-    val dest = new Path(destRoot)
-    val conf = spark.sessionState.newHadoopConf()
-    val dfs = dest.getFileSystem(conf)
-    // a clone is a FRESH table: committing into an existing manifest log
-    // would splice foreign history into another table's timeline
-    require(Manifest.currentVersion(dfs, dest) < 0,
-      s"clone destination already has a manifest log: $destRoot")
-    for (f <- files)
-      org.apache.hadoop.fs.FileUtil.copy(
-        fs, new Path(root, f), dfs, new Path(dest, f), false, conf)
-    Manifest.commit(dfs, dest, files, "clone", stats)
+    // the liveState read + byte copy run under the source's store lock:
+    // a concurrent vacuum (which also locks) could otherwise expire the
+    // cloned version's files mid-copy, leaving a clone of missing files
+    Locks.withLock(fs, root) {
+      val srcV = if (v >= 0) v else version
+      require(Manifest.presentVersions(fs, root).contains(srcV),
+        s"no such snapshot version to clone: $srcV")
+      val (files, stats) = Manifest.liveState(fs, root, srcV)
+      val dest = new Path(destRoot)
+      val conf = spark.sessionState.newHadoopConf()
+      val dfs = dest.getFileSystem(conf)
+      // a clone is a FRESH table: committing into an existing manifest log
+      // would splice foreign history into another table's timeline
+      require(Manifest.currentVersion(dfs, dest) < 0,
+        s"clone destination already has a manifest log: $destRoot")
+      for (f <- files)
+        org.apache.hadoop.fs.FileUtil.copy(
+          fs, new Path(root, f), dfs, new Path(dest, f), false, conf)
+      Manifest.commit(dfs, dest, files, "clone", stats)
+    }
     new StatementStore(spark, destRoot, shards)
   }
 

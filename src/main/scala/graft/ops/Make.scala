@@ -34,7 +34,8 @@ object Make {
       publicUrlPrefixOpt: Option[String] = None,
       datasetNameOpt: Option[String] = None,
       compressionOpt: Option[String] = None,
-      force: Boolean = false): Seq[String] = {
+      force: Boolean = false,
+      only: Option[String] = None): Seq[String] = {
     optimize(store, journal)
     // explicit arguments win; otherwise the persisted dataset config
     // supplies name / codec / public prefix (reference DatasetModel)
@@ -49,6 +50,9 @@ object Make {
     val v = store.version
     val done = scala.collection.mutable.ListBuffer.empty[String]
     def gated(name: String)(body: => Unit): Unit = {
+      // `only` scopes a kind-dispatched ExportJob to its one artifact
+      // (reference operation/export.py runs one artifact kind per job)
+      if (only.exists(_ != name)) return
       val tag = s"exports/$name"
       val versionTag = s"exports/$name.version"
       // force rebuilds regardless of freshness (reference operations'

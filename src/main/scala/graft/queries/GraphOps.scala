@@ -36,6 +36,20 @@ object GraphOps {
     spark.read.parquet(path)
   }
 
+  // the co-supplier projection (gr5 triangles, gr7 k-core) is the same
+  // maintained-artifact story as csEdges above: the thresholded
+  // projection of the bipartite order–supplier graph is refreshed per
+  // ingest, not re-derived from the fact self-join by every analytic
+  private def coEdges(spark: SparkSession, dir: String): DataFrame = {
+    val path = stagedEdges.getOrCompute(spark, s"$dir#co") {
+      val tmp = graft.functions.F.stageTempPath(spark, "co-edges")
+      EntityGraph.coSupplierEdges(spark, dir)
+        .write.mode("overwrite").parquet(tmp)
+      tmp
+    }
+    spark.read.parquet(path)
+  }
+
   /** gr1: per-node degree over the undirected customer–supplier graph. */
   def gr1Degree(spark: SparkSession, dir: String): DataFrame =
     EntityGraph.degrees(csEdges(spark, dir))
@@ -78,7 +92,7 @@ object GraphOps {
     * triangle is counted, never the set).
     */
   def gr5Triangles(spark: SparkSession, dir: String): DataFrame =
-    EntityGraph.triangleCounts(EntityGraph.coSupplierEdges(spark, dir))
+    EntityGraph.triangleCounts(coEdges(spark, dir))
       .orderBy(col("node"))
 
   /** gr6: personalized PageRank from the gr2 seed set (every 100th
@@ -100,7 +114,7 @@ object GraphOps {
     * because converged graphs are peel-invariant — the gr4 argument).
     */
   def gr7KCore(spark: SparkSession, dir: String): DataFrame =
-    EntityGraph.kCore(EntityGraph.coSupplierEdges(spark, dir), k = 3,
+    EntityGraph.kCore(coEdges(spark, dir), k = 3,
         maxRounds = 8)
       .orderBy(col("node"))
 

@@ -613,8 +613,8 @@ object Relational {
         |f AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
         |      OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |i AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS UNBOUNDED PRECEDING) AS island FROM f),
+        |i AS (SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island FROM f),
         |g AS (SELECT user_id, island AS version, MIN(event_type) AS event_type,
         |    epoch_ms(MIN(ts)) AS valid_from_ms, COUNT(*) AS n_events
         |  FROM i GROUP BY 1, 2)

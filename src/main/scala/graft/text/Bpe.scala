@@ -52,8 +52,13 @@ object Bpe {
       .groupBy(col("w").as("a"), col("__nx").as("b"))
       .agg(count(lit(1)).as("n_pair"))
       .orderBy(col("n_pair").desc, col("a"), col("b")).limit(1)
-    val flagged = withNext.crossJoin(broadcast(top))
-      .withColumn("__m", col("w") === col("a") && col("__nx") === col("b"))
+    // LEFT broadcast join, not crossJoin: when the corpus has no adjacent
+    // pair at all, `top` is empty and a crossJoin would silently drop
+    // every token — a left join keeps the stream intact (and hash-joins
+    // on the pair key instead of nested-looping)
+    val flagged = withNext.join(broadcast(top),
+        col("w") === col("a") && col("__nx") === col("b"), "left")
+      .withColumn("__m", col("a").isNotNull)
       .withColumn("__run",
         col("pos") - sum(when(col("__m"), 1L).otherwise(0L)).over(cum))
     val runCum = Window.partitionBy(col("doc_id"), col("__run"))
