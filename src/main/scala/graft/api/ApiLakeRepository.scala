@@ -1,0 +1,249 @@
+package graft.api
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.sql.Timestamp
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import graft.functions.Hashing
+import graft.model.{FtmModel, Statement}
+import graft.ops.EntityAssembly.EntityDoc
+import graft.ops.Explode
+import graft.ops.Explode.EntityPayload
+
+/** The reference's HTTP-delegated repository (the other half of S14):
+  * where [[LakeHttpServer]] is `api/main.py`, this is the
+  * `api_delegate` client side — `core/api.py:120-143`,
+  * `repository/entities/api.py:17-99`, `storage/journal/api.py` — a
+  * repository whose writes, reads, and operations all travel the wire,
+  * so a library/CLI user can point at a remote lakehouse URL and run
+  * the same lifecycle they run embedded.
+  *
+  * Pure JVM: no SparkSession on the client side (the Spark jobs run in
+  * the SERVER's driver, which is the reference's deployment shape too).
+  * Entity payloads are exploded client-side with the same content-key
+  * recipes as the embedded path ([[Explode.explodeLocal]] /
+  * [[Hashing.statementKeyLocal]]), so statements imported over HTTP
+  * collapse with statements imported embedded — the reference gets the
+  * same property from running followthemoney's explode in the client
+  * process.
+  *
+  * Query results stream as NDJSON and are surfaced as iterators — one
+  * line parsed at a time, the client never buffers a corpus.
+  */
+class ApiLakeRepository(baseUrl: String, val dataset: String) {
+
+  private val mapper = new ObjectMapper()
+  private val client = HttpClient.newHttpClient()
+  private val base = baseUrl.stripSuffix("/")
+
+  private def url(endpoint: String): URI =
+    URI.create(s"$base/$dataset/_api/$endpoint")
+
+  private def send(req: HttpRequest): String = {
+    val res = client.send(req, HttpResponse.BodyHandlers.ofString())
+    require(res.statusCode / 100 == 2,
+      s"api error ${res.statusCode} on ${req.uri}: ${res.body.take(500)}")
+    res.body
+  }
+
+  private def get(endpoint: String): String =
+    send(HttpRequest.newBuilder(url(endpoint)).GET().build())
+
+  private def post(endpoint: String, body: String): String =
+    send(HttpRequest.newBuilder(url(endpoint))
+      .POST(HttpRequest.BodyPublishers.ofString(body, UTF_8)).build())
+
+  /** Streamed POST: the response body is consumed line by line. */
+  private def postLines(endpoint: String, body: String): Iterator[String] = {
+    val res = client.send(
+      HttpRequest.newBuilder(url(endpoint))
+        .POST(HttpRequest.BodyPublishers.ofString(body, UTF_8)).build(),
+      HttpResponse.BodyHandlers.ofLines())
+    require(res.statusCode / 100 == 2, s"api error ${res.statusCode} on $endpoint")
+    res.body.iterator.asScala.filter(_.nonEmpty)
+  }
+
+  // ---- writes (journal wire, storage/journal/api.py) ----
+
+  /** Client-side explode → JSONL → `journal/bulk`. Same statement ids
+    * and BASE_ID checksum rows as the embedded [[Explode.explode]], so
+    * the two transports' writes are content-identical.
+    */
+  def addEntities(entities: Seq[EntityPayload], origin: String = "default",
+      now: Timestamp = new Timestamp(System.currentTimeMillis() / 1000 * 1000)): Long = {
+    val lines = entities.iterator
+      .flatMap(e => Explode.explodeLocal(e, dataset, origin, now))
+      .map(statementLine)
+    post("journal/bulk", lines.mkString("\n"))
+    entities.size.toLong
+  }
+
+  /** Raw statement rows (the CLI `statements import` wire) → `journal/bulk`. */
+  def addStatements(jsonlLines: IterableOnce[String]): Long =
+    post("journal/bulk", jsonlLines.iterator.mkString("\n")).trim.toLong
+
+  private def statementLine(s: Statement): String = {
+    val o = mapper.createObjectNode()
+    o.put("id", s.id); o.put("entity_id", s.entity_id)
+    o.put("schema", s.schema); o.put("bucket", s.bucket)
+    o.put("origin", s.origin); o.put("prop", s.prop)
+    o.put("prop_type", s.prop_type); o.put("value", s.value)
+    s.lang.foreach(o.put("lang", _))
+    o.put("first_seen", s.first_seen.toInstant.toString)
+    o.put("last_seen", s.last_seen.toInstant.toString)
+    o.put("fragment", s.fragment)
+    s.deleted_at.foreach(t => o.put("deleted_at", t.toInstant.toString))
+    mapper.writeValueAsString(o)
+  }
+
+  // ---- repository surface (repository/entities/api.py) ----
+
+  /** `entities/flush`: journal → store; returns the flushed count. */
+  def flush(): Long = post("entities/flush", "").trim.toLong
+
+  def merge(gracePeriodDays: Option[Int] = None): Unit =
+    post("entities/merge",
+      gracePeriodDays.map(d => s"""{"grace_period_days":$d}""").getOrElse("{}"))
+
+  def deleteEntity(entityId: String): Long =
+    send(HttpRequest.newBuilder(url(s"entities/$entityId")).DELETE().build())
+      .trim.toLong
+
+  private def queryBody(rql: String, orderBy: Seq[String], limit: Option[Int],
+      offset: Int, flushFirst: Boolean): String = {
+    val o = mapper.createObjectNode()
+    if (rql.nonEmpty) o.put("query", rql)
+    if (orderBy.nonEmpty) { val a = o.putArray("order_by"); orderBy.foreach(a.add) }
+    limit.foreach(o.put("limit", _))
+    if (offset > 0) o.put("offset", offset)
+    if (flushFirst) o.put("flush_first", true)
+    mapper.writeValueAsString(o)
+  }
+
+  /** `entities/query` as raw NDJSON lines (CLI passthrough). */
+  def queryRaw(rql: String = "", orderBy: Seq[String] = Seq.empty,
+      limit: Option[Int] = None, offset: Int = 0,
+      flushFirst: Boolean = false): Iterator[String] =
+    postLines("entities/query",
+      queryBody(rql, orderBy, limit, offset, flushFirst))
+
+  /** `entities/query`: assembled entity documents for an RQL query,
+    * streamed (reference `_api_query`).
+    */
+  def query(rql: String = "", orderBy: Seq[String] = Seq.empty,
+      limit: Option[Int] = None, offset: Int = 0,
+      flushFirst: Boolean = false): Iterator[EntityDoc] =
+    queryRaw(rql, orderBy, limit, offset, flushFirst).map(parseEntity)
+
+  /** `entities/statements/query` as raw NDJSON lines (CLI passthrough). */
+  def statementsRaw(rql: String = "", orderBy: Seq[String] = Seq.empty,
+      limit: Option[Int] = None, offset: Int = 0): Iterator[String] =
+    postLines("entities/statements/query",
+      queryBody(rql, orderBy, limit, offset, flushFirst = false))
+
+  /** `entities/statements/query`: raw statements for an RQL query. */
+  def statements(rql: String = "", orderBy: Seq[String] = Seq.empty,
+      limit: Option[Int] = None, offset: Int = 0): Iterator[Statement] =
+    statementsRaw(rql, orderBy, limit, offset)
+      .map(l => JournalWire.parseRow(l, dataset))
+
+  /** Entity count for a query — the client-side fold over the streamed
+    * ids (the reference's api repository counts the same way; there is
+    * no dedicated count route).
+    */
+  def count(rql: String = ""): Long = query(rql).size.toLong
+
+  def getEntity(entityId: String): Option[EntityDoc] =
+    query(s"""eq(entity_id, "$entityId")""").nextOption()
+
+  /** `entities/stats` → (facet, key) → (entities, statements). */
+  def statistics: Map[(String, String), (Long, Long)] = {
+    val root = mapper.readTree(get("entities/stats"))
+    root.properties.asScala.flatMap { fe =>
+      fe.getValue.properties.asScala.map { ke =>
+        (fe.getKey, ke.getKey) ->
+          (ke.getValue.get("entities").asLong, ke.getValue.get("statements").asLong)
+      }
+    }.toMap
+  }
+
+  def version: Long = get("entities/statements/version").trim.toLong
+
+  // ---- journal surface ----
+
+  def journalCount: Long = get("journal/count").trim.toLong
+
+  def journalIterate(): Iterator[Statement] = {
+    val res = client.send(HttpRequest.newBuilder(url("journal/iterate")).GET().build(),
+      HttpResponse.BodyHandlers.ofLines())
+    require(res.statusCode / 100 == 2, s"api error ${res.statusCode} on journal/iterate")
+    res.body.iterator.asScala.filter(_.nonEmpty).map(l => JournalWire.parseRow(l, dataset))
+  }
+
+  def journalClear(): Long =
+    send(HttpRequest.newBuilder(url("journal/clear")).DELETE().build()).trim.toLong
+
+  // ---- operations ----
+
+  def optimize(): Long = {
+    val res = mapper.readTree(post("operations", """{"name":"OptimizeJob"}"""))
+    res.get("version").asLong
+  }
+
+  def make(outDir: Option[String] = None, force: Boolean = false): Seq[String] = {
+    val o = mapper.createObjectNode()
+    o.put("name", "MakeJob"); outDir.foreach(o.put("out_dir", _))
+    val q = if (force) "?force=true" else ""
+    val res = mapper.readTree(send(HttpRequest.newBuilder(
+        URI.create(s"$base/$dataset/_api/operations$q"))
+      .POST(HttpRequest.BodyPublishers.ofString(mapper.writeValueAsString(o), UTF_8))
+      .build()))
+    Option(res.get("built")).map(_.elements.asScala.map(_.asText).toSeq)
+      .getOrElse(Seq.empty)
+  }
+
+  // ---- archive (content-addressed blob wire) ----
+
+  def archivePut(bytes: Array[Byte]): String =
+    send(HttpRequest.newBuilder(url("archive"))
+      .PUT(HttpRequest.BodyPublishers.ofByteArray(bytes)).build()).trim
+
+  def archiveGet(checksum: String): Option[Array[Byte]] = {
+    val res = client.send(
+      HttpRequest.newBuilder(url(s"archive/$checksum")).GET().build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    if (res.statusCode == 200) Some(res.body) else None
+  }
+
+  def archiveExists(checksum: String): Boolean =
+    client.send(HttpRequest.newBuilder(url(s"archive/$checksum"))
+        .method("HEAD", HttpRequest.BodyPublishers.noBody()).build(),
+      HttpResponse.BodyHandlers.discarding()).statusCode == 200
+
+  // ---- entity doc wire parse (inverse of LakeHttpServer.entityJson) ----
+
+  private def parseEntity(line: String): EntityDoc = {
+    val n = mapper.readTree(line)
+    def strs(f: String): Seq[String] =
+      Option(n.get(f)).filterNot(_.isNull)
+        .map(_.elements.asScala.map(_.asText).toSeq).getOrElse(Seq.empty)
+    def ts(f: String): Timestamp =
+      JournalWire.parseTs(n.get(f).asText)
+    val props = Option(n.get("properties")).filterNot(_.isNull).map { p =>
+      p.properties.asScala.map(e =>
+        e.getKey -> e.getValue.elements.asScala.map(_.asText).toSeq).toMap
+    }.getOrElse(Map.empty[String, Seq[String]])
+    EntityDoc(
+      id = n.get("id").asText, caption = n.get("caption").asText,
+      schema = n.get("schema").asText, properties = props,
+      referents = strs("referents"), datasets = strs("datasets"),
+      origins = strs("origins"),
+      first_seen = ts("first_seen"), last_seen = ts("last_seen"),
+      last_change = ts("last_change"))
+  }
+}

@@ -30,7 +30,14 @@ import graft.ops.Explode
   *   graft.cli.Main --lake <root> unlock <ds>
   *   graft.cli.Main --lake <root> archive ls|get|head <ds> [checksum]
   *   graft.cli.Main --lake <root> serve [--port N]
+  *   graft.cli.Main --api http://host:port <group...>   # remote lakehouse
   * }}}
+  *
+  * Remote mode (`--api <url>`, or an http[s] GRAFT_LAKE_URI — the
+  * reference's api_delegate, core/api.py:120-143) routes
+  * ls / entities / statements / stats / version / flush / optimize /
+  * make / archive through [[graft.api.ApiLakeRepository]] with no local
+  * SparkSession: the server's driver runs the jobs.
   *
   * Reference mapping: `ls`/`datasets`/`configure` (cli/__init__.py:168-204),
   * `entities iterate|import` (cli/entities.py), `statements
@@ -50,12 +57,88 @@ object Main {
 
   def main(args: Array[String]): Unit = {
     val (flags, pos) = parseArgs(args.toList)
+    // remote mode (reference: GRAFT/FTM lake URI may be an http[s] URL —
+    // core/api.py delegates every repository call over the wire): no
+    // SparkSession on the client, the server's driver runs the jobs
+    val apiUrl = flags.get("api").orElse(
+      sys.env.get("GRAFT_LAKE_URI").filter(_.startsWith("http")))
+    if (apiUrl.isDefined) { runApi(apiUrl.get, flags, pos); return }
     val lakeRoot = flags.getOrElse("lake",
       sys.env.getOrElse("GRAFT_LAKE_URI",
-        fail("--lake <root> or GRAFT_LAKE_URI required")))
+        fail("--lake <root> / --api <url> or GRAFT_LAKE_URI required")))
     val spark = graft.Sessions.local("graft-cli")
     try run(spark, lakeRoot, flags, pos)
     finally spark.stop()
+  }
+
+  /** The CLI groups that make sense against a remote lakehouse, routed
+    * through [[graft.api.ApiLakeRepository]] — same subcommand grammar
+    * as local mode, Spark-free client process.
+    */
+  private[graft] def runApi(url: String, flags: Map[String, String],
+      pos: List[String]): Unit = {
+    def repo(ds: String) = new graft.api.ApiLakeRepository(url, ds)
+    pos match {
+      case "ls" :: Nil =>
+        val body = java.net.http.HttpClient.newHttpClient().send(
+          java.net.http.HttpRequest.newBuilder(java.net.URI.create(url + "/")).GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString()).body
+        mapper.readTree(body).get("datasets").elements.asScala
+          .foreach(d => println(d.get("name").asText))
+
+      case "entities" :: "iterate" :: ds :: Nil =>
+        repo(ds).queryRaw().foreach(println)
+
+      case "entities" :: "query" :: ds :: rql :: Nil =>
+        repo(ds).queryRaw(rql,
+          limit = flags.get("limit").map(_.toInt)).foreach(println)
+
+      case "entities" :: "import" :: ds :: Nil =>
+        val payloads = scala.io.Source.stdin.getLines()
+          .filter(_.trim.nonEmpty).map(parsePayload).toSeq
+        val r = repo(ds)
+        r.addEntities(payloads, origin = flags.getOrElse("origin", "default"))
+        r.flush()
+        println(payloads.size)
+
+      case "entities" :: "delete" :: ds :: id :: Nil =>
+        println(repo(ds).deleteEntity(id))
+
+      case "statements" :: "iterate" :: ds :: Nil =>
+        repo(ds).statementsRaw().foreach(println)
+
+      case "statements" :: "import" :: ds :: Nil =>
+        val r = repo(ds)
+        val n = r.addStatements(
+          scala.io.Source.stdin.getLines().filter(_.trim.nonEmpty))
+        r.flush()
+        println(n)
+
+      case "stats" :: ds :: Nil =>
+        repo(ds).statistics.toSeq.sortBy(_._1)
+          .foreach { case ((f, k), (e, s)) => println(s"$f\t$k\t$e\t$s") }
+
+      case "version" :: ds :: Nil => println(repo(ds).version)
+      case "flush" :: ds :: Nil => println(repo(ds).flush())
+      case "optimize" :: ds :: Nil => println(repo(ds).optimize())
+
+      case "make" :: ds :: Nil =>
+        println(repo(ds).make(flags.get("out"),
+          force = flags.contains("force")).mkString("\n"))
+
+      case "archive" :: "get" :: ds :: checksum :: Nil =>
+        repo(ds).archiveGet(checksum) match {
+          case Some(bytes) => System.out.write(bytes); System.out.flush()
+          case None => fail(s"no blob for $checksum")
+        }
+
+      case "archive" :: "head" :: ds :: checksum :: Nil =>
+        println(if (repo(ds).archiveExists(checksum)) s"$checksum exists"
+          else s"$checksum missing")
+
+      case other =>
+        fail("unknown/unsupported remote command: " + other.mkString(" "))
+    }
   }
 
   private def fail(msg: String): Nothing = {

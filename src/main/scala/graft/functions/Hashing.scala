@@ -48,4 +48,47 @@ object Hashing {
     */
   def entityChecksum(schema: Column, sortedIds: Column): Column =
     sha2(concat(schema, lit("|"), concat_ws(",", sortedIds)), 256)
+
+  // ---- pure-JVM twins (HTTP client repository, no SparkSession) ----
+  // Byte-identical to the Column recipes above: the API client explodes
+  // entity payloads on its own side of the wire (like the reference's
+  // followthemoney client-side explode) and the resulting statement ids
+  // must collapse with rows written through the embedded path.
+
+  private val md5s = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+  private val sha256s = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("SHA-256"))
+
+  private def hex(d: Array[Byte]): String = {
+    val sb = new StringBuilder(d.length * 2)
+    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.toString
+  }
+
+  /** Scala twin of [[statementKey]]. */
+  def statementKeyLocal(dataset: String, entityId: String, prop: String,
+      value: String): String = {
+    val md = md5s.get(); md.reset()
+    hex(md.digest(Seq(dataset, entityId, prop, value)
+      .mkString(Sep).getBytes("UTF-8")))
+  }
+
+  /** Scala twin of [[entityChecksum]] (ids must already be sorted). */
+  def entityChecksumLocal(schema: String, sortedIds: Seq[String]): String = {
+    val md = sha256s.get(); md.reset()
+    hex(md.digest((schema + "|" + sortedIds.mkString(",")).getBytes("UTF-8")))
+  }
+
+  /** Scala twin of [[shardOf]]. */
+  def shardOfLocal(entityId: String, shards: Int): String = {
+    require(shards > 0, "shards must be positive")
+    if (shards == 1) "0"
+    else {
+      val width = java.lang.Integer.toHexString(shards - 1).length
+      val n = TokenHash.md5Prefix32(
+        org.apache.spark.unsafe.types.UTF8String.fromString(entityId)) % shards
+      String.format(s"%0${width}x", java.lang.Long.valueOf(n))
+    }
+  }
 }

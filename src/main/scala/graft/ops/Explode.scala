@@ -32,6 +32,49 @@ object Explode {
     if (dot <= 0) id else id.substring(0, dot)
   }
 
+  /** Pure-JVM twin of [[explode]] for the HTTP client repository: one
+    * payload → its prop statements + trailing BASE_ID checksum row, with
+    * the SAME content-key recipes, so rows imported over the wire
+    * collapse with rows imported embedded. Shard is left blank — the
+    * server recomputes it from its recorded shard count (config
+    * authority, [[graft.api.JournalWire.writeRows]]). NOTE: the Spark
+    * path checksums per entity across the whole batch; this twin
+    * checksums per payload — identical whenever an entity appears once
+    * per batch (the reference's writer contract).
+    */
+  def explodeLocal(e: EntityPayload, dataset: String, origin: String,
+      now: Timestamp): Seq[Statement] = {
+    val entityId = stripNamespace(e.id)
+    val bucket = FtmModel.bucketOf(e.schema)
+    val propRows = for {
+      (prop, values) <- e.properties.toSeq
+      value <- values
+    } yield {
+      val propType = FtmModel.propTypes(prop)
+      val cleanValue = if (propType == "entity") stripNamespace(value) else value
+      Statement(
+        shard = "",
+        id = Hashing.statementKeyLocal(dataset, entityId, prop, cleanValue),
+        entity_id = entityId, dataset = dataset, bucket = bucket,
+        origin = origin, source = None, schema = e.schema, prop = prop,
+        prop_type = propType, value = cleanValue, original_value = None,
+        lang = None, // the Spark path nulls both branches of lang0 too
+        external = false, first_seen = now, last_seen = now,
+        fragment = "", deleted_at = None)
+    }
+    val checksum = Hashing.entityChecksumLocal(
+      e.schema, propRows.map(_.id).distinct.sorted)
+    val baseRow = Statement(
+      shard = "",
+      id = Hashing.statementKeyLocal(dataset, entityId, Statement.BaseId, checksum),
+      entity_id = entityId, dataset = dataset, bucket = bucket,
+      origin = origin, source = None, schema = e.schema,
+      prop = Statement.BaseId, prop_type = "checksum", value = checksum,
+      original_value = None, lang = None, external = false,
+      first_seen = now, last_seen = now, fragment = "", deleted_at = None)
+    propRows :+ baseRow
+  }
+
   def explode(
       entities: Dataset[EntityPayload],
       dataset: String,

@@ -93,6 +93,47 @@ class CliSpec extends SparkSpec {
     assert(cli(root, "snapshot", "ls", "clitest")() == "")
   }
 
+  test("cli remote mode: --api drives the full group set over the wire") {
+    val root = Files.createTempDirectory("graft-cli-api").toString
+    new graft.lake.Catalog(spark, root).ensureDataset("remote", shards = 4)
+    val server = new graft.api.LakeHttpServer(spark, root)
+    val port = server.start()
+    val url = s"http://127.0.0.1:$port"
+
+    def cliApi(args: String*)(stdin: String = ""): String = {
+      val out = new ByteArrayOutputStream()
+      val oldIn = System.in
+      val oldOut = System.out
+      try {
+        System.setIn(new ByteArrayInputStream(stdin.getBytes("UTF-8")))
+        System.setOut(new PrintStream(out, true, "UTF-8"))
+        Console.withOut(new PrintStream(out, true, "UTF-8")) {
+          val (flags, pos) = graft.cli.Main.parseArgs(args.toList)
+          graft.cli.Main.runApi(url, flags, pos)
+        }
+      } finally { System.setIn(oldIn); System.setOut(oldOut) }
+      out.toString("UTF-8").trim
+    }
+
+    try {
+      assert(cliApi("ls")() == "remote")
+      val payload = """{"id":"acme","schema":"Company","properties":{"name":["Acme"]}}"""
+      assert(cliApi("entities", "import", "remote")(payload) == "1")
+      val ents = cliApi("entities", "iterate", "remote")()
+      assert(ents.contains("\"id\":\"acme\""), ents)
+      val q = cliApi("entities", "query", "remote", """eq(name, "Acme")""")()
+      assert(q.contains("\"id\":\"acme\""), q)
+      val st = cliApi("statements", "iterate", "remote")()
+      assert(st.linesIterator.forall(_.contains("\"entity_id\":\"acme\"")), st)
+      assert(cliApi("version", "remote")().toLong >= 0)
+      assert(cliApi("stats", "remote")().contains("thing/Company"))
+      assert(cliApi("optimize", "remote")().toLong >= 0)
+      assert(cliApi("entities", "delete", "remote", "acme")().toLong > 0)
+      assert(cliApi("flush", "remote")().toLong >= 0)
+      assert(cliApi("entities", "iterate", "remote")() == "")
+    } finally server.stop()
+  }
+
   test("cli crawl: files archived, file/folder entities imported, paths resolve") {
     val root = Files.createTempDirectory("graft-cli-crawl").toString
     cli(root, "configure", "crawltest")()

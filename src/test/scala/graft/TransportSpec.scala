@@ -1,0 +1,154 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.api.{ApiLakeRepository, LakeHttpServer}
+import graft.lake.{Catalog, LakeRepository}
+import graft.ops.EntityAssembly.EntityDoc
+import graft.ops.Explode.EntityPayload
+import graft.query.{FtmQuery, Rql}
+
+/** Transport-parametrized repository suite (reference
+  * tests/conftest.py:33-102 runs its repository tests local/api/docker):
+  * ONE set of lifecycle assertions executed against the embedded
+  * [[LakeRepository]] and against [[ApiLakeRepository]] talking to a
+  * live [[LakeHttpServer]] — the "point the library at a remote
+  * lakehouse URL" workflow. A cross-transport case then asserts the two
+  * paths produce content-identical statement ids (the client-side
+  * explode parity claim).
+  */
+class TransportSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  /** The transport-agnostic slice both repositories implement. */
+  trait Repo {
+    def add(ps: Seq[EntityPayload], now: Timestamp): Unit
+    def journalCount: Long
+    def flush(): Long
+    def docs(rql: String, orderBy: Seq[String] = Seq.empty,
+        limit: Option[Int] = None): Seq[EntityDoc]
+    def count(rql: String): Long
+    def deleteEntity(id: String): Long
+    def stats: Map[(String, String), Long]
+    def version: Long
+  }
+
+  private class LocalRepo(r: LakeRepository) extends Repo {
+    private def q(rql: String, orderBy: Seq[String], limit: Option[Int]) =
+      if (rql.isEmpty) Rql.applySiblings(FtmQuery.Query(), orderBy, limit, 0)
+      else Rql.parse(rql, orderBy, limit, 0)
+    def add(ps: Seq[EntityPayload], now: Timestamp): Unit = {
+      import r.spark.implicits._
+      r.addEntities(ps.toDS(), now = now)
+    }
+    def journalCount: Long = r.journal.count()
+    def flush(): Long = r.flush()
+    def docs(rql: String, orderBy: Seq[String], limit: Option[Int]): Seq[EntityDoc] =
+      r.query(q(rql, orderBy, limit)).collect().toSeq
+    def count(rql: String): Long = r.count(q(rql, Seq.empty, None))
+    def deleteEntity(id: String): Long = r.deleteEntity(id)
+    def stats: Map[(String, String), Long] =
+      r.statistics.collect()
+        .map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+    def version: Long = math.max(0L, r.store.version)
+  }
+
+  private class HttpRepo(r: ApiLakeRepository) extends Repo {
+    def add(ps: Seq[EntityPayload], now: Timestamp): Unit =
+      r.addEntities(ps, now = now)
+    def journalCount: Long = r.journalCount
+    def flush(): Long = r.flush()
+    def docs(rql: String, orderBy: Seq[String], limit: Option[Int]): Seq[EntityDoc] =
+      r.query(rql, orderBy, limit).toSeq
+    def count(rql: String): Long = r.count(rql)
+    def deleteEntity(id: String): Long = r.deleteEntity(id)
+    def stats: Map[(String, String), Long] =
+      r.statistics.map { case (k, (entities, _)) => k -> entities }
+    def version: Long = r.version
+  }
+
+  private val payloads = Seq(
+    EntityPayload("jane", "Person",
+      Map("name" -> Seq("Jane Doe"), "nationality" -> Seq("us"))),
+    EntityPayload("john", "Person", Map("name" -> Seq("John Doe"))),
+    EntityPayload("acme", "Company", Map("name" -> Seq("Acme Corp"))))
+
+  /** The shared lifecycle — identical assertions per transport. */
+  private def lifecycle(repo: Repo): Unit = {
+    repo.add(payloads, ts("2024-01-01 00:00:00"))
+    assert(repo.journalCount > 0)
+    repo.flush()
+    assert(repo.journalCount == 0)
+
+    val jane = repo.docs("""eq(name, "Jane Doe")""")
+    assert(jane.length == 1)
+    assert(jane.head.id == "jane" && jane.head.caption == "Jane Doe")
+    assert(jane.head.properties("nationality") == Seq("us"))
+
+    // schema filter with descendant expansion
+    assert(repo.count("""eq(schema, "LegalEntity")""") == 3)
+    assert(repo.count("""eq(schema, "Company")""") == 1)
+
+    // ordered page
+    val page = repo.docs("""eq(schema, "LegalEntity")""",
+      orderBy = Seq("name"), limit = Some(2)).map(_.id)
+    assert(page == Seq("acme", "jane"), page)
+
+    // stats facets
+    assert(repo.stats(("schemata", "thing/Person")) == 2)
+    assert(repo.stats(("countries", "us")) == 1)
+
+    // delete: tombstone through the journal, canonical read hides jane
+    assert(repo.deleteEntity("jane") > 0)
+    repo.flush()
+    assert(repo.count("""eq(name, "Jane Doe")""") == 0)
+    assert(repo.count("") == 2)
+    assert(repo.version >= 0)
+  }
+
+  test("repository lifecycle over the LOCAL transport") {
+    val dir = Files.createTempDirectory("graft-txp-local").toString
+    lifecycle(new LocalRepo(
+      new LakeRepository(spark, dir, dataset = "txp", shards = 4)))
+  }
+
+  test("repository lifecycle over the HTTP transport") {
+    val root = Files.createTempDirectory("graft-txp-http").toString
+    val server = new LakeHttpServer(spark, root)
+    val port = server.start()
+    try {
+      new Catalog(spark, root).ensureDataset("txp", shards = 4)
+      lifecycle(new HttpRepo(
+        new ApiLakeRepository(s"http://127.0.0.1:$port", "txp")))
+    } finally server.stop()
+  }
+
+  test("transports write content-identical statements") {
+    val localDir = Files.createTempDirectory("graft-txp-par-l").toString
+    val local = new LakeRepository(spark, localDir, dataset = "txp", shards = 4)
+    val now = ts("2024-01-01 00:00:00")
+    import spark.implicits._
+    local.addEntities(payloads.toDS(), now = now)
+    local.flush()
+
+    val root = Files.createTempDirectory("graft-txp-par-h").toString
+    val server = new LakeHttpServer(spark, root)
+    val port = server.start()
+    try {
+      new Catalog(spark, root).ensureDataset("txp", shards = 4)
+      val api = new ApiLakeRepository(s"http://127.0.0.1:$port", "txp")
+      api.addEntities(payloads, now = now)
+      api.flush()
+
+      def idsOf(dir: String) = new LakeRepository(spark, dir, "txp", 4)
+        .store.raw.select("id", "shard", "entity_id", "prop", "value")
+        .collect().map(_.toSeq).toSet
+      val localIds = idsOf(localDir)
+      val httpIds = idsOf(new org.apache.hadoop.fs.Path(root, "txp").toString)
+      assert(localIds == httpIds,
+        s"transport divergence: ${localIds.diff(httpIds)} vs ${httpIds.diff(localIds)}")
+    } finally server.stop()
+  }
+}
