@@ -77,7 +77,29 @@ object StreamingOps {
     graft.streaming.EventStream.streamStaticEnrich(spark, dir)
       .orderBy(col("n_name"))
 
+  /** st9: streaming NEAR-dup suppression drained AvailableNow over the
+    * documents table — the [[graft.streaming.NearDupStream]] LSH gate.
+    * Fed as ONE micro-batch (single staged file), so the stream's
+    * greedy admit rule (state-wins, then lowest-id-per-bucket in batch)
+    * reduces to the batch rule "drop any doc sharing a band bucket with
+    * a smaller doc_id" — which is the SQL twin. Multi-batch behavior
+    * (state collisions across feeds, crash reconcile) is covered by
+    * StreamingMakeSpec; the oracle gates the LSH math + admit semantics.
+    */
+  def st9NeardupStream(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long"), col("text"))
+    val base = graft.functions.F.stageTempPath(spark, "neardup-q")
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$base/feed")
+    graft.streaming.NearDupStream.run(spark,
+      spark.readStream.schema(docs.schema).parquet(s"$base/feed"),
+      "doc_id", "text", s"$base/state", s"$base/out")
+    spark.read.parquet(s"$base/out")
+      .select(col("doc_id")).orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st9_neardup_stream" -> (st9NeardupStream _),
     "st1_window_agg" -> (st1WindowAgg _),
     "st0_stream_window" -> (st0StreamWindow _),
     "st2_sessionize" -> (st2Sessionize _),
@@ -95,6 +117,15 @@ object StreamingOps {
       |FROM events GROUP BY 1, 2 ORDER BY window_ms, event_type""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "st9_neardup_stream" ->
+      // the single-batch admit rule: a doc is suppressed iff it shares a
+      // band bucket with a SMALLER doc_id (TrainingData's shared LSH CTEs
+      // — same shingle/minhash/band recipe the stream runs)
+      s"""WITH ${TrainingData.sigCte},
+         |${TrainingData.bandedCte}
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT id_b FROM cand)
+         |ORDER BY doc_id""".stripMargin,
     "st8_stream_static" ->
       """SELECT n.n_name, COUNT(*) AS n,
         |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -1173,7 +1173,7 @@ object TrainingData {
 
   private val tokH = "(('0x'||substr(md5(w),1,8))::BIGINT)"
 
-  private val sigCte =
+  private[queries] val sigCte =
     s"""sig AS (
        |  SELECT doc_id,
        |    MIN(($tokH*3+12345) % 4294967311) AS mh0,
@@ -1189,7 +1189,7 @@ object TrainingData {
        |    i -> array_to_string((string_split(text,' '))[i:i+2], ' ')))) AS w FROM documents)
        |  GROUP BY doc_id)""".stripMargin
 
-  private val bandedCte =
+  private[queries] val bandedCte =
     """banded AS (
       |  SELECT doc_id, 0 AS band, md5(mh0::VARCHAR||','||mh1::VARCHAR) AS bucket FROM sig
       |  UNION ALL SELECT doc_id, 1, md5(mh2::VARCHAR||','||mh3::VARCHAR) FROM sig

@@ -36,7 +36,8 @@ class PlanLintSpec extends SparkSpec {
     "hyb1_rrf_fusion" -> "single query vector + single-row corpus-stats broadcasts; fusion join is k-row bounded",
     "cur5_dsir_weights" -> "single-row corpus/target token-total broadcast onto the 1024-bucket stats",
     "sim10_recall" -> "nlist-bounded centroids + bounded probe set broadcast (the IVF arm)",
-    "cur6_curation_funnel" -> "single-row sqrt-allocation total broadcast onto #sources rows (cur4's shape)")
+    "cur6_curation_funnel" -> "single-row sqrt-allocation total broadcast onto #sources rows (cur4's shape)",
+    "tok2_bpe_merges" -> "single-row before/after token counts crossJoined onto the 1-row winning pair (summary report; the merge scan itself hash-joins)")
 
   test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only where justified") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
