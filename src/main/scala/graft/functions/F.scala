@@ -63,6 +63,26 @@ object F {
     tmp
   }
 
+  /** True when the frame is already a plain (possibly projected/filtered)
+    * file scan — re-reading it costs the same as re-reading a stage copy,
+    * so staging it again would only add a redundant write. Used by
+    * iterative operators whose inputs are usually session-staged tables.
+    */
+  def isPlainScan(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
+    def loop(p: LogicalPlan): Boolean = p match {
+      case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
+      case Project(_, child) => loop(child)
+      case Filter(_, child) => loop(child)
+      case _ => false
+    }
+    loop(df.queryExecution.analyzed)
+  }
+
+  /** [[materialize]] unless the input is already a plain scan. */
+  def materializeIfNeeded(df: DataFrame): DataFrame =
+    if (isPlainScan(df)) df else materialize(df)
+
   def materialize(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val tmp = stageTempPath(spark, "stage")

@@ -79,7 +79,7 @@ object EntityGraph {
     // the derivation (join+distinct) runs once, each hop re-scans the
     // staged file twice (cheap columnar read), and the staged bytes are
     // half of what writing the undirected table would cost.
-    val e0 = F.materialize(edges)
+    val e0 = F.materializeIfNeeded(edges)
     val und = undirected(e0)
     val seed0 = F.materialize(
       seeds.select(col("node")).distinct().withColumn("hop", lit(0)))
@@ -130,7 +130,7 @@ object EntityGraph {
     // the join probe side and (via deg) the build side — without staging,
     // the upstream join+distinct would be inlined and re-executed up to
     // four times in the edgesDeg job.
-    val e0 = F.materialize(edges)
+    val e0 = F.materializeIfNeeded(edges)
     val und = undirected(e0)
     val deg = degrees(e0).withColumnRenamed("degree", "d")
     // (src, dst, d_src) staged once — reused by every iteration
@@ -183,7 +183,7 @@ object EntityGraph {
     require(iters >= 1 && iters <= 20, s"iters out of range: $iters")
     val S = 1000000000L
     val base = S * 15L / 100L
-    val e0 = F.materialize(edges)
+    val e0 = F.materializeIfNeeded(edges)
     val und = undirected(e0)
     val deg = degrees(e0).withColumnRenamed("degree", "d")
     val edgesDeg = F.materialize(
@@ -241,9 +241,12 @@ object EntityGraph {
     // once; its degree aggregate doubles as the first observe, which
     // also measures the edge count (Σ degree / 2) for the adaptive plan
     // below — steering costs no extra jobs.
-    var und = F.materialize(
-      edges.select(col("src").as("s"), col("dst").as("t")).unionAll(
-        edges.select(col("dst").as("s"), col("src").as("t"))))
+    // a scan-shaped input skips the doubled-table write: the lazy union
+    // re-reads the input twice per use, which costs the same IO as one
+    // read of a staged double-size file
+    val undRaw = edges.select(col("src").as("s"), col("dst").as("t")).unionAll(
+      edges.select(col("dst").as("s"), col("src").as("t")))
+    var und = if (F.isPlainScan(edges)) undRaw else F.materialize(undRaw)
     val belowK = sum(when(col("degree") < k, 1L).otherwise(0L))
     val (deg0, nDrop0, degSum) = F.materializeObserved2(
       und.groupBy(col("s")).agg(count(lit(1)).as("degree"))
@@ -355,7 +358,7 @@ object EntityGraph {
     * independent, so the id-ordered SQL enumeration is the oracle twin.
     */
   def triangleCounts(edges: DataFrame): DataFrame = {
-    val e = F.materialize(
+    val e = F.materializeIfNeeded(
       edges.select(col("src").cast("long"), col("dst").cast("long")))
     val deg = degrees(e)
     val er = e

