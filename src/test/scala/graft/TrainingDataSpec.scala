@@ -724,6 +724,36 @@ class TrainingDataSpec extends SparkSpec {
     assert(rows(4L) == ((null, null)) && rows(5L) == ((null, null)))
   }
 
+  test("MediaDecode: payload-declared sizes near 2^31 return null, never throw") {
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // WAV whose first chunk declares size 0x7FFFFFF0: the Int chunk-walk
+    // would wrap `pos` negative past the bounds guard and throw from
+    // `new String`; the Long walk must bail to null
+    val hugeChunk = hx("52494646" + "24000000" + "57415645" +
+      "4A554E4B" + "F0FFFF7F" + "00" * 28)
+    assert(graft.functions.MediaDecode.wavStats(hugeChunk) == null)
+    // a data chunk declaring 2 GB with 2 real bytes decodes what is
+    // there (min with the payload), still without wrapping the walk
+    val wrapData = hx("52494646" + "30000000" + "57415645" +
+      "666D7420" + "10000000" + "0100" + "0100" + "401F0000" + "803E0000" +
+      "0200" + "1000" + "64617461" + "F8FFFF7F" + "0100")
+    val truncated = graft.functions.MediaDecode.wavStats(wrapData)
+    assert(truncated != null && truncated.getInt(0) == 1)
+    // BMP header width 0x30000000: 3*w+3 overflows Int to negative
+    // rowSize, which would slip the old bounds check and throw in the
+    // pixel loop; the Long row arithmetic must bail to null
+    val hugeWidth = hx("424D" + "46000000" + "00000000" + "36000000" +
+      "28000000" + "00000030" + "02000000" + "0100" + "1800" +
+      "00000000" * 6 + "00" * 16)
+    assert(graft.functions.MediaDecode.bmpStats(hugeWidth) == null)
+    // and a width whose 3*w stays positive but exceeds the payload
+    val wideWidth = hx("424D" + "46000000" + "00000000" + "36000000" +
+      "28000000" + "00001000" + "02000000" + "0100" + "1800" +
+      "00000000" * 6 + "00" * 16)
+    assert(graft.functions.MediaDecode.bmpStats(wideWidth) == null)
+  }
+
   test("qc2 perceptron: trained weights separate a separable corpus") {
     import spark.implicits._
     val corpus = Seq(
