@@ -818,6 +818,31 @@ object TrainingData {
   // rank formulation is engine-portable where approx_percentile isn't.
   // One window sort per stratum + one aggregation; at 100 TB the sort is
   // per-language partitions, not a global order.
+  /** t10: per-document shingle NOVELTY — the fraction (ppm, integer) of
+    * a document's distinct 3-gram shingles that occur in no other
+    * document. The standard "how much of this doc is boilerplate shared
+    * with the corpus" curation metric (the complement of ovl1's
+    * source-grain overlap, measured at document grain): low novelty =
+    * template/mirror content, high = unique prose worth keeping.
+    *
+    * Scale shape: one map-side-combinable count per shingle (the corpus
+    * dictionary), one hash join back to the staged per-doc shingle rows,
+    * one per-doc aggregate — the d4/ovl1 shape, no pair space. Shingle
+    * rows are staged once because the dictionary build and the join both
+    * consume them. Integer ppm with truncating div — oracle-exact.
+    */
+  def t10Novelty(spark: SparkSession, dir: String): DataFrame = {
+    val sh = graft.functions.F.materialize(
+      Dedupe.shingleRows(docs(spark, dir), "doc_id", "text", n = 3))
+    val dict = sh.groupBy(col("__tok")).agg(count(lit(1)).as("__nd"))
+    sh.join(dict, Seq("__tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__nd") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_ppm", expr("n_novel * 1000000 div n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
   def t9LengthStats(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
@@ -1145,6 +1170,7 @@ object TrainingData {
     "d8_cluster_pick" -> (d8ClusterPick _),
     "t8_gopher_rules" -> (t8GopherRules _),
     "t9_length_stats" -> (t9LengthStats _),
+    "t10_novelty" -> (t10Novelty _),
     "pk1_pack_chunks" -> (pk1PackChunks _),
     "ch1_chunk_docs" -> (ch1ChunkDocs _),
     "e1_quantize_export" -> (e1QuantizeExport _),
@@ -1630,6 +1656,18 @@ object TrainingData {
         |  md5(substr(text, CAST(pos AS INT), 500)) AS chunk_md5,
         |  CAST(len(substr(text, CAST(pos AS INT), 500)) AS BIGINT) AS chunk_len
         |FROM p ORDER BY doc_id, chunk_idx""".stripMargin,
+    "t10_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(string_split(text,' '))-2),
+        |    i -> array_to_string((string_split(text,' '))[i:i+2], ' ')))) AS w FROM documents),
+        |nd AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY 1)
+        |SELECT t.doc_id, COUNT(*) AS n_shingles,
+        |  CAST(SUM(CASE WHEN nd.c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  CAST((CAST(SUM(CASE WHEN nd.c = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+        |    // COUNT(*) AS BIGINT) AS novelty_ppm
+        |FROM toks t JOIN nd ON t.w = nd.w
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "t9_length_stats" ->
       """WITH ranked AS (
         |  SELECT lang, n_chars,
