@@ -120,8 +120,14 @@ class TransportSpec extends SparkSpec {
     val port = server.start()
     try {
       new Catalog(spark, root).ensureDataset("txp", shards = 4)
-      lifecycle(new HttpRepo(
-        new ApiLakeRepository(s"http://127.0.0.1:$port", "txp")))
+      val api = new ApiLakeRepository(s"http://127.0.0.1:$port", "txp")
+      lifecycle(new HttpRepo(api))
+      // client-only surface: single-entity lookup via the entity_id RQL
+      // field, and the streamed statements parse back into Statement
+      assert(api.getEntity("john").exists(_.caption == "John Doe"))
+      assert(api.getEntity("nope-no-such").isEmpty)
+      val sts = api.statements("""eq(entity_id, "john")""").toSeq
+      assert(sts.nonEmpty && sts.forall(_.entity_id == "john"))
     } finally server.stop()
   }
 
