@@ -29,6 +29,7 @@ import graft.ops.Explode
   *   graft.cli.Main --lake <root> optimize <ds>
   *   graft.cli.Main --lake <root> unlock <ds>
   *   graft.cli.Main --lake <root> archive ls|get|head <ds> [checksum]
+  *   graft.cli.Main --lake <root> delta import <ds>
   *   graft.cli.Main --lake <root> serve [--port N]
   *   graft.cli.Main --api http://host:port <group...>   # remote lakehouse
   * }}}
@@ -286,6 +287,13 @@ object Main {
         val v = flags.get("version").map(_.toLong).getOrElse(-1L)
         repo(ds).store.cloneAt(dest, v)
         println(s"cloned to $dest")
+
+      case "delta" :: "import" :: ds :: Nil =>
+        // adopt a reference-written delta-rs table in place: replay its
+        // _delta_log into the graft manifest (lake/DeltaImport)
+        val v = graft.lake.DeltaImport.importDeltaLog(
+          spark, cat.datasetPath(ds).toString)
+        println(s"imported _delta_log as manifest v$v")
 
       case "unlock" :: ds :: Nil =>
         val p = cat.datasetPath(ds)

@@ -72,6 +72,25 @@ class DeltaImportSpec extends SparkSpec {
     assert(gotIds.size < expectedIds.size)
   }
 
+  test("cli: `delta import <ds>` adopts a delta table inside the lake root") {
+    val lakeRoot = Files.createTempDirectory("graft-delta-cli").toString
+    val dsRoot = s"$lakeRoot/adopted"
+    val store = new StatementStore(spark, dsRoot, shards = 2)
+    val rows = graft.ops.Explode.explode(
+      {
+        import spark.implicits._
+        Seq(graft.ops.Explode.EntityPayload(
+          "cliimp", "Person", Map("name" -> Seq("Cli")))).toDS()
+      }, "test", "default", 2, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    store.append(rows)
+    val files = Manifest.liveFiles(hfs(dsRoot), new org.apache.hadoop.fs.Path(dsRoot), -1L)
+    store.destroy()
+    writeLog(dsRoot, f"${0L}%020d.json", files.toSeq.sorted.map(addAction))
+    graft.cli.Main.run(spark, lakeRoot, Map.empty, List("delta", "import", "adopted"))
+    val adopted = new StatementStore(spark, dsRoot, shards = 2)
+    assert(adopted.raw.count() == rows.count())
+  }
+
   test("checkpoint base state + post-checkpoint commits") {
     val root = Files.createTempDirectory("graft-delta-cp").toString
     val store = new StatementStore(spark, root, shards = 4)

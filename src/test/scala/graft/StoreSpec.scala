@@ -596,6 +596,39 @@ class StoreSpec extends SparkSpec {
     assert(!graft.lake.Locks.isLocked(fs, root))
   }
 
+  test("cloneAt serializes against the store lock (vacuum can't expire files mid-copy)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-clone-lock").toString
+    val store = new graft.lake.StatementStore(spark, dir, shards = 2)
+    val rows = graft.ops.Explode.explode(
+      Seq(graft.ops.Explode.EntityPayload(
+        "e1", "Person", Map("name" -> Seq("One")))).toDS(),
+      "test", "default", 2, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    store.append(rows)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // while another holder (a vacuum, say) owns the fence, cloneAt must
+    // WAIT, not read liveState and copy unprotected
+    val dest = Files.createTempDirectory("graft-clone-lock-out").toString + "/c"
+    val cloned = new java.util.concurrent.atomic.AtomicBoolean(false)
+    graft.lake.Locks.withLock(fs, root) {
+      val t = new Thread(() => {
+        store.cloneAt(dest)
+        cloned.set(true)
+      })
+      t.start()
+      Thread.sleep(500L)
+      // still blocked on the fence we hold
+      assert(!cloned.get(), "cloneAt ran while another holder owned the lock")
+    }
+    // released: the clone proceeds and lands complete
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (!cloned.get() && System.nanoTime() < deadline) Thread.sleep(50L)
+    assert(cloned.get())
+    assert(new graft.lake.StatementStore(spark, dest, 2).raw.count() ==
+      store.raw.count())
+  }
+
   test("journal count is incremental: already-counted footers are not re-probed") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-journal-count").toString
