@@ -35,7 +35,8 @@ import graft.ops.Explode.EntityPayload
   * Query results stream as NDJSON and are surfaced as iterators — one
   * line parsed at a time, the client never buffers a corpus.
   */
-class ApiLakeRepository(baseUrl: String, val dataset: String) {
+class ApiLakeRepository(baseUrl: String, val dataset: String,
+    apiCreds: Option[(String, String)] = LakeHttpServer.envCreds) {
 
   private val mapper = new ObjectMapper()
   private val client = HttpClient.newHttpClient()
@@ -43,6 +44,16 @@ class ApiLakeRepository(baseUrl: String, val dataset: String) {
 
   private def url(endpoint: String): URI =
     URI.create(s"$base/$dataset/_api/$endpoint")
+
+  // every request carries the shared-key headers when configured
+  // (reference core/api.py:21-23 default headers)
+  private def rb(uri: URI): HttpRequest.Builder = {
+    val b = HttpRequest.newBuilder(uri)
+    apiCreds.foreach { case (k, s) =>
+      b.header("X-Api-Key", k).header("X-Api-Secret", s)
+    }
+    b
+  }
 
   private def send(req: HttpRequest): String = {
     val res = client.send(req, HttpResponse.BodyHandlers.ofString())
@@ -52,16 +63,16 @@ class ApiLakeRepository(baseUrl: String, val dataset: String) {
   }
 
   private def get(endpoint: String): String =
-    send(HttpRequest.newBuilder(url(endpoint)).GET().build())
+    send(rb(url(endpoint)).GET().build())
 
   private def post(endpoint: String, body: String): String =
-    send(HttpRequest.newBuilder(url(endpoint))
+    send(rb(url(endpoint))
       .POST(HttpRequest.BodyPublishers.ofString(body, UTF_8)).build())
 
   /** Streamed POST: the response body is consumed line by line. */
   private def postLines(endpoint: String, body: String): Iterator[String] = {
     val res = client.send(
-      HttpRequest.newBuilder(url(endpoint))
+      rb(url(endpoint))
         .POST(HttpRequest.BodyPublishers.ofString(body, UTF_8)).build(),
       HttpResponse.BodyHandlers.ofLines())
     require(res.statusCode / 100 == 2, s"api error ${res.statusCode} on $endpoint")
@@ -111,7 +122,7 @@ class ApiLakeRepository(baseUrl: String, val dataset: String) {
       gracePeriodDays.map(d => s"""{"grace_period_days":$d}""").getOrElse("{}"))
 
   def deleteEntity(entityId: String): Long =
-    send(HttpRequest.newBuilder(url(s"entities/$entityId")).DELETE().build())
+    send(rb(url(s"entities/$entityId")).DELETE().build())
       .trim.toLong
 
   private def queryBody(rql: String, orderBy: Seq[String], limit: Option[Int],
@@ -179,14 +190,14 @@ class ApiLakeRepository(baseUrl: String, val dataset: String) {
   def journalCount: Long = get("journal/count").trim.toLong
 
   def journalIterate(): Iterator[Statement] = {
-    val res = client.send(HttpRequest.newBuilder(url("journal/iterate")).GET().build(),
+    val res = client.send(rb(url("journal/iterate")).GET().build(),
       HttpResponse.BodyHandlers.ofLines())
     require(res.statusCode / 100 == 2, s"api error ${res.statusCode} on journal/iterate")
     res.body.iterator.asScala.filter(_.nonEmpty).map(l => JournalWire.parseRow(l, dataset))
   }
 
   def journalClear(): Long =
-    send(HttpRequest.newBuilder(url("journal/clear")).DELETE().build()).trim.toLong
+    send(rb(url("journal/clear")).DELETE().build()).trim.toLong
 
   // ---- operations ----
 
@@ -199,7 +210,7 @@ class ApiLakeRepository(baseUrl: String, val dataset: String) {
     val o = mapper.createObjectNode()
     o.put("name", "MakeJob"); outDir.foreach(o.put("out_dir", _))
     val q = if (force) "?force=true" else ""
-    val res = mapper.readTree(send(HttpRequest.newBuilder(
+    val res = mapper.readTree(send(rb(
         URI.create(s"$base/$dataset/_api/operations$q"))
       .POST(HttpRequest.BodyPublishers.ofString(mapper.writeValueAsString(o), UTF_8))
       .build()))
@@ -210,18 +221,18 @@ class ApiLakeRepository(baseUrl: String, val dataset: String) {
   // ---- archive (content-addressed blob wire) ----
 
   def archivePut(bytes: Array[Byte]): String =
-    send(HttpRequest.newBuilder(url("archive"))
+    send(rb(url("archive"))
       .PUT(HttpRequest.BodyPublishers.ofByteArray(bytes)).build()).trim
 
   def archiveGet(checksum: String): Option[Array[Byte]] = {
     val res = client.send(
-      HttpRequest.newBuilder(url(s"archive/$checksum")).GET().build(),
+      rb(url(s"archive/$checksum")).GET().build(),
       HttpResponse.BodyHandlers.ofByteArray())
     if (res.statusCode == 200) Some(res.body) else None
   }
 
   def archiveExists(checksum: String): Boolean =
-    client.send(HttpRequest.newBuilder(url(s"archive/$checksum"))
+    client.send(rb(url(s"archive/$checksum"))
         .method("HEAD", HttpRequest.BodyPublishers.noBody()).build(),
       HttpResponse.BodyHandlers.discarding()).statusCode == 200
 

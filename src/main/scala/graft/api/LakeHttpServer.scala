@@ -59,7 +59,8 @@ import graft.query.{FtmQuery, Rql}
   * Errors map like the reference: IllegalArgument → 400, unknown
   * dataset/route → 404, anything else → 500.
   */
-class LakeHttpServer(spark: SparkSession, lakeRoot: String, port: Int = 0) {
+class LakeHttpServer(spark: SparkSession, lakeRoot: String, port: Int = 0,
+    apiCreds: Option[(String, String)] = LakeHttpServer.envCreds) {
 
   private val mapper = new ObjectMapper()
   private val catalog = new Catalog(spark, lakeRoot)
@@ -106,6 +107,21 @@ class LakeHttpServer(spark: SparkSession, lakeRoot: String, port: Int = 0) {
   }
 
   private def route(ex: HttpExchange): Unit = {
+    // optional shared-key auth (reference core/api.py:21-23 sends
+    // X-Api-Key / X-Api-Secret on every request when configured): when
+    // the server holds creds, every route requires the matching pair.
+    // Comparison is constant-time — a timing probe must not leak prefix
+    // length.
+    apiCreds.foreach { case (k, s) =>
+      def header(n: String): String =
+        Option(ex.getRequestHeaders.getFirst(n)).getOrElse("")
+      def eq(a: String, b: String): Boolean = java.security.MessageDigest
+        .isEqual(a.getBytes(UTF_8), b.getBytes(UTF_8))
+      if (!eq(header("X-Api-Key"), k) || !eq(header("X-Api-Secret"), s)) {
+        plain(ex, 401, "missing or invalid api credentials")
+        return
+      }
+    }
     val method = ex.getRequestMethod
     val parts = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty).toList
     (method, parts) match {
@@ -429,4 +445,13 @@ class LakeHttpServer(spark: SparkSession, lakeRoot: String, port: Int = 0) {
     try lines.foreach { l => os.write(l.getBytes(UTF_8)); os.write('\n') }
     finally os.close()
   }
+}
+
+object LakeHttpServer {
+  /** Shared-key credentials from the environment (reference
+    * core/settings.py api_key/api_secret): both set → auth enforced.
+    */
+  def envCreds: Option[(String, String)] =
+    for (k <- sys.env.get("GRAFT_API_KEY"); s <- sys.env.get("GRAFT_API_SECRET"))
+      yield (k, s)
 }

@@ -161,4 +161,33 @@ class ApiSpec extends SparkSpec {
 
     server.stop()
   }
+
+  test("shared-key auth: configured creds gate every route; client sends them") {
+    val root = Files.createTempDirectory("graft-api-auth").toString
+    new Catalog(spark, root).ensureDataset("authds", shards = 2)
+    val server = new LakeHttpServer(spark, root,
+      apiCreds = Some(("k-123", "s-456")))
+    val port = server.start()
+    try {
+      def req(k: Option[(String, String)]) = {
+        val b = HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port/authds/_api/journal/count")).GET()
+        k.foreach { case (key, sec) =>
+          b.header("X-Api-Key", key).header("X-Api-Secret", sec)
+        }
+        client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+      }
+      assert(req(None).statusCode == 401)
+      assert(req(Some(("k-123", "wrong"))).statusCode == 401)
+      assert(req(Some(("k-123", "s-456"))).statusCode == 200)
+      // the client repository attaches the headers to every call
+      val api = new graft.api.ApiLakeRepository(
+        s"http://127.0.0.1:$port", "authds", Some(("k-123", "s-456")))
+      assert(api.journalCount == 0L)
+      val noCreds = new graft.api.ApiLakeRepository(
+        s"http://127.0.0.1:$port", "authds", None)
+      val denied = intercept[IllegalArgumentException](noCreds.journalCount)
+      assert(denied.getMessage.contains("401"), denied.getMessage)
+    } finally server.stop()
+  }
 }
