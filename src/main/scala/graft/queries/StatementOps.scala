@@ -286,6 +286,34 @@ object StatementOps {
     stmtOut(new graft.lake.StatementStore(spark, root, EventStatements.Shards).rawAt(v1))
   }
 
+  /** TT2: version DRIFT report — per-(schema, prop) facet counts at an
+    * old snapshot vs head, with deltas: the "what changed between v3 and
+    * v7" summary an operator reads before trusting a release (the
+    * aggregate companion of cdf1's row-level feed). Two snapshot scans +
+    * one map-side-combinable facet aggregate each + a full-outer join on
+    * the (small) facet key space — never a row-level diff.
+    */
+  def tt2VersionDrift(spark: SparkSession, dir: String): DataFrame = {
+    val (root, v1) = stagedTT.getOrCompute(spark, dir)(buildTT(spark, dir))
+    val store = new graft.lake.StatementStore(spark, root, EventStatements.Shards)
+    def facets(df: DataFrame) = df.filter(col("deleted_at").isNull)
+      .groupBy(col("schema"), col("prop"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("entity_id")).as("ne"))
+    val f1 = facets(store.rawAt(v1)).select(col("schema"), col("prop"),
+      col("n").as("n_from"), col("ne").as("entities_from"))
+    val f2 = facets(store.raw).select(col("schema"), col("prop"),
+      col("n").as("n_to"), col("ne").as("entities_to"))
+    f1.join(f2, Seq("schema", "prop"), "full_outer")
+      .select(col("schema"), col("prop"),
+        coalesce(col("n_from"), lit(0L)).as("n_from"),
+        coalesce(col("n_to"), lit(0L)).as("n_to"),
+        (coalesce(col("n_to"), lit(0L)) - coalesce(col("n_from"), lit(0L)))
+          .as("n_delta"),
+        coalesce(col("entities_from"), lit(0L)).as("entities_from"),
+        coalesce(col("entities_to"), lit(0L)).as("entities_to"))
+      .orderBy(col("schema"), col("prop"))
+  }
+
   // CDF1: change data feed between the staged two-version store's first
   // snapshot and its head — row-level ADD/DEL computed from the
   // manifests' symmetric-difference files only (StatementStore.cdf).
@@ -490,6 +518,7 @@ object StatementOps {
     "a1_merge_dedupe" -> (a1MergeDedupe _),
     "s3_store_roundtrip" -> (s3StoreRoundtrip _),
     "tt1_time_travel" -> (tt1TimeTravel _),
+    "tt2_version_drift" -> (tt2VersionDrift _),
     "cdf1_version_diff" -> (cdf1VersionDiff _),
     "c1_catalog_stats" -> (c1CatalogStats _),
     "a3_changed_canonical" -> (a3ChangedCanonical _),
@@ -526,6 +555,31 @@ object StatementOps {
          |  WHERE CAST(substr(entity_id, 2) AS BIGINT) % 2 = 0),
          |$mergeBody
          |$stmtOutSql""".stripMargin,
+    "tt2_version_drift" ->
+      s"""WITH snap1 AS (
+         |  SELECT * FROM (
+         |    WITH stmts0 AS (${EventStatements.SQL}),
+         |    stmts AS (SELECT * FROM stmts0
+         |      WHERE CAST(substr(entity_id, 2) AS BIGINT) % 2 = 0),
+         |    $mergeBody
+         |    SELECT "schema" AS sch, prop, entity_id FROM live)),
+         |snap2 AS (
+         |  SELECT * FROM (
+         |    WITH stmts AS (${EventStatements.SQL}),
+         |    $mergeBody
+         |    SELECT "schema" AS sch, prop, entity_id FROM live)),
+         |f1 AS (SELECT sch, prop, COUNT(*) AS n_from,
+         |    COUNT(DISTINCT entity_id) AS entities_from FROM snap1 GROUP BY 1, 2),
+         |f2 AS (SELECT sch, prop, COUNT(*) AS n_to,
+         |    COUNT(DISTINCT entity_id) AS entities_to FROM snap2 GROUP BY 1, 2)
+         |SELECT COALESCE(f1.sch, f2.sch) AS "schema",
+         |  COALESCE(f1.prop, f2.prop) AS prop,
+         |  COALESCE(n_from, 0) AS n_from, COALESCE(n_to, 0) AS n_to,
+         |  COALESCE(n_to, 0) - COALESCE(n_from, 0) AS n_delta,
+         |  COALESCE(entities_from, 0) AS entities_from,
+         |  COALESCE(entities_to, 0) AS entities_to
+         |FROM f1 FULL OUTER JOIN f2 ON f1.sch = f2.sch AND f1.prop = f2.prop
+         |ORDER BY 1, 2""".stripMargin,
     // both snapshots' merge pipelines run in their own nested-WITH scope
     // (names shadow per subquery); the two-way EXCEPT is the row-level
     // CDF the file-pruned Spark computation must reproduce exactly
