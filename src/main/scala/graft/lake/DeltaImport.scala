@@ -41,6 +41,14 @@ object DeltaImport {
     val logDir = new Path(root, "_delta_log")
     require(fs.exists(logDir), s"no _delta_log under $rootStr")
 
+    // Protocol / table-feature guard state: the LATEST protocol and
+    // metaData actions win (Delta replay semantics). Anything beyond
+    // plain reader-v1 parquet (deletion vectors, column mapping, …)
+    // would import silently wrong — refuse loudly instead.
+    var minReader = 1
+    var readerFeatures: Seq[String] = Nil
+    var columnMapping = "none"
+
     // checkpoint base state (if any): the add-tombstone compaction of
     // all commits ≤ checkpoint version
     val (startAfter, base) = lastCheckpoint(fs, logDir) match {
@@ -52,6 +60,30 @@ object DeltaImport {
           }
         require(parts.nonEmpty, s"_last_checkpoint names v$v but no checkpoint parquet")
         val cp = spark.read.parquet(parts.map(_.toString).toSeq: _*)
+        if (cp.columns.contains("protocol")) {
+          val prot = cp.select("protocol").na.drop("all")
+            .filter(cp.col("protocol.minReaderVersion").isNotNull)
+            .collect()
+          prot.foreach { r =>
+            val p = r.getStruct(0)
+            minReader = p.getAs[Number]("minReaderVersion").intValue()
+            readerFeatures = readFeatures(p)
+          }
+        }
+        if (cp.columns.contains("metaData")) {
+          val md = cp.select("metaData").na.drop("all")
+            .filter(cp.col("metaData.id").isNotNull).collect()
+          md.foreach(r => columnMapping = readColumnMapping(r.getStruct(0)))
+        }
+        // Deletion vectors ride on individual add actions: a checkpoint
+        // row with add.deletionVector set means soft-deleted rows the
+        // plain parquet scan would resurrect.
+        if (flatColumns(cp, "add").contains("deletionVector")) {
+          val dv = cp.filter(cp.col("add.path").isNotNull
+            .and(cp.col("add.deletionVector").isNotNull)).count()
+          require(dv == 0L,
+            s"delta import: $dv checkpoint add action(s) carry deletion vectors — unsupported")
+        }
         val live = cp.select("add.path").na.drop()
           .collect().map(r => decode(r.getString(0))).toSet
         // checkpoints also carry remove tombstones, but those files are
@@ -79,15 +111,82 @@ object DeltaImport {
             val node = mapper.readTree(line)
             val add = node.get("add")
             val remove = node.get("remove")
-            if (add != null && !add.isNull) live += decode(add.get("path").asText)
+            val protocol = node.get("protocol")
+            val metaData = node.get("metaData")
+            if (protocol != null && !protocol.isNull) {
+              minReader = Option(protocol.get("minReaderVersion")).map(_.asInt(1)).getOrElse(1)
+              readerFeatures = Option(protocol.get("readerFeatures")).filter(_.isArray)
+                .map(a => (0 until a.size()).map(a.get(_).asText())).getOrElse(Nil)
+            }
+            if (metaData != null && !metaData.isNull) {
+              columnMapping = Option(metaData.get("configuration"))
+                .flatMap(c => Option(c.get("delta.columnMapping.mode")))
+                .map(_.asText()).getOrElse("none")
+            }
+            if (add != null && !add.isNull) {
+              val dv = add.get("deletionVector")
+              require(dv == null || dv.isNull,
+                s"delta import: add action for ${add.get("path").asText} carries a deletion vector — unsupported")
+              live += decode(add.get("path").asText)
+            }
             if (remove != null && !remove.isNull) live -= decode(remove.get("path").asText)
           }
           line = in.readLine()
         }
       } finally in.close()
     }
+
+    require(minReader <= 1,
+      s"delta import: table requires minReaderVersion=$minReader" +
+        (if (readerFeatures.nonEmpty) s" (readerFeatures: ${readerFeatures.mkString(", ")})" else "") +
+        " — only plain reader-v1 parquet tables are supported; deletion vectors /" +
+        " column mapping would read back wrong data through graft paths")
+    require(columnMapping == "none" || columnMapping.isEmpty,
+      s"delta import: delta.columnMapping.mode=$columnMapping — physical column names" +
+        " would differ from logical ones; only mode=none is supported")
+    assertStatementSchema(spark, root, live)
     Manifest.commit(fs, root, live, "delta-import")
   }
+
+  /** Refuse to commit a manifest over files whose parquet footers do not
+    * carry the statement schema: every non-partition statement column must
+    * be present with its exact type (partition columns live in the Hive
+    * directory names, not the footers). Reads footers through Spark —
+    * never the data — so the check is O(files' metadata).
+    */
+  private def assertStatementSchema(spark: SparkSession, root: Path,
+      live: Set[String]): Unit = {
+    if (live.isEmpty) return
+    val got = spark.read
+      .option("basePath", root.toString)
+      .parquet(live.toSeq.sorted.map(f => s"$root/$f"): _*)
+      .schema
+    val dataFields = graft.model.Statement.schema.fields
+      .filterNot(f => graft.model.Statement.partitionColumns.contains(f.name))
+    val missing = dataFields.filterNot(f =>
+      got.fields.exists(g => g.name == f.name && g.dataType == f.dataType))
+    require(missing.isEmpty,
+      s"delta import: data files do not match the statement schema — missing/mistyped: " +
+        missing.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ") +
+        s" (found: ${got.fields.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")})")
+  }
+
+  private def readFeatures(p: org.apache.spark.sql.Row): Seq[String] =
+    if (p.schema.fieldNames.contains("readerFeatures") && !p.isNullAt(p.fieldIndex("readerFeatures")))
+      p.getSeq[String](p.fieldIndex("readerFeatures"))
+    else Nil
+
+  private def readColumnMapping(md: org.apache.spark.sql.Row): String =
+    if (md.schema.fieldNames.contains("configuration") && !md.isNullAt(md.fieldIndex("configuration")))
+      Option(md.getMap[String, String](md.fieldIndex("configuration"))
+        .getOrElse("delta.columnMapping.mode", "none")).getOrElse("none")
+    else "none"
+
+  private def flatColumns(df: org.apache.spark.sql.DataFrame, field: String): Seq[String] =
+    df.schema.fields.find(_.name == field).map(_.dataType) match {
+      case Some(s: org.apache.spark.sql.types.StructType) => s.fieldNames.toSeq
+      case _ => Nil
+    }
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
