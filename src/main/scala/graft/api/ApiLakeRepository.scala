@@ -82,21 +82,36 @@ class ApiLakeRepository(baseUrl: String, val dataset: String,
   // ---- writes (journal wire, storage/journal/api.py) ----
 
   /** Client-side explode → JSONL → `journal/bulk`. Same statement ids
-    * and BASE_ID checksum rows as the embedded [[Explode.explode]], so
-    * the two transports' writes are content-identical.
+    * and BASE_ID checksum rows as the embedded [[Explode.explode]] —
+    * including batches carrying several fragments of one entity, which
+    * checksum once per (entity, schema) over the union of their
+    * statement ids ([[Explode.explodeLocalBatch]]). Posted in
+    * [[JournalWire.ChunkRows]]-sized bodies so a large import never
+    * materializes as one client-side string.
     */
   def addEntities(entities: Seq[EntityPayload], origin: String = "default",
       now: Timestamp = new Timestamp(System.currentTimeMillis() / 1000 * 1000)): Long = {
-    val lines = entities.iterator
-      .flatMap(e => Explode.explodeLocal(e, dataset, origin, now))
-      .map(statementLine)
-    post("journal/bulk", lines.mkString("\n"))
+    postChunked(Explode.explodeLocalBatch(entities, dataset, origin, now)
+      .iterator.map(statementLine))
     entities.size.toLong
   }
 
-  /** Raw statement rows (the CLI `statements import` wire) → `journal/bulk`. */
+  /** Raw statement rows (the CLI `statements import` wire) →
+    * `journal/bulk`, chunk-bounded; returns the server-acknowledged
+    * row count summed over chunks.
+    */
   def addStatements(jsonlLines: IterableOnce[String]): Long =
-    post("journal/bulk", jsonlLines.iterator.mkString("\n")).trim.toLong
+    postChunked(jsonlLines.iterator)
+
+  /** Bounded-memory bulk write: the line iterator is drained in
+    * [[JournalWire.ChunkRows]]-sized POST bodies (the same bound the
+    * server applies when spooling to the journal), so client memory is
+    * O(chunk) regardless of import size.
+    */
+  private def postChunked(lines: Iterator[String]): Long =
+    lines.grouped(JournalWire.ChunkRows).map { chunk =>
+      post("journal/bulk", chunk.mkString("\n")).trim.toLong
+    }.sum
 
   private def statementLine(s: Statement): String = {
     val o = mapper.createObjectNode()
@@ -170,7 +185,8 @@ class ApiLakeRepository(baseUrl: String, val dataset: String,
   def count(rql: String = ""): Long = query(rql).size.toLong
 
   def getEntity(entityId: String): Option[EntityDoc] =
-    query(s"""eq(entity_id, "$entityId")""").nextOption()
+    query(s"""eq(entity_id, "${ApiLakeRepository.rqlEscape(entityId)}")""")
+      .nextOption()
 
   /** `entities/stats` → (facet, key) → (entities, statements). */
   def statistics: Map[(String, String), (Long, Long)] = {
@@ -238,6 +254,7 @@ class ApiLakeRepository(baseUrl: String, val dataset: String,
 
   // ---- entity doc wire parse (inverse of LakeHttpServer.entityJson) ----
 
+
   private def parseEntity(line: String): EntityDoc = {
     val n = mapper.readTree(line)
     def strs(f: String): Seq[String] =
@@ -256,5 +273,35 @@ class ApiLakeRepository(baseUrl: String, val dataset: String,
       origins = strs("origins"),
       first_seen = ts("first_seen"), last_seen = ts("last_seen"),
       last_change = ts("last_change"))
+  }
+}
+
+object ApiLakeRepository {
+
+  /** Escape a value for interpolation into an RQL quoted string:
+    * `\x` yields literal `x` in [[graft.query.Rql]]'s lexer, so doubling
+    * backslashes and escaping the delimiter is total — no id can break
+    * out of the literal or alter the query.
+    */
+  def rqlEscape(value: String): String =
+    value.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  /** Root dataset listing (`GET /`), authenticated with the same
+    * shared-key headers as every repository route — the server gates the
+    * listing too when GRAFT_API_KEY/SECRET are set.
+    */
+  def datasets(baseUrl: String,
+      apiCreds: Option[(String, String)] = LakeHttpServer.envCreds): Seq[String] = {
+    val b = HttpRequest.newBuilder(URI.create(baseUrl.stripSuffix("/") + "/")).GET()
+    apiCreds.foreach { case (k, s) =>
+      b.header("X-Api-Key", k).header("X-Api-Secret", s)
+    }
+    val res = HttpClient.newHttpClient()
+      .send(b.build(), HttpResponse.BodyHandlers.ofString())
+    require(res.statusCode / 100 == 2,
+      s"api error ${res.statusCode} on $baseUrl/: ${res.body.take(500)}")
+    val mapper = new ObjectMapper()
+    mapper.readTree(res.body).get("datasets").elements.asScala
+      .map(_.get("name").asText).toSeq
   }
 }

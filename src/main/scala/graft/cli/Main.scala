@@ -81,11 +81,9 @@ object Main {
     def repo(ds: String) = new graft.api.ApiLakeRepository(url, ds)
     pos match {
       case "ls" :: Nil =>
-        val body = java.net.http.HttpClient.newHttpClient().send(
-          java.net.http.HttpRequest.newBuilder(java.net.URI.create(url + "/")).GET().build(),
-          java.net.http.HttpResponse.BodyHandlers.ofString()).body
-        mapper.readTree(body).get("datasets").elements.asScala
-          .foreach(d => println(d.get("name").asText))
+        // routed through the client repository so the shared-key headers
+        // ride along — a GRAFT_API_KEY-gated server 401s a bare request
+        graft.api.ApiLakeRepository.datasets(url).foreach(println)
 
       case "entities" :: "iterate" :: ds :: Nil =>
         repo(ds).queryRaw().foreach(println)
@@ -95,12 +93,20 @@ object Main {
           limit = flags.get("limit").map(_.toInt)).foreach(println)
 
       case "entities" :: "import" :: ds :: Nil =>
-        val payloads = scala.io.Source.stdin.getLines()
-          .filter(_.trim.nonEmpty).map(parsePayload).toSeq
+        // stdin streams through in bounded batches — client memory stays
+        // O(batch) however large the import. Fragments of one entity that
+        // land in the SAME batch checksum together (explodeLocalBatch);
+        // keep an entity's fragments adjacent in the input for id parity
+        // with the embedded path.
         val r = repo(ds)
-        r.addEntities(payloads, origin = flags.getOrElse("origin", "default"))
+        val origin = flags.getOrElse("origin", "default")
+        val n = scala.io.Source.stdin.getLines()
+          .filter(_.trim.nonEmpty).map(parsePayload)
+          .grouped(10000)
+          .map(batch => r.addEntities(batch.toSeq, origin = origin))
+          .sum
         r.flush()
-        println(payloads.size)
+        println(n)
 
       case "entities" :: "delete" :: ds :: id :: Nil =>
         println(repo(ds).deleteEntity(id))

@@ -37,42 +37,66 @@ object Explode {
     * the SAME content-key recipes, so rows imported over the wire
     * collapse with rows imported embedded. Shard is left blank — the
     * server recomputes it from its recorded shard count (config
-    * authority, [[graft.api.JournalWire.writeRows]]). NOTE: the Spark
-    * path checksums per entity across the whole batch; this twin
-    * checksums per payload — identical whenever an entity appears once
-    * per batch (the reference's writer contract).
+    * authority, [[graft.api.JournalWire.writeRows]]). Delegates to
+    * [[explodeLocalBatch]], which carries the batch-grain checksum
+    * contract.
     */
   def explodeLocal(e: EntityPayload, dataset: String, origin: String,
-      now: Timestamp): Seq[Statement] = {
-    val entityId = stripNamespace(e.id)
-    val bucket = FtmModel.bucketOf(e.schema)
-    val propRows = for {
-      (prop, values) <- e.properties.toSeq
-      value <- values
-    } yield {
-      val propType = FtmModel.propTypes(prop)
-      val cleanValue = if (propType == "entity") stripNamespace(value) else value
+      now: Timestamp): Seq[Statement] =
+    explodeLocalBatch(Seq(e), dataset, origin, now)
+
+  /** Batch-grain pure-JVM twin of [[explode]]: prop statements for every
+    * payload, then ONE BASE_ID checksum row per (entity, schema) over the
+    * distinct sorted statement ids of the whole batch — exactly the Spark
+    * path's `groupBy(entity_id, schema, bucket).collect_set(id)` shape.
+    * A batch carrying several fragments of one entity (the reference's
+    * fragment-writing pattern, logic/entities/explode.py:120-148) thus
+    * yields wire rows content-identical to the embedded transport's.
+    */
+  def explodeLocalBatch(es: Seq[EntityPayload], dataset: String,
+      origin: String, now: Timestamp): Seq[Statement] = {
+    val propRows = es.flatMap { e =>
+      val entityId = stripNamespace(e.id)
+      val bucket = FtmModel.bucketOf(e.schema)
+      for {
+        (prop, values) <- e.properties.toSeq
+        value <- values
+      } yield {
+        val propType = FtmModel.propTypes(prop)
+        val cleanValue = if (propType == "entity") stripNamespace(value) else value
+        Statement(
+          shard = "",
+          id = Hashing.statementKeyLocal(dataset, entityId, prop, cleanValue),
+          entity_id = entityId, dataset = dataset, bucket = bucket,
+          origin = origin, source = None, schema = e.schema, prop = prop,
+          prop_type = propType, value = cleanValue, original_value = None,
+          lang = None, // the Spark path nulls both branches of lang0 too
+          external = false, first_seen = now, last_seen = now,
+          fragment = "", deleted_at = None)
+      }
+    }
+    // zero-prop payloads emit no rows at all — same as the Spark path,
+    // where they contribute nothing to `keyed` and hence no base row.
+    val groups = scala.collection.mutable.LinkedHashMap
+      .empty[(String, String), Vector[Statement]]
+    propRows.foreach { s =>
+      val k = (s.entity_id, s.schema)
+      groups(k) = groups.getOrElse(k, Vector.empty) :+ s
+    }
+    val baseRows = groups.toSeq.map { case ((entityId, schema), rows) =>
+      val checksum = Hashing.entityChecksumLocal(
+        schema, rows.map(_.id).distinct.sorted)
       Statement(
         shard = "",
-        id = Hashing.statementKeyLocal(dataset, entityId, prop, cleanValue),
-        entity_id = entityId, dataset = dataset, bucket = bucket,
-        origin = origin, source = None, schema = e.schema, prop = prop,
-        prop_type = propType, value = cleanValue, original_value = None,
-        lang = None, // the Spark path nulls both branches of lang0 too
-        external = false, first_seen = now, last_seen = now,
-        fragment = "", deleted_at = None)
+        id = Hashing.statementKeyLocal(dataset, entityId, Statement.BaseId, checksum),
+        entity_id = entityId, dataset = dataset,
+        bucket = FtmModel.bucketOf(schema),
+        origin = origin, source = None, schema = schema,
+        prop = Statement.BaseId, prop_type = "checksum", value = checksum,
+        original_value = None, lang = None, external = false,
+        first_seen = now, last_seen = now, fragment = "", deleted_at = None)
     }
-    val checksum = Hashing.entityChecksumLocal(
-      e.schema, propRows.map(_.id).distinct.sorted)
-    val baseRow = Statement(
-      shard = "",
-      id = Hashing.statementKeyLocal(dataset, entityId, Statement.BaseId, checksum),
-      entity_id = entityId, dataset = dataset, bucket = bucket,
-      origin = origin, source = None, schema = e.schema,
-      prop = Statement.BaseId, prop_type = "checksum", value = checksum,
-      original_value = None, lang = None, external = false,
-      first_seen = now, last_seen = now, fragment = "", deleted_at = None)
-    propRows :+ baseRow
+    propRows ++ baseRows
   }
 
   def explode(

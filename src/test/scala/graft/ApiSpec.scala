@@ -188,6 +188,13 @@ class ApiSpec extends SparkSpec {
         s"http://127.0.0.1:$port", "authds", None)
       val denied = intercept[IllegalArgumentException](noCreds.journalCount)
       assert(denied.getMessage.contains("401"), denied.getMessage)
+      // the root dataset listing (CLI `ls`) is gated too — and the
+      // authenticated helper the CLI routes through gets in
+      val lsDenied = intercept[IllegalArgumentException](
+        graft.api.ApiLakeRepository.datasets(s"http://127.0.0.1:$port", None))
+      assert(lsDenied.getMessage.contains("401"), lsDenied.getMessage)
+      assert(graft.api.ApiLakeRepository.datasets(
+        s"http://127.0.0.1:$port", Some(("k-123", "s-456"))).contains("authds"))
     } finally server.stop()
   }
 }

@@ -157,4 +157,59 @@ class TransportSpec extends SparkSpec {
         s"transport divergence: ${localIds.diff(httpIds)} vs ${httpIds.diff(localIds)}")
     } finally server.stop()
   }
+
+  test("fragmented-entity batches checksum per entity on both transports") {
+    // two fragments of ONE entity in a single batch: the embedded path
+    // checksums the union of their statement ids
+    // (explode.py:120-148 fragment writing); explodeLocalBatch must match.
+    val frags = Seq(
+      EntityPayload("frag", "Person", Map("name" -> Seq("Frag One"))),
+      EntityPayload("frag", "Person", Map("nationality" -> Seq("de"))),
+      EntityPayload("solo", "Person", Map("name" -> Seq("Solo"))))
+    val now = ts("2024-02-01 00:00:00")
+
+    val localDir = Files.createTempDirectory("graft-txp-frag-l").toString
+    val local = new LakeRepository(spark, localDir, dataset = "txp", shards = 4)
+    import spark.implicits._
+    local.addEntities(frags.toDS(), now = now)
+    local.flush()
+
+    val root = Files.createTempDirectory("graft-txp-frag-h").toString
+    val server = new LakeHttpServer(spark, root)
+    val port = server.start()
+    try {
+      new Catalog(spark, root).ensureDataset("txp", shards = 4)
+      val api = new ApiLakeRepository(s"http://127.0.0.1:$port", "txp")
+      api.addEntities(frags, now = now)
+      api.flush()
+
+      def rows(dir: String) = new LakeRepository(spark, dir, "txp", 4)
+        .store.raw.select("id", "entity_id", "prop", "value")
+        .collect().map(_.toSeq).toSet
+      val localRows = rows(localDir)
+      val httpRows = rows(new org.apache.hadoop.fs.Path(root, "txp").toString)
+      assert(localRows == httpRows,
+        s"fragment divergence: ${localRows.diff(httpRows)} vs ${httpRows.diff(localRows)}")
+      // exactly one BASE_ID checksum row per entity, not per fragment
+      val baseRows = httpRows.toSeq.filter(_(2) == graft.model.Statement.BaseId)
+      assert(baseRows.map(_(1).toString).sorted == Seq("frag", "solo"), baseRows)
+    } finally server.stop()
+  }
+
+  test("getEntity escapes RQL metacharacters in the id") {
+    assert(ApiLakeRepository.rqlEscape("""a\b"c""") == """a\\b\"c""")
+    val root = Files.createTempDirectory("graft-txp-esc").toString
+    val server = new LakeHttpServer(spark, root)
+    val port = server.start()
+    try {
+      new Catalog(spark, root).ensureDataset("txp", shards = 4)
+      val api = new ApiLakeRepository(s"http://127.0.0.1:$port", "txp")
+      val weird = """we"ird\id"""
+      api.addEntities(Seq(EntityPayload(weird, "Person",
+        Map("name" -> Seq("Weird")))), now = ts("2024-01-01 00:00:00"))
+      api.flush()
+      assert(api.getEntity(weird).exists(_.caption == "Weird"))
+      assert(api.getEntity("""no"such""").isEmpty)
+    } finally server.stop()
+  }
 }
