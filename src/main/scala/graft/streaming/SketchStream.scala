@@ -1,5 +1,7 @@
 package graft.streaming
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
@@ -38,11 +40,32 @@ object SketchStream {
         .schema(batch.schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir))
-    val agg = src
-      .select(explode(
-        Sketches.cmsCells(col("user_id").cast("string"), width)).as("__rb"))
+    // Per-partition key pre-count BEFORE the d-cell expansion: the naive
+    // shape explodes depth cells per EVENT (d×events rows into the
+    // partial aggregate); folding each partition's keys into (uid, n)
+    // pairs first cuts the explode to d×distinct-keys — the difference
+    // between 4 billion and 16k exploded rows per batch at 100 TB/day.
+    // The fold map is flushed at a fixed bound so partition memory stays
+    // O(bound) even on an all-unique key stream; duplicate (uid, n)
+    // pairs from flushes re-sum in the weighted aggregate below.
+    val keyed = src
+      .select(col("user_id").cast("string").as("uid"))
+      .as[String](org.apache.spark.sql.Encoders.STRING)
+      .mapPartitions { it =>
+        val block = 1 << 18
+        it.grouped(block).flatMap { keys =>
+          val m = new java.util.HashMap[String, Long]()
+          keys.foreach(k => m.merge(k, 1L, (a, b) => a + b))
+          m.entrySet().iterator().asScala
+            .map(e => (e.getKey, e.getValue)).toVector
+        }
+      }(org.apache.spark.sql.Encoders.product[(String, Long)])
+      .toDF("uid", "__n")
+    val agg = keyed
+      .select(col("__n"),
+        explode(Sketches.cmsCells(col("uid"), width)).as("__rb"))
       .groupBy(col("__rb.row").as("row"), col("__rb.bucket").as("bucket"))
-      .agg(count(lit(1)).as("n"))
+      .agg(sum(col("__n")).as("n"))
     val name = s"graft_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     // same rationale as EventStream: state partitions are sized to the
     // key space (d×w cells) on a query-scoped session clone

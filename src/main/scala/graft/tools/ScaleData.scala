@@ -33,10 +33,7 @@ object ScaleData {
     fs.delete(tmp, true)
   }
 
-  private def replicate(df: DataFrame, keyCols: Seq[String], factor: Int): DataFrame = {
-    val maxes = df.agg(
-      keyCols.head -> "max", keyCols.tail.map(_ -> "max"): _*).collect()(0)
-    val offsets = keyCols.zipWithIndex.map { case (c, i) => c -> (maxes.getLong(i) + 1L) }.toMap
+  private def replicate(df: DataFrame, offsets: Map[String, Long], factor: Int): DataFrame = {
     val replica = explode(sequence(lit(0), lit(factor - 1))).as("__rep")
     df.select(col("*"), replica)
       .select(df.columns.map { c =>
@@ -53,17 +50,39 @@ object ScaleData {
     val outPath = new Path(out)
     val fs = outPath.getFileSystem(conf)
     fs.mkdirs(outPath)
-    val scaledKeys = Map(
-      "events" -> Seq("event_id", "user_id"),
-      "documents" -> Seq("doc_id"),
-      "embeddings" -> Seq("vec_id"))
+
+    def keyOffset(table: String, keyCol: String): Long =
+      spark.read.parquet(s"$src/$table.parquet")
+        .agg(max(col(keyCol))).collect()(0).getLong(0) + 1L
+
+    // Coordinated star-schema offsets: ONE offset per logical key, shared
+    // by every column referencing it, so a replicated fact row still
+    // joins its own replica's dimension row — the scaled lake is `factor`
+    // disjoint copies of the whole workload, graph included (the r9
+    // scaled bench copied the order-fact chain unchanged, so graph
+    // queries measured job-launch overhead against a CONSTANT graph).
+    // nation/region stay shared dims (replicas pointing at common
+    // geography changes no per-replica join cardinality).
+    val custK = keyOffset("customer", "c_custkey")
+    val suppK = keyOffset("supplier", "s_suppkey")
+    val ordK = keyOffset("orders", "o_orderkey")
+    val scaledKeys: Map[String, Map[String, Long]] = Map(
+      "events" -> Map(
+        "event_id" -> keyOffset("events", "event_id"),
+        "user_id" -> keyOffset("events", "user_id")),
+      "documents" -> Map("doc_id" -> keyOffset("documents", "doc_id")),
+      "embeddings" -> Map("vec_id" -> keyOffset("embeddings", "vec_id")),
+      "customer" -> Map("c_custkey" -> custK),
+      "supplier" -> Map("s_suppkey" -> suppK),
+      "orders" -> Map("o_orderkey" -> ordK, "o_custkey" -> custK),
+      "lineitem" -> Map("l_orderkey" -> ordK, "l_suppkey" -> suppK))
     graft.Tables.all.foreach { t =>
       val srcFile = new Path(s"$src/$t.parquet")
       val outFile = new Path(outPath, s"$t.parquet")
       scaledKeys.get(t) match {
-        case Some(keys) =>
+        case Some(offsets) =>
           val df = spark.read.parquet(srcFile.toString)
-          singleFileParquet(spark, replicate(df, keys, factor), outFile)
+          singleFileParquet(spark, replicate(df, offsets, factor), outFile)
           println(s"[scale] $t: x$factor -> $outFile")
         case None =>
           org.apache.hadoop.fs.FileUtil.copy(
