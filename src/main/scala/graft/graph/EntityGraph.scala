@@ -283,34 +283,109 @@ object EntityGraph {
     // one staged round per job so the shrinking table is scanned once
     // per peel and lineage stays flat.
     val small = degSum / 2 <= 2_000_000L
+    // Observed-small fast path: the remaining subgraph is dimension-
+    // sized (a thresholded projection, not the corpus), so the capped
+    // synchronous peel runs as ONE single-partition task instead of
+    // maxRounds/blockLen distributed jobs — at 100 TB a 1000-executor
+    // cluster should not run 8 synchronized BSP rounds over a graph
+    // that fits one task's working set. The local rounds replicate the
+    // distributed semantics EXACTLY (survivors decided on pre-round
+    // degrees, decrements to same-round-dropped nodes ignored, round
+    // cap, final ≥ k filter), so the two branches — and the fixed-round
+    // oracle — agree bit for bit. Executor-local, not a driver collect.
+    if (stageEvery <= 0 && small && nDrop > 0) {
+      val nodeType = und.schema("s").dataType
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", nodeType),
+        org.apache.spark.sql.types.StructField("core_degree",
+          org.apache.spark.sql.types.LongType)))
+      return und.select(col("s"), col("t")).coalesce(1)
+        .mapPartitions(it => localPeel(it, k, maxRounds))(
+          org.apache.spark.sql.Encoders.row(outSchema))
+    }
     val blockLen = if (stageEvery > 0) stageEvery else if (small) 2 else 1
     var done = 0
-    while (done < maxRounds && nDrop > 0) {
-      // peels inside a block chain as one job; a peel on an already-
-      // converged graph drops nothing, so skipping the per-round
-      // convergence check inside a block cannot change the result
-      // (peel-invariance)
-      val steps = math.min(blockLen, maxRounds - done)
-      var d = deg
-      for (_ <- 1 to steps) d = peel(d)
-      val step = F.materializeObserved(d, belowK)
-      deg = step._1
-      nDrop = step._2
-      done += steps
-      // on a big graph, shrink + stage the adjacency at block ends so
-      // later rounds scan only the remaining graph (pure scan-size
-      // optimization — decrements to dead endpoints are ignored either
-      // way, see above); a small graph skips the write and rescans the
-      // staged table, which is ≤ 2 cheap scans per block
-      if (!small && done < maxRounds && nDrop > 0) {
-        und = F.materialize(und
-          .join(deg.select(col("node").as("s")), Seq("s"), "left_semi")
-          .join(deg.select(col("node").as("t")), Seq("t"), "left_semi")
-          .select(col("s"), col("t")))
+    // Probe-forced distributed runs on a small graph still drop the
+    // per-job machinery cost: 32-reducer shuffles over thousand-row
+    // degree tables and AQE's per-broadcast sub-jobs buy nothing at
+    // this size. Scope the peel loop's jobs to 1 shuffle partition with
+    // AQE off (the broadcasts are explicit; there is nothing for AQE to
+    // re-plan) and restore the session conf after — the big-graph
+    // branch keeps the ambient parallelism untouched.
+    val conf = edges.sparkSession.conf
+    val savedAqe = conf.get("spark.sql.adaptive.enabled", "true")
+    val savedParts = conf.get("spark.sql.shuffle.partitions", "32")
+    if (small) {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      conf.set("spark.sql.shuffle.partitions", "1")
+    }
+    try {
+      while (done < maxRounds && nDrop > 0) {
+        // peels inside a block chain as one job; a peel on an already-
+        // converged graph drops nothing, so skipping the per-round
+        // convergence check inside a block cannot change the result
+        // (peel-invariance)
+        val steps = math.min(blockLen, maxRounds - done)
+        var d = deg
+        for (_ <- 1 to steps) d = peel(d)
+        val step = F.materializeObserved(d, belowK)
+        deg = step._1
+        nDrop = step._2
+        done += steps
+        // on a big graph, shrink + stage the adjacency at block ends so
+        // later rounds scan only the remaining graph (pure scan-size
+        // optimization — decrements to dead endpoints are ignored either
+        // way, see above); a small graph skips the write and rescans the
+        // staged table, which is ≤ 2 cheap scans per block
+        if (!small && done < maxRounds && nDrop > 0) {
+          und = F.materialize(und
+            .join(deg.select(col("node").as("s")), Seq("s"), "left_semi")
+            .join(deg.select(col("node").as("t")), Seq("t"), "left_semi")
+            .select(col("s"), col("t")))
+        }
       }
+    } finally if (small) {
+      conf.set("spark.sql.adaptive.enabled", savedAqe)
+      conf.set("spark.sql.shuffle.partitions", savedParts)
     }
     deg.filter(col("degree") >= k)
       .select(col("node"), col("degree").as("core_degree"))
+  }
+
+  /** The capped synchronous peel over one partition's doubled adjacency
+    * rows (s, t) — the executor-local twin of the distributed
+    * carried-decrement loop in [[kCore]], round-for-round identical:
+    * each round drops ALL nodes below k simultaneously (survivors
+    * judged on pre-round degrees), decrements surviving neighbours of
+    * the dropped set, and stops at convergence or the round cap; nodes
+    * still below k at the cap are filtered like the distributed
+    * branch's final `degree >= k`.
+    */
+  private def localPeel(rows: Iterator[org.apache.spark.sql.Row], k: Int,
+      maxRounds: Int): Iterator[org.apache.spark.sql.Row] = {
+    import scala.collection.mutable
+    val adj = mutable.HashMap.empty[Any, mutable.ArrayBuffer[Any]]
+    rows.foreach { r =>
+      adj.getOrElseUpdate(r.get(0), mutable.ArrayBuffer.empty) += r.get(1)
+    }
+    val deg = mutable.HashMap.empty[Any, Long]
+    adj.foreach { case (u, ns) => deg(u) = ns.size.toLong }
+    var done = 0
+    var converged = false
+    while (done < maxRounds && !converged) {
+      val drop = deg.iterator.collect { case (u, d) if d < k => u }.toVector
+      if (drop.isEmpty) converged = true
+      else {
+        drop.foreach(deg.remove) // survivors fixed before decrements land
+        drop.foreach(u => adj(u).foreach { v =>
+          deg.updateWith(v)(_.map(_ - 1L)) // dead endpoints are ignored
+        })
+        done += 1
+      }
+    }
+    deg.iterator.collect { case (u, d) if d >= k =>
+      org.apache.spark.sql.Row(u, d)
+    }
   }
 
   /** Co-participation edges between suppliers: `a — b` when suppliers a

@@ -124,6 +124,26 @@ class GraphSpec extends SparkSpec {
     assert(graft.graph.EntityGraph.kCore(e2, k = 2).count() === 4L)
   }
 
+  test("kCore local fast path == forced-distributed peel, cap included") {
+    import spark.implicits._
+    // deterministic pseudo-random graph with a layered core structure
+    val rnd = new scala.util.Random(42)
+    val edges = (1 to 400).map { _ =>
+      val a = rnd.nextInt(60).toLong; val b = rnd.nextInt(60).toLong
+      if (a < b) (a, b) else (b, a + 1)
+    }.distinct.filter(p => p._1 != p._2).toDF("src", "dst")
+    for (k <- Seq(2, 3, 4); cap <- Seq(1, 2, 8)) {
+      def run(se: Int) = graft.graph.EntityGraph
+        .kCore(edges, k = k, maxRounds = cap, stageEvery = se)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val local = run(0) // adaptive → single-task synchronous peel
+      val dist1 = run(1) // forced one-peel-per-job distributed loop
+      val dist2 = run(2) // forced two-peel blocks
+      assert(local == dist1 && local == dist2,
+        s"k=$k cap=$cap: local=${local.size} d1=${dist1.size} d2=${dist2.size}")
+    }
+  }
+
   test("co-supplier projection is canonical and thresholded") {
     val e = EntityGraph.coSupplierEdges(spark, sf001, minCoOrders = 2)
     assert(e.filter(col("src") >= col("dst")).count() === 0L)
