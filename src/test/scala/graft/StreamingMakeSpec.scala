@@ -170,6 +170,112 @@ class StreamingMakeSpec extends SparkSpec {
     assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 3L, 5L, 6L))
   }
 
+  test("streaming near-dup multi-batch drain: order-insensitive invariants + restart") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    import graft.dedupe.Dedupe
+    import org.apache.spark.sql.functions.{col, lit}
+    val base = Files.createTempDirectory("graft-neardup-multi").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val A = "the quick brown fox jumps over the lazy dog tonight"
+    val B = "completely different content about spark shuffles and parquet footers"
+    val C = "yet another unrelated subject entirely here now okay"
+    val D = "graph peeling with carried decrements is a fine algorithm indeed"
+    val E = "exactly once semantics require markers and reconciliation on startup"
+    // one parquet FILE per planned micro-batch, modtime-ordered so the
+    // file source's maxFilesPerTrigger=1 drains them as 3 batches
+    val feedDir = java.nio.file.Paths.get(base, "feed")
+    java.nio.file.Files.createDirectories(feedDir)
+    def writeFile(name: String, order: Int, docs: (Long, String)*): Unit = {
+      val tmp = s"$base/.tmp-$name"
+      docs.toSeq.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      val dst = feedDir.resolve(s"$name.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(1700000000000L + order * 60000L)
+    }
+    val batchOf = Map(10L -> 0, 11L -> 0, 12L -> 0, 20L -> 1, 21L -> 1,
+      30L -> 2, 31L -> 2, 32L -> 2, 33L -> 2)
+    writeFile("f0", 0, 10L -> A, 11L -> B, 12L -> A)
+    writeFile("f1", 1, 20L -> A, 21L -> C)
+    writeFile("f2", 2, 30L -> B, 31L -> C, 32L -> D, 33L -> "too short")
+    val n = graft.streaming.NearDupStream.run(spark,
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(feedDir.toString),
+      "doc_id", "text", s"$base/state", s"$base/out")
+    val out = spark.read.parquet(s"$base/out")
+    val admitted = out.select("doc_id").as[Long].collect().toSet
+    assert(n == 5 && admitted == Set(10L, 11L, 21L, 32L, 33L), admitted)
+    // it really drained as three micro-batches
+    val outBatches = out.select("__batch").as[String].collect().toSet
+    assert(outBatches.size == 3, outBatches)
+    // doc -> micro-batch index, parsed from the committed batch keys
+    val admBatch = out.select("doc_id", "__batch").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("-").last.toInt).toMap
+    assert(admBatch.forall { case (d, b) => batchOf(d) == b }, admBatch)
+    // recompute every doc's band buckets batch-side
+    val corpus = Seq(10L -> A, 11L -> B, 12L -> A, 20L -> A, 21L -> C,
+      30L -> B, 31L -> C, 32L -> D, 33L -> "too short")
+    val bandRows = Dedupe.bandRows(
+      Dedupe.minhashSignatureFromTerms(
+        Dedupe.shingleRows(corpus.toDF("doc_id", "text"),
+          "doc_id", "text", n = 3), "doc_id", 8),
+      "doc_id", 8, 2)
+      .select(col("doc_id"), col("band"), col("bucket"))
+      .as[(Long, Int, String)].collect()
+    val buckets: Map[Long, Set[(Int, String)]] =
+      bandRows.groupBy(_._1).map { case (d, rs) =>
+        d -> rs.map(r => (r._2, r._3)).toSet }
+    // invariant 1: no two admitted docs ever share a band bucket
+    for (a <- admitted; b <- admitted if a < b)
+      assert(buckets.getOrElse(a, Set.empty)
+        .intersect(buckets.getOrElse(b, Set.empty)).isEmpty, s"$a collides $b")
+    // invariant 2: every dropped doc collides with an admitted doc of an
+    // earlier batch, or a lower-id admitted batch-mate
+    val dropped = corpus.map(_._1).toSet -- admitted
+    for (d <- dropped) {
+      val witnesses = admitted.filter { a =>
+        buckets.getOrElse(a, Set.empty)
+          .intersect(buckets.getOrElse(d, Set.empty)).nonEmpty &&
+          (admBatch(a) < batchOf(d) || (admBatch(a) == batchOf(d) && a < d))
+      }
+      assert(witnesses.nonEmpty, s"dropped $d has no admit witness")
+    }
+    // kill-and-restart: a torn batch (state + output, NO marker) must be
+    // reconciled away, and the restarted drain must judge against the
+    // COMMITTED state only
+    val tornBands = Dedupe.bandRows(
+      Dedupe.minhashSignatureFromTerms(
+        Dedupe.shingleRows(Seq(99L -> E).toDF("doc_id", "text"),
+          "doc_id", "text", n = 3), "doc_id", 8), "doc_id", 8, 2)
+    tornBands.select(col("band"), col("bucket"))
+      .withColumn("__batch", lit("deadrun-9"))
+      .write.partitionBy("__batch").mode("append").parquet(s"$base/state")
+    Seq(99L -> E).toDF("doc_id", "text")
+      .withColumn("__batch", lit("deadrun-9"))
+      .write.partitionBy("__batch").mode("append").parquet(s"$base/out")
+    val feed2 = java.nio.file.Paths.get(base, "feed2")
+    java.nio.file.Files.createDirectories(feed2)
+    Seq(40L -> E, 41L -> A).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(feed2.toString)
+    val n2 = graft.streaming.NearDupStream.run(spark,
+      spark.readStream.schema(schema).parquet(feed2.toString),
+      "doc_id", "text", s"$base/state", s"$base/out")
+    val finalOut = spark.read.parquet(s"$base/out")
+      .select("doc_id").as[Long].collect().toSet
+    // 40 (E) admitted — the torn E-state was reconciled away; 41 (A)
+    // dropped against batch-0's committed state; 99 gone with its torn
+    // partition
+    assert(n2 == 1 && finalOut == Set(10L, 11L, 21L, 32L, 33L, 40L), finalOut)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$base/out/__batch=deadrun-9")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$base/state/__batch=deadrun-9")))
+  }
+
   test("streaming near-dup reconciles a torn uncommitted batch (crash mid-commit)") {
     import spark.implicits._
     import org.apache.spark.sql.types._
