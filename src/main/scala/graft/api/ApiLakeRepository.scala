@@ -234,6 +234,16 @@ class ApiLakeRepository(baseUrl: String, val dataset: String,
       .getOrElse(Seq.empty)
   }
 
+  /** Run one stateful diff export server-side (`DiffJob`); returns the
+    * delta label, or None when the store is already current.
+    */
+  def exportDiff(outDir: Option[String] = None): Option[String] = {
+    val b = mapper.createObjectNode()
+    b.put("name", "DiffJob"); outDir.foreach(b.put("out_dir", _))
+    val res = mapper.readTree(post("operations", mapper.writeValueAsString(b)))
+    Option(res.get("label")).filterNot(_.isNull).map(_.asText)
+  }
+
   // ---- archive (content-addressed blob wire) ----
 
   def archivePut(bytes: Array[Byte]): String =

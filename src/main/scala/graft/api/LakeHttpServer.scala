@@ -340,6 +340,18 @@ class LakeHttpServer(spark: SparkSession, lakeRoot: String, port: Int = 0,
         val built = r.make(outDir, force = force, only = Some(artifact))
         o.put("name", "ExportJob"); o.put("kind", kind)
         val a = o.putArray("built"); built.foreach(a.add)
+      case "DiffJob" =>
+        // reference operation/export.py:51-84: delta diffs ride export
+        // operations (make_diff); exposed as its own job so the client
+        // repository can drive the stateful diff pass remotely
+        val outDir = strField(body, "out_dir").getOrElse(
+          catalog.datasetPath(ds).toString + "/_exports")
+        val label = r.exportDiff(outDir)
+        o.put("name", "DiffJob")
+        label match {
+          case Some(l) => o.put("label", l)
+          case None => o.putNull("label")
+        }
       case "CrawlJob" =>
         // reference operation/crawl.py: archive every file under `uri`
         // into the dataset blob store, import file/folder entities

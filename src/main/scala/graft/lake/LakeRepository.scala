@@ -104,16 +104,30 @@ class LakeRepository(val spark: SparkSession, val rootStr: String,
 
   /** Assembled entity documents for a query. Ordering/slicing semantics:
     * when the query sorts or slices, the id page is computed first
-    * (distributed top-k) and the assembly runs over that page only.
+    * (distributed top-k), the assembly runs over that page only, and the
+    * assembled docs are re-sorted on the page's carried keys — the
+    * assembly fold shuffles on entity id, so the page's order would not
+    * survive it otherwise. The re-sort is a distributed range sort over
+    * an already-page-sized (or filter-scoped) set, never a driver-side
+    * zip.
     */
   def query(q: FtmQuery.Query, flushFirst: Boolean = false): Dataset[EntityAssembly.EntityDoc] = {
     if (flushFirst) flush()
     val lv = live
-    val scope =
-      if (q.orderByProps.nonEmpty || q.limit.isDefined || q.offset > 0)
-        lv.join(queryIds(q), Seq("entity_id"), "left_semi")
-      else FtmQuery.compile(q, lv)
-    EntityAssembly.assemble(scope)
+    if (q.orderByProps.nonEmpty || q.limit.isDefined || q.offset > 0) {
+      val (page0, sortCols) = FtmQuery.entityIdPage(q, lv)
+      // the page feeds BOTH the assembly scope and the order re-join:
+      // stage it once instead of recomputing the top-k twice
+      val page = graft.functions.F.materialize(page0)
+      val scope = lv.join(page.select("entity_id"), Seq("entity_id"), "left_semi")
+      val docs = EntityAssembly.assemble(scope).toDF()
+      val ordered = docs
+        .join(page, docs("id") === page("entity_id"))
+        .orderBy(sortCols: _*) // keys + id tiebreak resolve via the page side
+        .select(docs.columns.map(docs(_)): _*)
+      ordered.as[EntityAssembly.EntityDoc](
+        org.apache.spark.sql.Encoders.product[EntityAssembly.EntityDoc])
+    } else EntityAssembly.assemble(FtmQuery.compile(q, lv))
   }
 
   /** Exact entity count for a query (A5). */

@@ -115,7 +115,16 @@ object FtmQuery {
     * `_needs_global` split): Catalyst turns orderBy+limit into a
     * distributed top-k, never a full global sort.
     */
-  def entityIds(q: Query, live: DataFrame): DataFrame = {
+  def entityIds(q: Query, live: DataFrame): DataFrame =
+    entityIdPage(q, live)._1.select("entity_id")
+
+  /** [[entityIds]] keeping the per-entity sort KEYS alongside the page,
+    * plus the sort columns to order by — for callers whose downstream
+    * joins destroy row order (entity assembly) and must re-establish
+    * query order by re-sorting on these keys rather than collecting an
+    * ordered id list to the driver.
+    */
+  def entityIdPage(q: Query, live: DataFrame): (DataFrame, Seq[Column]) = {
     val matched = compile(q, live)
     val ids = matched.select("entity_id").distinct()
     // one sort key per order prop (min value per entity, reference O5);
@@ -146,8 +155,8 @@ object FtmQuery {
           .withColumn("__rn", row_number().over(
             org.apache.spark.sql.expressions.Window.orderBy(sortCols: _*)))
           .filter(col("__rn") > q.offset)
-          .orderBy(sortCols: _*)
+          .drop("__rn")
       else sliced
-    out.select("entity_id")
+    (out, sortCols)
   }
 }

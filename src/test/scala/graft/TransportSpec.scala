@@ -25,14 +25,16 @@ class TransportSpec extends SparkSpec {
   /** The transport-agnostic slice both repositories implement. */
   trait Repo {
     def add(ps: Seq[EntityPayload], now: Timestamp): Unit
+    def addOrigin(ps: Seq[EntityPayload], origin: String, now: Timestamp): Unit
     def journalCount: Long
     def flush(): Long
     def docs(rql: String, orderBy: Seq[String] = Seq.empty,
-        limit: Option[Int] = None): Seq[EntityDoc]
+        limit: Option[Int] = None, offset: Int = 0): Seq[EntityDoc]
     def count(rql: String): Long
     def deleteEntity(id: String): Long
     def stats: Map[(String, String), Long]
     def version: Long
+    def exportDiff(outDir: String): Option[String]
   }
 
   private class LocalRepo(r: LakeRepository) extends Repo {
@@ -43,30 +45,40 @@ class TransportSpec extends SparkSpec {
       import r.spark.implicits._
       r.addEntities(ps.toDS(), now = now)
     }
+    def addOrigin(ps: Seq[EntityPayload], origin: String, now: Timestamp): Unit = {
+      import r.spark.implicits._
+      r.addEntities(ps.toDS(), origin = origin, now = now)
+    }
     def journalCount: Long = r.journal.count()
     def flush(): Long = r.flush()
-    def docs(rql: String, orderBy: Seq[String], limit: Option[Int]): Seq[EntityDoc] =
-      r.query(q(rql, orderBy, limit)).collect().toSeq
+    def docs(rql: String, orderBy: Seq[String], limit: Option[Int],
+        offset: Int): Seq[EntityDoc] =
+      r.query(q(rql, orderBy, limit).copy(offset = offset)).collect().toSeq
     def count(rql: String): Long = r.count(q(rql, Seq.empty, None))
     def deleteEntity(id: String): Long = r.deleteEntity(id)
     def stats: Map[(String, String), Long] =
       r.statistics.collect()
         .map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
     def version: Long = math.max(0L, r.store.version)
+    def exportDiff(outDir: String): Option[String] = r.exportDiff(outDir)
   }
 
   private class HttpRepo(r: ApiLakeRepository) extends Repo {
     def add(ps: Seq[EntityPayload], now: Timestamp): Unit =
       r.addEntities(ps, now = now)
+    def addOrigin(ps: Seq[EntityPayload], origin: String, now: Timestamp): Unit =
+      r.addEntities(ps, origin = origin, now = now)
     def journalCount: Long = r.journalCount
     def flush(): Long = r.flush()
-    def docs(rql: String, orderBy: Seq[String], limit: Option[Int]): Seq[EntityDoc] =
-      r.query(rql, orderBy, limit).toSeq
+    def docs(rql: String, orderBy: Seq[String], limit: Option[Int],
+        offset: Int): Seq[EntityDoc] =
+      r.query(rql, orderBy, limit, offset).toSeq
     def count(rql: String): Long = r.count(rql)
     def deleteEntity(id: String): Long = r.deleteEntity(id)
     def stats: Map[(String, String), Long] =
       r.statistics.map { case (k, (entities, _)) => k -> entities }
     def version: Long = r.version
+    def exportDiff(outDir: String): Option[String] = r.exportDiff(Some(outDir))
   }
 
   private val payloads = Seq(
@@ -106,6 +118,92 @@ class TransportSpec extends SparkSpec {
     assert(repo.count("""eq(name, "Jane Doe")""") == 0)
     assert(repo.count("") == 2)
     assert(repo.version >= 0)
+  }
+
+  /** The DEEP cases the reference parametrizes over transports
+    * (tests/conftest.py:33-102, test_repository_entities.py:38-429):
+    * multi-origin assembly, origin-scoped filters, ordered pagination
+    * with offsets, and a stateful diff carrying DEL/MOD envelopes —
+    * identical assertions per transport.
+    */
+  private def deepLifecycle(repo: Repo, diffDir: String): Unit = {
+    val t1 = ts("2024-01-01 00:00:00")
+    repo.addOrigin(Seq(
+      EntityPayload("jane", "Person",
+        Map("name" -> Seq("Jane Doe"), "nationality" -> Seq("us")))),
+      "crawl-a", t1)
+    repo.addOrigin(Seq(
+      EntityPayload("jane", "Person", Map("name" -> Seq("Jane D."))),
+      EntityPayload("john", "Person", Map("name" -> Seq("John Doe"))),
+      EntityPayload("maria", "Person", Map("name" -> Seq("Maria Ost"))),
+      EntityPayload("acme", "Company", Map("name" -> Seq("Acme Corp")))),
+      "crawl-b", t1)
+    repo.flush()
+
+    // multi-origin assembly: ONE doc carrying the union of both origins'
+    // statements and both origin labels
+    val jane = repo.docs("""eq(entity_id, "jane")""")
+    assert(jane.length == 1)
+    assert(jane.head.properties("name").toSet == Set("Jane Doe", "Jane D."))
+    assert(jane.head.properties("nationality") == Seq("us"))
+    assert(jane.head.origins.toSet == Set("crawl-a", "crawl-b"))
+
+    // origin-scoped counts (P6 over the wire)
+    assert(repo.count("""eq(origin, "crawl-a")""") == 1)
+    assert(repo.count("""eq(origin, "crawl-b")""") == 4)
+
+    // ordering: direction from the first order_by entry
+    val asc = repo.docs("", orderBy = Seq("name")).map(_.id)
+    assert(asc == Seq("acme", "jane", "john", "maria"), asc)
+    val desc = repo.docs("", orderBy = Seq("-name")).map(_.id)
+    assert(desc == Seq("maria", "john", "jane", "acme"), desc)
+
+    // pagination: offset pages tile the ordered set without overlap
+    val p1 = repo.docs("", orderBy = Seq("name"), limit = Some(2), offset = 0).map(_.id)
+    val p2 = repo.docs("", orderBy = Seq("name"), limit = Some(2), offset = 2).map(_.id)
+    assert(p1 == asc.take(2) && p2 == asc.slice(2, 4), s"$p1 / $p2")
+
+    // stateful diff: initial pass wraps everything in ADD envelopes …
+    val label1 = repo.exportDiff(diffDir)
+    assert(label1.isDefined)
+    val initial = spark.read.json(s"$diffDir/diffs/entities.ftm.json/${label1.get}.delta.json")
+    assert(initial.count() == 4)
+    assert(initial.select("op").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("ADD"))
+
+    // … then a delete + a re-import yield DEL and MOD envelopes
+    repo.deleteEntity("john")
+    repo.addOrigin(Seq(EntityPayload("maria", "Person",
+      Map("nationality" -> Seq("de")))), "crawl-b",
+      new Timestamp(System.currentTimeMillis() / 1000 * 1000))
+    repo.flush()
+    Thread.sleep(1100) // diff labels are second-grained
+    val label2 = repo.exportDiff(diffDir)
+    assert(label2.isDefined && label2 != label1)
+    val delta = spark.read.json(s"$diffDir/diffs/entities.ftm.json/${label2.get}.delta.json")
+    val ops = delta.select(org.apache.spark.sql.functions.col("entity.id"),
+        org.apache.spark.sql.functions.col("op")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(ops == Map("john" -> "DEL", "maria" -> "MOD"), ops)
+  }
+
+  test("deep repository cases over the LOCAL transport") {
+    val dir = Files.createTempDirectory("graft-txp-deep-l").toString
+    deepLifecycle(new LocalRepo(
+      new LakeRepository(spark, dir, dataset = "txp", shards = 4)),
+      Files.createTempDirectory("graft-txp-deep-l-out").toString)
+  }
+
+  test("deep repository cases over the HTTP transport") {
+    val root = Files.createTempDirectory("graft-txp-deep-h").toString
+    val server = new LakeHttpServer(spark, root)
+    val port = server.start()
+    try {
+      new Catalog(spark, root).ensureDataset("txp", shards = 4)
+      deepLifecycle(new HttpRepo(
+        new ApiLakeRepository(s"http://127.0.0.1:$port", "txp")),
+        Files.createTempDirectory("graft-txp-deep-h-out").toString)
+    } finally server.stop()
   }
 
   test("repository lifecycle over the LOCAL transport") {
