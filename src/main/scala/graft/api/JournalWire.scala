@@ -35,10 +35,16 @@ object JournalWire {
       .grouped(ChunkRows).foreach { chunk =>
         val stmts = chunk.map(parseRow(_, ds))
         import spark.implicits._
+        val compat = Hashing.ftmCompat(spark)
         val df = stmts.toDS().toDF()
-          .withColumn("shard", Hashing.shardOf(col("entity_id"), r.shards))
+          .withColumn("shard",
+            if (compat) Hashing.ftmShardOf(col("entity_id"), r.shards)
+            else Hashing.shardOf(col("entity_id"), r.shards))
           .withColumn("id", when(col("id") === "",
-            Hashing.statementKey(col("dataset"), col("entity_id"), col("prop"), col("value")))
+            if (compat)
+              Hashing.ftmStatementKey(col("dataset"), col("entity_id"), col("prop"), col("value"))
+            else
+              Hashing.statementKey(col("dataset"), col("entity_id"), col("prop"), col("value")))
             .otherwise(col("id")))
         r.journal.write(df)
         n += chunk.size

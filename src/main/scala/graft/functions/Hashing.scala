@@ -49,6 +49,61 @@ object Hashing {
   def entityChecksum(schema: Column, sortedIds: Column): Column =
     sha2(concat(schema, lit("|"), concat_ws(",", sortedIds)), 256)
 
+  // ---- followthemoney-compatible recipes (flag: graft.ftm-compat-keys) ----
+  // The reference keys statements with followthemoney's sha1 derivations
+  // (logic/entities/explode.py:129,196 via Statement.make_key;
+  // helpers/statements.py:102-144 for the BASE_ID fold;
+  // core/conventions/path.py:245-264 for the shard). With the session
+  // conf `graft.ftm-compat-keys=true`, the statement WRITE paths (entity
+  // explode, CSV statement source, journal wire) use these recipes
+  // instead of the native md5/sha256 ones, so imports into a
+  // reference-written lake (e.g. one opened via DeltaImport) collapse
+  // with its existing rows and exports id-match reference artifacts.
+  //
+  // HONESTY CAVEAT: the BASE_ID fold and shard recipe are implemented
+  // exactly from the reference source in this repo; Statement.make_key
+  // lives in the followthemoney package (not vendored here), so its
+  // format is implemented from the library's long-stable public recipe —
+  // sha1(utf8("{dataset}.{entity_id}.{prop}.{value}" [+ ".ext" when
+  // external])) — for the lang-less, external=false case the explode
+  // path exercises. FtmCompatSpec pins the resulting digests.
+
+  /** Whether the session asks for followthemoney-compatible keys. */
+  def ftmCompat(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.conf.get("graft.ftm-compat-keys", "false").toBoolean
+
+  /** Reference `entity_shard` (core/conventions/path.py:255-264): first 8
+    * hex chars of sha1(entity_id) mod `shards`, zero-padded to
+    * `max(1, ((shards-1).bit_length+3)/4)` hex digits (banal.hash_data's
+    * plain-string case is sha1 over utf-8 bytes).
+    */
+  def ftmShardOf(entityId: Column, shards: Int): Column = {
+    require(shards > 0, "shards must be positive")
+    if (shards <= 1) lit("0")
+    else {
+      val width = math.max(1, (32 - Integer.numberOfLeadingZeros(shards - 1) + 3) / 4)
+      val n = conv(substring(sha1(entityId.cast("string")), 1, 8), 16, 10)
+        .cast("long") % shards
+      format_string(s"%0${width}x", n)
+    }
+  }
+
+  /** Reference `Statement.make_key` (lang-less form): sha1 over the
+    * dot-joined identity fields, `.ext` appended for external rows.
+    */
+  def ftmStatementKey(dataset: Column, entityId: Column, prop: Column,
+      value: Column, external: Boolean = false): Column = {
+    val key = concat_ws(".", dataset, entityId, prop, value)
+    sha1(if (external) concat(key, lit(".ext")) else key)
+  }
+
+  /** Reference BASE_ID checksum (helpers/statements.py:133-135):
+    * sha1(schema) folded over the sorted distinct statement ids — a fold
+    * of digest updates equals sha1 of the concatenation.
+    */
+  def ftmEntityChecksum(schema: Column, sortedIds: Column): Column =
+    sha1(concat(schema, array_join(sortedIds, "")))
+
   // ---- pure-JVM twins (HTTP client repository, no SparkSession) ----
   // Byte-identical to the Column recipes above: the API client explodes
   // entity payloads on its own side of the wire (like the reference's
@@ -78,6 +133,36 @@ object Hashing {
   def entityChecksumLocal(schema: String, sortedIds: Seq[String]): String = {
     val md = sha256s.get(); md.reset()
     hex(md.digest((schema + "|" + sortedIds.mkString(",")).getBytes("UTF-8")))
+  }
+
+  private val sha1s = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("SHA-1"))
+
+  /** Scala twin of [[ftmStatementKey]]. */
+  def ftmStatementKeyLocal(dataset: String, entityId: String, prop: String,
+      value: String, external: Boolean = false): String = {
+    val md = sha1s.get(); md.reset()
+    val key = s"$dataset.$entityId.$prop.$value" + (if (external) ".ext" else "")
+    hex(md.digest(key.getBytes("UTF-8")))
+  }
+
+  /** Scala twin of [[ftmEntityChecksum]] (ids must already be sorted+distinct). */
+  def ftmEntityChecksumLocal(schema: String, sortedIds: Seq[String]): String = {
+    val md = sha1s.get(); md.reset()
+    hex(md.digest((schema + sortedIds.mkString("")).getBytes("UTF-8")))
+  }
+
+  /** Scala twin of [[ftmShardOf]]. */
+  def ftmShardOfLocal(entityId: String, shards: Int): String = {
+    require(shards > 0, "shards must be positive")
+    if (shards <= 1) "0"
+    else {
+      val md = sha1s.get(); md.reset()
+      val h = hex(md.digest(entityId.getBytes("UTF-8")))
+      val width = math.max(1, (32 - Integer.numberOfLeadingZeros(shards - 1) + 3) / 4)
+      val n = java.lang.Long.parseLong(h.substring(0, 8), 16) % shards
+      String.format(s"%0${width}x", java.lang.Long.valueOf(n))
+    }
   }
 
   /** Scala twin of [[shardOf]]. */

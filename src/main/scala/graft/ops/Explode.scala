@@ -2,7 +2,7 @@ package graft.ops
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Hashing
@@ -54,7 +54,10 @@ object Explode {
     * yields wire rows content-identical to the embedded transport's.
     */
   def explodeLocalBatch(es: Seq[EntityPayload], dataset: String,
-      origin: String, now: Timestamp): Seq[Statement] = {
+      origin: String, now: Timestamp, ftmCompat: Boolean = false): Seq[Statement] = {
+    def keyOf(eid: String, prop: String, value: String): String =
+      if (ftmCompat) Hashing.ftmStatementKeyLocal(dataset, eid, prop, value)
+      else Hashing.statementKeyLocal(dataset, eid, prop, value)
     val propRows = es.flatMap { e =>
       val entityId = stripNamespace(e.id)
       val bucket = FtmModel.bucketOf(e.schema)
@@ -66,7 +69,7 @@ object Explode {
         val cleanValue = if (propType == "entity") stripNamespace(value) else value
         Statement(
           shard = "",
-          id = Hashing.statementKeyLocal(dataset, entityId, prop, cleanValue),
+          id = keyOf(entityId, prop, cleanValue),
           entity_id = entityId, dataset = dataset, bucket = bucket,
           origin = origin, source = None, schema = e.schema, prop = prop,
           prop_type = propType, value = cleanValue, original_value = None,
@@ -84,11 +87,12 @@ object Explode {
       groups(k) = groups.getOrElse(k, Vector.empty) :+ s
     }
     val baseRows = groups.toSeq.map { case ((entityId, schema), rows) =>
-      val checksum = Hashing.entityChecksumLocal(
-        schema, rows.map(_.id).distinct.sorted)
+      val checksum =
+        if (ftmCompat) Hashing.ftmEntityChecksumLocal(schema, rows.map(_.id).distinct.sorted)
+        else Hashing.entityChecksumLocal(schema, rows.map(_.id).distinct.sorted)
       Statement(
         shard = "",
-        id = Hashing.statementKeyLocal(dataset, entityId, Statement.BaseId, checksum),
+        id = keyOf(entityId, Statement.BaseId, checksum),
         entity_id = entityId, dataset = dataset,
         bucket = FtmModel.bucketOf(schema),
         origin = origin, source = None, schema = schema,
@@ -107,6 +111,16 @@ object Explode {
       now: Timestamp): DataFrame = {
     val spark = entities.sparkSession
     import spark.implicits._
+    // graft.ftm-compat-keys: reference sha1 recipes on the write path
+    val compat = Hashing.ftmCompat(spark)
+    def keyOf(ds: Column, eid: Column, prop: Column, value: Column): Column =
+      if (compat) Hashing.ftmStatementKey(ds, eid, prop, value)
+      else Hashing.statementKey(ds, eid, prop, value)
+    def shardOf(eid: Column): Column =
+      if (compat) Hashing.ftmShardOf(eid, shards) else Hashing.shardOf(eid, shards)
+    def checksumOf(schema: Column, ids: Column): Column =
+      if (compat) Hashing.ftmEntityChecksum(schema, ids)
+      else Hashing.entityChecksum(schema, ids)
 
     val rows = entities.flatMap { e =>
       val entityId = stripNamespace(e.id)
@@ -125,8 +139,8 @@ object Explode {
     }.toDF("entity_id", "schema", "bucket", "prop", "prop_type", "value", "lang0")
 
     val keyed = rows.select(
-      Hashing.shardOf(col("entity_id"), shards).as("shard"),
-      Hashing.statementKey(lit(dataset), col("entity_id"), col("prop"), col("value")).as("id"),
+      shardOf(col("entity_id")).as("shard"),
+      keyOf(lit(dataset), col("entity_id"), col("prop"), col("value")).as("id"),
       col("entity_id"),
       lit(dataset).as("dataset"),
       col("bucket"),
@@ -147,10 +161,10 @@ object Explode {
     // A10: trailing BASE_ID checksum row per entity, derived from the sorted
     // set of statement ids — order-independent, so safe to compute post-shuffle.
     val baseRows = keyed.groupBy(col("entity_id"), col("schema"), col("bucket"), col("shard"))
-      .agg(Hashing.entityChecksum(first(col("schema")), sort_array(collect_set(col("id")))).as("value"))
+      .agg(checksumOf(first(col("schema")), sort_array(collect_set(col("id")))).as("value"))
       .select(
         col("shard"),
-        Hashing.statementKey(lit(dataset), col("entity_id"), lit(Statement.BaseId), col("value")).as("id"),
+        keyOf(lit(dataset), col("entity_id"), lit(Statement.BaseId), col("value")).as("id"),
         col("entity_id"),
         lit(dataset).as("dataset"),
         col("bucket"),

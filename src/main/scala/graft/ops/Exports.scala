@@ -75,9 +75,14 @@ object Exports {
       .withColumn("prop_type",
         when(col("prop") === Statement.BaseId, "checksum")
           .otherwise(coalesce(element_at(typeMap, col("prop")), lit("string"))))
-      .withColumn("id", Hashing.statementKey(
-        col("dataset"), col("entity_id"), col("prop"), col("value")))
-      .withColumn("shard", Hashing.shardOf(col("entity_id"), shards))
+      .withColumn("id",
+        if (Hashing.ftmCompat(spark))
+          Hashing.ftmStatementKey(col("dataset"), col("entity_id"), col("prop"), col("value"))
+        else
+          Hashing.statementKey(col("dataset"), col("entity_id"), col("prop"), col("value")))
+      .withColumn("shard",
+        if (Hashing.ftmCompat(spark)) Hashing.ftmShardOf(col("entity_id"), shards)
+        else Hashing.shardOf(col("entity_id"), shards))
       .select(Statement.columns.map(col): _*)
   }
 
