@@ -115,8 +115,12 @@ object FtmQuery {
     * `_needs_global` split): Catalyst turns orderBy+limit into a
     * distributed top-k, never a full global sort.
     */
-  def entityIds(q: Query, live: DataFrame): DataFrame =
-    entityIdPage(q, live)._1.select("entity_id")
+  def entityIds(q: Query, live: DataFrame): DataFrame = {
+    val (page, sortCols) = entityIdPage(q, live)
+    // re-assert the page order: the contract is ids IN QUERY ORDER, and
+    // the offset branch's filter does not guarantee it structurally
+    page.orderBy(sortCols: _*).select("entity_id")
+  }
 
   /** [[entityIds]] keeping the per-entity sort KEYS alongside the page,
     * plus the sort columns to order by — for callers whose downstream
