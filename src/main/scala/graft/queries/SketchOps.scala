@@ -83,9 +83,11 @@ object SketchOps {
     */
   def sk3StreamCountmin(spark: SparkSession, dir: String): DataFrame = {
     val sketch = graft.streaming.SketchStream.countMinStreaming(spark, dir)
+    // group by the native long key, cast only the distinct keys — the
+    // string cast per event was the probe table's hot cost at scale
     val tf = Tables.events(spark, dir)
-      .select(col("user_id").cast("string").as("user_key"))
-      .groupBy(col("user_key")).agg(count(lit(1)).as("n_true"))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_true"))
+      .select(col("user_id").cast("string").as("user_key"), col("n_true"))
     val probes = tf.orderBy(col("n_true").desc, col("user_key")).limit(20)
     probes
       .join(Sketches.cmsEstimate(sketch, probes, "user_key"), Seq("user_key"))

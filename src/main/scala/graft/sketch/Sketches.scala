@@ -63,12 +63,18 @@ object Sketches {
     */
   /** The depth cells (row, bucket) a term hashes to — the shared
     * expansion of batch build, streaming build, and lookup. */
-  def cmsCells(term: Column, width: Int = 1024): Column = {
-    val h = Dedupe.tokenHash(term)
+  def cmsCells(term: Column, width: Int = 1024): Column =
+    cmsCellsFromHash(Dedupe.tokenHash(term), width)
+
+  /** [[cmsCells]] from an already-computed term hash — callers that
+    * pre-aggregate by the hash (grouping by `tokenHash(term)` is
+    * cell-equivalent to grouping by the term, since the cells are a pure
+    * function of the hash) skip re-hashing per row.
+    */
+  def cmsCellsFromHash(h: Column, width: Int = 1024): Column =
     array(CmsA.zip(CmsB).zipWithIndex.map { case ((a, b), i) =>
       struct(lit(i).as("row"), gHash(h, a, b, width.toLong).as("bucket"))
     }: _*)
-  }
 
   def countMinFromCounts(termCounts: DataFrame, termCol: String,
       countCol: String, width: Int = 1024): DataFrame =

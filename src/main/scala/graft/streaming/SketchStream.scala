@@ -28,8 +28,26 @@ import graft.sketch.Sketches
 object SketchStream {
 
   /** Build the CMS over `user_id` occurrences by streaming the events
-    * table through a stateful (row, bucket) count. Returns the finished
+    * table through per-batch sketch updates. Returns the finished
     * sketch (row, bucket, n).
+    *
+    * Per micro-batch (foreachBatch, every step whole-stage codegen):
+    * pre-count the batch by the term HASH (`groupBy(tokenHash(uid))` —
+    * map-side combinable, and cell-equivalent to grouping by the uid
+    * since the cells are a pure function of the hash), explode d cells
+    * per DISTINCT key weighted by its count, partial-sum to ≤ d×width
+    * cell rows, and write them as one idempotent `__batch` partition
+    * (dynamic overwrite — a Spark retry of the same batch id rewrites
+    * its own partition, never double-counts). The finished sketch is
+    * the cell-sum over partitions, by CMS linearity equal to the batch
+    * build bit for bit.
+    *
+    * This shape replaces an earlier Complete-mode stateful aggregation:
+    * the explode-before-partial-agg fed d×events rows through the
+    * streaming state machinery, which at 100M events/batch cost ~10×
+    * the equivalent batch group-by. State per batch is ≤ d×width cells
+    * regardless of stream volume — the defining sketch property — and
+    * the state table compacts on read.
     */
   def countMinStreaming(spark: SparkSession, dir: String,
       width: Int = 1024): DataFrame = {
@@ -40,45 +58,36 @@ object SketchStream {
         .schema(batch.schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir))
-    // Per-partition key pre-count BEFORE the d-cell expansion: the naive
-    // shape explodes depth cells per EVENT (d×events rows into the
-    // partial aggregate); folding each partition's keys into (uid, n)
-    // pairs first cuts the explode to d×distinct-keys — the difference
-    // between 4 billion and 16k exploded rows per batch at 100 TB/day.
-    // The fold map is flushed at a fixed bound so partition memory stays
-    // O(bound) even on an all-unique key stream; duplicate (uid, n)
-    // pairs from flushes re-sum in the weighted aggregate below.
-    val keyed = src
-      .select(col("user_id").cast("string").as("uid"))
-      .as[String](org.apache.spark.sql.Encoders.STRING)
-      .mapPartitions { it =>
-        val block = 1 << 18
-        it.grouped(block).flatMap { keys =>
-          val m = new java.util.HashMap[String, Long]()
-          keys.foreach(k => m.merge(k, 1L, (a, b) => a + b))
-          m.entrySet().iterator().asScala
-            .map(e => (e.getKey, e.getValue)).toVector
-        }
-      }(org.apache.spark.sql.Encoders.product[(String, Long)])
-      .toDF("uid", "__n")
-    val agg = keyed
-      .select(col("__n"),
-        explode(Sketches.cmsCells(col("uid"), width)).as("__rb"))
-      .groupBy(col("__rb.row").as("row"), col("__rb.bucket").as("bucket"))
-      .agg(sum(col("__n")).as("n"))
     val name = s"graft_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    // same rationale as EventStream: state partitions are sized to the
-    // key space (d×w cells) on a query-scoped session clone
-    val q = agg.writeStream
-      .outputMode(OutputMode.Complete())
-      .format("memory")
+    val stateDir = s"${graft.functions.F.stageRoot(ss)}/cms-$name"
+    val q = src.writeStream
       .queryName(name)
       .option("checkpointLocation",
         s"${graft.functions.F.stageRoot(ss)}/ckpt-$name")
       .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        // group by the NATIVE key first (long hash-agg, no per-row
+        // string materialization), then string-hash only the distinct
+        // keys; hash collisions between distinct uids re-sum in the
+        // cell aggregate, identically to hashing per row
+        val keyed = b
+          .groupBy(col("user_id")).agg(count(lit(1)).as("__n"))
+          .select(graft.dedupe.Dedupe.tokenHash(
+            col("user_id").cast("string")).as("__h"), col("__n"))
+        val cells = keyed
+          .select(col("__n"),
+            explode(Sketches.cmsCellsFromHash(col("__h"), width)).as("__rb"))
+          .groupBy(col("__rb.row").as("row"), col("__rb.bucket").as("bucket"))
+          .agg(sum(col("__n")).as("n"))
+          .withColumn("__batch", lit(batchId))
+        cells.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch").parquet(stateDir)
+      }
       .start()
     q.awaitTermination()
-    ss.table(name)
+    ss.read.parquet(stateDir)
+      .groupBy(col("row"), col("bucket")).agg(sum(col("n")).as("n"))
   }
 
   /** Streaming HyperLogLog register maintenance: per-event_type distinct
