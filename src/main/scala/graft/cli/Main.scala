@@ -30,6 +30,7 @@ import graft.ops.Explode
   *   graft.cli.Main --lake <root> unlock <ds>
   *   graft.cli.Main --lake <root> archive ls|get|head <ds> [checksum]
   *   graft.cli.Main --lake <root> delta import <ds>
+  *   graft.cli.Main --lake <root> delta export <ds>
   *   graft.cli.Main --lake <root> serve [--port N]
   *   graft.cli.Main --api http://host:port <group...>   # remote lakehouse
   * }}}
@@ -300,6 +301,13 @@ object Main {
         val v = graft.lake.DeltaImport.importDeltaLog(
           spark, cat.datasetPath(ds).toString)
         println(s"imported _delta_log as manifest v$v")
+
+      case "delta" :: "export" :: ds :: Nil =>
+        // the inverse: publish the graft manifest as a _delta_log so
+        // delta-rs / the reference stack can open this table in place
+        val v = graft.lake.DeltaExport.exportDeltaLog(
+          spark, cat.datasetPath(ds).toString)
+        println(s"exported manifest as _delta_log v$v")
 
       case "unlock" :: ds :: Nil =>
         val p = cat.datasetPath(ds)

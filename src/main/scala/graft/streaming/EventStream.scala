@@ -122,7 +122,9 @@ object EventStream {
     * interval join.
     */
   def intervalJoinStreaming(spark: SparkSession, dir: String): DataFrame = {
-    val ss = StreamConf.streamSession(spark)
+    // join state grows with the data (both sides buffered for
+    // watermark+interval), so size the state stores to the source
+    val ss = StreamConf.streamSessionFor(spark, dir)
     val batch = ss.read.parquet(s"$dir/events.parquet")
     def src(): DataFrame = graft.Tables.normalizeTs(
       ss.readStream
@@ -194,7 +196,8 @@ object EventStream {
     */
   def sessionizeStreamingFromDir(spark: SparkSession, dir: String,
       gapMinutes: Int): DataFrame = {
-    val ss = StreamConf.streamSession(spark)
+    // per-user session state: user cardinality grows with the corpus
+    val ss = StreamConf.streamSessionFor(spark, dir)
     import ss.implicits._
     val batch = ss.read.parquet(s"$dir/events.parquet")
     val src = graft.Tables.normalizeTs(
@@ -303,7 +306,7 @@ object EventStream {
     */
   def sessionizeStreamingEventTimeFromDir(spark: SparkSession, dir: String,
       gapMinutes: Int): DataFrame = {
-    val ss = StreamConf.streamSession(spark)
+    val ss = StreamConf.streamSessionFor(spark, dir)
     import ss.implicits._
     val batch = ss.read.parquet(s"$dir/events.parquet")
     val src = graft.Tables.normalizeTs(

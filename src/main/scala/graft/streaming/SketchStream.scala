@@ -51,7 +51,8 @@ object SketchStream {
     */
   def countMinStreaming(spark: SparkSession, dir: String,
       width: Int = 1024): DataFrame = {
-    val ss = StreamConf.streamSession(spark)
+    // the per-batch pre-count shuffles by user_id — size it to the source
+    val ss = StreamConf.streamSessionFor(spark, dir)
     val batch = ss.read.parquet(s"$dir/events.parquet")
     val src = graft.Tables.normalizeTs(
       ss.readStream

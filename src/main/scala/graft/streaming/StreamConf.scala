@@ -33,4 +33,25 @@ object StreamConf {
       .foreach(ss.conf.set("spark.graft.stage.dir", _))
     ss
   }
+
+  /** [[streamSession]] with state partitions sized to the SOURCE: 8
+    * stores for a few-MB table (the checkpoint-traffic floor), one more
+    * per `bytesPerPartition` of input up to the core count. The fixed-8
+    * shape is right when state is small, but the drain of a 100×
+    * corpus through 8 state partitions leaves 3/4 of the cores idle in
+    * the stateful stages — state partitioning is pinned at first run,
+    * so it must be chosen for the data the query will actually see.
+    */
+  def streamSessionFor(spark: SparkSession, dir: String,
+      file: String = "events.parquet",
+      bytesPerPartition: Long = 4L << 20): SparkSession = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$file")
+    val size = try {
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.getContentSummary(p).getLength
+    } catch { case _: java.io.IOException => 0L }
+    val cores = spark.sparkContext.defaultParallelism
+    val parts = math.max(8L, math.min(cores.toLong, size / bytesPerPartition)).toInt
+    streamSession(spark, parts)
+  }
 }
