@@ -26,6 +26,13 @@ object Sessions {
       // engine row-group pruning both rely on
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.adaptive.enabled", "true")
+      // The testdata tables are single parquet files; 128 MB split targets
+      // would scan a multi-hundred-MB file with 1-2 tasks on a 32-core
+      // local box. 16 MB splits give row-group-granular parallelism on
+      // medium files and change nothing for files below the target (a
+      // split can't be smaller than a row group either way). On a real
+      // cluster this is per-deployment tuning against file layout.
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.parquet.compression.codec",
         sys.env.getOrElse("SPARK_GRAFT_CODEC", "zstd"))

@@ -125,6 +125,11 @@ object EventStream {
     // join state grows with the data (both sides buffered for
     // watermark+interval), so size the state stores to the source
     val ss = StreamConf.streamSessionFor(spark, dir)
+    // An INNER stream-stream join emits each match in the micro-batch
+    // where it forms; the trailing no-data batch only advances the
+    // watermark to evict state — for a drain that is a full extra
+    // commit round over 4 state stores × partitions with no new output.
+    ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val batch = ss.read.parquet(s"$dir/events.parquet")
     def src(): DataFrame = graft.Tables.normalizeTs(
       ss.readStream

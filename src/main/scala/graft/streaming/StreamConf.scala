@@ -29,6 +29,15 @@ object StreamConf {
   def streamSession(spark: SparkSession, statePartitions: Int = 8): SparkSession = {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    // Drain-oriented state-store settings: these queries run a handful of
+    // micro-batches under AvailableNow, so the 100-batch retention
+    // default only multiplies checkpoint files, and a background
+    // snapshot pass mid-drain doubles state I/O for state that is about
+    // to be read exactly once. An always-on deployment would keep the
+    // defaults (they bound recovery replay); a drain's recovery story is
+    // "rerun the drain".
+    ss.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
+    ss.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "600s")
     spark.conf.getOption("spark.graft.stage.dir")
       .foreach(ss.conf.set("spark.graft.stage.dir", _))
     ss

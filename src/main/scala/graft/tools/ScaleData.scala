@@ -24,7 +24,15 @@ object ScaleData {
     val conf = spark.sessionState.newHadoopConf()
     val fs = out.getFileSystem(conf)
     val tmp = new Path(out.getParent, s".${out.getName}.tmp")
-    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    // 8 MB row groups: a single-task coalesce(1) write would otherwise
+    // emit ~128 MB row groups, and NO reader (Spark or DuckDB — both
+    // parallelize parquet at row-group granularity) could scan the
+    // scaled file with more than 1-2 threads. Small groups keep the
+    // single-file-for-the-oracle contract while letting both engines
+    // use the cores; stats/pruning are per-row-group and unaffected.
+    df.coalesce(1).write.mode("overwrite")
+      .option("parquet.block.size", (8L << 20).toString)
+      .parquet(tmp.toString)
     val part = fs.listStatus(tmp)
       .map(_.getPath).find(_.getName.startsWith("part-"))
       .getOrElse(sys.error(s"no part file under $tmp"))
