@@ -99,8 +99,21 @@ class StatementStore(val spark: SparkSession, val rootStr: String, val shards: I
     }
     val added = readFiles(newFiles -- oldFiles)
     val removed = readFiles(oldFiles -- newFiles)
-    added.except(removed).withColumn("op", lit("ADD"))
-      .unionByName(removed.except(added).withColumn("op", lit("DEL")))
+    // One-pass symmetric difference: tag each side and aggregate per-side
+    // presence over the union — a single map-side-combinable shuffle, one
+    // scan per side. The two-`except` form costs four shuffle legs
+    // (distinct + anti-join per direction) and scans each side twice.
+    // Set semantics are identical to except's: a row present on both
+    // sides (any multiplicity) cancels, output rows are distinct, and
+    // both group-by and except compare NULLs as equal.
+    val rowCols = Statement.columns.map(col)
+    added.withColumn("__a", lit(1)).withColumn("__d", lit(0))
+      .unionByName(removed.withColumn("__a", lit(0)).withColumn("__d", lit(1)))
+      .groupBy(rowCols: _*)
+      .agg(max(col("__a")).as("__a"), max(col("__d")).as("__d"))
+      .filter(col("__a") =!= col("__d"))
+      .withColumn("op", when(col("__a") === 1, lit("ADD")).otherwise(lit("DEL")))
+      .drop("__a", "__d")
   }
 
   /** S2: live view — tombstone filter + synthesized canonical_id, kept
