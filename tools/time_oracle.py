@@ -38,6 +38,10 @@ def main():
                 break
             dt = time.monotonic() - t0
             best = dt if best is None else min(best, dt)
+            # progress to stderr (stdout stays the parseable summary):
+            # on a host with multi-minute hypervisor stalls, a silent
+            # 40-minute run is indistinguishable from a hang
+            print(f"[oracle] {name} rep {dt:.2f}s", file=sys.stderr, flush=True)
         if best is not None:
             times[name] = best
     for name, dt in sorted(times.items(), key=lambda kv: -kv[1]):
