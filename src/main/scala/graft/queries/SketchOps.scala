@@ -51,8 +51,9 @@ object SketchOps {
 
   /** bf1: Bloom-filter benchmark screen — d13's contamination check
     * restated as the 100 TB shape: the held-out split's shingles become
-    * a bounded 65536-position bit table (broadcast), and every training
-    * doc reports how many of its shingles the filter flags. One-sided by
+    * a bounded 65536-bit mask evaluated as a literal inside the training
+    * scan, and every training doc reports how many of its shingles the
+    * filter flags. One-sided by
     * construction: bloom_frac ≥ d13's exact contam_frac per doc, no
     * false negatives, and the false positives are deterministic hash
     * arithmetic the oracle reproduces.
@@ -60,13 +61,15 @@ object SketchOps {
   def bf1BloomScreen(spark: SparkSession, dir: String): DataFrame = {
     val bucket = pmod(Dedupe.tokenHash(col("doc_id").cast("string")), lit(100))
     val withB = TrainingData.docShingleRows(spark, dir).withColumn("__b", bucket)
-    // the bit table is joined three times (once per hash position) —
-    // staged, it is a ≤m-row file each join broadcasts; unstaged, the
-    // whole bench-split distinct+explode subtree re-runs per position
-    val bits = F.materialize(Sketches.bloomBits(
-      withB.filter(col("__b") >= 90).select(col("__tok")).distinct(), "__tok"))
+    // the bench-split bit table collapses to the 8 KB mask in ONE
+    // shuffle-free pass over the held-out shingles (bit-set is
+    // idempotent — no distinct; bounded collect — Sketches.bloomMask),
+    // then rides into the training scan as a literal: no staging write,
+    // no per-position join
+    val mask = Sketches.bloomMask(
+      withB.filter(col("__b") >= 90).select(col("__tok")), "__tok")
     val train = withB.filter(col("__b") < 80).select(col("doc_id"), col("__tok"))
-    Sketches.bloomProbe(train, "__tok", bits)
+    Sketches.bloomScreen(train, "__tok", mask)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"), sum(col("bloom_hit")).as("n_bloom_hits"))
       .withColumn("bloom_frac",
@@ -114,25 +117,33 @@ object SketchOps {
   }
 
   /** bf2: Bloom-screened semi-join — the 100 TB join-pruning shape. The
-    * urgent-order key set becomes a ≤65536-row bit table broadcast to
-    * the lineitem scan; only rows passing all three hash probes reach
-    * the exact verify join, which scrubs the (deterministic) false
-    * positives. The report keeps BOTH counts per flag: `n_bloom_pass`
+    * urgent-order key set becomes an 8 KB bitmask LITERAL evaluated
+    * inside the lineitem scan (no join, no exchange); only rows passing
+    * all three hash probes reach the exact verify join, which scrubs the
+    * (deterministic) false positives. The report keeps BOTH counts per flag: `n_bloom_pass`
     * pins the screen's arithmetic into the gate, `n_exact`/`sum_qty` are
     * the join's true answer — identical to the plain semi-join, which is
     * the point: the screen changes the data volume reaching the shuffle,
     * never the result.
     */
   def bf2BloomJoin(spark: SparkSession, dir: String): DataFrame = {
-    val keys = F.materialize(
-      graft.Tables.orders(spark, dir)
-        .filter(col("o_orderpriority") === "1-URGENT")
-        .select(col("o_orderkey").cast("string").as("__k")).distinct())
-    val bits = F.materialize(Sketches.bloomBits(keys, "__k"))
+    // o_orderkey is the orders PK (unique by schema contract), so the
+    // key set needs NO distinct — the mask build is bit-idempotent and
+    // the verify join is one-row-per-key either way. The oracle's
+    // DISTINCT is a no-op over the same unique column.
+    val keys = graft.Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").cast("string").as("__k"))
+    // the 8 KB mask literal (bounded shuffle-free collect — see
+    // Sketches.bloomMask): the screen evaluates INSIDE the lineitem
+    // scan's codegen span; only passing rows reach the verify join.
+    // `keys` is a cheap filtered projection, re-run once for the mask
+    // and once for the verify join — cheaper than staging it anywhere.
+    val mask = Sketches.bloomMask(keys, "__k")
     val li = graft.Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
       .withColumn("__k", col("l_orderkey").cast("string"))
-    val pass = Sketches.bloomProbe(li, "__k", bits)
+    val pass = Sketches.bloomScreen(li, "__k", mask)
       .filter(col("bloom_hit") === 1)
     // the verify join is NOT hinted: the key set scales with the dim-side
     // selection (unbounded at 100 TB — only the ≤m-row bit table is

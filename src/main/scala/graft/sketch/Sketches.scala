@@ -158,13 +158,67 @@ object Sketches {
     items.select(explode(array(ps: _*)).as("pos")).distinct()
   }
 
+  /** The bloom bit table as a driver-side bitmask: m bits packed into
+    * m/64 longs (8 KB at the default m=65536). The collect is BOUNDED BY
+    * CONSTRUCTION — each scan partition returns ONE m/8-byte partial
+    * mask regardless of the build corpus size — the same class of driver
+    * materialization as the nlist-bounded centroid broadcasts, and the
+    * price of turning the screen into a literal the probe SCAN evaluates
+    * (see [[bloomScreen]]) instead of a join it shuffles toward.
+    */
+  def bloomMask(items: DataFrame, itemCol: String, m: Int = 65536): Array[Long] = {
+    require(m % 64 == 0, s"m must pack into longs: $m")
+    val spark = items.sparkSession
+    import spark.implicits._
+    val words = m / 64
+    // shuffle-FREE build: each partition folds its items' positions into
+    // a partial mask (bit-set is idempotent — no distinct needed, dup
+    // items just re-set the same bits) and the driver ORs the partials.
+    // One scan stage, numPartitions × m/8-byte rows collected — the only
+    // mapPartitions in the sketch family, and it earns its exit from
+    // codegen by deleting the explode+distinct exchange entirely.
+    val h = Dedupe.tokenHash(col(itemCol))
+    val ps = BloomA.zip(BloomB).map { case (a, b) => gHash(h, a, b, m.toLong) }
+    val partials = items.select(explode(array(ps: _*)).as("pos")).as[Long]
+      .mapPartitions { it =>
+        val w = new Array[Long](words)
+        it.foreach(p => w((p >>> 6).toInt) |= 1L << (p & 63))
+        Iterator.single(w)
+      }.collect()
+    val mask = new Array[Long](words)
+    partials.foreach(w => (0 until words).foreach(i => mask(i) |= w(i)))
+    mask
+  }
+
+  /** Scan-side bloom membership screen — the 100 TB shape: the ≤ 8 KB
+    * [[bloomMask]] rides into the plan as a reference object of the
+    * fused [[graft.functions.BloomMaskHit]] expression — one digest, all
+    * three g_j probes, and the primitive bit tests in a single codegen'd
+    * call. No join, no shuffle, no broadcast exchange: the screen
+    * evaluates inside the probe scan's WholeStageCodegen span, so rows
+    * failing it never leave the scan stage. Hit arithmetic is identical
+    * to [[bloomProbe]] (same positions, same one-sided semantics, same
+    * deterministic false positives), so oracles replaying the position
+    * math are unchanged.
+    */
+  def bloomScreen(probe: DataFrame, itemCol: String, mask: Array[Long],
+      m: Int = 65536): DataFrame = {
+    require(mask.length == m / 64, s"mask/${m}-bit mismatch: ${mask.length}")
+    probe.withColumn("bloom_hit",
+      graft.functions.BloomMaskHit(
+        Dedupe.tokenHash(col(itemCol)), mask, BloomA, BloomB, m.toLong)
+        .cast("long"))
+  }
+
   /** Probe items against a bloom bit table: an item "hits" iff ALL its
     * positions are set — the standard one-sided test (no false negatives;
     * false positives at the classic (1−e^{−kn/m})^k rate, and
     * deterministic, so the oracle twin reports the same hits). The bit
     * table is ≤ m rows → provably-bounded broadcast; the probe side is a
     * single pass with three broadcast-hash lookups, never a shuffle of
-    * the probe corpus.
+    * the probe corpus. Prefer [[bloomScreen]] where an action is
+    * acceptable at plan-build time — it keeps the screen inside the scan;
+    * this join form exists for fully-lazy pipelines.
     */
   def bloomProbe(probe: DataFrame, itemCol: String, bits: DataFrame,
       m: Int = 65536): DataFrame = {

@@ -113,6 +113,32 @@ class SketchSpec extends SparkSpec {
     assert(fp < 50L, s"implausible false-positive count: $fp")
   }
 
+  test("literal-mask screen matches the join probe bit-for-bit") {
+    val bench = (1 to 200).map(i => s"needle$i").toDF("item")
+    val mask = Sketches.bloomMask(bench, "item", m = 4096)
+    assert(mask.length === 4096 / 64)
+    // mask packs exactly the bit-position table
+    val posFromMask = mask.zipWithIndex.flatMap { case (w, i) =>
+      (0 until 64).filter(b => (w & (1L << b)) != 0).map(b => i * 64L + b)
+    }.toSet
+    val posFromBits = Sketches.bloomBits(bench, "item", m = 4096)
+      .collect().map(_.getLong(0)).toSet
+    assert(posFromMask === posFromBits)
+    // per-item hit flags agree with the join-form probe on a mixed set
+    // (build hits + disjoint mostly-misses) — same arithmetic, no join
+    val probe = ((1 to 200).map(i => s"needle$i") ++
+      (1 to 1000).map(i => s"hay$i")).toDF("item")
+    def flags(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("item"), col("bloom_hit"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaMask = flags(Sketches.bloomScreen(probe, "item", mask, m = 4096))
+    val viaJoin = flags(Sketches.bloomProbe(probe, "item",
+      Sketches.bloomBits(bench, "item", m = 4096), m = 4096))
+    assert(viaMask === viaJoin)
+    // and the screen keeps the one-sided guarantee on its own
+    assert((1 to 200).forall(i => viaMask(s"needle$i") === 1L))
+  }
+
   test("streamed count-min equals the batch build bit-for-bit") {
     val dir = "/root/testdata/sf0.001"
     val streamed = graft.streaming.SketchStream.countMinStreaming(spark, dir)
