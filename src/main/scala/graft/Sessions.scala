@@ -30,9 +30,11 @@ object Sessions {
       // would scan a multi-hundred-MB file with 1-2 tasks on a 32-core
       // local box. 16 MB splits give row-group-granular parallelism on
       // medium files and change nothing for files below the target (a
-      // split can't be smaller than a row group either way). On a real
-      // cluster this is per-deployment tuning against file layout.
-      .config("spark.sql.files.maxPartitionBytes", "16m")
+      // split can't be smaller than a row group either way). This is
+      // per-deployment tuning against file layout — overridable so a
+      // cluster with 128 MB row groups isn't pinned to 8x task counts.
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"))
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.parquet.compression.codec",
         sys.env.getOrElse("SPARK_GRAFT_CODEC", "zstd"))

@@ -148,6 +148,26 @@ object EventStream {
       col("user_id") === col("err_user") &&
         col("ets") >= col("cts") - expr("INTERVAL 2 HOURS") &&
         col("ets") <= col("cts"))
+    // Guard for the noDataMicroBatches=false above: that setting is safe
+    // ONLY while no output here is watermark-GATED (an inner join emits
+    // matches in the micro-batch where they form; the watermark only
+    // evicts state). If this query ever gains an append-mode aggregate,
+    // a dropDuplicates, or an outer join arm, its final rows would wait
+    // on a no-data batch that never comes — fail loudly at plan time
+    // instead of silently dropping them.
+    joined.queryExecution.analyzed.foreach {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        throw new IllegalStateException(
+          s"watermark-gated aggregate under noDataMicroBatches=false: $a")
+      case d: org.apache.spark.sql.catalyst.plans.logical.Deduplicate =>
+        throw new IllegalStateException(
+          s"watermark-gated dedupe under noDataMicroBatches=false: $d")
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.joinType != org.apache.spark.sql.catalyst.plans.Inner =>
+        throw new IllegalStateException(
+          s"non-inner stream join under noDataMicroBatches=false: ${j.joinType}")
+      case _ => ()
+    }
     val name = s"graft_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val q = joined.writeStream
       .outputMode(OutputMode.Append())

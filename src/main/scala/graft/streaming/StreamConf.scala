@@ -26,18 +26,22 @@ object StreamConf {
     * (`spark.graft.stage.dir`, used for checkpoint placement) is copied
     * across explicitly.
     */
-  def streamSession(spark: SparkSession, statePartitions: Int = 8): SparkSession = {
+  def streamSession(spark: SparkSession, statePartitions: Int = 8,
+      drain: Boolean = true): SparkSession = {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    // Drain-oriented state-store settings: these queries run a handful of
-    // micro-batches under AvailableNow, so the 100-batch retention
-    // default only multiplies checkpoint files, and a background
-    // snapshot pass mid-drain doubles state I/O for state that is about
-    // to be read exactly once. An always-on deployment would keep the
-    // defaults (they bound recovery replay); a drain's recovery story is
-    // "rerun the drain".
-    ss.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
-    ss.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "600s")
+    if (drain) {
+      // Drain-oriented state-store settings: these queries run a handful
+      // of micro-batches under AvailableNow, so the 100-batch retention
+      // default only multiplies checkpoint files, and a background
+      // snapshot pass mid-drain doubles state I/O for state that is about
+      // to be read exactly once. An always-on deployment passes
+      // drain=false and keeps the defaults — they bound recovery replay,
+      // which a drain does not need (its recovery story is "rerun the
+      // drain").
+      ss.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
+      ss.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "600s")
+    }
     spark.conf.getOption("spark.graft.stage.dir")
       .foreach(ss.conf.set("spark.graft.stage.dir", _))
     ss
@@ -53,7 +57,8 @@ object StreamConf {
     */
   def streamSessionFor(spark: SparkSession, dir: String,
       file: String = "events.parquet",
-      bytesPerPartition: Long = 4L << 20): SparkSession = {
+      bytesPerPartition: Long = 4L << 20,
+      drain: Boolean = true): SparkSession = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/$file")
     val size = try {
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -61,6 +66,6 @@ object StreamConf {
     } catch { case _: java.io.IOException => 0L }
     val cores = spark.sparkContext.defaultParallelism
     val parts = math.max(8L, math.min(cores.toLong, size / bytesPerPartition)).toInt
-    streamSession(spark, parts)
+    streamSession(spark, parts, drain)
   }
 }
