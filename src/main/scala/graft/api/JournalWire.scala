@@ -40,9 +40,18 @@ object JournalWire {
           .withColumn("shard",
             if (compat) Hashing.ftmShardOf(col("entity_id"), r.shards)
             else Hashing.shardOf(col("entity_id"), r.shards))
+          // compat: null lang for non-linguistic prop types before keying
+          // AND storage (explode.py:192-196), then fold the wire's
+          // external flag and surviving lang into the derived id
+          .withColumn("lang",
+            if (compat)
+              when(col("prop_type").isInCollection(FtmModel.nonLinguistic),
+                lit(null)).otherwise(col("lang"))
+            else col("lang"))
           .withColumn("id", when(col("id") === "",
             if (compat)
-              Hashing.ftmStatementKey(col("dataset"), col("entity_id"), col("prop"), col("value"))
+              Hashing.ftmStatementKey(col("dataset"), col("entity_id"),
+                col("prop"), col("value"), col("external"), col("lang"))
             else
               Hashing.statementKey(col("dataset"), col("entity_id"), col("prop"), col("value")))
             .otherwise(col("id")))
@@ -76,7 +85,11 @@ object JournalWire {
       schema = schema, prop = req("prop"),
       prop_type = str("prop_type").getOrElse("string"),
       value = req("value"), original_value = str("original_value"),
-      lang = str("lang"), external = false,
+      lang = str("lang"),
+      // both JSON-boolean and "true"/"1" string spellings, like the CSV
+      // source's external parse
+      external = Option(n.get("external")).filterNot(_.isNull)
+        .map(_.asText.trim.toLowerCase).exists(v => v == "true" || v == "1"),
       first_seen = str("first_seen").map(parseTs).getOrElse(now),
       last_seen = str("last_seen").map(parseTs).getOrElse(now),
       fragment = str("fragment").getOrElse(""),

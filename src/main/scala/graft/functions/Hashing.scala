@@ -64,9 +64,12 @@ object Hashing {
   // exactly from the reference source in this repo; Statement.make_key
   // lives in the followthemoney package (not vendored here), so its
   // format is implemented from the library's long-stable public recipe —
-  // sha1(utf8("{dataset}.{entity_id}.{prop}.{value}" [+ ".ext" when
-  // external])) — for the lang-less, external=false case the explode
-  // path exercises. FtmCompatSpec pins the resulting digests.
+  // sha1(utf8("{dataset}.{entity_id}.{prop}.{value}" [+ ".{lang}" when
+  // lang is set] [+ ".ext" when external])) — with lang pre-nulled for
+  // non-linguistic prop types, as the reference import does before
+  // keying (explode.py:192-196). The lang-before-ext segment order
+  // follows the published library source; true byte-parity against a
+  // live followthemoney install remains untestable offline. FtmCompatSpec pins the resulting digests.
 
   /** Whether the session asks for followthemoney-compatible keys. */
   def ftmCompat(spark: org.apache.spark.sql.SparkSession): Boolean =
@@ -88,14 +91,31 @@ object Hashing {
     }
   }
 
-  /** Reference `Statement.make_key` (lang-less form): sha1 over the
-    * dot-joined identity fields, `.ext` appended for external rows.
+  /** Reference `Statement.make_key`: sha1 over the dot-joined identity
+    * fields, with a `.{lang}` segment appended when the statement carries
+    * a language and `.ext` appended for external rows — lang before ext,
+    * per the library's published recipe (the lang segment was added to
+    * the key format ahead of the terminal external marker). Callers must
+    * pass `lang` ALREADY nulled for non-linguistic prop types
+    * (`FtmModel.nonLinguistic`), mirroring `explode.py:192-194` — the
+    * reference nulls before keying, so a lang on a date prop must not
+    * perturb the digest.
     */
   def ftmStatementKey(dataset: Column, entityId: Column, prop: Column,
-      value: Column, external: Boolean = false): Column = {
-    val key = concat_ws(".", dataset, entityId, prop, value)
-    sha1(if (external) concat(key, lit(".ext")) else key)
+      value: Column, external: Column, lang: Column): Column = {
+    val base = concat_ws(".", dataset, entityId, prop, value)
+    val withLang = when(lang.isNotNull && lang =!= "",
+      concat(base, lit("."), lang)).otherwise(base)
+    sha1(when(coalesce(external.cast("boolean"), lit(false)),
+      concat(withLang, lit(".ext"))).otherwise(withLang))
   }
+
+  /** Lang-less, statically-flagged form (entity explode: external=false,
+    * lang=None by construction — `explode.py:129`). */
+  def ftmStatementKey(dataset: Column, entityId: Column, prop: Column,
+      value: Column): Column =
+    ftmStatementKey(dataset, entityId, prop, value,
+      lit(false), lit(null).cast("string"))
 
   /** Reference BASE_ID checksum (helpers/statements.py:133-135):
     * sha1(schema) folded over the sorted distinct statement ids — a fold
@@ -138,11 +158,15 @@ object Hashing {
   private val sha1s = ThreadLocal.withInitial[java.security.MessageDigest](
     () => java.security.MessageDigest.getInstance("SHA-1"))
 
-  /** Scala twin of [[ftmStatementKey]]. */
+  /** Scala twin of [[ftmStatementKey]]. `lang` must already be nulled
+    * for non-linguistic prop types (see the Column form's contract). */
   def ftmStatementKeyLocal(dataset: String, entityId: String, prop: String,
-      value: String, external: Boolean = false): String = {
+      value: String, external: Boolean = false,
+      lang: Option[String] = None): String = {
     val md = sha1s.get(); md.reset()
-    val key = s"$dataset.$entityId.$prop.$value" + (if (external) ".ext" else "")
+    val key = s"$dataset.$entityId.$prop.$value" +
+      lang.filter(_.nonEmpty).map("." + _).getOrElse("") +
+      (if (external) ".ext" else "")
     hex(md.digest(key.getBytes("UTF-8")))
   }
 

@@ -75,9 +75,20 @@ object Exports {
       .withColumn("prop_type",
         when(col("prop") === Statement.BaseId, "checksum")
           .otherwise(coalesce(element_at(typeMap, col("prop")), lit("string"))))
+      // compat: the reference import nulls lang for non-linguistic prop
+      // types BEFORE keying (explode.py:192-196) and folds the row's
+      // external flag and surviving lang into the statement id. The
+      // native path keeps its own md5 recipe and the CSV's lang as-is.
+      .withColumn("lang",
+        if (Hashing.ftmCompat(spark))
+          when(col("lang") === "" ||
+            col("prop_type").isInCollection(FtmModel.nonLinguistic), lit(null))
+            .otherwise(col("lang"))
+        else col("lang"))
       .withColumn("id",
         if (Hashing.ftmCompat(spark))
-          Hashing.ftmStatementKey(col("dataset"), col("entity_id"), col("prop"), col("value"))
+          Hashing.ftmStatementKey(col("dataset"), col("entity_id"),
+            col("prop"), col("value"), col("external"), col("lang"))
         else
           Hashing.statementKey(col("dataset"), col("entity_id"), col("prop"), col("value")))
       .withColumn("shard",

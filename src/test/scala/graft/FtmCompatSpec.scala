@@ -32,6 +32,10 @@ class FtmCompatSpec extends SparkSpec {
   private val Checksum = "2a51cf2187e13174e909ff568db9e9e85d61cc8d"
   private val BaseId = "d2c427a325bc8586cb7dc4da60721de294bf4741"
   private val KExt = "a9ff52810ff17bc4956258d2c69916190ef37f1c"
+  // sha1("ds.jane.name.Jane Doe.fr") / sha1("ds.jane.name.Jane Doe.fr.ext")
+  // — the lang segment precedes the terminal .ext marker
+  private val KLang = "40e96fceaf68b4719c616d88172511b328c95640"
+  private val KLangExt = "29d6f3dba51cd6b5672226eff9bfa14a639f7cdf"
 
   private def withCompat[A](body: => A): A = {
     spark.conf.set("graft.ftm-compat-keys", "true")
@@ -51,8 +55,27 @@ class FtmCompatSpec extends SparkSpec {
     assert(Hashing.ftmStatementKeyLocal("ds", "jane", "name", "Jane Doe",
       external = true) == KExt)
     assert(df.limit(1).select(Hashing.ftmStatementKey(col("ds"), col("eid"),
-        col("prop"), col("value"), external = true).as("k"))
+        col("prop"), col("value"), lit(true), lit(null).cast("string")).as("k"))
       .as[String].collect().head == KExt)
+
+    // lang-bearing forms: .{lang} appended when set, before the .ext marker
+    assert(Hashing.ftmStatementKeyLocal("ds", "jane", "name", "Jane Doe",
+      lang = Some("fr")) == KLang)
+    assert(Hashing.ftmStatementKeyLocal("ds", "jane", "name", "Jane Doe",
+      external = true, lang = Some("fr")) == KLangExt)
+    // empty/absent lang keys identically to the lang-less form
+    assert(Hashing.ftmStatementKeyLocal("ds", "jane", "name", "Jane Doe",
+      lang = Some("")) == K1)
+    val langCols = df.limit(1).select(
+      Hashing.ftmStatementKey(col("ds"), col("eid"), col("prop"),
+        col("value"), lit(false), lit("fr")).as("a"),
+      Hashing.ftmStatementKey(col("ds"), col("eid"), col("prop"),
+        col("value"), lit(true), lit("fr")).as("b"),
+      Hashing.ftmStatementKey(col("ds"), col("eid"), col("prop"),
+        col("value"), lit(false), lit("")).as("c")).collect()(0)
+    assert(langCols.getString(0) == KLang)
+    assert(langCols.getString(1) == KLangExt)
+    assert(langCols.getString(2) == K1)
 
     val ch = Seq(("Person", Seq(K1, K2).sorted)).toDF("schema", "ids")
       .select(Hashing.ftmEntityChecksum(col("schema"), col("ids")).as("c"))
@@ -113,12 +136,13 @@ class FtmCompatSpec extends SparkSpec {
       // a statements.csv with foreign ids: the import re-derives keys
       // under the target dataset (reference statement_row_unsafe)
       val now = Timestamp.valueOf("2024-01-01 00:00:00")
-      def st(prop: String, value: String) = graft.model.Statement(
-        shard = "z", id = "junk-" + prop, entity_id = "jane", dataset = "ds",
-        bucket = "thing", origin = "default", source = None, schema = "Person",
-        prop = prop, prop_type = "string", value = value,
-        original_value = None, lang = None, external = false,
-        first_seen = now, last_seen = now, fragment = "", deleted_at = None)
+      def st(prop: String, value: String, lang: Option[String] = None) =
+        graft.model.Statement(
+          shard = "z", id = "junk-" + prop, entity_id = "jane", dataset = "ds",
+          bucket = "thing", origin = "default", source = None, schema = "Person",
+          prop = prop, prop_type = "string", value = value,
+          original_value = None, lang = lang, external = false,
+          first_seen = now, last_seen = now, fragment = "", deleted_at = None)
       Seq(st("name", "Jane Doe"), st("nationality", "us")).toDS().toDF()
         .select(graft.model.Statement.columns.map(col): _*)
         .coalesce(1).write.option("header", "true")
@@ -128,6 +152,21 @@ class FtmCompatSpec extends SparkSpec {
       assert(ids == Set(K1, K2), ids)
       assert(got.select("shard").distinct().collect().map(_.getString(0)).toSeq ==
         Seq(Hashing.ftmShardOfLocal("jane", 4)))
+
+      // lang-carrying fixture: a linguistic prop keeps its lang (and the
+      // key gains the .fr segment); a non-linguistic prop (nationality →
+      // country type) has its lang NULLED before keying, so it collapses
+      // onto the lang-less digest — exactly explode.py:192-196
+      Seq(st("name", "Jane Doe", lang = Some("fr")),
+          st("nationality", "us", lang = Some("fr"))).toDS().toDF()
+        .select(graft.model.Statement.columns.map(col): _*)
+        .coalesce(1).write.option("header", "true")
+        .mode("overwrite").csv(s"$dir/in2")
+      val got2 = graft.ops.Exports.statementsCsvImport(spark, s"$dir/in2", shards = 4)
+      val byProp = got2.select("prop", "id", "lang").collect()
+        .map(r => r.getString(0) -> (r.getString(1), Option(r.getString(2)))).toMap
+      assert(byProp("name") == ((KLang, Some("fr"))), byProp)
+      assert(byProp("nationality") == ((K2, None)), byProp)
     }
   }
 }
