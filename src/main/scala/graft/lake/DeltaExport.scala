@@ -85,8 +85,91 @@ object DeltaExport {
       if (!FsOps.rename(fs, tmp, new Path(logDir, f"$deltaV%020d.json")))
         throw new IllegalStateException(s"delta export commit race at version $deltaV")
       prev = live
+      // delta-rs checkpoints every 10 commits; a long-lived store without
+      // them forces every reader to replay the whole JSON log on open
+      if (deltaV > 0 && deltaV % CheckpointInterval == 0)
+        writeCheckpoint(spark, fs, root, logDir, deltaV, live)
     }
     deltaV
+  }
+
+  /** Checkpoint cadence — the delta-rs default interval. */
+  private[lake] val CheckpointInterval = 10L
+
+  /** Write `{v:020d}.checkpoint.parquet` (the full replay state at `v`:
+    * protocol + metaData + one add per live file) and point
+    * `_last_checkpoint` at it, per the public protocol. Remove
+    * tombstones are deliberately omitted: they exist so concurrent
+    * readers of ALREADY-DELETED files can fail gracefully within the
+    * retention window, and this exporter is the log's only writer — the
+    * checkpoint is the compaction of its own history. Readers (incl.
+    * [[DeltaImport]]) start from the checkpoint and replay only the
+    * JSON commits above it, so open cost stops growing with table age.
+    *
+    * The parquet is written THROUGH Spark (single output file renamed
+    * into the log), so a million-file live set streams through an
+    * executor task instead of materializing rows on the driver beyond
+    * the manifest text already held.
+    */
+  private def writeCheckpoint(spark: SparkSession, fs: FileSystem,
+      root: Path, logDir: Path, version: Long, live: Set[String]): Unit = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val mapT = MapType(StringType, StringType, valueContainsNull = true)
+    val cpSchema = StructType(Seq(
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("format", StructType(Seq(
+          StructField("provider", StringType),
+          StructField("options", mapT)))),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", mapT),
+        StructField("createdTime", LongType)))),
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", mapT),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType))))))
+    val files = live.toSeq.sorted
+    val stats = statFiles(fs, root, files)
+    val rows: Seq[Row] =
+      Row(Row(1, 2), null, null) +:
+      Row(null, Row(
+        java.util.UUID.nameUUIDFromBytes(
+          ("graft:" + root.toString).getBytes("UTF-8")).toString,
+        Row("parquet", Map.empty[String, String]),
+        graft.model.Statement.schema.json,
+        graft.model.Statement.partitionColumns,
+        Map.empty[String, String],
+        System.currentTimeMillis()), null) +:
+      files.map { f =>
+        val (size, mtime) = stats(f)
+        Row(null, null,
+          Row(encodePath(f), partitionValuesOf(f).toMap, size, mtime, true))
+      }
+    import scala.jdk.CollectionConverters._
+    val tmpDir = new Path(logDir, f".$version%020d.checkpoint.tmp")
+    spark.createDataFrame(rows.asJava, cpSchema)
+      .repartition(1)
+      .write.mode("overwrite").parquet(tmpDir.toString)
+    val part = fs.listStatus(tmpDir).map(_.getPath)
+      .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"no checkpoint part under $tmpDir"))
+    val target = new Path(logDir, f"$version%020d.checkpoint.parquet")
+    fs.delete(target, false)
+    if (!FsOps.rename(fs, part, target))
+      throw new IllegalStateException(s"delta checkpoint rename race at v$version")
+    fs.delete(tmpDir, true)
+    val lc = mapper.createObjectNode()
+    lc.put("version", version)
+    lc.put("size", rows.size.toLong)
+    FsOps.writeSmall(fs, new Path(logDir, "_last_checkpoint"),
+      (mapper.writeValueAsString(lc) + "\n").getBytes("UTF-8"))
   }
 
   /** (last delta version, last exported graft version, exported live set).

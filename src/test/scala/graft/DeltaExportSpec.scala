@@ -139,6 +139,56 @@ class DeltaExportSpec extends SparkSpec {
     assert(removes == (before -- after))
   }
 
+  test("checkpoints every 10 commits; import opens from it; export resumes past it") {
+    val root = Files.createTempDirectory("graft-dexp-ckpt").toString
+    val store = new StatementStore(spark, root, shards = 2)
+    // 12 manifest versions → delta v0..v11 → checkpoint at v10
+    (1 to 12).foreach(i => appendOne(store, s"e$i", s"Entity $i"))
+    assert(DeltaExport.exportDeltaLog(spark, root) == 11L)
+
+    val fs = hfs(root)
+    val logDir = new org.apache.hadoop.fs.Path(root, "_delta_log")
+    val lcPath = new org.apache.hadoop.fs.Path(logDir, "_last_checkpoint")
+    assert(fs.exists(lcPath), "_last_checkpoint missing")
+    val lc = mapper.readTree(new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(fs.open(lcPath)), "UTF-8"))
+    assert(lc.get("version").asLong == 10L)
+    val cpFile = new org.apache.hadoop.fs.Path(logDir,
+      f"${10L}%020d.checkpoint.parquet")
+    assert(fs.exists(cpFile), "checkpoint parquet missing")
+    // the checkpoint carries the full replay state at v10: protocol,
+    // metaData, and one add per file live at that version
+    val cp = spark.read.parquet(cpFile.toString)
+    assert(cp.filter(cp.col("protocol.minReaderVersion") === 1).count() == 1L)
+    assert(cp.filter(cp.col("metaData.id").isNotNull).count() == 1L)
+    val cpAdds = cp.select("add.path").na.drop().count()
+    val liveAt10 = Manifest.liveFiles(fs, hpath(root),
+      Manifest.presentVersions(fs, hpath(root)).take(11).last)
+    assert(cpAdds == liveAt10.size.toLong)
+
+    // a fresh export RESUMES past the checkpoint (no rewrite, no re-checkpoint)
+    appendOne(store, "late", "Late Entity")
+    assert(DeltaExport.exportDeltaLog(spark, root) == 12L)
+    assert(lc == mapper.readTree(new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(fs.open(lcPath)), "UTF-8")))
+
+    // import must open VIA the checkpoint: hide the pre-checkpoint JSON
+    // commits — only the checkpoint plus v11/v12 remain readable
+    val wantRows = store.raw.collect().map(_.toString).sorted.toSeq
+    val live = Manifest.liveFiles(fs, hpath(root), -1L)
+    val hidden = new org.apache.hadoop.fs.Path(root, "_hidden_commits")
+    fs.mkdirs(hidden)
+    (0L to 10L).foreach { v =>
+      assert(fs.rename(new org.apache.hadoop.fs.Path(logDir, f"$v%020d.json"),
+        new org.apache.hadoop.fs.Path(hidden, f"$v%020d.json")))
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(root, "_graft"), true)
+    DeltaImport.importDeltaLog(spark, root)
+    val adopted = new StatementStore(spark, root, shards = 2)
+    assert(Manifest.liveFiles(fs, hpath(root), -1L) == live)
+    assert(adopted.raw.collect().map(_.toString).sorted.toSeq == wantRows)
+  }
+
   test("refuses a foreign _delta_log (commits without the graft tag)") {
     val root = Files.createTempDirectory("graft-dexp-foreign").toString
     val store = new StatementStore(spark, root, shards = 2)
