@@ -42,6 +42,19 @@ object StreamConf {
       ss.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
       ss.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "600s")
     }
+    // experiment hook: state-store backend override (measured A/B)
+    sys.env.get("SPARK_GRAFT_STATE_STORE").foreach {
+      case "rocksdb" =>
+        ss.conf.set(
+          "spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        ss.conf.set(
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+          "true")
+      case _ => ()
+    }
+    sys.env.get("SPARK_GRAFT_STATE_PARTITIONS")
+      .foreach(ss.conf.set("spark.sql.shuffle.partitions", _))
     spark.conf.getOption("spark.graft.stage.dir")
       .foreach(ss.conf.set("spark.graft.stage.dir", _))
     ss

@@ -15,7 +15,7 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 FACTORS=${FACTORS:-"1 10 100"}
 REPS=${REPS:-2}
-QUERIES=${QUERIES:-"s3_store_roundtrip gr2_expand gr3_pagerank gr4_components gr5_triangles gr6_ppr gr7_kcore tok2_bpe_merges sim9_ivf_trained bf2_bloom_join st5_interval_join st9_neardup_stream x3_xref_incremental a3_changed_canonical gr1_degree ovl1_source_overlap a1_merge_dedupe sk3_stream_countmin kw1_tfidf_terms cur6_curation_funnel cdf1_version_diff"}
+QUERIES=${QUERIES:-"s3_store_roundtrip gr2_expand gr3_pagerank gr4_components gr5_triangles gr6_ppr gr7_kcore tok2_bpe_merges sim9_ivf_trained bf2_bloom_join st5_interval_join st9_neardup_stream x3_xref_incremental a3_changed_canonical gr1_degree ovl1_source_overlap a1_merge_dedupe sk3_stream_countmin kw1_tfidf_terms cur6_curation_funnel cdf1_version_diff x2_xref_scores s11_json_roundtrip cur5_dsir_weights"}
 
 # fresh oracle_sql.json (Verify with one cheap query still dumps all SQL)
 DUMP=/tmp/graft-scaled-oracle-dump
@@ -33,7 +33,16 @@ for F in $FACTORS; do
   SPARK_GRAFT_SF_DIR=$DIR SPARK_GRAFT_REPS=$REPS \
     SPARK_GRAFT_BENCH_OUT=/tmp/graft-scaled-spark-f$F.json \
     sbt -batch "runMain graft.Bench $QUERIES" | grep '"metric"' || true
-  python3 tools/time_oracle.py "$DIR" "$DUMP/oracle_sql.json" "$REPS" $QUERIES \
+  # the recursive-CTE graph oracles (gr3-gr6) do not complete in DuckDB at
+  # x100 (gr4 alone is 319 s/rep at x10) — Spark still runs them above;
+  # they are just absent from the x100 denominator (see the note below)
+  OQUERIES="$QUERIES"
+  if [ "$F" = 100 ]; then
+    OQUERIES=$(echo "$QUERIES" | tr ' ' '\n' \
+      | grep -v -E '^(gr3_pagerank|gr4_components|gr5_triangles|gr6_ppr)$' \
+      | tr '\n' ' ')
+  fi
+  python3 tools/time_oracle.py "$DIR" "$DUMP/oracle_sql.json" "$REPS" $OQUERIES \
     | tee /tmp/graft-scaled-oracle-f$F.txt
 done
 
@@ -56,7 +65,31 @@ for f in factors:
     scales.append({'factor': f, 'n_queries': len(common),
                    'spark_total': round(st, 3), 'oracle_total': round(ot, 3),
                    'ratio': round(st / ot, 3), 'queries': per})
-out = {'src_sf': 0.1, 'reps': spark.get('reps'), 'scales': scales}
+out = {
+    'src_sf': 0.1, 'reps': spark.get('reps'), 'oracle_reps': spark.get('reps'),
+    'scaling': ('coordinated star-schema replication (round 10): '
+                'customer/supplier/orders/lineitem offset per logical key, so '
+                'graphs and fact joins grow with the factor; '
+                'events/documents/embeddings replicated with offset keys; '
+                '8 MB row groups so both engines parallelize single-file scans'),
+    'note': ('x100 omits gr3/gr4/gr5/gr6 from the ORACLE side only: their '
+             'DuckDB oracles are recursive CTEs that do not complete at this '
+             'size (gr4 alone is 319 s/rep at x10); Spark runs them fine — '
+             'see the spark-f100 run for their absolute times.'),
+    'streaming_drain_note': (
+        'st5/sk3 are streaming drains: an AvailableNow one-batch drain '
+        'buffers every row through the symmetric-join/agg state stores, a '
+        'cost their batch twins (rj1/aj1, sk1 — at parity in the x100 set) '
+        'never pay. Measured levers at x100 (round 11): state partitions '
+        '8/16/32 -> 6.5/6.7/5.7 s (commit traffic is NOT dominant; 32 = '
+        'streamSessionFor sizing kept); RocksDB state store with changelog '
+        'checkpointing -> 21.4 s (per-put write amplification loses to the '
+        'in-memory HDFS-backed map for one-shot drains; RocksDB stays the '
+        'right choice only for always-on queries with state >> heap, '
+        'available via SPARK_GRAFT_STATE_STORE=rocksdb). The residual is '
+        'the state-store put/probe machinery itself — irreducible within '
+        'Spark streaming semantics.'),
+    'scales': scales}
 json.dump(out, open('BENCH_scaled.json', 'w'), indent=1)
 open('BENCH_scaled.json', 'a').write('\n')
 for s in scales:
