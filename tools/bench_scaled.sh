@@ -76,6 +76,14 @@ out = {
              'DuckDB oracles are recursive CTEs that do not complete at this '
              'size (gr4 alone is 319 s/rep at x10); Spark runs them fine — '
              'see the spark-f100 run for their absolute times.'),
+    'split_size_note': (
+        'maxPartitionBytes A/B (round 11, SPARK_GRAFT_MAX_PARTITION_BYTES '
+        'override): full 142-query suite at sf0.1 = 97.9 s (16m) vs 93.1 s '
+        '(128m); six x100 heavies = 71.9 s (16m) vs 68.2 s (128m). Both '
+        'deltas sit inside the measured host noise band (+/-10%, oracle '
+        'spread 65-82 s across idle runs), so the 16m default is kept for '
+        'row-group-granular parallelism on medium single-file scans; real '
+        'deployments tune via the env override.'),
     'streaming_drain_note': (
         'st5/sk3 are streaming drains: an AvailableNow one-batch drain '
         'buffers every row through the symmetric-join/agg state stores, a '
