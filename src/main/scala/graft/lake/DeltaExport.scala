@@ -58,8 +58,11 @@ object DeltaExport {
     // Replay our own prior export (if any): last delta version, the
     // exported file set, and the graft version it corresponds to. A log
     // with commits missing our commitInfo tag was written by someone
-    // else — refuse to interleave.
-    val (lastDelta, lastGraft, exported) = replayOwnLog(fs, logDir)
+    // else — refuse to interleave. Replay seeds from our checkpoint when
+    // one exists, so a delta-rs log-retention cleanup that deleted
+    // pre-checkpoint JSON commits (legal once the checkpoint covers
+    // them) cannot corrupt the reconstructed exported set.
+    val (lastDelta, lastGraft, exported) = replayOwnLog(spark, fs, logDir)
 
     val todo = graftVersions.filter(_ > lastGraft)
     if (todo.isEmpty) return lastDelta
@@ -88,7 +91,7 @@ object DeltaExport {
       // delta-rs checkpoints every 10 commits; a long-lived store without
       // them forces every reader to replay the whole JSON log on open
       if (deltaV > 0 && deltaV % CheckpointInterval == 0)
-        writeCheckpoint(spark, fs, root, logDir, deltaV, live)
+        writeCheckpoint(spark, fs, root, logDir, deltaV, gv, live)
     }
     deltaV
   }
@@ -112,7 +115,8 @@ object DeltaExport {
     * the manifest text already held.
     */
   private def writeCheckpoint(spark: SparkSession, fs: FileSystem,
-      root: Path, logDir: Path, version: Long, live: Set[String]): Unit = {
+      root: Path, logDir: Path, version: Long, graftVersion: Long,
+      live: Set[String]): Unit = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val mapT = MapType(StringType, StringType, valueContainsNull = true)
@@ -168,23 +172,38 @@ object DeltaExport {
     val lc = mapper.createObjectNode()
     lc.put("version", version)
     lc.put("size", rows.size.toLong)
+    // ownership stamp (delta-rs readers ignore unknown keys): lets a
+    // later re-export resume from the checkpoint even after log-retention
+    // cleanup has deleted the JSON commits it covers
+    lc.put("graftManifestVersion", graftVersion)
     FsOps.writeSmall(fs, new Path(logDir, "_last_checkpoint"),
       (mapper.writeValueAsString(lc) + "\n").getBytes("UTF-8"))
   }
 
   /** (last delta version, last exported graft version, exported live set).
     * (-1, -1, empty) when no `_delta_log` exists yet.
+    *
+    * When `_last_checkpoint` exists, the base state comes from OUR
+    * checkpoint (its `graftManifestVersion` stamp proves we wrote it —
+    * a checkpoint without the stamp is a foreign writer's, refused) and
+    * only JSON commits ABOVE it replay on top. This keeps re-export
+    * correct after a delta-rs log-retention cleanup deletes the JSON
+    * commits the checkpoint already covers.
     */
-  private def replayOwnLog(fs: FileSystem, logDir: Path): (Long, Long, Set[String]) = {
+  private def replayOwnLog(spark: SparkSession, fs: FileSystem,
+      logDir: Path): (Long, Long, Set[String]) = {
     if (!fs.exists(logDir)) return (-1L, -1L, Set.empty)
+    val (cpVersion, cpGraft, cpLive) = readOwnCheckpoint(spark, fs, logDir)
     val commits = fs.listStatus(logDir).map(_.getPath)
       .flatMap(p => p.getName match {
         case CommitRe(v) => Some(v.toLong -> p)
         case _ => None
-      }).sortBy(_._1)
-    if (commits.isEmpty) return (-1L, -1L, Set.empty)
-    var lastGraft = -1L
-    var live = Set.empty[String]
+      })
+      .filter(_._1 > cpVersion)
+      .sortBy(_._1)
+    if (commits.isEmpty) return (cpVersion, cpGraft, cpLive)
+    var lastGraft = cpGraft
+    var live = cpLive
     for ((v, p) <- commits) {
       var tagged = false
       val in = new java.io.BufferedReader(
@@ -215,6 +234,31 @@ object DeltaExport {
           "use `delta import` to adopt it instead")
     }
     (commits.last._1, lastGraft, live)
+  }
+
+  /** Base replay state from `_last_checkpoint`, when present and OURS:
+    * (checkpoint delta version, its graftManifestVersion stamp, its add
+    * set). (-1, -1, empty) when no checkpoint exists. A `_last_checkpoint`
+    * without the graft stamp means a foreign writer checkpointed this
+    * log — refuse, same policy as untagged commits.
+    */
+  private def readOwnCheckpoint(spark: SparkSession, fs: FileSystem,
+      logDir: Path): (Long, Long, Set[String]) = {
+    val lcPath = new Path(logDir, "_last_checkpoint")
+    if (!fs.exists(lcPath)) return (-1L, -1L, Set.empty)
+    val lc = mapper.readTree(new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(fs.open(lcPath)), "UTF-8"))
+    val v = lc.get("version").asLong
+    require(lc.has("graftManifestVersion"),
+      s"delta export: $logDir holds a checkpoint not written by graft " +
+        "(no graftManifestVersion in _last_checkpoint) — refusing to append " +
+        "to a foreign _delta_log; use `delta import` to adopt it instead")
+    val cp = new Path(logDir, f"$v%020d.checkpoint.parquet")
+    require(fs.exists(cp), s"_last_checkpoint names v$v but $cp is missing")
+    val df = spark.read.parquet(cp.toString)
+    val live = df.select("add.path").na.drop()
+      .collect().map(r => URLDecoder.decode(r.getString(0), "UTF-8")).toSet
+    (v, lc.get("graftManifestVersion").asLong, live)
   }
 
   private def protocolLine(): String =

@@ -189,6 +189,49 @@ class DeltaExportSpec extends SparkSpec {
     assert(adopted.raw.collect().map(_.toString).sorted.toSeq == wantRows)
   }
 
+  test("re-export survives log-retention cleanup of pre-checkpoint commits") {
+    val root = Files.createTempDirectory("graft-dexp-clean").toString
+    val store = new StatementStore(spark, root, shards = 2)
+    (1 to 12).foreach(i => appendOne(store, s"e$i", s"Entity $i"))
+    assert(DeltaExport.exportDeltaLog(spark, root) == 11L)
+
+    val fs = hfs(root)
+    val logDir = new org.apache.hadoop.fs.Path(root, "_delta_log")
+    // delta-rs log cleanup: once the v10 checkpoint covers them, the JSON
+    // commits v0..v10 may be deleted by table maintenance
+    (0L to 10L).foreach(v =>
+      assert(fs.delete(new org.apache.hadoop.fs.Path(logDir, f"$v%020d.json"), false)))
+
+    // idempotent no-op still resolves the current head from checkpoint + v11
+    assert(DeltaExport.exportDeltaLog(spark, root) == 11L)
+
+    // incremental export resumes with the correct diff: the new commit
+    // adds exactly the latest manifest delta, nothing re-added
+    appendOne(store, "late", "Late Entity")
+    assert(DeltaExport.exportDeltaLog(spark, root) == 12L)
+    val versions = Manifest.presentVersions(fs, hpath(root))
+    val prevLive = Manifest.liveFiles(fs, hpath(root), versions.dropRight(1).last)
+    val nowLive = Manifest.liveFiles(fs, hpath(root), -1L)
+    val adds = actions(root, 12L, "add")
+      .map(a => java.net.URLDecoder.decode(a.get("path").asText, "UTF-8")).toSet
+    assert(adds == (nowLive -- prevLive))
+    assert(actions(root, 12L, "remove").isEmpty)
+
+    // and a foreign checkpoint (no graft stamp) is refused, same policy
+    // as untagged commits
+    val lcPath = new org.apache.hadoop.fs.Path(logDir, "_last_checkpoint")
+    val lc = mapper.readTree(new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(fs.open(lcPath)), "UTF-8"))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    lc.remove("graftManifestVersion")
+    fs.delete(lcPath, false)
+    graft.lake.FsOps.writeSmall(fs, lcPath,
+      (mapper.writeValueAsString(lc) + "\n").getBytes("UTF-8"))
+    appendOne(store, "more", "More")
+    val e = intercept[IllegalArgumentException](DeltaExport.exportDeltaLog(spark, root))
+    assert(e.getMessage.contains("foreign"), e.getMessage)
+  }
+
   test("refuses a foreign _delta_log (commits without the graft tag)") {
     val root = Files.createTempDirectory("graft-dexp-foreign").toString
     val store = new StatementStore(spark, root, shards = 2)
