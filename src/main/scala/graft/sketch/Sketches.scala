@@ -179,7 +179,10 @@ object Sketches {
     // codegen by deleting the explode+distinct exchange entirely.
     val h = Dedupe.tokenHash(col(itemCol))
     val ps = BloomA.zip(BloomB).map { case (a, b) => gHash(h, a, b, m.toLong) }
-    val partials = items.select(explode(array(ps: _*)).as("pos")).as[Long]
+    // null items carry no positions (a null never "is in" the filter —
+    // matching the join probe, where null positions just miss)
+    val partials = items.filter(col(itemCol).isNotNull)
+      .select(explode(array(ps: _*)).as("pos")).as[Long]
       .mapPartitions { it =>
         val w = new Array[Long](words)
         it.foreach(p => w((p >>> 6).toInt) |= 1L << (p & 63))
@@ -204,10 +207,14 @@ object Sketches {
   def bloomScreen(probe: DataFrame, itemCol: String, mask: Array[Long],
       m: Int = 65536): DataFrame = {
     require(mask.length == m / 64, s"mask/${m}-bit mismatch: ${mask.length}")
+    // coalesce: a null item is a miss (0), exactly like the join form's
+    // null-position lookup — not a null flag
     probe.withColumn("bloom_hit",
-      graft.functions.BloomMaskHit(
-        Dedupe.tokenHash(col(itemCol)), mask, BloomA, BloomB, m.toLong)
-        .cast("long"))
+      coalesce(
+        graft.functions.BloomMaskHit(
+          Dedupe.tokenHash(col(itemCol)), mask, BloomA, BloomB, m.toLong)
+          .cast("long"),
+        lit(0L)))
   }
 
   /** Probe items against a bloom bit table: an item "hits" iff ALL its

@@ -137,6 +137,20 @@ class SketchSpec extends SparkSpec {
     assert(viaMask === viaJoin)
     // and the screen keeps the one-sided guarantee on its own
     assert((1 to 200).forall(i => viaMask(s"needle$i") === 1L))
+    // null items: no positions in the build, a plain miss (0) in the
+    // screen — same as the join form's null-position lookup
+    val withNull = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row("needle1"), org.apache.spark.sql.Row(null)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("item",
+          org.apache.spark.sql.types.StringType, nullable = true))))
+    val nullMask = Sketches.bloomMask(withNull, "item", m = 4096)
+    assert(nullMask.toSeq == Sketches.bloomMask(
+      Seq("needle1").toDF("item"), "item", m = 4096).toSeq)
+    val hits = Sketches.bloomScreen(withNull, "item", nullMask, m = 4096)
+      .select(col("bloom_hit")).collect().map(_.getLong(0)).sorted
+    assert(hits.toSeq == Seq(0L, 1L))
   }
 
   test("streamed count-min equals the batch build bit-for-bit") {
