@@ -99,10 +99,11 @@ object Search {
     * is the same rational odds-ratio as [[bm25]] — exact cross-engine
     * float parity, monotone in the classic ln form.
     *
-    * Scale shape: one shuffle to the (doc, term) grain for tf, one
-    * term-grain aggregation for df (map-side partial), a term-key join
-    * of the two (AQE broadcasts the df side when the vocabulary is
-    * small), and a per-doc windowed top-k. The window partitions by
+    * Scale shape: the (doc, term) grain comes straight out of the scan
+    * ([[graft.functions.TermCounts]] — no tf shuffle at all), one
+    * term-grain aggregation for df (map-side partial, skew-safe), a
+    * term-key join of the two (AQE broadcasts the df side when the
+    * vocabulary is small), and a per-doc windowed top-k. The window partitions by
     * document over that document's DISTINCT terms — bounded per-group
     * cardinality, the sanctioned windowed-top-k case (unlike an
     * argmax over an exploded cross product, which is not).
