@@ -106,8 +106,12 @@ object Hashing {
     val base = concat_ws(".", dataset, entityId, prop, value)
     val withLang = when(lang.isNotNull && lang =!= "",
       concat(base, lit("."), lang)).otherwise(base)
-    sha1(when(coalesce(external.cast("boolean"), lit(false)),
-      concat(withLang, lit(".ext"))).otherwise(withLang))
+    // exact reference predicate (explode.py:194): str(x).strip().lower()
+    // in ("true","1") — a plain boolean cast would also accept Spark's
+    // extended spellings ("t","y","yes") the reference rejects
+    val isExt = coalesce(
+      lower(trim(external.cast("string"))).isin("true", "1"), lit(false))
+    sha1(when(isExt, concat(withLang, lit(".ext"))).otherwise(withLang))
   }
 
   /** Lang-less, statically-flagged form (entity explode: external=false,

@@ -75,7 +75,7 @@ object DeltaExport {
       val lines = Seq.newBuilder[String]
       if (deltaV == 0L) {
         lines += protocolLine()
-        lines += metaDataLine(rootStr)
+        lines += metaDataLine(root)
       }
       lines += commitInfoLine(gv)
       val added = (live -- prev).toSeq.sorted
@@ -144,8 +144,7 @@ object DeltaExport {
     val rows: Seq[Row] =
       Row(Row(1, 2), null, null) +:
       Row(null, Row(
-        java.util.UUID.nameUUIDFromBytes(
-          ("graft:" + root.toString).getBytes("UTF-8")).toString,
+        tableId(root),
         Row("parquet", Map.empty[String, String]),
         graft.model.Statement.schema.json,
         graft.model.Statement.partitionColumns,
@@ -246,8 +245,11 @@ object DeltaExport {
       logDir: Path): (Long, Long, Set[String]) = {
     val lcPath = new Path(logDir, "_last_checkpoint")
     if (!fs.exists(lcPath)) return (-1L, -1L, Set.empty)
-    val lc = mapper.readTree(new String(
-      org.apache.hadoop.io.IOUtils.readFullyToByteArray(fs.open(lcPath)), "UTF-8"))
+    val lcIn = fs.open(lcPath)
+    val lcBytes =
+      try org.apache.hadoop.io.IOUtils.readFullyToByteArray(lcIn)
+      finally lcIn.close()
+    val lc = mapper.readTree(new String(lcBytes, "UTF-8"))
     val v = lc.get("version").asLong
     require(lc.has("graftManifestVersion"),
       s"delta export: $logDir holds a checkpoint not written by graft " +
@@ -264,12 +266,19 @@ object DeltaExport {
   private def protocolLine(): String =
     """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
 
-  private def metaDataLine(rootStr: String): String = {
+  /** Stable per-table id. Derived from the NORMALIZED `Path.toString`
+    * (never the caller's raw string) so the v0 metaData commit and every
+    * checkpoint of the same table agree even when the caller's spelling
+    * differs (trailing slash, `file:///` vs `file:/`).
+    */
+  private def tableId(root: Path): String =
+    java.util.UUID.nameUUIDFromBytes(
+      ("graft:" + root.toString).getBytes("UTF-8")).toString
+
+  private def metaDataLine(root: Path): String = {
     val md = mapper.createObjectNode()
     val m = md.putObject("metaData")
-    // stable per-table id so repeated fresh exports of the same root agree
-    m.put("id", java.util.UUID.nameUUIDFromBytes(
-      ("graft:" + rootStr).getBytes("UTF-8")).toString)
+    m.put("id", tableId(root))
     val fmt = m.putObject("format")
     fmt.put("provider", "parquet")
     fmt.putObject("options")

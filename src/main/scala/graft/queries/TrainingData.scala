@@ -585,48 +585,72 @@ object TrainingData {
     * sqrt-temperature mixture draw (cur4's integer threshold, 8k-token
     * budget over the SURVIVORS).
     *
-    * The point is composition: every stage is the same declarative
-    * DataFrame the standalone query gates, so the funnel is one lazy
-    * plan; only the parse projection (st0) and the multi-consumer
-    * survivor set (st3: feeds its own totals, the draw, and the report)
-    * are staged. Per-stage counts re-scan the STAGED parse, not the
-    * corpus.
+    * The point is composition — and ONE corpus pass. Every gate becomes
+    * a per-row boolean FLAG computed in a single window-augmented
+    * projection (the min-per-key dedupe and the per-source cap rank are
+    * `min(when(...))` / `row_number` windows conditioned on the prior
+    * flag, so "rank among survivors" never needs a filtered re-shuffle),
+    * staged once; the per-source allocation is a tiny aggregate over the
+    * flagged rows, broadcast back for the draw flag; the 5-stage report
+    * is one conditional aggregation unpivoted with `stack`. Net plan:
+    * one corpus scan, two window shuffles, one staged write — the naive
+    * per-stage-branch union re-scanned the corpus (and re-ran the dedupe
+    * shuffle) once per stage, which is exactly the shape whose cost
+    * GROWS with data while the oracle's CTEs get cached, and showed up
+    * as the ×10→×100 ratio rising 1.49→1.79 in BENCH_scaled r11.
     */
   def cur6CurationFunnel(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.F
     val W = org.apache.spark.sql.expressions.Window
     val n = size(split(col("text"), " ")).cast("long")
     val wl = (length(col("text")) - (n - lit(1))).cast("double") / n.cast("double")
-    val st0 = F.materialize(docs(spark, dir).select(
+    val parsed = docs(spark, dir).select(
       col("doc_id"), col("source"), col("n_chars"),
-      n.as("__nt"), wl.as("__wl"), md5(col("text")).as("__key")))
-    val st1 = st0.filter(col("__nt") >= 50 && col("__nt") <= 100000 &&
-      col("__wl") >= 3.0 && col("__wl") <= 10.0)
-    val st2 = st1
-      .withColumn("__mn", min(col("doc_id")).over(W.partitionBy(col("__key"))))
-      .filter(col("doc_id") === col("__mn"))
-    val st3 = F.materialize(st2
-      .withColumn("__rk", row_number().over(
-        W.partitionBy(col("source")).orderBy(col("n_chars").desc, col("doc_id"))))
-      .filter(col("__rk") <= 15)
-      .select(col("doc_id"), col("source"), col("__nt")))
-    val sq = st3.groupBy(col("source")).agg(sum(col("__nt")).as("src_tok"))
+      n.as("__nt"), wl.as("__wl"), md5(col("text")).as("__key"))
+    val g1 = col("__nt") >= 50 && col("__nt") <= 100000 &&
+      col("__wl") >= 3.0 && col("__wl") <= 10.0
+    // min doc_id among g1 rows of this key: nulls (non-g1) never win min
+    val mn = min(when(g1, col("doc_id"))).over(W.partitionBy(col("__key")))
+    val g2 = g1 && col("doc_id") === mn
+    // rank among g2 survivors: g2 rows sort first, so their row_number
+    // equals their rank within the survivor set — no filtered re-window
+    val rk = row_number().over(W.partitionBy(col("source"))
+      .orderBy(col("__g2").desc, col("n_chars").desc, col("doc_id")))
+    val flagged = F.materialize(parsed
+      .withColumn("__g2", g2)
+      .withColumn("__g3", col("__g2") && rk <= 15)
+      .withColumn("__g1", g1)
+      .select(col("doc_id"), col("source"), col("__nt"),
+        col("__g1"), col("__g2"), col("__g3")))
+    val sq = flagged.filter(col("__g3")).groupBy(col("source"))
+      .agg(sum(col("__nt")).as("src_tok"))
       .withColumn("s", floor(sqrt(col("src_tok").cast("double"))).cast("long"))
     val alloc = sq.crossJoin(broadcast(sq.agg(sum(col("s")).as("s_total"))))
       .withColumn("alloc_tok", expr("(8000 * s) div s_total"))
       .select(col("source"), col("src_tok"), col("alloc_tok"))
-    val st4 = st3.join(broadcast(alloc), Seq("source"))
-      .filter(pmod(Dedupe.tokenHash(col("doc_id").cast("string")), lit(1000000L)) *
-        col("src_tok") < col("alloc_tok") * lit(1000000L))
-    def stage(i: Int, name: String, df: DataFrame) =
-      df.agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens"))
-        .select(lit(i).as("stage"), lit(name).as("stage_name"),
-          col("n_docs"), col("n_tokens"))
-    stage(0, "raw", st0)
-      .unionByName(stage(1, "gopher", st1))
-      .unionByName(stage(2, "exact_dedupe", st2))
-      .unionByName(stage(3, "source_cap", st3))
-      .unionByName(stage(4, "mixture_draw", st4))
+    val g4 = col("__g3") &&
+      pmod(Dedupe.tokenHash(col("doc_id").cast("string")), lit(1000000L)) *
+        col("src_tok") < col("alloc_tok") * lit(1000000L)
+    // count(when(g, 1)) → 0 on an empty stage, sum(when(g, nt)) → null:
+    // exactly what per-stage count(*)/sum() over a filtered branch gives
+    def cnt(g: org.apache.spark.sql.Column) = count(when(g, lit(1)))
+    def tok(g: org.apache.spark.sql.Column) = sum(when(g, col("__nt")))
+    val one = flagged.join(broadcast(alloc), Seq("source"), "left_outer")
+      .withColumn("__g4", coalesce(g4, lit(false)))
+      .agg(
+        count(lit(1)).as("c0"), sum(col("__nt")).as("t0"),
+        cnt(col("__g1")).as("c1"), tok(col("__g1")).as("t1"),
+        cnt(col("__g2")).as("c2"), tok(col("__g2")).as("t2"),
+        cnt(col("__g3")).as("c3"), tok(col("__g3")).as("t3"),
+        cnt(col("__g4")).as("c4"), tok(col("__g4")).as("t4"))
+    one.select(expr(
+      """stack(5,
+        |  0, 'raw',          c0, t0,
+        |  1, 'gopher',       c1, t1,
+        |  2, 'exact_dedupe', c2, t2,
+        |  3, 'source_cap',   c3, t3,
+        |  4, 'mixture_draw', c4, t4)
+        |  AS (stage, stage_name, n_docs, n_tokens)""".stripMargin))
       .orderBy(col("stage"))
   }
 

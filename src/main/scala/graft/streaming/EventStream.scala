@@ -162,6 +162,9 @@ object EventStream {
       case d: org.apache.spark.sql.catalyst.plans.logical.Deduplicate =>
         throw new IllegalStateException(
           s"watermark-gated dedupe under noDataMicroBatches=false: $d")
+      case d: org.apache.spark.sql.catalyst.plans.logical.DeduplicateWithinWatermark =>
+        throw new IllegalStateException(
+          s"watermark-gated dedupe under noDataMicroBatches=false: $d")
       case j: org.apache.spark.sql.catalyst.plans.logical.Join
           if j.joinType != org.apache.spark.sql.catalyst.plans.Inner =>
         throw new IllegalStateException(
