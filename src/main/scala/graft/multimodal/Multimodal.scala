@@ -8,13 +8,17 @@ import org.apache.spark.sql.functions._
   * batches on executors.
   *
   * The Spark-side machinery — schema, partitioning, batch shape, typed
-  * mapPartitions pipeline — is real and tested. The actual media decode is
-  * STUBBED (this container ships no image/audio codecs): `decodeStub`
-  * derives a deterministic fake feature vector from the bytes. Swapping in
-  * a real decoder (JNI/ONNX/ffmpeg) changes only the function body marked
-  * below; every scale property (no driver transfer, columnar in/out,
-  * per-partition batching, skew-neutral hash distribution) is already in
-  * place.
+  * mapPartitions pipeline — is real and tested. IMAGE decode is REAL:
+  * jpeg/png/gif/bmp go through the JDK's own `javax.imageio` codecs
+  * ([[imageStats]], [[imageFeature]]) — no external dependency, no gate.
+  * Uncompressed audio/bitmap payloads decode for real in
+  * [[graft.functions.MediaDecode]] (PCM WAV, 24-bit BMP). Only the
+  * remaining compressed A/V codecs this container doesn't ship (mp3,
+  * mp4 demux) are STUBBED: `decodeStub` derives a deterministic fake
+  * vector, gated behind [[StubConfKey]]. Swapping in a real decoder
+  * (JNI/ONNX/ffmpeg) changes only the function body marked below; every
+  * scale property (no driver transfer, columnar in/out, per-partition
+  * batching, skew-neutral hash distribution) is already in place.
   */
 object Multimodal {
 
@@ -102,10 +106,30 @@ object Multimodal {
     }
   }
 
+  /** 8-dim feature vector from a REAL image decode: geometry + channel
+    * statistics, each normalized to [0,1]-ish range. Deterministic given
+    * the payload bytes (ImageIO decode is deterministic per JDK).
+    */
+  private[multimodal] def imageFeature(
+      img: java.awt.image.BufferedImage): Array[Float] = {
+    val (n, mr, mg, mb, ml) = pixelStats(img)
+    val w = img.getWidth.toFloat; val h = img.getHeight.toFloat
+    Array(w / 16384f, h / 16384f, math.min(1.0, n / 1e8).toFloat,
+      (mr / 255.0).toFloat, (mg / 255.0).toFloat, (mb / 255.0).toFloat,
+      (ml / 255.0).toFloat, w / (w + h))
+  }
+
   /** Feature-extraction pipeline: binary column in, feature vector out.
     * Runs as a typed mapPartitions — one decoder instance per partition
     * (where a real decoder would amortize model load), rows streamed, no
     * collect, no driver round trip.
+    *
+    * Rows the JDK's own codecs decode (jpeg/png/gif/bmp) get a REAL
+    * feature vector ([[imageFeature]]); only undecodable payloads (mp3,
+    * mp4, opaque blobs) fall to the gated stub — which is why the
+    * opt-in gate still applies to this entry point as a whole. Callers
+    * with an all-image corpus should use [[imageStats]], which is fully
+    * real and ungated.
     */
   def extractFeatures(df: DataFrame, idCol: String, binCol: String): Dataset[MediaFeatures] = {
     val spark = df.sparkSession
@@ -119,9 +143,91 @@ object Multimodal {
       // per-partition decoder setup would happen here (model load, etc.)
       rows.map { case (id, bytes) =>
         val fmt = sniffFormatBytes(bytes)
-        MediaFeatures(id, bytes.length.toLong, fmt, decodeStub(bytes).toSeq)
+        val feat = decodeImage(bytes).map(imageFeature).getOrElse(decodeStub(bytes))
+        MediaFeatures(id, bytes.length.toLong, fmt, feat.toSeq)
       }
     }
+  }
+
+  case class ImageStats(
+      media_id: Long,
+      byte_len: Long,
+      decoded: Boolean,
+      width: Option[Int],
+      height: Option[Int],
+      n_pixels: Option[Long],
+      mean_r: Option[Double],
+      mean_g: Option[Double],
+      mean_b: Option[Double],
+      mean_luma: Option[Double])
+
+  // ImageIO's default stream wrapper spools to a disk cache file per
+  // image — at corpus scale that is one /tmp write per row. Byte-array
+  // inputs never need it; turn it off once, process-wide.
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Decode an image payload with the JDK's own codecs (`javax.imageio`
+    * ships JPEG, PNG, GIF, BMP readers in every JRE — no external
+    * dependency). Returns None for bytes no registered reader accepts,
+    * including truncated/corrupt payloads a crawl always carries.
+    */
+  private[multimodal] def decodeImage(
+      bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: java.io.IOException | _: RuntimeException => None }
+
+  /** Per-image channel statistics from a decoded bitmap, reduced row by
+    * row (one `int[width]` scanline buffer — full-bitmap arrays never
+    * materialize, so a 100-megapixel outlier costs memory proportional to
+    * its WIDTH, not its area).
+    */
+  private[multimodal] def pixelStats(
+      img: java.awt.image.BufferedImage): (Long, Double, Double, Double, Double) = {
+    val w = img.getWidth; val h = img.getHeight
+    var sr = 0L; var sg = 0L; var sb = 0L
+    val row = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
+      var x = 0
+      while (x < w) {
+        val p = row(x)
+        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    val mr = sr.toDouble / n; val mg = sg.toDouble / n; val mb = sb.toDouble / n
+    (n, mr, mg, mb, 0.2126 * mr + 0.7152 * mg + 0.0722 * mb)
+  }
+
+  /** REAL image decode — mm5. JPEG/PNG (plus GIF/BMP) payloads decode to
+    * per-image pixel statistics via the JDK's `javax.imageio` codecs: no
+    * external library, no stub, NO GATE — this is production output.
+    * Typed mapPartitions, same scale shape as [[extractFeatures]]: rows
+    * stream through the executor, bitmaps live only inside the decode
+    * call, nothing visits the driver. Undecodable rows are KEPT with
+    * `decoded=false` and null stats — silently dropping corrupt payloads
+    * would skew downstream counts on a real crawl.
+    */
+  def imageStats(df: DataFrame, idCol: String, binCol: String): Dataset[ImageStats] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id"), col(binCol).as("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        decodeImage(bytes) match {
+          case Some(img) =>
+            val (n, mr, mg, mb, ml) = pixelStats(img)
+            ImageStats(id, bytes.length.toLong, decoded = true,
+              Some(img.getWidth), Some(img.getHeight), Some(n),
+              Some(mr), Some(mg), Some(mb), Some(ml))
+          case None =>
+            ImageStats(id, bytes.length.toLong, decoded = false,
+              None, None, None, None, None, None, None)
+        }
+      })
   }
 
   case class MediaFrame(

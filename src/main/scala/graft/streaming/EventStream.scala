@@ -181,6 +181,7 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    DrainMetrics.capture(q)
     ss.table(name).select(col("click_id"), col("err_id"),
       unix_millis(col("cts")).as("click_ms"),
       unix_millis(col("ets")).as("err_ms"))

@@ -87,6 +87,7 @@ object SketchStream {
       }
       .start()
     q.awaitTermination()
+    DrainMetrics.capture(q)
     ss.read.parquet(stateDir)
       .groupBy(col("row"), col("bucket")).agg(sum(col("n")).as("n"))
   }

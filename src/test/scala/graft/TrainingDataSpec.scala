@@ -757,6 +757,64 @@ class TrainingDataSpec extends SparkSpec {
     assert(rows(4L) == ((null, null)) && rows(5L) == ((null, null)))
   }
 
+  test("mm5: real JPEG/PNG pixel decode via JDK ImageIO") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    // hand-built 4×2 bitmap with known channel means:
+    // left half solid (200, 100, 50), right half solid (0, 255, 10)
+    def paint(): BufferedImage = {
+      val img = new BufferedImage(4, 2, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 2; x <- 0 until 4) {
+        val (r, g, b) = if (x < 2) (200, 100, 50) else (0, 255, 10)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+      }
+      img
+    }
+    def encode(fmt: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(paint(), fmt, out), s"JDK has no $fmt writer")
+      out.toByteArray
+    }
+    val png = encode("png"); val jpeg = encode("jpg")
+    val rows = Seq(
+      (1L, png), (2L, jpeg),
+      (3L, "not an image at all".getBytes), (4L, png.take(12)) // foreign + truncated
+    ).toDF("media_id", "payload")
+    val out = Multimodal.imageStats(rows, "media_id", "payload")
+      .collect().map(s => s.media_id -> s).toMap
+
+    // PNG is lossless: stats are EXACT
+    val p = out(1L)
+    assert(p.decoded && p.width.contains(4) && p.height.contains(2) &&
+      p.n_pixels.contains(8L))
+    assert(p.mean_r.contains(100.0) && p.mean_g.contains(177.5) &&
+      p.mean_b.contains(30.0))
+    assert(p.mean_luma.exists(l => math.abs(l - (0.2126 * 100 + 0.7152 * 177.5 + 0.0722 * 30)) < 1e-9))
+    // JPEG is lossy but its decode is deterministic: geometry exact,
+    // channel means within codec error of the painted values
+    val j = out(2L)
+    assert(j.decoded && j.width.contains(4) && j.height.contains(2))
+    assert(j.mean_r.exists(v => math.abs(v - 100.0) < 40) &&
+      j.mean_g.exists(v => math.abs(v - 177.5) < 40))
+    // undecodable rows are KEPT with decoded=false, never dropped/thrown
+    assert(!out(3L).decoded && out(3L).width.isEmpty)
+    assert(!out(4L).decoded)
+    // determinism: a second pass is bit-identical
+    val again = Multimodal.imageStats(rows, "media_id", "payload")
+      .collect().map(s => s.media_id -> s).toMap
+    assert(again == out)
+
+    // extractFeatures now yields REAL features for decodable images —
+    // gate still applies (non-image rows in the same corpus would stub)
+    spark.conf.set(Multimodal.StubConfKey, "true")
+    val feats = Multimodal.extractFeatures(rows, "media_id", "payload")
+      .collect().map(f => f.media_id -> f.feature).toMap
+    assert(feats(1L).length == 8)
+    assert(math.abs(feats(1L)(3) - 100.0 / 255.0) < 1e-6) // real mean_r/255
+    assert(math.abs(feats(1L)(0) - 4f / 16384f) < 1e-9)   // real width
+    assert(feats(3L).length == 8)                          // stub fallback
+  }
+
   test("MediaDecode: payload-declared sizes near 2^31 return null, never throw") {
     def hx(s: String): Array[Byte] =
       s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray

@@ -15,7 +15,7 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 FACTORS=${FACTORS:-"1 10 100"}
 REPS=${REPS:-2}
-QUERIES=${QUERIES:-"s3_store_roundtrip gr2_expand gr3_pagerank gr4_components gr5_triangles gr6_ppr gr7_kcore tok2_bpe_merges sim9_ivf_trained bf2_bloom_join st5_interval_join st9_neardup_stream x3_xref_incremental a3_changed_canonical gr1_degree ovl1_source_overlap a1_merge_dedupe sk3_stream_countmin kw1_tfidf_terms cur6_curation_funnel cdf1_version_diff x2_xref_scores s11_json_roundtrip cur5_dsir_weights"}
+QUERIES=${QUERIES:-"s3_store_roundtrip gr2_expand gr3_pagerank gr4_components gr5_triangles gr6_ppr gr7_kcore tok2_bpe_merges sim9_ivf_trained bf2_bloom_join st5_interval_join st9_neardup_stream x3_xref_incremental a3_changed_canonical gr1_degree ovl1_source_overlap a1_merge_dedupe sk3_stream_countmin kw1_tfidf_terms cur6_curation_funnel cdf1_version_diff x2_xref_scores s11_json_roundtrip cur5_dsir_weights tt2_version_drift d9_semantic_dedup rj1_range_join aj1_asof_join sk1_countmin"}
 
 # fresh oracle_sql.json (Verify with one cheap query still dumps all SQL)
 DUMP=/tmp/graft-scaled-oracle-dump
@@ -87,8 +87,9 @@ out = {
     'streaming_drain_note': (
         'st5/sk3 are streaming drains: an AvailableNow one-batch drain '
         'buffers every row through the symmetric-join/agg state stores, a '
-        'cost their batch twins (rj1/aj1, sk1 — at parity in the x100 set) '
-        'never pay. Measured levers at x100 (round 11): state partitions '
+        'cost their batch twins never pay — rj1/aj1 and sk1 are IN this '
+        'query set (round 12) so the parity claim is measured per factor, '
+        'not presumed. Measured levers at x100 (round 11): state partitions '
         '8/16/32 -> 6.5/6.7/5.7 s (commit traffic is NOT dominant; 32 = '
         'streamSessionFor sizing kept); RocksDB state store with changelog '
         'checkpointing -> 21.4 s (per-put write amplification loses to the '

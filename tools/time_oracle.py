@@ -15,11 +15,30 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def loadavg():
+    try:
+        with open("/proc/loadavg") as f:
+            return " ".join(f.read().split()[:3])
+    except OSError:
+        return ""
+
+
+def calibrate(con):
+    """Fixed pure-CPU probe (never edited across rounds): host-speed
+    normalizer for cross-round oracle totals, mirroring graft.Bench's
+    range200M probe on the Spark side."""
+    t0 = time.monotonic()
+    con.sql("SELECT sum(i % 97) FROM range(200000000) t(i)").fetchall()
+    return time.monotonic() - t0
+
+
 def main():
     sf_dir, oracle_path = sys.argv[1], sys.argv[2]
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 1
     con = duckdb.connect()
     con.sql("SET TimeZone='UTC'")
+    calibrate(con)  # untimed warm-up, mirroring graft.Bench
+    load_before, cal_before = loadavg(), calibrate(con)
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(oracle_path))
@@ -44,9 +63,13 @@ def main():
             print(f"[oracle] {name} rep {dt:.2f}s", file=sys.stderr, flush=True)
         if best is not None:
             times[name] = best
+    cal_after, load_after = calibrate(con), loadavg()
     for name, dt in sorted(times.items(), key=lambda kv: -kv[1]):
         print(f"{dt:8.3f}  {name}")
     print(f"TOTAL {sum(times.values()):.2f}s over {len(times)} queries")
+    print(f"CALIBRATION probe=range200M_sum_mod97 "
+          f"before={cal_before:.3f}s after={cal_after:.3f}s "
+          f"loadavg_before='{load_before}' loadavg_after='{load_after}'")
 
 
 if __name__ == "__main__":
