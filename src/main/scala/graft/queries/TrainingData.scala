@@ -585,65 +585,99 @@ object TrainingData {
     * sqrt-temperature mixture draw (cur4's integer threshold, 8k-token
     * budget over the SURVIVORS).
     *
-    * The point is composition — and ONE corpus pass. Every gate becomes
-    * a per-row boolean FLAG computed in a single window-augmented
-    * projection (the min-per-key dedupe and the per-source cap rank are
-    * `min(when(...))` / `row_number` windows conditioned on the prior
-    * flag, so "rank among survivors" never needs a filtered re-shuffle),
-    * staged once; the per-source allocation is a tiny aggregate over the
-    * flagged rows, broadcast back for the draw flag; the 5-stage report
-    * is one conditional aggregation unpivoted with `stack`. Net plan:
-    * one corpus scan, two window shuffles, one staged write — the naive
-    * per-stage-branch union re-scanned the corpus (and re-ran the dedupe
-    * shuffle) once per stage, which is exactly the shape whose cost
-    * GROWS with data while the oracle's CTEs get cached, and showed up
-    * as the ×10→×100 ratio rising 1.49→1.79 in BENCH_scaled r11.
+    * The point is composition — and ONE corpus pass, with NOTHING
+    * corpus-sized written anywhere. The row-local gate becomes a
+    * boolean before the dedupe exchange (so the shuffle carries a flag,
+    * not text-derived lengths); the dedupe gate is one well-distributed
+    * window (md5-key partitioning); the stage-0/1/2 counts ride that
+    * same job as `observe` metrics (CollectMetricsExec — accumulator
+    * scalars, 6 values, NOT a row collect); the per-source cap runs as
+    * a SALTED two-phase top-k so no window ever hashes survivors onto
+    * |sources| partitions, and only that ≤15·|sources| capped set is
+    * staged. Stages 3-4 (allocation, draw) live entirely on the staged
+    * tiny set; the report is the observed literals `stack`ed with the
+    * tiny stage-3/4 aggregate. Net plan: one corpus scan (token count
+    * via [[graft.functions.TokenCount]] — no per-row split array; md5
+    * evaluated once), one corpus-wide window shuffle, one tiny write.
+    * The naive per-stage-branch union re-scanned the corpus (and re-ran
+    * the dedupe shuffle) once per stage — the shape whose cost GROWS
+    * with data while the oracle's CTEs get cached; it showed up as the
+    * ×10→×100 ratio rising 1.49→1.79 in BENCH_scaled r11, and the r11
+    * single-pass fix still staged the WHOLE flagged corpus (the staged
+    * write alone was ~2 s of the 4.2 s ×100 total).
     */
   def cur6CurationFunnel(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.F
+    import graft.functions.{F, TokenCount}
     val W = org.apache.spark.sql.expressions.Window
-    val n = size(split(col("text"), " ")).cast("long")
-    val wl = (length(col("text")) - (n - lit(1))).cast("double") / n.cast("double")
+    val nt = TokenCount(col("text"))
+    val wl = (length(col("text")).cast("long") - (nt - lit(1))).cast("double") /
+      nt.cast("double")
+    // g1 folds to a BOOLEAN before the dedupe exchange: the shuffle row
+    // is (doc_id, source, n_chars, nt, g1, key), no text-derived lengths
     val parsed = docs(spark, dir).select(
-      col("doc_id"), col("source"), col("n_chars"),
-      n.as("__nt"), wl.as("__wl"), md5(col("text")).as("__key"))
-    val g1 = col("__nt") >= 50 && col("__nt") <= 100000 &&
-      col("__wl") >= 3.0 && col("__wl") <= 10.0
+      col("doc_id"), col("source"), col("n_chars"), nt.as("__nt"),
+      (nt >= 50 && nt <= 100000 && wl >= 3.0 && wl <= 10.0).as("__g1"),
+      md5(col("text")).as("__key"))
     // min doc_id among g1 rows of this key: nulls (non-g1) never win min
-    val mn = min(when(g1, col("doc_id"))).over(W.partitionBy(col("__key")))
-    val g2 = g1 && col("doc_id") === mn
-    // rank among g2 survivors: g2 rows sort first, so their row_number
-    // equals their rank within the survivor set — no filtered re-window
-    val rk = row_number().over(W.partitionBy(col("source"))
-      .orderBy(col("__g2").desc, col("n_chars").desc, col("doc_id")))
-    val flagged = F.materialize(parsed
-      .withColumn("__g2", g2)
-      .withColumn("__g3", col("__g2") && rk <= 15)
-      .withColumn("__g1", g1)
-      .select(col("doc_id"), col("source"), col("__nt"),
-        col("__g1"), col("__g2"), col("__g3")))
-    val sq = flagged.filter(col("__g3")).groupBy(col("source"))
-      .agg(sum(col("__nt")).as("src_tok"))
-      .withColumn("s", floor(sqrt(col("src_tok").cast("double"))).cast("long"))
-    val alloc = sq.crossJoin(broadcast(sq.agg(sum(col("s")).as("s_total"))))
-      .withColumn("alloc_tok", expr("(8000 * s) div s_total"))
-      .select(col("source"), col("src_tok"), col("alloc_tok"))
-    val g4 = col("__g3") &&
-      pmod(Dedupe.tokenHash(col("doc_id").cast("string")), lit(1000000L)) *
-        col("src_tok") < col("alloc_tok") * lit(1000000L)
+    val mn = min(when(col("__g1"), col("doc_id")))
+      .over(W.partitionBy(col("__key")))
+    val g2 = col("__g1") && col("doc_id") === mn
     // count(when(g, 1)) → 0 on an empty stage, sum(when(g, nt)) → null:
     // exactly what per-stage count(*)/sum() over a filtered branch gives
     def cnt(g: org.apache.spark.sql.Column) = count(when(g, lit(1)))
     def tok(g: org.apache.spark.sql.Column) = sum(when(g, col("__nt")))
-    val one = flagged.join(broadcast(alloc), Seq("source"), "left_outer")
-      .withColumn("__g4", coalesce(g4, lit(false)))
-      .agg(
+    // Stage-0/1/2 stats are OBSERVED on the post-window node: they ride
+    // the top-k job below as six accumulator scalars instead of a
+    // second corpus aggregate over a corpus-sized staged copy.
+    val obs = org.apache.spark.sql.Observation()
+    val flagged = parsed.withColumn("__g2", g2)
+      .observe(obs,
         count(lit(1)).as("c0"), sum(col("__nt")).as("t0"),
         cnt(col("__g1")).as("c1"), tok(col("__g1")).as("t1"),
-        cnt(col("__g2")).as("c2"), tok(col("__g2")).as("t2"),
-        cnt(col("__g3")).as("c3"), tok(col("__g3")).as("t3"),
+        cnt(col("__g2")).as("c2"), tok(col("__g2")).as("t2"))
+    // Per-source top-15 cap, SALTED two-phase: a plain per-source window
+    // hashes all survivors onto |sources| partitions — the skew shape
+    // that stalls at 100 TB. Phase 1 ranks within (source, salt) at full
+    // parallelism; phase 2 re-ranks only the ≤ sources×salts×15 per-salt
+    // survivors, so the serial window touches a bounded candidate set.
+    // Exact: every global top-15 row is within its salt bucket's top-15.
+    val ord: Seq[org.apache.spark.sql.Column] =
+      Seq(col("n_chars").desc, col("doc_id"))
+    val cands = flagged.filter(col("__g2"))
+      .withColumn("__salt", pmod(hash(col("doc_id")), lit(32)))
+      .withColumn("__rs", row_number().over(
+        W.partitionBy(col("source"), col("__salt")).orderBy(ord: _*)))
+      .filter(col("__rs") <= 15)
+    // the ONE action over the corpus: stage the ≤15·|sources| capped set
+    // (reused by stages 3-5) — observed metrics complete with this job
+    val g3set = F.materialize(cands
+      .withColumn("__rk", row_number().over(
+        W.partitionBy(col("source")).orderBy(ord: _*)))
+      .filter(col("__rk") <= 15)
+      .select(col("doc_id"), col("source"), col("__nt")))
+    val m = obs.get
+    def obsLit(k: String): org.apache.spark.sql.Column = m(k) match {
+      case null => lit(null).cast("long")
+      case n: Number => lit(n.longValue())
+    }
+    // stages 3/4 live entirely on the tiny capped set (≤ 15·|sources|
+    // rows): allocation, draw, and their counts never touch the corpus
+    val sq = g3set.groupBy(col("source")).agg(sum(col("__nt")).as("src_tok"))
+      .withColumn("s", floor(sqrt(col("src_tok").cast("double"))).cast("long"))
+    val alloc = sq.crossJoin(broadcast(sq.agg(sum(col("s")).as("s_total"))))
+      .withColumn("alloc_tok", expr("(8000 * s) div s_total"))
+      .select(col("source"), col("src_tok"), col("alloc_tok"))
+    val g4 = pmod(Dedupe.tokenHash(col("doc_id").cast("string")), lit(1000000L)) *
+      col("src_tok") < col("alloc_tok") * lit(1000000L)
+    val big = spark.range(1).select(
+      obsLit("c0").as("c0"), obsLit("t0").as("t0"),
+      obsLit("c1").as("c1"), obsLit("t1").as("t1"),
+      obsLit("c2").as("c2"), obsLit("t2").as("t2"))
+    val small = g3set.join(broadcast(alloc), Seq("source"))
+      .withColumn("__g4", g4)
+      .agg(count(lit(1)).as("c3"), sum(col("__nt")).as("t3"),
         cnt(col("__g4")).as("c4"), tok(col("__g4")).as("t4"))
-    one.select(expr(
+    big.crossJoin(broadcast(small)).select(expr(
       """stack(5,
         |  0, 'raw',          c0, t0,
         |  1, 'gopher',       c1, t1,
@@ -825,7 +859,9 @@ object TrainingData {
   // column arithmetic (no lambdas): total word chars = length - (n-1)
   // separators, so the mean is one exact subtraction and one IEEE divide.
   def t8GopherRules(spark: SparkSession, dir: String): DataFrame = {
-    val n = size(split(col("text"), " "))
+    // token_count ≡ size(split(text,' ')) (see TokenCount) minus the
+    // per-row array; cast keeps t8's original INT column type
+    val n = graft.functions.TokenCount(col("text")).cast("int")
     val meanWl = (length(col("text")) - (n - lit(1))).cast("double") / n.cast("double")
     val digitFrac = regexp_count(col("text"), lit("[0-9]")).cast("double") /
       length(col("text")).cast("double")

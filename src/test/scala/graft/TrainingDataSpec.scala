@@ -326,6 +326,28 @@ class TrainingDataSpec extends SparkSpec {
       .collect()(0).isNullAt(0))
   }
 
+  test("TokenCount: equals size(split(s,' ')) on both eval paths") {
+    import spark.implicits._
+    import graft.functions.TokenCount
+    // same split(-1) edge fixtures as TermCounts: empty tokens from
+    // double/leading/trailing spaces, bare empty string, multi-byte
+    // UTF-8 (no 0x20 inside a multi-byte sequence)
+    val df = Seq("the quick the fox the", "a  b ", " lead", "", "café café 蜘蛛")
+      .zipWithIndex.map(_.swap).toDF("i", "s")
+    def both = df.select(col("i"), TokenCount(col("s")).as("tc"),
+      size(split(col("s"), " ")).cast("long").as("ss")).collect()
+    assert(both.forall(r => r.getLong(1) == r.getLong(2)))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(both.forall(r => r.getLong(1) == r.getLong(2)))
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    assert(df.limit(1).select(TokenCount(lit(null).cast("string")))
+      .collect()(0).isNullAt(0))
+  }
+
   test("QuantizedCosine: codegen and interpreted paths agree with the scala twin") {
     import spark.implicits._
     import graft.functions.QuantizedCosine
