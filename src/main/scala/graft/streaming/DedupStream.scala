@@ -62,19 +62,31 @@ private[streaming] object ExactlyOnceBatches {
   }
 
   /** Read the state table, or None when it holds nothing yet. Only a
-    * missing or empty path means "first batch ever"
-    * (UNABLE_TO_INFER_SCHEMA = dir exists but holds no parquet, e.g.
-    * after reconciliation dropped the lone partition) — any other read
-    * failure must fail the batch, or a transient IO error would silently
-    * disable dedupe for the whole micro-batch.
+    * missing or empty path means "first batch ever" (dir exists but
+    * holds no parquet, e.g. after reconciliation dropped the lone
+    * partition) — any other read failure must fail the batch, or a
+    * transient IO error would silently disable dedupe for the whole
+    * micro-batch. The emptiness PROBE runs against the filesystem
+    * instead of read-and-catch: a failed `spark.read` inside an active
+    * foreachBatch fires every ExecutionListener (ObservationManager
+    * logs an ERROR per miss once any Observation has been used in the
+    * session) even when the miss is the expected first-batch case.
     */
-  def readState(spark: SparkSession, stateDir: String): Option[DataFrame] =
-    try Some(spark.read.parquet(stateDir))
-    catch {
-      case e: org.apache.spark.sql.AnalysisException
-          if e.getMessage.contains("PATH_NOT_FOUND") ||
-            e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") => None
-    }
+  def readState(spark: SparkSession, stateDir: String): Option[DataFrame] = {
+    val path = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val hasData =
+      try {
+        fs.exists(path) && {
+          val it = fs.listFiles(path, true)
+          var found = false
+          while (!found && it.hasNext)
+            found = it.next().getPath.getName.endsWith(".parquet")
+          found
+        }
+      } catch { case _: java.io.FileNotFoundException => false }
+    if (hasData) Some(spark.read.parquet(stateDir)) else None
+  }
 
   def writePartition(df: DataFrame, dir: String): Unit =
     df.write.mode("overwrite")

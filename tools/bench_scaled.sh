@@ -57,6 +57,10 @@ for f in factors:
         m = re.match(r'\s*([0-9.]+)\s+(\S+)\s*$', line)
         if m and not line.startswith('TOTAL'):
             oracle[m.group(2)] = float(m.group(1))
+    cal = None
+    for line in open(f'/tmp/graft-scaled-oracle-f{f}.txt'):
+        if line.startswith('CALIBRATION'):
+            cal = line.strip()
     sq = spark['queries']
     common = sorted(set(sq) & set(oracle))
     per = {q: {'spark': round(sq[q], 4), 'oracle': round(oracle[q], 4),
@@ -64,7 +68,9 @@ for f in factors:
     st, ot = sum(sq[q] for q in common), sum(oracle[q] for q in common)
     scales.append({'factor': f, 'n_queries': len(common),
                    'spark_total': round(st, 3), 'oracle_total': round(ot, 3),
-                   'ratio': round(st / ot, 3), 'queries': per})
+                   'ratio': round(st / ot, 3),
+                   'spark_calibration': spark.get('calibration'),
+                   'oracle_calibration': cal, 'queries': per})
 out = {
     'src_sf': 0.1, 'reps': spark.get('reps'), 'oracle_reps': spark.get('reps'),
     'scaling': ('coordinated star-schema replication (round 10): '
@@ -96,8 +102,24 @@ out = {
         'in-memory HDFS-backed map for one-shot drains; RocksDB stays the '
         'right choice only for always-on queries with state >> heap, '
         'available via SPARK_GRAFT_STATE_STORE=rocksdb). The residual is '
-        'the state-store put/probe machinery itself — irreducible within '
-        'Spark streaming semantics.'),
+        'the state-store put/probe machinery itself, metrics-backed by '
+        'graft.tools.DrainProfile (round 12, warm rep at sf0.1, '
+        'StreamingQueryProgress decomposition): st5 wall 4.84 s = 0.85 s '
+        'outside-trigger stream machinery + 3.99 s trigger (addBatch 3.08, '
+        'planning 0.63), and inside addBatch the join buffers 39,673 rows '
+        '(10.2 MB, every row updated once) costing 7.2 task-sec of state '
+        'update + 8.3 task-sec of state commit across 32 partitions; sk3 '
+        'wall 2.07 s = 0.98 s machinery + 0.91 s addBatch with ZERO state '
+        'rows (count-min folds in the agg, not the store), i.e. sk3 is '
+        'floor-bound by per-query stream lifecycle, st5 by the mandatory '
+        'buffer-then-snapshot of symmetric join state — both costs their '
+        'batch twins (rj1/sk1, in this set) structurally never pay. At '
+        'x100 (warm rep): st5 wall 8.86 s with 3,967,300 state rows '
+        '(1.04 GB, every row updated once) = 41.7 task-sec state update + '
+        '2.2 task-sec commit over 32 partitions inside a 7.4 s addBatch — '
+        'the drain IS the state-store insert of the full in-window set, '
+        'data-proportional by the join semantics; sk3 wall 4.02 s = '
+        '1.5 s lifecycle + 2.3 s addBatch, still zero store rows.'),
     'scales': scales}
 json.dump(out, open('BENCH_scaled.json', 'w'), indent=1)
 open('BENCH_scaled.json', 'a').write('\n')
