@@ -598,8 +598,8 @@ object TrainingData {
     * staged. Stages 3-4 (allocation, draw) live entirely on the staged
     * tiny set; the report is the observed literals `stack`ed with the
     * tiny stage-3/4 aggregate. Net plan: one corpus scan (token count
-    * via [[graft.functions.TokenCount]] — no per-row split array; md5
-    * evaluated once), one corpus-wide window shuffle, one tiny write.
+    * via [[graft.functions.TokenCount]] — no per-row split array),
+    * one survivors-only window shuffle, one tiny write.
     * The naive per-stage-branch union re-scanned the corpus (and re-ran
     * the dedupe shuffle) once per stage — the shape whose cost GROWS
     * with data while the oracle's CTEs get cached; it showed up as the
