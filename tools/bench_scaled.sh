@@ -15,7 +15,7 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 FACTORS=${FACTORS:-"1 10 100"}
 REPS=${REPS:-2}
-QUERIES=${QUERIES:-"s3_store_roundtrip gr2_expand gr3_pagerank gr4_components gr5_triangles gr6_ppr gr7_kcore tok2_bpe_merges sim9_ivf_trained bf2_bloom_join st5_interval_join st9_neardup_stream x3_xref_incremental a3_changed_canonical gr1_degree ovl1_source_overlap a1_merge_dedupe sk3_stream_countmin kw1_tfidf_terms cur6_curation_funnel cdf1_version_diff x2_xref_scores s11_json_roundtrip cur5_dsir_weights tt2_version_drift d9_semantic_dedup rj1_range_join aj1_asof_join sk1_countmin x1_xref_candidates"}
+QUERIES=${QUERIES:-"s3_store_roundtrip gr2_expand gr3_pagerank gr4_components gr5_triangles gr6_ppr gr7_kcore tok2_bpe_merges sim9_ivf_trained bf2_bloom_join st5_interval_join st9_neardup_stream x3_xref_incremental a3_changed_canonical gr1_degree ovl1_source_overlap a1_merge_dedupe sk3_stream_countmin kw1_tfidf_terms cur6_curation_funnel cdf1_version_diff x2_xref_scores s11_json_roundtrip cur5_dsir_weights tt2_version_drift d9_semantic_dedup rj1_range_join aj1_asof_join sk1_countmin x1_xref_candidates a4b_assembly_canonical"}
 
 # fresh oracle_sql.json (Verify with one cheap query still dumps all SQL)
 DUMP=/tmp/graft-scaled-oracle-dump
