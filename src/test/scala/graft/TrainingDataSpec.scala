@@ -348,6 +348,40 @@ class TrainingDataSpec extends SparkSpec {
       .collect()(0).isNullAt(0))
   }
 
+  test("salted two-phase top-k equals the single-window form under skew") {
+    // cur6's per-source cap claim: every global top-15 row is within its
+    // (source, salt) bucket's top-15, so re-ranking only per-salt
+    // survivors is EXACT. Pin it against the naive single window on a
+    // skewed fixture (one source holds 90% of rows, ties on the sort
+    // key broken by id like cur6's ordering).
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val W = Window
+    val rows = (1L to 900L).map(i => (i, "big", (i % 37).toInt)) ++
+      (901L to 990L).map(i => (i, "mid", (i % 11).toInt)) ++
+      (991L to 1000L).map(i => (i, "tiny", 5))
+    val df = rows.toDF("doc_id", "source", "n_chars")
+    val ord = Seq(col("n_chars").desc, col("doc_id"))
+    val naive = df.withColumn("__rk", row_number().over(
+        W.partitionBy(col("source")).orderBy(ord: _*)))
+      .filter(col("__rk") <= 15)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val salted = df
+      .withColumn("__salt", pmod(hash(col("doc_id")), lit(32)))
+      .withColumn("__rs", row_number().over(
+        W.partitionBy(col("source"), col("__salt")).orderBy(ord: _*)))
+      .filter(col("__rs") <= 15)
+      .withColumn("__rk", row_number().over(
+        W.partitionBy(col("source")).orderBy(ord: _*)))
+      .filter(col("__rk") <= 15)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(salted == naive)
+    assert(naive.count(_._2 == "big") == 15 &&
+      naive.count(_._2 == "mid") == 15 && naive.count(_._2 == "tiny") == 10)
+  }
+
   test("QuantizedCosine: codegen and interpreted paths agree with the scala twin") {
     import spark.implicits._
     import graft.functions.QuantizedCosine
