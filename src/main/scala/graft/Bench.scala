@@ -160,9 +160,11 @@ object Bench {
     // per-query history survives whoever runs last (BENCH_full.json is a
     // latest-run-wins scratch file). Round N = one past the newest
     // committed BENCH_r{N}.json; the driver's end-of-round commit picks
-    // the copy up. Full-suite runs only — a filtered profiling loop
-    // would otherwise overwrite history with a partial map.
-    if (only.isEmpty) {
+    // the copy up. Full-suite runs at the driver's bench SF only — a
+    // filtered profiling loop or a small-sf smoke run would otherwise
+    // overwrite the round's history with a partial or wrong-scale map.
+    val roundSf = sys.env.getOrElse("SPARK_GRAFT_ROUND_SF", "sf0.1")
+    if (only.isEmpty && sfDir.contains(roundSf)) {
       try {
         val cwd = java.nio.file.Paths.get(".")
         val re = "BENCH_r(\\d+)\\.json".r
