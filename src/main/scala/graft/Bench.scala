@@ -1,5 +1,4 @@
 package graft
-import scala.jdk.CollectionConverters._
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -158,25 +157,29 @@ object Bench {
     java.nio.file.Files.write(outFile, (fullLine + "\n").getBytes("UTF-8"))
     // ALSO drop a round-stamped copy next to the driver's artifacts so
     // per-query history survives whoever runs last (BENCH_full.json is a
-    // latest-run-wins scratch file). Round N = one past the newest
-    // committed BENCH_r{N}.json; the driver's end-of-round commit picks
-    // the copy up. Full-suite runs at the driver's bench SF only — a
-    // filtered profiling loop or a small-sf smoke run would otherwise
-    // overwrite the round's history with a partial or wrong-scale map.
+    // latest-run-wins scratch file). Stamping is OPT-IN via
+    // SPARK_GRAFT_ROUND: round 12's infer-from-BENCH_r{N} guess stamped
+    // ANY full-suite run (a judge session produced a spurious next-round
+    // file), so now only a run that declares its round — the builder's
+    // end-of-round bench — writes history; judge/dev runs write only
+    // SPARK_GRAFT_BENCH_OUT. Full-suite at the round SF only, so a
+    // filtered profiling loop or small-sf smoke can't stamp a partial or
+    // wrong-scale map even with the round set.
     val roundSf = sys.env.getOrElse("SPARK_GRAFT_ROUND_SF", "sf0.1")
-    if (only.isEmpty && sfDir.contains(roundSf)) {
-      try {
-        val cwd = java.nio.file.Paths.get(".")
-        val re = "BENCH_r(\\d+)\\.json".r
-        val lastRound = java.nio.file.Files.list(cwd).iterator().asScala
-          .flatMap(p => re.findFirstMatchIn(p.getFileName.toString)
-            .map(_.group(1).toInt))
-          .foldLeft(0)(math.max)
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(s"BENCH_full_r${lastRound + 1}.json"),
-          (fullLine + "\n").getBytes("UTF-8"))
-      } catch { case _: Throwable => () }
-    }
+    sys.env.get("SPARK_GRAFT_ROUND").map(_.trim).filter(_.nonEmpty)
+      .foreach { round =>
+        if (only.isEmpty && sfDir.contains(roundSf)) {
+          try java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"BENCH_full_r$round.json"),
+            (fullLine + "\n").getBytes("UTF-8"))
+          catch {
+            case e: java.io.IOException =>
+              System.err.println(s"[bench] round-stamped artifact write failed: $e")
+          }
+        } else System.err.println(
+          s"[bench] SPARK_GRAFT_ROUND=$round set but run is " +
+            s"${if (only.nonEmpty) "filtered" else s"not at $roundSf"} — no stamp")
+      }
     // "queries" here is the slowest-10 subset so the line keeps the driver's
     // expected shape without outgrowing the window; the complete map (and
     // the per-query spread) is in the file named by "queries_file".

@@ -106,11 +106,17 @@ object Hashing {
     val base = concat_ws(".", dataset, entityId, prop, value)
     val withLang = when(lang.isNotNull && lang =!= "",
       concat(base, lit("."), lang)).otherwise(base)
-    // exact reference predicate (explode.py:194): str(x).strip().lower()
-    // in ("true","1") — a plain boolean cast would also accept Spark's
-    // extended spellings ("t","y","yes") the reference rejects
+    // reference predicate (explode.py:194): str(x).strip().lower() in
+    // ("true","1") — a plain boolean cast would also accept Spark's
+    // extended spellings ("t","y","yes") the reference rejects. Python
+    // strip() removes ALL whitespace (tabs, newlines, unicode spaces),
+    // not just 0x20, so the strip is a (?U)\s regex, not trim(). Known
+    // residue: Python's isspace() also covers \x1c-\x1f (file/group/
+    // record/unit separators), which Unicode White_Space does not — a
+    // flag padded with THOSE bytes would still diverge.
     val isExt = coalesce(
-      lower(trim(external.cast("string"))).isin("true", "1"), lit(false))
+      lower(regexp_replace(external.cast("string"), "(?U)^\\s+|(?U)\\s+$", ""))
+        .isin("true", "1"), lit(false))
     sha1(when(isExt, concat(withLang, lit(".ext"))).otherwise(withLang))
   }
 

@@ -166,15 +166,46 @@ object Multimodal {
   // inputs never need it; turn it off once, process-wide.
   javax.imageio.ImageIO.setUseCache(false)
 
+  /** Decompression-bomb ceiling: decode refuses images whose HEADER
+    * declares more pixels than this (100 MP ≈ 400 MB of ARGB bitmap).
+    * A crawl routinely carries hostile payloads — a 25k×25k PNG is a
+    * few KB on the wire but a ~2.5 GB bitmap once decoded, and the
+    * resulting OutOfMemoryError is an executor-killing Error no
+    * exception handler should swallow. The guard reads width/height
+    * from the format header BEFORE any pixel decode happens.
+    */
+  private[multimodal] val MaxDecodePixels: Long = 100L * 1000 * 1000
+
   /** Decode an image payload with the JDK's own codecs (`javax.imageio`
     * ships JPEG, PNG, GIF, BMP readers in every JRE — no external
     * dependency). Returns None for bytes no registered reader accepts,
-    * including truncated/corrupt payloads a crawl always carries.
+    * including truncated/corrupt payloads a crawl always carries, and
+    * for headers declaring more than [[MaxDecodePixels]] (bomb guard —
+    * dimensions come from the header via `ImageReader.getWidth/getHeight`,
+    * so the refusal costs no decode work).
     */
-  private[multimodal] def decodeImage(
-      bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
-    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-    catch { case _: java.io.IOException | _: RuntimeException => None }
+  private[multimodal] def decodeImage(bytes: Array[Byte],
+      maxPixels: Long = MaxDecodePixels): Option[java.awt.image.BufferedImage] =
+    try {
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      if (in == null) None
+      else
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(in)
+          if (!readers.hasNext) None
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(in, true, true)
+              val w = reader.getWidth(0).toLong
+              val h = reader.getHeight(0).toLong
+              if (w <= 0 || h <= 0 || w * h > maxPixels) None
+              else Option(reader.read(0))
+            } finally reader.dispose()
+          }
+        } finally in.close()
+    } catch { case _: java.io.IOException | _: RuntimeException => None }
 
   /** Per-image channel statistics from a decoded bitmap, reduced row by
     * row (one `int[width]` scanline buffer — full-bitmap arrays never

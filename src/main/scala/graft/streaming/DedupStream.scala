@@ -71,20 +71,31 @@ private[streaming] object ExactlyOnceBatches {
     * foreachBatch fires every ExecutionListener (ObservationManager
     * logs an ERROR per miss once any Observation has been used in the
     * session) even when the miss is the expected first-batch case.
+    * The probe walks exactly the paths `spark.read.parquet` will treat
+    * as data: hidden/underscore-prefixed names (`_temporary` leftovers
+    * from an interrupted overwrite, `_commits`, `_SUCCESS`, `.`-files)
+    * are invisible to the reader, so a probe that counted them would
+    * answer "has data" and then hand the reader a dir it sees as empty.
     */
   def readState(spark: SparkSession, stateDir: String): Option[DataFrame] = {
     val path = new org.apache.hadoop.fs.Path(stateDir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    // Spark's own exclusion rule (InMemoryFileIndex): "."-prefixed and
+    // "_"-prefixed names are invisible EXCEPT "_"-names containing "="
+    // — partition directories like this table's `__batch=...` dirs
+    def visible(p: org.apache.hadoop.fs.Path): Boolean = {
+      val n = p.getName
+      !n.startsWith(".") && (!n.startsWith("_") || n.contains("="))
+    }
+    def hasParquet(p: org.apache.hadoop.fs.Path): Boolean =
+      fs.listStatus(p).exists { st =>
+        visible(st.getPath) &&
+          (if (st.isDirectory) hasParquet(st.getPath)
+           else st.getPath.getName.endsWith(".parquet"))
+      }
     val hasData =
-      try {
-        fs.exists(path) && {
-          val it = fs.listFiles(path, true)
-          var found = false
-          while (!found && it.hasNext)
-            found = it.next().getPath.getName.endsWith(".parquet")
-          found
-        }
-      } catch { case _: java.io.FileNotFoundException => false }
+      try fs.exists(path) && hasParquet(path)
+      catch { case _: java.io.FileNotFoundException => false }
     if (hasData) Some(spark.read.parquet(stateDir)) else None
   }
 

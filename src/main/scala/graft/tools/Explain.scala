@@ -1,15 +1,27 @@
 package graft.tools
 
-/** Dev loop: print the formatted physical plan of registry queries.
-  * `sbt "runMain graft.tools.Explain <sfDir> <query> [query ...]"`
+/** Plan auditor: print the formatted physical plan of registry queries —
+  * the review loop for pushdown / exchange / codegen shape before a
+  * query ships. The single plan-dump entry point (a near-duplicate
+  * `graft.Explain` main was folded in here, round 13).
+  *
+  * Usage: `sbt "runMain graft.tools.Explain [query ...]"` — no args
+  * dumps every registry query. Data dir from SPARK_GRAFT_SF_DIR
+  * (default /root/testdata/sf0.01).
   */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = graft.Sessions.local("graft-explain")
-    args.drop(1).foreach { name =>
-      println(s"==== $name ====")
-      graft.SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+    val names = if (args.nonEmpty) args.toSeq else graft.SparkEntry.queries.keys.toSeq.sorted
+    for (n <- names) {
+      graft.SparkEntry.queries.get(n) match {
+        case Some(fn) =>
+          println(s"\n===== $n =====")
+          fn(spark, sfDir).explain("formatted")
+        case None =>
+          System.err.println(s"[explain] no such query: $n")
+      }
     }
     spark.stop()
   }

@@ -97,6 +97,26 @@ class FtmCompatSpec extends SparkSpec {
       shards.getString(2) == "d4")
   }
 
+  test("external flag strips Python-style whitespace (explode.py:194)") {
+    import spark.implicits._
+    val df = Seq(("ds", "jane", "name", "Jane Doe"))
+      .toDF("ds", "eid", "prop", "value")
+    def key(ext: org.apache.spark.sql.Column): String =
+      df.select(Hashing.ftmStatementKey(col("ds"), col("eid"), col("prop"),
+          col("value"), ext, lit(null).cast("string")).as("k"))
+        .as[String].collect().head
+    // Python str(x).strip() removes ALL whitespace — tabs, newlines, and
+    // unicode spaces like NBSP — not just 0x20 (round-12 trim() missed
+    // these, diverging the statement id for padded flag values)
+    assert(key(lit("true\n")) == KExt)
+    assert(key(lit("\tTRUE ")) == KExt)
+    assert(key(lit(" 1 ")) == KExt)
+    assert(key(lit("\u00a0true\u00a0")) == KExt) // NBSP is Python-space too
+    // extended boolean spellings the reference rejects stay non-external
+    assert(key(lit("yes")) == K1)
+    assert(key(lit(null).cast("string")) == K1)
+  }
+
   test("flagged import writes followthemoney-keyed rows end to end") {
     withCompat {
       import spark.implicits._
