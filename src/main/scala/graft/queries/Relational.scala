@@ -373,6 +373,9 @@ object Relational {
       .select(to_date(col("__first")).cast("string").as("day"))
       .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
     firsts
+      // single-partition window is sanctioned here (PlanLintSpec
+      // whitelist): input is the per-DAY aggregate — ≤ a few thousand
+      // rows for decades of data — never the raw events
       .withColumn("cum_users", sum(col("new_users")).over(
         Window.orderBy(col("day"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))

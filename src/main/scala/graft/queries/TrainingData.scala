@@ -1158,8 +1158,8 @@ object TrainingData {
     val textTop = graft.text.Search.bm25TopK(docs(spark, dir), "doc_id", "text",
         Seq("spark", "vector", "customer"), k)
       .select(col("doc_id"), col("score"))
-    // single-partition window is sanctioned here: input is the k-row
-    // top-k result, bounded by construction
+    // single-partition window is sanctioned here (PlanLintSpec
+    // whitelist): input is the k-row top-k result, bounded by construction
     val wT = Window.orderBy(col("score").desc, col("doc_id"))
     val textRank = textTop
       .withColumn("t_rank", row_number().over(wT).cast("long"))

@@ -39,13 +39,31 @@ class PlanLintSpec extends SparkSpec {
     "cur6_curation_funnel" -> "single-row sqrt-allocation total broadcast onto #sources rows (cur4's shape)",
     "tok2_bpe_merges" -> "single-row before/after token counts crossJoined onto the 1-row winning pair (summary report; the merge scan itself hash-joins)")
 
-  test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only where justified") {
+  // name -> why the UNPARTITIONED window in this query's plan is bounded.
+  // An unpartitioned WindowExec sorts its whole input through ONE
+  // partition — the third 100 TB killer after cartesians and unbounded
+  // BNLJ — so every site must prove its input is bounded by construction
+  // (a top-k head, a day-grain aggregate, a k-row fusion set). Two-sided
+  // like the BNLJ list: a whitelisted query whose plan loses its window
+  // also fails, so the list can't rot ahead of the plans.
+  private val allowGlobalWindow: Map[String, String] = Map(
+    "hyb1_rrf_fusion" -> ("rank fusion over the UNION of two top-k lists " +
+      "(≤ 2k rows by construction — each arm is already limit(k)'d before " +
+      "the window; sanctioned in TrainingData.rrfFusion)"),
+    "w3_cumulative_users" -> ("running total over the per-DAY first-seen " +
+      "aggregate — input is #distinct days (≤ a few thousand for decades " +
+      "of data), not events; sanctioned in Relational.w3CumulativeUsers"))
+
+  test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only where justified; global windows only on bounded inputs") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     val bnljSeen = scala.collection.mutable.Set.empty[String]
+    val gwSeen = scala.collection.mutable.Set.empty[String]
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
-      val plan =
-        try fn(spark, sf001).queryExecution.executedPlan.toString
-        catch { case e: Throwable => s"PLANNING FAILED: $e" }
+      val (plan, globalWindows) =
+        try {
+          val executed = fn(spark, sf001).queryExecution.executedPlan
+          (executed.toString, PlanLintSpec.unpartitionedWindows(executed))
+        } catch { case e: Throwable => (s"PLANNING FAILED: $e", Nil) }
       if (plan.startsWith("PLANNING FAILED")) failures += s"$name: $plan"
       if (plan.contains("CartesianProduct"))
         failures += s"$name: CartesianProduct in plan"
@@ -54,9 +72,37 @@ class PlanLintSpec extends SparkSpec {
         if (!allowBnlj.contains(name))
           failures += s"$name: unjustified BroadcastNestedLoopJoin"
       }
+      if (globalWindows.nonEmpty) {
+        gwSeen += name
+        if (!allowGlobalWindow.contains(name))
+          failures += s"$name: unpartitioned WindowExec over ${globalWindows.mkString("; ")}"
+      }
     }
     (allowBnlj.keySet -- bnljSeen).foreach(n =>
       failures += s"$n: whitelisted for BNLJ but its plan has none — prune the entry")
+    (allowGlobalWindow.keySet -- gwSeen).foreach(n =>
+      failures += s"$n: whitelisted for a global window but its plan has none — prune the entry")
     assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}
+
+object PlanLintSpec {
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+  import org.apache.spark.sql.execution.window.WindowExec
+
+  /** Every WindowExec in the tree (descending through AQE wrappers) with
+    * an EMPTY partition spec, rendered as its window expressions — the
+    * shape whose sort runs through a single partition.
+    */
+  def unpartitionedWindows(plan: SparkPlan): Seq[String] = {
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: walk(a.inputPlan)
+      case _ => p +: p.children.flatMap(walk)
+    }
+    walk(plan).collect {
+      case w: WindowExec if w.partitionSpec.isEmpty =>
+        w.windowExpression.map(_.sql).mkString(", ")
+    }
   }
 }

@@ -198,6 +198,28 @@ class QueryAssemblySpec extends SparkSpec {
     assert(multi.collect().map(_.getString(0)).toSeq == Seq("p1", "c1", "p2"))
   }
 
+  test("offset without limit: bounded two-phase drop, no global window") {
+    // ftmq's legal open-ended slice `[1:]` — rounds ≤12 ran a row_number
+    // over an UNPARTITIONED window here, pulling the whole ordered match
+    // set through one partition when no limit bounded it
+    val q = Query(schemata = Some("LegalEntity"),
+      orderByProps = Seq(("name", false)), offset = 1)
+    val ids = FtmQuery.entityIds(q, fixture)
+    assert(ids.collect().map(_.getString(0)).toSeq == Seq("p1", "p2")) // Acme dropped
+    val (page, _) = FtmQuery.entityIdPage(q, fixture)
+    val plan = page.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"offset drop must not plan a window:\n$plan")
+    // offset past the match set is an empty page, not an error
+    assert(FtmQuery.entityIds(q.copy(offset = 10), fixture).count() == 0)
+    // offset+limit pagination walks the same total order as the full scan
+    val all = FtmQuery.entityIds(q.copy(offset = 0), fixture)
+      .collect().map(_.getString(0)).toSeq
+    assert(all == Seq("c1", "p1", "p2"))
+    val paged = all.indices.flatMap(i => FtmQuery.entityIds(
+      q.copy(offset = i, limit = Some(1)), fixture).collect().map(_.getString(0)))
+    assert(paged == all)
+  }
+
   test("filter-leaf and IN-value caps are enforced") {
     val tooMany = (1 to 21).map(i => M("prop", EqOp, Seq(s"v$i")))
     intercept[IllegalArgumentException] {
