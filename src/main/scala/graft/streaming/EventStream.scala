@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
@@ -111,6 +111,26 @@ object EventStream {
     ss.table(name)
   }
 
+  /** Click/error projections shared by the streaming plan and its batch
+    * drain twin — one definition, so the two can't drift.
+    */
+  private def clicksOf(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("cts"))
+  private def errorsOf(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id").as("err_user"),
+        col("ts").as("ets"))
+  private def intervalJoinCond: Column =
+    col("user_id") === col("err_user") &&
+      col("ets") >= col("cts") - expr("INTERVAL 2 HOURS") &&
+      col("ets") <= col("cts")
+  private def intervalJoinProject(joined: DataFrame): DataFrame =
+    joined.select(col("click_id"), col("err_id"),
+      unix_millis(col("cts")).as("click_ms"),
+      unix_millis(col("ets")).as("err_ms"))
+
   /** Stream-stream INTERVAL JOIN: clicks joined to the same user's
     * errors from the preceding 2 hours, both sides watermarked so the
     * join state is bounded — Spark buffers each side only for
@@ -120,34 +140,53 @@ object EventStream {
     * with Trigger.AvailableNow against the static events table, so the
     * result is deterministic and oracle-checkable against the batch SQL
     * interval join.
+    *
+    * ONE-SHOT drains take the [[DrainRewrite]] fast path (default-on,
+    * `spark.graft.stream.drainRewrite`): a fresh-checkpoint single-batch
+    * AvailableNow drain of an INNER join equals the batch join exactly
+    * (every match forms inside the one batch; the watermark only evicts
+    * state afterwards), and the round-12 DrainProfile decomposition
+    * showed the stateful drain's cost at ×100 IS the state-store insert
+    * of the full in-window set — buffering 1 GB of rows to read them
+    * back once. The rewrite runs the same projections/condition over the
+    * batch read, materializes, and marks the checkpoint spent; resumable
+    * deployments (prior Spark state, rate-capped sources, or the flag
+    * off) keep the stateful plan below.
     */
-  def intervalJoinStreaming(spark: SparkSession, dir: String): DataFrame = {
+  def intervalJoinStreaming(spark: SparkSession, dir: String,
+      checkpoint: Option[String] = None): DataFrame = {
     // join state grows with the data (both sides buffered for
     // watermark+interval), so size the state stores to the source
     val ss = StreamConf.streamSessionFor(spark, dir)
+    val name = s"graft_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val ckpt = checkpoint.getOrElse(
+      s"${graft.functions.F.stageRoot(ss)}/ckpt-$name")
+    val batch = ss.read.parquet(s"$dir/events.parquet")
+    // the file source below sets no maxFilesPerTrigger/maxBytesPerTrigger,
+    // so AvailableNow drains it in ONE data batch — the singleBatch
+    // precondition the rewrite's exactness argument needs
+    DrainRewrite.decide(spark, ss, ckpt, singleBatch = true) match {
+      case DrainRewrite.BatchDrain =>
+        val ev = graft.Tables.normalizeTs(batch)
+        val out = graft.functions.F.materialize(intervalJoinProject(
+          clicksOf(ev).join(errorsOf(ev), intervalJoinCond)))
+        DrainRewrite.commit(ss, ckpt, s"$dir/events.parquet")
+        return out
+      case DrainRewrite.Stateful => ()
+    }
     // An INNER stream-stream join emits each match in the micro-batch
     // where it forms; the trailing no-data batch only advances the
     // watermark to evict state — for a drain that is a full extra
     // commit round over 4 state stores × partitions with no new output.
     ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    val batch = ss.read.parquet(s"$dir/events.parquet")
     def src(): DataFrame = graft.Tables.normalizeTs(
       ss.readStream
         .schema(batch.schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir))
-    val clicks = src().filter(col("event_type") === "click")
-      .select(col("event_id").as("click_id"), col("user_id"),
-        col("ts").as("cts"))
-      .withWatermark("cts", "1 hour")
-    val errors = src().filter(col("event_type") === "error")
-      .select(col("event_id").as("err_id"), col("user_id").as("err_user"),
-        col("ts").as("ets"))
-      .withWatermark("ets", "1 hour")
-    val joined = clicks.join(errors,
-      col("user_id") === col("err_user") &&
-        col("ets") >= col("cts") - expr("INTERVAL 2 HOURS") &&
-        col("ets") <= col("cts"))
+    val clicks = clicksOf(src()).withWatermark("cts", "1 hour")
+    val errors = errorsOf(src()).withWatermark("ets", "1 hour")
+    val joined = clicks.join(errors, intervalJoinCond)
     // Guard for the noDataMicroBatches=false above: that setting is safe
     // ONLY while no output here is watermark-GATED (an inner join emits
     // matches in the micro-batch where they form; the watermark only
@@ -171,20 +210,16 @@ object EventStream {
           s"non-inner stream join under noDataMicroBatches=false: ${j.joinType}")
       case _ => ()
     }
-    val name = s"graft_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val q = joined.writeStream
       .outputMode(OutputMode.Append())
       .format("memory")
       .queryName(name)
-      .option("checkpointLocation",
-        s"${graft.functions.F.stageRoot(ss)}/ckpt-$name")
+      .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     DrainMetrics.capture(q)
-    ss.table(name).select(col("click_id"), col("err_id"),
-      unix_millis(col("cts")).as("click_ms"),
-      unix_millis(col("ets")).as("err_ms"))
+    intervalJoinProject(ss.table(name))
   }
 
   /** Batch sessionization: gaps-and-islands with a session break when the

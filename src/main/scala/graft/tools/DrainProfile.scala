@@ -22,6 +22,9 @@ object DrainProfile {
       if (args.length > 1) args.drop(1).toSeq
       else Seq("st5_interval_join", "sk3_stream_countmin")
     val spark = graft.Sessions.local("graft-drain-profile")
+    // this tool measures the STATEFUL drain machinery (the floor the
+    // drain note quotes) — keep the batch-twin rewrite out of the way
+    spark.conf.set(graft.streaming.DrainRewrite.FlagKey, "false")
     val mapper = new ObjectMapper()
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

@@ -1,0 +1,62 @@
+package graft.streaming
+
+/** The drain-mode rewrite ([[DrainRewrite]]): a fresh-checkpoint
+  * single-batch AvailableNow drain of the st5 inner interval join must
+  * equal the stateful streaming plan row for row, the fallback
+  * preconditions must actually route to the stateful plan, and a spent
+  * checkpoint must never silently re-emit.
+  */
+class DrainRewriteSpec extends graft.SparkSpec {
+
+  private def flagOff[A](body: => A): A = {
+    spark.conf.set(DrainRewrite.FlagKey, "false")
+    try body finally spark.conf.unset(DrainRewrite.FlagKey)
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Long)] =
+    df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+
+  test("st5 rewrite drain equals the stateful drain exactly") {
+    val fast = rows(EventStream.intervalJoinStreaming(spark, sf001))
+    val slow = rows(flagOff(EventStream.intervalJoinStreaming(spark, sf001)))
+    assert(fast.nonEmpty)
+    assert(fast == slow)
+  }
+
+  test("a rewritten checkpoint is spent: reruns fail loudly, never re-emit") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-drain-spent")
+      .toAbsolutePath.toString + "/c1"
+    assert(EventStream.intervalJoinStreaming(spark, sf001, Some(ckpt)).count() > 0)
+    // re-draining it — with the rewrite on OR off — must throw, not
+    // silently replay the already-emitted matches
+    intercept[IllegalStateException](
+      EventStream.intervalJoinStreaming(spark, sf001, Some(ckpt)))
+    intercept[IllegalStateException](
+      flagOff(EventStream.intervalJoinStreaming(spark, sf001, Some(ckpt))))
+  }
+
+  test("prior Spark stream state and rate-capped sources take the stateful plan") {
+    // a stateful drain leaves offsets/ behind → the rewrite stands down
+    // and Spark's native exactly-once resume owns the checkpoint
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-drain-stateful")
+      .toAbsolutePath.toString + "/c1"
+    flagOff(EventStream.intervalJoinStreaming(spark, sf001, Some(ckpt))).count()
+    assert(DrainRewrite.decide(spark, spark, ckpt, singleBatch = true) ==
+      DrainRewrite.Stateful)
+    // a rate-capped (multi-batch) source never rewrites, even fresh:
+    // across batch boundaries the advanced watermark drops late rows,
+    // so the drain is NOT the batch join
+    val fresh = java.nio.file.Files.createTempDirectory("graft-drain-fresh")
+      .toAbsolutePath.toString + "/c1"
+    assert(DrainRewrite.decide(spark, spark, fresh, singleBatch = false) ==
+      DrainRewrite.Stateful)
+    assert(DrainRewrite.decide(spark, spark, fresh, singleBatch = true) ==
+      DrainRewrite.BatchDrain)
+    // the flag read comes from the PARENT session, so callers/tests can
+    // toggle it without reaching into the per-query session clone
+    assert(flagOff(DrainRewrite.decide(spark, spark, fresh, singleBatch = true)) ==
+      DrainRewrite.Stateful)
+  }
+}
