@@ -49,39 +49,65 @@ object SketchStream {
     * regardless of stream volume — the defining sketch property — and
     * the state table compacts on read.
     */
+  /** One micro-batch's (or the whole table's) CMS cell counts — shared
+    * by the streaming body and the drain-mode batch twin, so the two
+    * can't drift. Groups by the NATIVE key first (long hash-agg, no
+    * per-row string materialization), then string-hashes only the
+    * distinct keys; hash collisions between distinct uids re-sum in the
+    * cell aggregate, identically to hashing per row.
+    */
+  private def cmsCells(b: DataFrame, width: Int): DataFrame = {
+    val keyed = b
+      .groupBy(col("user_id")).agg(count(lit(1)).as("__n"))
+      .select(graft.dedupe.Dedupe.tokenHash(
+        col("user_id").cast("string")).as("__h"), col("__n"))
+    keyed
+      .select(col("__n"),
+        explode(Sketches.cmsCellsFromHash(col("__h"), width)).as("__rb"))
+      .groupBy(col("__rb.row").as("row"), col("__rb.bucket").as("bucket"))
+      .agg(sum(col("__n")).as("n"))
+  }
+
   def countMinStreaming(spark: SparkSession, dir: String,
       width: Int = 1024): DataFrame = {
     // the per-batch pre-count shuffles by user_id — size it to the source
     val ss = StreamConf.streamSessionFor(spark, dir)
     val batch = ss.read.parquet(s"$dir/events.parquet")
+    val name = s"graft_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val ckpt = s"${graft.functions.F.stageRoot(ss)}/ckpt-$name"
+    // ONE-SHOT drains take the [[DrainRewrite]] fast path: the round-12
+    // DrainProfile decomposition showed this drain's residual cost is
+    // pure stream lifecycle (ZERO state-store rows — the cells live in
+    // the agg), plus the __batch partition round-trip. CMS linearity
+    // makes the twin trivially exact: the single batch IS the table, so
+    // its cell counts equal the batch build bit for bit, with no
+    // staging write or compaction read-back. The uncapped file source
+    // drains in one batch (the singleBatch precondition).
+    DrainRewrite.decide(spark, ss, ckpt, singleBatch = true) match {
+      case DrainRewrite.BatchDrain =>
+        val out = graft.functions.F.materialize(
+          cmsCells(graft.Tables.normalizeTs(batch), width))
+        DrainRewrite.commit(ss, ckpt, s"$dir/events.parquet")
+        return out
+      case DrainRewrite.Stateful => ()
+    }
     val src = graft.Tables.normalizeTs(
       ss.readStream
         .schema(batch.schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir))
-    val name = s"graft_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val stateDir = s"${graft.functions.F.stageRoot(ss)}/cms-$name"
     val q = src.writeStream
       .queryName(name)
-      .option("checkpointLocation",
-        s"${graft.functions.F.stageRoot(ss)}/ckpt-$name")
+      .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, batchId: Long) =>
-        // group by the NATIVE key first (long hash-agg, no per-row
-        // string materialization), then string-hash only the distinct
-        // keys; hash collisions between distinct uids re-sum in the
-        // cell aggregate, identically to hashing per row
-        val keyed = b
-          .groupBy(col("user_id")).agg(count(lit(1)).as("__n"))
-          .select(graft.dedupe.Dedupe.tokenHash(
-            col("user_id").cast("string")).as("__h"), col("__n"))
-        val cells = keyed
-          .select(col("__n"),
-            explode(Sketches.cmsCellsFromHash(col("__h"), width)).as("__rb"))
-          .groupBy(col("__rb.row").as("row"), col("__rb.bucket").as("bucket"))
-          .agg(sum(col("__n")).as("n"))
+        // one idempotent __batch partition per micro-batch (dynamic
+        // overwrite — a Spark retry of the same batch id rewrites its
+        // own partition, never double-counts)
+        cmsCells(b, width)
           .withColumn("__batch", lit(batchId))
-        cells.write.mode("overwrite")
+          .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("__batch").parquet(stateDir)
       }

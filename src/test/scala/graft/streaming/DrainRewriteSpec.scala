@@ -25,6 +25,22 @@ class DrainRewriteSpec extends graft.SparkSpec {
     assert(fast == slow)
   }
 
+  test("sk3 rewrite drain equals the stateful foreachBatch drain exactly") {
+    // generic getters + schema capture: the two paths must agree on the
+    // column TYPES as well as the values (the oracle hashes both)
+    def cells(df: org.apache.spark.sql.DataFrame): (String, Seq[(Long, Long, Long)]) =
+      (df.schema.treeString,
+        df.collect().map(r => (Seq(0, 1, 2).map(i => r.get(i) match {
+          case i: Int => i.toLong
+          case l: Long => l
+        })) match { case Seq(a, b, c) => (a, b, c) }).sorted.toSeq)
+    val (fastSchema, fast) = cells(SketchStream.countMinStreaming(spark, sf001))
+    val (slowSchema, slow) = cells(flagOff(SketchStream.countMinStreaming(spark, sf001)))
+    assert(fast.nonEmpty)
+    assert(fast == slow)
+    assert(fastSchema == slowSchema)
+  }
+
   test("a rewritten checkpoint is spent: reruns fail loudly, never re-emit") {
     val ckpt = java.nio.file.Files.createTempDirectory("graft-drain-spent")
       .toAbsolutePath.toString + "/c1"
