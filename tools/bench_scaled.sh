@@ -82,6 +82,14 @@ out = {
              'DuckDB oracles are recursive CTEs that do not complete at this '
              'size (gr4 alone is 319 s/rep at x10); Spark runs them fine — '
              'see the spark-f100 run for their absolute times.'),
+    'x1_denominator_note': (
+        'the x1 aggregate ratio is the noisiest number in this artifact: '
+        'its oracle denominator is tiny and host-sensitive (16.4 s this '
+        'round vs 53.1 s in round 12 on IDENTICAL data and queries — a '
+        '3.2x swing the embedded calibrations bracket), while the Spark '
+        'side is stable round-over-round (44.3 s vs 47.9 s). The '
+        'x10/x100 ratios, whose denominators are minutes not seconds, '
+        'are the scale signal.'),
     'split_size_note': (
         'maxPartitionBytes A/B (round 11, SPARK_GRAFT_MAX_PARTITION_BYTES '
         'override): full 142-query suite at sf0.1 = 97.9 s (16m) vs 93.1 s '
@@ -91,35 +99,45 @@ out = {
         'row-group-granular parallelism on medium single-file scans; real '
         'deployments tune via the env override.'),
     'streaming_drain_note': (
-        'st5/sk3 are streaming drains: an AvailableNow one-batch drain '
-        'buffers every row through the symmetric-join/agg state stores, a '
-        'cost their batch twins never pay — rj1/aj1 and sk1 are IN this '
-        'query set (round 12) so the parity claim is measured per factor, '
-        'not presumed. Measured levers at x100 (round 11): state partitions '
-        '8/16/32 -> 6.5/6.7/5.7 s (commit traffic is NOT dominant; 32 = '
-        'streamSessionFor sizing kept); RocksDB state store with changelog '
-        'checkpointing -> 21.4 s (per-put write amplification loses to the '
-        'in-memory HDFS-backed map for one-shot drains; RocksDB stays the '
-        'right choice only for always-on queries with state >> heap, '
-        'available via SPARK_GRAFT_STATE_STORE=rocksdb). The residual is '
-        'the state-store put/probe machinery itself, metrics-backed by '
-        'graft.tools.DrainProfile (round 12, warm rep at sf0.1, '
-        'StreamingQueryProgress decomposition): st5 wall 4.84 s = 0.85 s '
-        'outside-trigger stream machinery + 3.99 s trigger (addBatch 3.08, '
-        'planning 0.63), and inside addBatch the join buffers 39,673 rows '
-        '(10.2 MB, every row updated once) costing 7.2 task-sec of state '
-        'update + 8.3 task-sec of state commit across 32 partitions; sk3 '
-        'wall 2.07 s = 0.98 s machinery + 0.91 s addBatch with ZERO state '
-        'rows (count-min folds in the agg, not the store), i.e. sk3 is '
-        'floor-bound by per-query stream lifecycle, st5 by the mandatory '
-        'buffer-then-snapshot of symmetric join state — both costs their '
-        'batch twins (rj1/sk1, in this set) structurally never pay. At '
-        'x100 (warm rep): st5 wall 8.86 s with 3,967,300 state rows '
-        '(1.04 GB, every row updated once) = 41.7 task-sec state update + '
-        '2.2 task-sec commit over 32 partitions inside a 7.4 s addBatch — '
-        'the drain IS the state-store insert of the full in-window set, '
-        'data-proportional by the join semantics; sk3 wall 4.02 s = '
-        '1.5 s lifecycle + 2.3 s addBatch, still zero store rows.'),
+        'st5/sk3 are streaming drains whose batch twins (rj1/aj1, sk1) are '
+        'IN this query set, so the parity claim is measured per factor. '
+        'ROUND 13: one-shot drains now take the DrainRewrite fast path '
+        '(graft.streaming.DrainRewrite, default-on, '
+        'spark.graft.stream.drainRewrite): a fresh-checkpoint SINGLE-batch '
+        'AvailableNow drain of an inner stream-stream join (or a linear '
+        'sketch aggregate) provably equals its batch twin — matches form '
+        'inside the one batch, the watermark only evicts state afterwards; '
+        'CMS cells are linear — so the drain executes the batch plan and '
+        'marks the checkpoint spent (any rerun fails loudly; prior Spark '
+        'state, rate-capped multi-batch sources, or the flag off keep the '
+        'stateful plan, whose exactly-once resume is untouched and '
+        'spec-gated for row+schema equality with the rewrite). The '
+        'numbers in this artifact measure the rewrite path, and they '
+        'close the streaming tax in WALL TIME: at x100 st5 runs 1.83 s — '
+        'the same band as batch twin rj1 (1.61 s) — down from 6.47 s '
+        'stateful in round 12; sk3 runs 2.17 s, FASTER than batch twin '
+        'sk1 (2.45 s), down from 3.18 s. The residual ratios (st5 2.67x, '
+        'sk3 4.16x at x100, both falling monotonically from 28x/48x at '
+        'x1) are ORACLE-shape artifacts, not engine cost: st5/sk3 happen '
+        'to have sub-second DuckDB twins (0.69 s / 0.52 s at x100) where '
+        'rj1/sk1 oracles take 7.0 s / 1.98 s for the same-band Spark '
+        'work — sk1 itself, a plain batch query, reads 15.9x at x1 and '
+        '1.24x at x100 against its own oracle. The '
+        'STATEFUL floor the rewrite bought back, metrics-backed by '
+        'graft.tools.DrainProfile (which pins the flag off; round-12 '
+        'StreamingQueryProgress decomposition, warm reps): at sf0.1 st5 '
+        'wall 4.84 s = 0.85 s stream machinery + 3.99 s trigger, with 7.2 '
+        'task-sec state update + 8.3 task-sec commit buffering 39,673 '
+        'rows; at x100 st5 wall 8.86 s with 3,967,300 state rows (1.04 GB) '
+        '= 41.7 task-sec update inside a 7.4 s addBatch — the stateful '
+        'drain IS the state-store insert of the full in-window set, '
+        'mandated by resumable exactly-once but pure waste for a one-shot '
+        'drain; sk3 stateful wall 4.02 s at x100 = 1.5 s lifecycle + '
+        '2.3 s addBatch with ZERO store rows. Measured levers that did '
+        'NOT close it (round 11): state partitions 8/16/32 -> '
+        '6.5/6.7/5.7 s; RocksDB+changelog -> 21.4 s (write amplification; '
+        'stays right only for always-on state >> heap, via '
+        'SPARK_GRAFT_STATE_STORE=rocksdb).'),
     'scales': scales}
 json.dump(out, open('BENCH_scaled.json', 'w'), indent=1)
 open('BENCH_scaled.json', 'a').write('\n')
