@@ -166,7 +166,14 @@ object Bench {
     // filtered profiling loop or small-sf smoke can't stamp a partial or
     // wrong-scale map even with the round set.
     val roundSf = sys.env.getOrElse("SPARK_GRAFT_ROUND_SF", "sf0.1")
-    sys.env.get("SPARK_GRAFT_ROUND").map(_.trim).filter(_.nonEmpty)
+    val roundEnv = sys.env.get("SPARK_GRAFT_ROUND").map(_.trim).filter(_.nonEmpty)
+    // signal BOTH skip directions: an end-of-round run that forgot the
+    // env would otherwise silently stop the per-query history
+    if (roundEnv.isEmpty && only.isEmpty && sfDir.contains(roundSf))
+      System.err.println(
+        "[bench] SPARK_GRAFT_ROUND unset — no round-stamped history copy " +
+          "(set it on the end-of-round full-suite run)")
+    roundEnv
       .foreach { round =>
         if (only.isEmpty && sfDir.contains(roundSf)) {
           try java.nio.file.Files.write(

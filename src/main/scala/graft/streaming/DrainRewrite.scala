@@ -22,9 +22,14 @@ import org.apache.spark.sql.SparkSession
   *    read from the PARENT session so callers/tests toggle it without
   *    reaching into the per-query session clone);
   *  - the checkpoint holds no Spark streaming state (`offsets/` empty or
-  *    absent) — prior stateful progress resumes exactly-once natively
-  *    and a batch twin could double-emit what earlier batches already
-  *    produced;
+  *    absent) — a checkpoint with prior progress belongs to Spark's own
+  *    recovery rules, and a batch twin could double-emit what earlier
+  *    batches already produced. What those rules then do depends on the
+  *    SINK: a durable sink resumes exactly-once natively, while the
+  *    drain queries' append-mode MEMORY sink does not support recovery
+  *    at all, so Spark itself refuses the rerun loudly. Either way the
+  *    invariant holds: no path over a used checkpoint can silently
+  *    re-emit;
   *  - the caller's source is uncapped (no maxFilesPerTrigger /
   *    maxBytesPerTrigger), so AvailableNow drains in ONE data batch.
   *    This is a caller-declared fact (`singleBatch`), because only the
@@ -71,7 +76,15 @@ object DrainRewrite {
         s"checkpoint $checkpoint was drained by a batch rewrite and holds no " +
           "resumable stream state: use a fresh checkpoint (full recompute), or " +
           s"disable $FlagKey from the FIRST run for an incrementally-resumable stream")
-    val enabled = parent.conf.get(FlagKey, "true").toBoolean
+    // lenient boolean parse: Spark operators routinely write 1/0/on/off,
+    // and a misspelling must name the key instead of crashing opaquely
+    // (String.toBoolean) or silently picking a default
+    val enabled = parent.conf.get(FlagKey, "true").trim.toLowerCase match {
+      case "true" | "1" | "on" | "yes" => true
+      case "false" | "0" | "off" | "no" => false
+      case other => throw new IllegalArgumentException(
+        s"$FlagKey must be a boolean (true/false/1/0/on/off), got '$other'")
+    }
     val offsets = new org.apache.hadoop.fs.Path(root, "offsets")
     val hasSparkState =
       try f.exists(offsets) && f.listStatus(offsets).nonEmpty
@@ -89,8 +102,16 @@ object DrainRewrite {
     val f = fs(ss, root)
     graft.lake.FsOps.mkdirs(f, root)
     val out = f.create(new org.apache.hadoop.fs.Path(root, MarkerName), true)
+    // JSON-escape the caller-supplied fingerprint (paths can legally
+    // carry quotes/backslashes) so the marker always parses
+    val esc = fingerprint.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     try out.write(
-      s"""{"drained_by":"batch-rewrite","source":"$fingerprint"}\n""".getBytes("UTF-8"))
+      s"""{"drained_by":"batch-rewrite","source":"$esc"}\n""".getBytes("UTF-8"))
     finally out.close()
   }
 }

@@ -14,15 +14,17 @@ object Explain {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = graft.Sessions.local("graft-explain")
     val names = if (args.nonEmpty) args.toSeq else graft.SparkEntry.queries.keys.toSeq.sorted
-    for (n <- names) {
-      graft.SparkEntry.queries.get(n) match {
-        case Some(fn) =>
-          println(s"\n===== $n =====")
-          fn(spark, sfDir).explain("formatted")
-        case None =>
-          System.err.println(s"[explain] no such query: $n")
-      }
+    val unknown = names.filterNot(graft.SparkEntry.queries.contains)
+    for (n <- names; fn <- graft.SparkEntry.queries.get(n)) {
+      println(s"\n===== $n =====")
+      fn(spark, sfDir).explain("formatted")
     }
     spark.stop()
+    if (unknown.nonEmpty) {
+      // fail LOUDLY on typos: a scripted audit must not read an empty
+      // dump as success
+      System.err.println(s"[explain] no such queries: ${unknown.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

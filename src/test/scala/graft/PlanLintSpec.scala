@@ -91,14 +91,25 @@ object PlanLintSpec {
   import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
   import org.apache.spark.sql.execution.window.WindowExec
 
-  /** Every WindowExec in the tree (descending through AQE wrappers) with
-    * an EMPTY partition spec, rendered as its window expressions — the
-    * shape whose sort runs through a single partition.
+  /** Every WindowExec in the tree (descending through AQE wrappers,
+    * subquery expressions, and cached-relation scans — a single-
+    * partition window must not hide inside a scalar subquery or a
+    * persisted subtree) with an EMPTY partition spec, rendered as its
+    * window expressions — the shape whose sort runs through a single
+    * partition.
     */
   def unpartitionedWindows(plan: SparkPlan): Seq[String] = {
-    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => p +: walk(a.inputPlan)
-      case _ => p +: p.children.flatMap(walk)
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val nested = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.inputPlan)
+        case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          Seq(m.relation.cachedPlan)
+        case _ => p.children
+      }
+      val subqueries = p.expressions.flatMap(_.collect {
+        case s: org.apache.spark.sql.execution.ExecSubqueryExpression => s.plan
+      })
+      p +: (nested ++ subqueries).flatMap(walk)
     }
     walk(plan).collect {
       case w: WindowExec if w.partitionSpec.isEmpty =>

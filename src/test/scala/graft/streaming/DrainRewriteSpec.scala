@@ -61,6 +61,12 @@ class DrainRewriteSpec extends graft.SparkSpec {
     flagOff(EventStream.intervalJoinStreaming(spark, sf001, Some(ckpt))).count()
     assert(DrainRewrite.decide(spark, spark, ckpt, singleBatch = true) ==
       DrainRewrite.Stateful)
+    // ...and that route hands the checkpoint to Spark's own recovery
+    // rules, which for the drains' append-mode MEMORY sink means Spark
+    // itself refuses the rerun — loudly, never a silent re-emit (a
+    // durable sink would resume exactly-once here instead)
+    intercept[Exception](
+      EventStream.intervalJoinStreaming(spark, sf001, Some(ckpt)).count())
     // a rate-capped (multi-batch) source never rewrites, even fresh:
     // across batch boundaries the advanced watermark drops late rows,
     // so the drain is NOT the batch join
