@@ -260,8 +260,21 @@ object Rql {
     * Multi-value `orderBy` follows the reference: the FIRST value's `-`
     * prefix sets the direction for every column.
     */
+  /** Wire-level slice caps (DoS bounds beside the filter caps, reference
+    * core/settings.py:89-93): the offset drop is distributed (two-phase
+    * anti-join, FtmQuery.entityIdPage), but its head is still an
+    * offset-row top-k — deep slices belong to keyset pagination, not
+    * `[10^9:]`. Wire boundary only; the programmatic Query API is for
+    * trusted callers and stays uncapped.
+    */
+  val MaxWireOffset = 100000
+
   def applySiblings(q: Query, orderBy: Seq[String],
       limit: Option[Int], offset: Int): Query = {
+    require(offset >= 0, s"negative offset: $offset")
+    require(offset <= MaxWireOffset,
+      s"offset $offset exceeds the wire cap $MaxWireOffset — page with a keyset cursor instead")
+    require(limit.forall(_ >= 0), s"negative limit: $limit")
     val ordered =
       if (orderBy.isEmpty) q
       else {

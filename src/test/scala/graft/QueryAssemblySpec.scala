@@ -237,6 +237,18 @@ class QueryAssemblySpec extends SparkSpec {
     // at-cap queries still parse
     val okIn = s"in(name, (${(1 to 100).map("v" + _).mkString(",")}))"
     assert(Rql.parse(okIn).propFilters.head.values.length == 100)
+    // wire-level slice caps: deep/negative offsets and negative limits
+    // die at the boundary (the two-phase drop is distributed, but its
+    // head is still an offset-row top-k — keyset pagination owns deep
+    // scans); at-cap passes
+    intercept[IllegalArgumentException](
+      Rql.applySiblings(Query(), Seq.empty, None, Rql.MaxWireOffset + 1))
+    intercept[IllegalArgumentException](
+      Rql.applySiblings(Query(), Seq.empty, None, -1))
+    intercept[IllegalArgumentException](
+      Rql.applySiblings(Query(), Seq.empty, Some(-5), 0))
+    assert(Rql.applySiblings(Query(), Seq.empty, None, Rql.MaxWireOffset)
+      .offset == Rql.MaxWireOffset)
   }
 
   test("entity assembly: caption, most-specific schema, property fold, origins") {
