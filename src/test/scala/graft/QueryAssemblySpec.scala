@@ -220,6 +220,33 @@ class QueryAssemblySpec extends SparkSpec {
     assert(paged == all)
   }
 
+  test("offset drop exactness: randomized key collisions vs a local reference") {
+    import spark.implicits._
+    // 200 entities whose order key collides heavily (20 distinct names),
+    // so the drop-set uniqueness rests entirely on the entity_id
+    // tie-break — the property the anti-join form's exactness needs
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 200).map { i =>
+      val name = f"n${rnd.nextInt(20)}%02d"
+      (f"e$i%03d", name)
+    }
+    val big = rows.map { case (e, n) => stmt(e, "Person", "name", n) }
+      .toDS().toDF()
+    // local reference: sort by (name asc nulls-last, entity_id), slice
+    val order = rows.sortBy { case (e, n) => (n, e) }.map(_._1)
+    for (offset <- Seq(0, 1, 7, 50, 199, 250); limit <- Seq(None, Some(1), Some(10))) {
+      val got = FtmQuery.entityIds(
+        Query(schemata = Some("Person"),
+          orderByProps = Seq(("name", false)), limit = limit, offset = offset),
+        big).collect().map(_.getString(0)).toSeq
+      val want = limit match {
+        case Some(n) => order.slice(offset, offset + n)
+        case None => order.drop(offset)
+      }
+      assert(got == want, s"offset=$offset limit=$limit")
+    }
+  }
+
   test("filter-leaf and IN-value caps are enforced") {
     val tooMany = (1 to 21).map(i => M("prop", EqOp, Seq(s"v$i")))
     intercept[IllegalArgumentException] {
