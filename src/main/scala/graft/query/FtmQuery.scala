@@ -153,24 +153,36 @@ object FtmQuery {
       case None => ordered
     }
     val out =
-      if (q.offset > 0) {
-        // The drop set is exactly the global top-`offset` rows, and the
-        // sort order is STRICT (entity_id — unique per row — is the
-        // final key), so that head is a uniquely-determined id set: an
-        // anti-join against it equals a row_number drop. The row_number
-        // form (rounds ≤12) ran an unpartitioned Window over `sliced`,
-        // which for a no-limit slice (ftmq's legal `[100:]`) is the
-        // WHOLE ordered match set through ONE partition — the exact
-        // shape the reference's global path exists to avoid
-        // (storage/parquet.py:197-219). Here both sides stay
-        // distributed: the head is a top-k (TakeOrdered, ≤ offset
-        // rows), the drop is a shuffle anti-join that AQE converts to
-        // broadcast when the head is small. Cost: a second top-k pass
-        // over the match set — at scale, two scans beat one
-        // single-partition global sort by orders of magnitude.
-        val head = ordered.limit(q.offset).select("entity_id")
-        sliced.join(head, Seq("entity_id"), "left_anti")
-      } else sliced
+      if (q.offset <= 0) sliced
+      else q.limit match {
+        case Some(_) =>
+          // bounded drop: `sliced` is already the distributed
+          // top-(offset+n) — ≤ offset+n rows by construction — so this
+          // single-partition window is sanctioned (the bounded-window
+          // shape PlanLintSpec whitelists) and reuses the one top-k
+          // scan instead of re-scanning the match set for a head
+          sliced
+            .withColumn("__rn", row_number().over(
+              org.apache.spark.sql.expressions.Window.orderBy(sortCols: _*)))
+            .filter(col("__rn") > q.offset)
+            .drop("__rn")
+        case None =>
+          // open-ended slice (ftmq's legal `[100:]`): the drop set is
+          // exactly the global top-`offset` rows, and the sort order is
+          // STRICT (entity_id — unique per row — is the final key), so
+          // that head is a uniquely-determined id set: an anti-join
+          // against it equals a row_number drop. The round-≤12 window
+          // form here pulled the WHOLE ordered match set through ONE
+          // partition — the exact shape the reference's global path
+          // exists to avoid (storage/parquet.py:197-219). Both sides
+          // stay distributed: the head is a top-k (TakeOrdered,
+          // ≤ offset rows), the drop a shuffle anti-join AQE converts
+          // to broadcast when the head is small. Cost: a second top-k
+          // pass over the match set — at scale, two scans beat one
+          // single-partition global sort by orders of magnitude.
+          val head = ordered.limit(q.offset).select("entity_id")
+          sliced.join(head, Seq("entity_id"), "left_anti")
+      }
     (out, sortCols)
   }
 }
