@@ -175,6 +175,12 @@ object Bench {
           "(set it on the end-of-round full-suite run)")
     roundEnv
       .foreach { round =>
+        // the value is interpolated into the artifact filename — a stray
+        // space/slash would write a misplaced file instead of history,
+        // so fail loudly like the other stamp diagnostics
+        if (!round.matches("\\d+"))
+          throw new IllegalArgumentException(
+            s"SPARK_GRAFT_ROUND must be a round number (digits only), got '$round'")
         if (only.isEmpty && sfDir.contains(roundSf)) {
           try java.nio.file.Files.write(
             java.nio.file.Paths.get(s"BENCH_full_r$round.json"),

@@ -149,7 +149,15 @@ object FtmQuery {
     val ordered = keyed.orderBy(sortCols: _*)
     // slice: limit first (distributed top-k), then drop the offset prefix.
     val sliced = q.limit match {
-      case Some(n) => ordered.limit(q.offset + n)
+      case Some(n) =>
+        // Int-safe bound: wire callers are capped (Rql.MaxWireOffset /
+        // MaxWireLimit) but the programmatic Query API is uncapped, and
+        // `offset + n` wrapping negative would crash in Spark analysis
+        val bound = q.offset.toLong + n.toLong
+        require(bound <= Int.MaxValue,
+          s"offset (${q.offset}) + limit ($n) = $bound exceeds Int.MaxValue — " +
+            "page with a keyset cursor instead")
+        ordered.limit(bound.toInt)
       case None => ordered
     }
     val out =
@@ -158,9 +166,13 @@ object FtmQuery {
         case Some(_) =>
           // bounded drop: `sliced` is already the distributed
           // top-(offset+n) — ≤ offset+n rows by construction — so this
-          // single-partition window is sanctioned (the bounded-window
-          // shape PlanLintSpec whitelists) and reuses the one top-k
-          // scan instead of re-scanning the match set for a head
+          // single-partition window is bounded the same way as the
+          // whitelisted registry sites. No registry query takes this
+          // branch, so it is sanctioned by its own dedicated lint
+          // (PlanLintSpec "offset+limit page") that builds the plan
+          // here and asserts the window's input IS a top-k head; it
+          // reuses the one top-k scan instead of re-scanning the match
+          // set for a second head
           sliced
             .withColumn("__rn", row_number().over(
               org.apache.spark.sql.expressions.Window.orderBy(sortCols: _*)))

@@ -264,10 +264,16 @@ object Rql {
     * core/settings.py:89-93): the offset drop is distributed (two-phase
     * anti-join, FtmQuery.entityIdPage), but its head is still an
     * offset-row top-k — deep slices belong to keyset pagination, not
-    * `[10^9:]`. Wire boundary only; the programmatic Query API is for
-    * trusted callers and stays uncapped.
+    * `[10^9:]`. The LIMIT cap is the same bound on the same plan shape:
+    * with limit present the page runs `limit(offset+n)` then a bounded
+    * window, so an uncapped wire limit would drive a near-billion-row
+    * top-k into one partition (and `offset+n` could overflow Int). Wire
+    * boundary only; the programmatic Query API is for trusted callers
+    * and stays uncapped (with overflow still guarded in
+    * FtmQuery.entityIdPage).
     */
   val MaxWireOffset = 100000
+  val MaxWireLimit = 100000
 
   def applySiblings(q: Query, orderBy: Seq[String],
       limit: Option[Int], offset: Int): Query = {
@@ -275,6 +281,8 @@ object Rql {
     require(offset <= MaxWireOffset,
       s"offset $offset exceeds the wire cap $MaxWireOffset — page with a keyset cursor instead")
     require(limit.forall(_ >= 0), s"negative limit: $limit")
+    require(limit.forall(_ <= MaxWireLimit),
+      s"limit ${limit.get} exceeds the wire cap $MaxWireLimit — page with a keyset cursor instead")
     val ordered =
       if (orderBy.isEmpty) q
       else {

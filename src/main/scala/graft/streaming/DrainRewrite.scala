@@ -38,14 +38,19 @@ import org.apache.spark.sql.SparkSession
   *    order is not time order), so a multi-batch drain can legally emit
   *    fewer matches than the batch join.
   *
-  * Bookkeeping: a committed rewrite writes `_graft_drain` under the
-  * checkpoint. A checkpoint that carries the marker is SPENT — it holds
-  * no Spark state to resume from, and re-running anything over it
-  * (rewrite or stateful) would re-emit the drained rows. Any later run
-  * against it fails loudly with instructions, the same crash-safety
-  * posture as [[ExactlyOnceBatches]]: an interrupted rewrite leaves no
-  * marker, so the retry re-runs cleanly; the marker is written only
-  * AFTER the twin's result is materialized.
+  * Bookkeeping: a rewrite CLAIMS `_graft_drain` under the checkpoint
+  * atomically (create-exclusive) the moment [[decide]] chooses
+  * BatchDrain — two concurrent drains over the same checkpoint would
+  * otherwise both see "no marker, no offsets" and both emit; with the
+  * claim, exactly one wins and the loser fails loudly. [[commit]]
+  * finalizes the marker (`state: committed`) AFTER the twin's result is
+  * materialized. A checkpoint that carries the marker in EITHER state is
+  * unusable for another run: committed means SPENT (no Spark state to
+  * resume from — re-running anything would re-emit the drained rows);
+  * claimed means a drain is in flight or crashed mid-twin, and only the
+  * operator can tell which — the error says to delete the marker to
+  * retry once no other drain is running. Same crash-safety posture as
+  * [[ExactlyOnceBatches]]: no path ever double-emits silently.
   */
 object DrainRewrite {
 
@@ -63,19 +68,19 @@ object DrainRewrite {
   private def fs(ss: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(ss.sessionState.newHadoopConf())
 
-  /** Decide how to drain `checkpoint`. Throws on a spent (marker-bearing)
-    * checkpoint — see class doc. `parent` is the caller's session (flag
+  /** Decide how to drain `checkpoint`. Throws on a marker-bearing
+    * checkpoint (spent or concurrently claimed — see class doc). A
+    * BatchDrain decision has already CLAIMED the marker atomically:
+    * the caller must run the twin and [[commit]], or clean up the
+    * marker itself on abort. `parent` is the caller's session (flag
     * source); `ss` the per-query clone (filesystem conf).
     */
   def decide(parent: SparkSession, ss: SparkSession, checkpoint: String,
       singleBatch: Boolean): Decision = {
     val root = new org.apache.hadoop.fs.Path(checkpoint)
     val f = fs(ss, root)
-    if (f.exists(new org.apache.hadoop.fs.Path(root, MarkerName)))
-      throw new IllegalStateException(
-        s"checkpoint $checkpoint was drained by a batch rewrite and holds no " +
-          "resumable stream state: use a fresh checkpoint (full recompute), or " +
-          s"disable $FlagKey from the FIRST run for an incrementally-resumable stream")
+    val marker = new org.apache.hadoop.fs.Path(root, MarkerName)
+    if (f.exists(marker)) throw spentOrClaimed(f, marker, checkpoint)
     // lenient boolean parse: Spark operators routinely write 1/0/on/off,
     // and a misspelling must name the key instead of crashing opaquely
     // (String.toBoolean) or silently picking a default
@@ -89,13 +94,49 @@ object DrainRewrite {
     val hasSparkState =
       try f.exists(offsets) && f.listStatus(offsets).nonEmpty
       catch { case _: java.io.FileNotFoundException => false }
-    if (enabled && singleBatch && !hasSparkState) BatchDrain else Stateful
+    if (enabled && singleBatch && !hasSparkState) {
+      // atomic claim: create-exclusive is the decide/commit race guard.
+      // Two concurrent drains both reach this point having seen no
+      // marker and no offsets; exactly one claim succeeds, the other
+      // fails loudly instead of double-emitting (the lock fence
+      // primitive, same as Locks.withLock).
+      val won = graft.lake.FsOps.createExclusive(f, marker,
+        "{\"drained_by\":\"batch-rewrite\",\"state\":\"claimed\"}\n".getBytes("UTF-8"))
+      if (!won) throw spentOrClaimed(f, marker, checkpoint)
+      BatchDrain
+    } else Stateful
   }
 
-  /** Record a completed batch drain. Call AFTER the twin's result is
-    * safely materialized — a crash before this point leaves the
-    * checkpoint fresh, so the retry re-runs the whole drain (the same
-    * "rerun the drain" recovery story every one-shot drain has).
+  private def spentOrClaimed(f: org.apache.hadoop.fs.FileSystem,
+      marker: org.apache.hadoop.fs.Path, checkpoint: String): IllegalStateException = {
+    // a marker is a CLAIM only when it says so explicitly; legacy
+    // markers (no state field) are committed drains, and an unreadable
+    // marker defaults to the spent message — "delete to retry" must
+    // never be suggested for a checkpoint that may have emitted
+    val claimed =
+      try {
+        val in = f.open(marker)
+        try {
+          val buf = new Array[Byte](4096) // marker is one short JSON line
+          val n = math.max(0, in.read(buf))
+          new String(buf, 0, n, "UTF-8").contains("\"state\":\"claimed\"")
+        } finally in.close()
+      } catch { case _: java.io.IOException => false }
+    if (!claimed) new IllegalStateException(
+      s"checkpoint $checkpoint was drained by a batch rewrite and holds no " +
+        "resumable stream state: use a fresh checkpoint (full recompute), or " +
+        s"disable $FlagKey from the FIRST run for an incrementally-resumable stream")
+    else new IllegalStateException(
+      s"checkpoint $checkpoint carries an UNCOMMITTED drain claim ($MarkerName): " +
+        "another drain is in flight, or a prior one crashed mid-twin. If no other " +
+        "drain is running, delete the marker to retry (the crashed run emitted " +
+        "nothing durable before commit)")
+  }
+
+  /** Finalize a claimed batch drain. Call AFTER the twin's result is
+    * safely materialized — a crash before this point leaves the CLAIMED
+    * marker in place, so the retry fails loudly with delete-to-retry
+    * instructions instead of guessing (see [[decide]]'s claim).
     */
   def commit(ss: SparkSession, checkpoint: String, fingerprint: String): Unit = {
     val root = new org.apache.hadoop.fs.Path(checkpoint)
@@ -111,7 +152,8 @@ object DrainRewrite {
       case c => c.toString
     }
     try out.write(
-      s"""{"drained_by":"batch-rewrite","source":"$esc"}\n""".getBytes("UTF-8"))
+      s"""{"drained_by":"batch-rewrite","state":"committed","source":"$esc"}\n"""
+        .getBytes("UTF-8"))
     finally out.close()
   }
 }

@@ -84,6 +84,49 @@ class PlanLintSpec extends SparkSpec {
       failures += s"$n: whitelisted for a global window but its plan has none — prune the entry")
     assert(failures.isEmpty, failures.mkString("\n"))
   }
+
+  test("offset+limit page: the single-partition window is bounded by its own top-k head") {
+    // Sanction for the ONE global-window site the registry sweep can't
+    // see: FtmQuery.entityIdPage's limit-present offset branch (no
+    // registry query pages with offset+limit — wire pages are capped at
+    // Rql.MaxWireOffset/MaxWireLimit, so the window input is ≤ 200k rows
+    // even for untrusted callers). It can't live in allowGlobalWindow
+    // (the two-sided sweep would prune it as unused), so this lint
+    // builds the plan directly and asserts the window's input IS the
+    // distributed top-(offset+n) head — bounded by construction, the
+    // same argument as the whitelisted sites.
+    import spark.implicits._
+    import graft.model.{FtmModel, Statement}
+    import graft.query.FtmQuery
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val stmts = (0 until 50).map { i =>
+      Statement(shard = "0", id = s"e$i-name", entity_id = f"e$i%02d",
+        dataset = "ds", bucket = FtmModel.bucketOf("Person"), origin = "o1",
+        source = None, schema = "Person", prop = "name",
+        prop_type = FtmModel.propTypes("name"), value = f"n$i%02d",
+        original_value = None, lang = None, external = false,
+        first_seen = ts, last_seen = ts, fragment = "", deleted_at = None)
+    }.toDS().toDF()
+    val q = FtmQuery.Query(schemata = Some("Person"),
+      orderByProps = Seq(("name", false)), limit = Some(3), offset = 2)
+    val (page, _) = FtmQuery.entityIdPage(q, stmts)
+    assert(page.collect().map(_.getString(0)).toSeq ==
+      Seq("e02", "e03", "e04")) // the branch actually ran, rows exact
+    val nodes = PlanLintSpec.walkPlans(page.queryExecution.executedPlan)
+    val windows = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(windows.size == 1, s"expected exactly the one bounded window, got ${windows.size}")
+    // the window's input subtree must carry the top-k head that bounds it
+    val boundedBy = PlanLintSpec.walkPlans(windows.head.child).collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => s"TakeOrdered(${t.limit})"
+      case g: org.apache.spark.sql.execution.GlobalLimitExec => s"GlobalLimit(${g.limit})"
+      case c: org.apache.spark.sql.execution.CollectLimitExec => s"CollectLimit(${c.limit})"
+    }
+    assert(boundedBy.nonEmpty,
+      s"offset+limit window lost its bounding top-k head:\n${page.queryExecution.executedPlan}")
+  }
 }
 
 object PlanLintSpec {
@@ -98,7 +141,10 @@ object PlanLintSpec {
     * window expressions — the shape whose sort runs through a single
     * partition.
     */
-  def unpartitionedWindows(plan: SparkPlan): Seq[String] = {
+  /** Every node in the tree, descending through AQE wrappers,
+    * cached-relation scans, and subquery expression plans.
+    */
+  def walkPlans(plan: SparkPlan): Seq[SparkPlan] = {
     def walk(p: SparkPlan): Seq[SparkPlan] = {
       val nested = p match {
         case a: AdaptiveSparkPlanExec => Seq(a.inputPlan)
@@ -111,9 +157,12 @@ object PlanLintSpec {
       })
       p +: (nested ++ subqueries).flatMap(walk)
     }
-    walk(plan).collect {
+    walk(plan)
+  }
+
+  def unpartitionedWindows(plan: SparkPlan): Seq[String] =
+    walkPlans(plan).collect {
       case w: WindowExec if w.partitionSpec.isEmpty =>
         w.windowExpression.map(_.sql).mkString(", ")
     }
-  }
 }

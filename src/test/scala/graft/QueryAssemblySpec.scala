@@ -274,8 +274,22 @@ class QueryAssemblySpec extends SparkSpec {
       Rql.applySiblings(Query(), Seq.empty, None, -1))
     intercept[IllegalArgumentException](
       Rql.applySiblings(Query(), Seq.empty, Some(-5), 0))
+    // limit is capped at the wire too: an uncapped near-Int.MaxValue
+    // limit would drive the page's limit(offset+n) top-k to a
+    // billion-row single-partition window (and overflow Int)
+    intercept[IllegalArgumentException](
+      Rql.applySiblings(Query(), Seq.empty, Some(Rql.MaxWireLimit + 1), 0))
+    intercept[IllegalArgumentException](
+      Rql.applySiblings(Query(), Seq.empty, Some(Int.MaxValue), 0))
     assert(Rql.applySiblings(Query(), Seq.empty, None, Rql.MaxWireOffset)
       .offset == Rql.MaxWireOffset)
+    assert(Rql.applySiblings(Query(), Seq.empty, Some(Rql.MaxWireLimit), 0)
+      .limit.contains(Rql.MaxWireLimit))
+    // the programmatic API stays uncapped but overflow-guarded: offset+n
+    // past Int.MaxValue fails with instructions, not a negative limit
+    // crash inside Spark analysis
+    intercept[IllegalArgumentException](FtmQuery.entityIdPage(
+      Query(offset = Rql.MaxWireOffset, limit = Some(Int.MaxValue)), fixture))
   }
 
   test("entity assembly: caption, most-specific schema, property fold, origins") {

@@ -74,11 +74,47 @@ class DrainRewriteSpec extends graft.SparkSpec {
       .toAbsolutePath.toString + "/c1"
     assert(DrainRewrite.decide(spark, spark, fresh, singleBatch = false) ==
       DrainRewrite.Stateful)
-    assert(DrainRewrite.decide(spark, spark, fresh, singleBatch = true) ==
-      DrainRewrite.BatchDrain)
     // the flag read comes from the PARENT session, so callers/tests can
-    // toggle it without reaching into the per-query session clone
+    // toggle it without reaching into the per-query session clone —
+    // neither path above CLAIMED the checkpoint, so it is still fresh
     assert(flagOff(DrainRewrite.decide(spark, spark, fresh, singleBatch = true)) ==
       DrainRewrite.Stateful)
+    assert(DrainRewrite.decide(spark, spark, fresh, singleBatch = true) ==
+      DrainRewrite.BatchDrain)
+  }
+
+  test("BatchDrain decisions claim the checkpoint atomically — no concurrent double-drain") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-drain-claim")
+      .toAbsolutePath.toString + "/c1"
+    // first decide wins the claim...
+    assert(DrainRewrite.decide(spark, spark, ckpt, singleBatch = true) ==
+      DrainRewrite.BatchDrain)
+    // ...so a second drain racing on the same checkpoint (it too saw no
+    // offsets) fails loudly instead of emitting a second copy — and the
+    // message distinguishes the uncommitted claim (delete-to-retry) from
+    // a spent checkpoint (never delete)
+    val raced = intercept[IllegalStateException](
+      DrainRewrite.decide(spark, spark, ckpt, singleBatch = true))
+    assert(raced.getMessage.contains("UNCOMMITTED drain claim"))
+    // the stateful route refuses it too: the claim means a twin may be
+    // mid-flight, so no plan may touch the checkpoint
+    val statefulRaced = intercept[IllegalStateException](
+      flagOff(DrainRewrite.decide(spark, spark, ckpt, singleBatch = true)))
+    assert(statefulRaced.getMessage.contains("UNCOMMITTED drain claim"))
+    // commit finalizes the claim: reruns now get the SPENT message (no
+    // delete-to-retry — the drained rows were emitted)
+    DrainRewrite.commit(spark, ckpt, "spec-fingerprint")
+    val spent = intercept[IllegalStateException](
+      DrainRewrite.decide(spark, spark, ckpt, singleBatch = true))
+    assert(spent.getMessage.contains("holds no resumable stream state"))
+    // legacy markers (pre-claim format, no state field) are committed
+    // drains — they must never be told delete-to-retry
+    val legacy = java.nio.file.Files.createTempDirectory("graft-drain-legacy")
+      .toAbsolutePath
+    java.nio.file.Files.write(legacy.resolve("_graft_drain"),
+      "{\"drained_by\":\"batch-rewrite\",\"source\":\"x\"}\n".getBytes("UTF-8"))
+    val old = intercept[IllegalStateException](
+      DrainRewrite.decide(spark, spark, legacy.toString, singleBatch = true))
+    assert(old.getMessage.contains("holds no resumable stream state"))
   }
 }
