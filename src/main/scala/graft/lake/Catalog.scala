@@ -39,17 +39,38 @@ class Catalog(val spark: SparkSession, val rootStr: String) {
   def datasetExists(name: String): Boolean =
     DatasetConfig.load(fs, datasetPath(name)).isDefined
 
+  /** Map `f` over `items` on the bounded driver-IO pool
+    * ([[FsOps.driverIoPool]]), preserving order. Catalog-wide probes are
+    * independent FS round trips (config read, manifest head, version
+    * listing); at the 10k-dataset catalogs the reference targets
+    * (catalog.py:40-166) a serial walk pays minutes of driver latency
+    * for embarrassingly parallel metadata IO, so every catalog-wide
+    * surface below batches through here. Hadoop `FileSystem` handles are
+    * cached and thread-safe, so the shared `fs` is fine across workers.
+    */
+  private def parProbe[A, B](items: Seq[A],
+      pool: scala.concurrent.ExecutionContext = FsOps.driverIoPool)(
+      f: A => B): Seq[B] = {
+    import scala.concurrent.{Await, Future}
+    implicit val ec: scala.concurrent.ExecutionContext = pool
+    Await.result(Future.traverse(items)(a => Future(f(a))),
+      scala.concurrent.duration.Duration.Inf)
+  }
+
   /** Names of all datasets under the root that have a config, sorted
-    * (reference catalog.py:159-165 `list_datasets`). One listing + one
-    * existence probe per child — O(datasets) driver metadata calls.
+    * (reference catalog.py:159-165 `list_datasets`). One listing, then
+    * the per-child existence probes (a config read each) batched on the
+    * driver-IO pool.
     */
   def listDatasets(): Seq[String] = {
     if (!fs.exists(root)) return Nil
-    fs.listStatus(root).iterator
+    val candidates = fs.listStatus(root).iterator
       .filter(_.isDirectory)
       .map(_.getPath.getName)
-      .filter(n => Catalog.isValidName(n) && datasetExists(n))
-      .toSeq.sorted
+      .filter(Catalog.isValidName)
+      .toSeq
+    parProbe(candidates)(n => if (datasetExists(n)) Some(n) else None)
+      .flatten.sorted
   }
 
   /** Get or create a dataset (reference catalog.py:105-125
@@ -113,7 +134,7 @@ class Catalog(val spark: SparkSession, val rootStr: String) {
     */
   def index(): DataFrame = {
     import spark.implicits._
-    listDatasets().map { name =>
+    parProbe(listDatasets()) { name =>
       val p = datasetPath(name)
       val cfg = DatasetConfig.load(fs, p).get
       val version = Manifest.currentVersion(fs, p)
@@ -133,7 +154,7 @@ class Catalog(val spark: SparkSession, val rootStr: String) {
     // config strings are user-supplied (publicUrlPrefix especially) —
     // escape them or one quote breaks the whole catalog.json
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    val entries = listDatasets().map { name =>
+    val entries = parProbe(listDatasets()) { name =>
       val p = datasetPath(name)
       val cfg = DatasetConfig.load(fs, p).get
       val version = Manifest.currentVersion(fs, p)
@@ -160,10 +181,16 @@ class Catalog(val spark: SparkSession, val rootStr: String) {
     * Freshness rides [[graft.ops.Make.make]]'s per-artifact version
     * gating — a dataset whose store version hasn't moved rebuilds
     * nothing, so a catalog-wide make over a mostly-quiet lake costs one
-    * metadata probe per quiet dataset. Each dataset still records its own
-    * MakeJob run; this run is the umbrella with per-dataset progress. The
-    * index refresh happens INSIDE the run: a crashed makeAll leaves a
-    * failed run and the previous catalog.json, never a half-true index.
+    * metadata probe per quiet dataset — and those per-dataset makes run
+    * CONCURRENTLY on the driver-IO pool (they are independent: distinct
+    * store roots, distinct `outRoot/<dataset>` targets, own MakeJob
+    * runs; a stale dataset's Spark jobs schedule from its worker thread
+    * like any multi-tenant driver). Each dataset still records its own
+    * MakeJob run; this run is the umbrella with per-dataset progress.
+    * Failures are collected, not fail-fast: every dataset gets its
+    * attempt, progress is recorded under the run, then the first error
+    * fails the umbrella (a crashed makeAll leaves a failed run and the
+    * previous catalog.json, never a half-true index).
     */
   def makeAll(outRoot: String, force: Boolean = false): Map[String, Seq[String]] = {
     val names = listDatasets()
@@ -171,11 +198,28 @@ class Catalog(val spark: SparkSession, val rootStr: String) {
     var results = Map.empty[String, Seq[String]]
     jobs.run() { h =>
       h.save(pending = names.size)
-      names.foreach { name =>
-        val built = graft.ops.Make.make(store(name), journal(name),
-          new Path(new Path(outRoot), name).toString, force = force)
-        results += name -> built
-        h.save(pending = (names.size - results.size).toLong, done = results.size.toLong)
+      val lock = new Object
+      // NOT driverIoPool: Make.make internally Awaits futures ON that
+      // pool (journal flush, compact, delta export) — outer workers
+      // holding every IO thread while blocked on inner IO futures would
+      // deadlock, so dataset-level fan-out gets its own small pool
+      val outcomes = parProbe(names, Catalog.makePool) { name =>
+        // worker threads need the session pinned for any code path that
+        // resolves SparkSession.active during the per-dataset exports
+        org.apache.spark.sql.SparkSession.setActiveSession(spark)
+        val attempt = scala.util.Try(graft.ops.Make.make(store(name), journal(name),
+          new Path(new Path(outRoot), name).toString, force = force))
+        attempt.foreach { built =>
+          lock.synchronized {
+            results += name -> built
+            h.save(pending = (names.size - results.size).toLong,
+              done = results.size.toLong)
+          }
+        }
+        name -> attempt
+      }
+      outcomes.collectFirst { case (n, scala.util.Failure(e)) =>
+        throw new RuntimeException(s"makeAll failed for dataset $n", e)
       }
       writeIndex()
     }
@@ -184,6 +228,21 @@ class Catalog(val spark: SparkSession, val rootStr: String) {
 }
 
 object Catalog {
+
+  /** Bounded worker pool for dataset-level fan-out ([[Catalog.makeAll]]).
+    * Distinct from [[FsOps.driverIoPool]] because each worker's
+    * Make.make blocks on futures scheduled ON the IO pool — sharing it
+    * would let the outer layer starve the inner one into deadlock. Four
+    * concurrent dataset makes saturate a driver fine: each one fans its
+    * own Spark jobs across the whole cluster.
+    */
+  lazy val makePool: scala.concurrent.ExecutionContextExecutorService =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(4, r => {
+        val t = new Thread(r, "graft-catalog-make")
+        t.setDaemon(true)
+        t
+      }))
 
   /** Reserved names that are never datasets (reference util.py:183-189). */
   val ReservedNames: Set[String] = Set("catalog", "default")

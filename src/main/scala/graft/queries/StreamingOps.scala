@@ -100,9 +100,12 @@ object StreamingOps {
       tmp
     }
     val base = graft.functions.F.stageTempPath(spark, "neardup-q")
+    // the single-file uncapped feed drains in ONE batch, so the batch
+    // read of the same staged file is the legal DrainRewrite twin
     graft.streaming.NearDupStream.run(spark,
       spark.readStream.schema(docs.schema).parquet(feed),
-      "doc_id", "text", s"$base/state", s"$base/out")
+      "doc_id", "text", s"$base/state", s"$base/out",
+      batchTwin = Some(spark.read.parquet(feed)))
     spark.read.parquet(s"$base/out")
       .select(col("doc_id")).orderBy(col("doc_id"))
   }

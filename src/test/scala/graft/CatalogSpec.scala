@@ -119,6 +119,28 @@ class CatalogSpec extends SparkSpec {
     assert(again.values.forall(_.isEmpty))
   }
 
+  test("catalog-wide probes batch across a many-dataset root") {
+    // the reference targets catalogs of thousands of datasets
+    // (catalog.py:40-166) — the per-dataset config/version probes behind
+    // listDatasets/index/writeIndex run on the driver-IO pool, and the
+    // answer must be byte-identical to the serial walk: complete, sorted,
+    // no dataset dropped or doubled under concurrency
+    val cat = new Catalog(spark, Files.createTempDirectory("graft-cat-many").toString)
+    val names = (0 until 40).map(i => f"ds$i%02d")
+    names.foreach(n => cat.ensureDataset(n, shards = 2))
+    // non-dataset noise in the root must still be filtered out
+    java.nio.file.Files.createDirectory(
+      java.nio.file.Paths.get(cat.rootStr, "not-a-dataset"))
+    assert(cat.listDatasets() == names)
+    val idx = cat.index().collect()
+    assert(idx.map(_.getString(0)).toSeq == names) // row order = probe order
+    assert(idx.forall(_.getInt(1) == 2))
+    val body = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(new java.net.URI(new org.apache.hadoop.fs.Path(
+        cat.writeIndex()).toUri.toString).getPath)), "UTF-8")
+    names.foreach(n => assert(body.contains(s""""name":"$n"""")))
+  }
+
   test("safePathComponent: path-flowing strings validated at the boundary") {
     import graft.lake.Catalog.safePathComponent
     // valid origins pass through unchanged

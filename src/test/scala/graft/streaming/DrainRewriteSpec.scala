@@ -83,6 +83,54 @@ class DrainRewriteSpec extends graft.SparkSpec {
       DrainRewrite.BatchDrain)
   }
 
+  test("st9 one-shot drain runs the batch twin; its state/output resume incrementally") {
+    // NearDupStream's rewrite preserves the ExactlyOnceBatches product:
+    // both paths call the SAME processBatch (state first, output,
+    // marker), so the twin's artifacts must be indistinguishable to a
+    // later incremental run — that, not just the admitted set, is the
+    // equality the rewrite claims
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("graft-neardup-twin").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val A = "the quick brown fox jumps over the lazy dog tonight"
+    val B = "completely different content about spark shuffles and parquet footers"
+    Seq(1L -> A, 2L -> A, 3L -> B).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$base/feed")
+    def runTo(tag: String, feed: String = s"$base/feed") =
+      graft.streaming.NearDupStream.run(spark,
+        spark.readStream.schema(schema).parquet(feed), "doc_id", "text",
+        s"$base/$tag/state", s"$base/$tag/out",
+        batchTwin = Some(spark.read.parquet(feed)))
+    // flag on → twin path; flag off → the stateful stream even though a
+    // twin was offered (the flag is the operator's escape hatch)
+    val nTwin = runTo("twin")
+    val nSlow = flagOff(runTo("slow"))
+    assert(nTwin == 2 && nSlow == 2)
+    def outSet(tag: String) = spark.read.parquet(s"$base/$tag/out")
+      .select("doc_id").as[Long].collect().toSet
+    assert(outSet("twin") == outSet("slow"))
+    // protocol artifacts equal: same schemas, same committed band state
+    // (modulo the run-scoped __batch key)
+    assert(spark.read.parquet(s"$base/twin/state").schema ==
+      spark.read.parquet(s"$base/slow/state").schema)
+    assert(spark.read.parquet(s"$base/twin/out").schema ==
+      spark.read.parquet(s"$base/slow/out").schema)
+    def stateSet(tag: String) = spark.read.parquet(s"$base/$tag/state")
+      .select("band", "bucket").as[(Int, String)].collect().toSet
+    assert(stateSet("twin") == stateSet("slow"))
+    // incremental resume OVER the twin-written state: a new feed's dup
+    // of A is suppressed by batch-1's committed bands, the novel doc
+    // passes — prior state is judged, so the rewrite stays legal beyond
+    // the first run (unlike st5/sk3 it never requires fresh state)
+    Seq(4L -> A, 5L -> "yet another unrelated subject entirely here now")
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$base/feed2")
+    val n2 = runTo("twin", s"$base/feed2")
+    assert(n2 == 1)
+    assert(outSet("twin") == Set(1L, 3L, 5L))
+  }
+
   test("BatchDrain decisions claim the checkpoint atomically — no concurrent double-drain") {
     val ckpt = java.nio.file.Files.createTempDirectory("graft-drain-claim")
       .toAbsolutePath.toString + "/c1"
