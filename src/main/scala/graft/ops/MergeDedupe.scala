@@ -27,11 +27,22 @@ import org.apache.spark.sql.functions._
   * `first_seen`, so re-imports never look new. The result is idempotent:
   * `dedupe(dedupe(df)) == dedupe(df)`.
   *
-  * Execution shape: both branches are window functions partitioned by
-  * keys that start with the table's physical partition columns
-  * (shard, bucket, origin), so with AQE the exchange hashes on aligned
-  * keys and the two branches reuse one shuffle of the same scan. No
-  * driver-side state; scales with executor count.
+  * Execution shape: the non-fragment branch keeps its windows — their
+  * partition key INCLUDES the statement id, so group size is the
+  * physical-duplicate multiplicity of one identical fact (bounded by
+  * appends-since-last-compaction; every merge collapses it back to 1 —
+  * an operational constant, never data scale). The FRAGMENT branch has
+  * no window at all: the reference's data model makes mega-groups
+  * routine (bucket=pages puts one statement per page on one entity —
+  * docs/architecture.md:99, logic/parquet.py:253), and a window
+  * partitioned by the supersession-group key would funnel a hot
+  * (entity, prop, fragment) group through ONE task's sort. Instead the
+  * per-id pick is a `min_by` over a recency sort key (a declarative
+  * aggregate — hot groups collapse map-side before the shuffle), group
+  * stats are a second tiny aggregation over the per-id survivors, and
+  * the tie-keep joins back on the group key (AQE broadcasts the group
+  * table when small, skew-splits the join otherwise). No driver-side
+  * state; scales with executor count.
   */
 object MergeDedupe {
 
@@ -50,6 +61,11 @@ object MergeDedupe {
     * predicate (read-time vs merge-with-grace).
     */
   def canonicalize(df: DataFrame): DataFrame = {
+    // Non-fragment branch: group key is (grain, id) — the id is a content
+    // hash, so this group is the re-import multiplicity of one identical
+    // fact (bounded operationally, see class doc). min(first_seen) shares
+    // the row_number's partitioning, so both ride ONE shuffle and the
+    // window stays the right tool here.
     val nonFragKeys = (grain :+ "id").map(col)
     val wNfOrd = Window.partitionBy(nonFragKeys: _*).orderBy(byRecency: _*)
     val wNf = Window.partitionBy(nonFragKeys: _*)
@@ -58,20 +74,52 @@ object MergeDedupe {
       .withColumn("__min_fs", min(col("first_seen")).over(wNf))
       .filter(col("__rn") === 1)
 
-    val fragKeys = (grain ++ Seq("entity_id", "prop", "fragment")).map(col)
-    val idKeys = fragKeys :+ col("id")
-    val wGroup = Window.partitionBy(fragKeys: _*)
-    val wIdOrd = Window.partitionBy(idKeys: _*).orderBy(byRecency: _*)
-    val frag = df.filter(col("fragment") =!= "")
-      .withColumn("__max_ls", max(col("last_seen")).over(wGroup))
-      .withColumn("__min_fs", min(col("first_seen")).over(wGroup))
-      .withColumn("__rn", row_number().over(wIdOrd))
-      .filter(col("last_seen") === col("__max_ls") && col("__rn") === 1)
+    // Fragment branch: NO window anywhere — a hot (entity,prop,fragment)
+    // group (1M values emitted under one fragment) would sort through one
+    // task. Instead:
+    //  1. per-id survivor pick as min_by over a recency SORT KEY — a
+    //     declarative aggregate, so the hot group collapses map-side to
+    //     one partial per input partition before the 7-key shuffle (the
+    //     shuffle carries ~distinct ids, not raw duplicates);
+    //  2. supersession-group stats as a separate aggregation STRAIGHT
+    //     OFF the raw fragment rows (not off step 1's output — that
+    //     subtree is consumed with different column prunings, so Spark
+    //     would compute the heavy min_by twice instead of reusing the
+    //     exchange): a pruned 8-column scan + map-combined max/min;
+    //  3. tie-keep as a join back on the 6-part group key (AQE
+    //     broadcasts the group table when small, skew-splits otherwise).
+    // Dropped duplicates still contribute first_seen: step 2 reads the
+    // PRE-filter rows, so its group min sees every physical row.
+    val fragKeyNames = Seq("shard", "bucket", "origin", "entity_id", "prop", "fragment")
+    val fragRows = df.filter(col("fragment") =!= "")
+    // byRecency as ONE min-orderable struct (lexicographic field order =
+    // the tiebreak order): timestamps negate for DESC; deleted_at's
+    // desc_nulls_last maps null to Long.MaxValue; string fields are
+    // ASC with nulls first, which IS struct ordering's null semantics
+    // (proved equal to the window form on randomized colliding input in
+    // SkewStressSpec, including null-tiebreak collisions).
+    val recencyKey = struct(
+      (-unix_micros(col("last_seen"))).as("k_ls"),
+      when(col("deleted_at").isNull, lit(Long.MaxValue))
+        .otherwise(-unix_micros(col("deleted_at"))).as("k_del"),
+      col("value").as("k_val"),
+      col("lang").as("k_lang"),
+      col("original_value").as("k_orig"))
+    val perId = fragRows
+      .groupBy((fragKeyNames :+ "id").map(col): _*)
+      .agg(min_by(struct(fragRows.columns.map(col): _*), recencyKey).as("__row"))
+      .select(col("__row.*"))
+    val groupStats = fragRows.groupBy(fragKeyNames.map(col): _*)
+      .agg(max(col("last_seen")).as("__max_ls"),
+        min(col("first_seen")).as("__min_fs"))
+    val frag = perId
+      .join(groupStats, fragKeyNames)
+      .filter(col("last_seen") === col("__max_ls"))
       .drop("__max_ls")
 
-    nonFrag.unionByName(frag)
+    nonFrag.drop("__rn").unionByName(frag)
       .withColumn("first_seen", col("__min_fs"))
-      .drop("__rn", "__min_fs")
+      .drop("__min_fs")
   }
 
   /** Live read view: canonicalized rows minus tombstones (deleted_at set). */
