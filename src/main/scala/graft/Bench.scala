@@ -52,10 +52,15 @@ object Bench {
     // one-offs, not engine noise. d6 is the MinHash chain's endpoint
     // (clusters ← jacpairs ← minhash ← shingles); d3 stages the SimHash
     // signature table its pair queries share.
-    try SparkEntry.queries("d6_dup_clusters")(spark, sfDir).count()
-    catch { case _: Throwable => () }
-    try SparkEntry.queries("d3_simhash")(spark, sfDir).count()
-    catch { case _: Throwable => () }
+    // (gated on selection: a single-query profiling run of an unrelated
+    // query must not pay the full campaign build)
+    val dedupeSelected = only.isEmpty || only.exists(_.startsWith("d"))
+    if (dedupeSelected) {
+      try SparkEntry.queries("d6_dup_clusters")(spark, sfDir).count()
+      catch { case _: Throwable => () }
+      try SparkEntry.queries("d3_simhash")(spark, sfDir).count()
+      catch { case _: Throwable => () }
+    }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
 

@@ -16,13 +16,31 @@ import org.apache.spark.sql.types.StructType
   */
 object Exports {
 
+  /** Total in-partition sort order: the caller's range key first, every
+    * remaining column as tiebreak. `sortCol` alone is NOT a key of a
+    * statement export (one entity carries many rows), so sorting by it
+    * alone leaves tie order to upstream physical layout — and artifact
+    * bytes would then change whenever a merge/ingest plan reshuffles,
+    * breaking the byte-reproducibility contract (streamed and batch
+    * ingestion of the same rows must publish identical files).
+    *
+    * Unorderable columns (maps, e.g. an entity's properties) are skipped
+    * as tiebreaks — exports whose rows need them for uniqueness must sort
+    * on a genuine key column (the entity exports do: `id` is unique).
+    */
+  private def totalOrder(df: DataFrame, sortCol: String) =
+    col(sortCol) +: df.schema.fields.toSeq
+      .filter(f => f.name != sortCol &&
+        org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(f.dataType))
+      .map(f => col(f.name))
+
   /** S9: sorted CSV export. Quote/escape settings round-trip embedded
     * separators, quotes and newlines; compression via codec option.
     */
   def csvExport(df: DataFrame, path: String, sortCol: String = "entity_id",
       compression: String = "none"): Unit =
     df.repartitionByRange(col(sortCol))
-      .sortWithinPartitions(col(sortCol))
+      .sortWithinPartitions(totalOrder(df, sortCol): _*)
       .write.mode(SaveMode.Overwrite)
       .option("header", "true")
       .option("quote", "\"").option("escape", "\"")
@@ -44,7 +62,7 @@ object Exports {
   def jsonExport(df: DataFrame, path: String, sortCol: String,
       compression: String = "none"): Unit =
     df.repartitionByRange(col(sortCol))
-      .sortWithinPartitions(col(sortCol))
+      .sortWithinPartitions(totalOrder(df, sortCol): _*)
       .write.mode(SaveMode.Overwrite)
       .option("compression", compression)
       .json(path)
@@ -113,7 +131,7 @@ object Exports {
       compression: String = "none"): Unit = {
     val parts = dest + ".parts"
     df.repartitionByRange(col(sortCol))
-      .sortWithinPartitions(col(sortCol))
+      .sortWithinPartitions(totalOrder(df, sortCol): _*)
       .write.mode(SaveMode.Overwrite)
       .option("header", "false")
       .option("quote", "\"").option("escape", "\"")
@@ -127,7 +145,7 @@ object Exports {
       compression: String = "none"): Unit = {
     val parts = dest + ".parts"
     df.repartitionByRange(col(sortCol))
-      .sortWithinPartitions(col(sortCol))
+      .sortWithinPartitions(totalOrder(df, sortCol): _*)
       .write.mode(SaveMode.Overwrite)
       .json(parts)
     concatParts(df.sparkSession, parts, dest, compression, None)

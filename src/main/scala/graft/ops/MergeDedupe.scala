@@ -93,13 +93,17 @@ object MergeDedupe {
     val fragKeyNames = Seq("shard", "bucket", "origin", "entity_id", "prop", "fragment")
     val fragRows = df.filter(col("fragment") =!= "")
     // byRecency as ONE min-orderable struct (lexicographic field order =
-    // the tiebreak order): timestamps negate for DESC; deleted_at's
-    // desc_nulls_last maps null to Long.MaxValue; string fields are
-    // ASC with nulls first, which IS struct ordering's null semantics
-    // (proved equal to the window form on randomized colliding input in
-    // SkewStressSpec, including null-tiebreak collisions).
+    // the tiebreak order): timestamps negate for DESC, with null mapped
+    // to Long.MaxValue because plain `.desc` is desc_NULLS_LAST — a bare
+    // -unix_micros(null) would stay null and struct ordering sorts null
+    // fields FIRST, silently inverting the window form for null
+    // timestamps; string fields are ASC with nulls first, which IS
+    // struct ordering's null semantics (proved equal to the window form
+    // on randomized colliding input in SkewStressSpec, including null
+    // last_seen and null-tiebreak collisions).
     val recencyKey = struct(
-      (-unix_micros(col("last_seen"))).as("k_ls"),
+      when(col("last_seen").isNull, lit(Long.MaxValue))
+        .otherwise(-unix_micros(col("last_seen"))).as("k_ls"),
       when(col("deleted_at").isNull, lit(Long.MaxValue))
         .otherwise(-unix_micros(col("deleted_at"))).as("k_del"),
       col("value").as("k_val"),

@@ -71,8 +71,8 @@ object DrainRewrite {
   /** Decide how to drain `checkpoint`. Throws on a marker-bearing
     * checkpoint (spent or concurrently claimed — see class doc). A
     * BatchDrain decision has already CLAIMED the marker atomically:
-    * the caller must run the twin and [[commit]], or clean up the
-    * marker itself on abort. `parent` is the caller's session (flag
+    * the caller must run the twin under [[runClaimed]] (commit on
+    * success, claim released on abort). `parent` is the caller's session (flag
     * source); `ss` the per-query clone (filesystem conf).
     */
   def decide(parent: SparkSession, ss: SparkSession, checkpoint: String,
@@ -105,6 +105,33 @@ object DrainRewrite {
       if (!won) throw spentOrClaimed(f, marker, checkpoint)
       BatchDrain
     } else Stateful
+  }
+
+  /** Run a CLAIMED twin to completion: `body`, then [[commit]]. On any
+    * failure the claim marker is deleted before rethrowing — a transient
+    * twin error (executor loss, disk full) must leave the checkpoint
+    * retryable, not bricked behind delete-to-retry instructions until an
+    * operator intervenes. Deleting the claim on abort is safe because the
+    * rewrite emits nothing durable before commit (callers whose twin DOES
+    * write durably — st9 — run under their own exactly-once protocol
+    * whose reconcile step owns torn output). The marker here is still in
+    * `claimed` state (commit unreached), so only our own claim can be
+    * deleted.
+    */
+  def runClaimed[T](ss: SparkSession, checkpoint: String,
+      fingerprint: String)(body: => T): T = {
+    val out =
+      try body
+      catch {
+        case e: Throwable =>
+          try {
+            val root = new org.apache.hadoop.fs.Path(checkpoint)
+            fs(ss, root).delete(new org.apache.hadoop.fs.Path(root, MarkerName), false)
+          } catch { case cleanup: Throwable => e.addSuppressed(cleanup) }
+          throw e
+      }
+    commit(ss, checkpoint, fingerprint)
+    out
   }
 
   private def spentOrClaimed(f: org.apache.hadoop.fs.FileSystem,

@@ -167,11 +167,11 @@ object EventStream {
     // precondition the rewrite's exactness argument needs
     DrainRewrite.decide(spark, ss, ckpt, singleBatch = true) match {
       case DrainRewrite.BatchDrain =>
-        val ev = graft.Tables.normalizeTs(batch)
-        val out = graft.functions.F.materialize(intervalJoinProject(
-          clicksOf(ev).join(errorsOf(ev), intervalJoinCond)))
-        DrainRewrite.commit(ss, ckpt, s"$dir/events.parquet")
-        return out
+        return DrainRewrite.runClaimed(ss, ckpt, s"$dir/events.parquet") {
+          val ev = graft.Tables.normalizeTs(batch)
+          graft.functions.F.materialize(intervalJoinProject(
+            clicksOf(ev).join(errorsOf(ev), intervalJoinCond)))
+        }
       case DrainRewrite.Stateful => ()
     }
     // An INNER stream-stream join emits each match in the micro-batch

@@ -126,11 +126,13 @@ object NearDupStream {
     twin match {
       case Some(batch) =>
         // same function, same batch key as the stream's first batch,
-        // same protocol writes — see class doc
-        val admitted = processBatch(spark, batch, s"$name-0", idCol, textCol,
-          stateDir, outDir, k, rowsPerBand, shingle)
-        DrainRewrite.commit(spark, ckpt, outDir)
-        admitted
+        // same protocol writes — see class doc. A failure mid-batch
+        // releases the drain claim; the batch's OWN torn writes are
+        // reconciled by ExactlyOnceBatches on the retry.
+        DrainRewrite.runClaimed(spark, ckpt, outDir) {
+          processBatch(spark, batch, s"$name-0", idCol, textCol,
+            stateDir, outDir, k, rowsPerBand, shingle)
+        }
       case None =>
         val emitted = spark.sparkContext.longAccumulator(name)
         val q = docs.writeStream

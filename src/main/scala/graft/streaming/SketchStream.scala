@@ -85,10 +85,10 @@ object SketchStream {
     // drains in one batch (the singleBatch precondition).
     DrainRewrite.decide(spark, ss, ckpt, singleBatch = true) match {
       case DrainRewrite.BatchDrain =>
-        val out = graft.functions.F.materialize(
-          cmsCells(graft.Tables.normalizeTs(batch), width))
-        DrainRewrite.commit(ss, ckpt, s"$dir/events.parquet")
-        return out
+        return DrainRewrite.runClaimed(ss, ckpt, s"$dir/events.parquet") {
+          graft.functions.F.materialize(
+            cmsCells(graft.Tables.normalizeTs(batch), width))
+        }
       case DrainRewrite.Stateful => ()
     }
     val src = graft.Tables.normalizeTs(

@@ -32,8 +32,12 @@ object SkewStress {
 
   private def ts(ms: Long) = new Timestamp(1700000000000L + ms)
 
-  /** Pre-round-14 A1 (window-form group statistics). */
-  private def canonicalizeWindowTwin(df: DataFrame): DataFrame = {
+  /** Pre-round-14 A1 (window-form group statistics). Shared with
+    * SkewStressSpec, where it is the semantics reference the production
+    * aggregation form must equal — ONE definition so the tool's
+    * measurement and the spec's equality proof can never drift apart.
+    */
+  def canonicalizeWindowTwin(df: DataFrame): DataFrame = {
     val grain = Seq("shard", "bucket", "origin")
     val byRecency = Seq(col("last_seen").desc, col("deleted_at").desc_nulls_last,
       col("value"), col("lang").asc_nulls_first,
@@ -60,8 +64,10 @@ object SkewStress {
       .drop("__rn", "__min_fs")
   }
 
-  /** Pre-round-14 A4 (one-phase fold over raw rows in one task). */
-  private def assembleOnePhaseTwin(live: DataFrame) = {
+  /** Pre-round-14 A4 (one-phase fold over raw rows in one task).
+    * Shared with SkewStressSpec — see [[canonicalizeWindowTwin]].
+    */
+  def assembleOnePhaseTwin(live: DataFrame) = {
     val spark = live.sparkSession
     import spark.implicits._
     live.select(

@@ -39,35 +39,12 @@ class SkewStressSpec extends SparkSpec {
       fragment = fragment, deleted_at = deletedAt.map(ts))
 
   /** The pre-round-14 A1: window-form group statistics (the shape whose
-    * hot (entity,prop,fragment) group sorts through ONE task) — kept as
-    * the semantics reference.
+    * hot (entity,prop,fragment) group sorts through ONE task) — the
+    * semantics reference, defined ONCE on the measuring tool so the
+    * spec's equality proof and SkewStress's timings can never drift.
     */
-  private def canonicalizeWindowTwin(df: DataFrame): DataFrame = {
-    val grain = Seq("shard", "bucket", "origin")
-    val byRecency = Seq(col("last_seen").desc, col("deleted_at").desc_nulls_last,
-      col("value"), col("lang").asc_nulls_first,
-      col("original_value").asc_nulls_first)
-    val nonFragKeys = (grain :+ "id").map(col)
-    val wNfOrd = Window.partitionBy(nonFragKeys: _*).orderBy(byRecency: _*)
-    val wNf = Window.partitionBy(nonFragKeys: _*)
-    val nonFrag = df.filter(col("fragment") === "")
-      .withColumn("__rn", row_number().over(wNfOrd))
-      .withColumn("__min_fs", min(col("first_seen")).over(wNf))
-      .filter(col("__rn") === 1)
-    val fragKeys = (grain ++ Seq("entity_id", "prop", "fragment")).map(col)
-    val idKeys = fragKeys :+ col("id")
-    val wGroup = Window.partitionBy(fragKeys: _*)
-    val wIdOrd = Window.partitionBy(idKeys: _*).orderBy(byRecency: _*)
-    val frag = df.filter(col("fragment") =!= "")
-      .withColumn("__max_ls", max(col("last_seen")).over(wGroup))
-      .withColumn("__min_fs", min(col("first_seen")).over(wGroup))
-      .withColumn("__rn", row_number().over(wIdOrd))
-      .filter(col("last_seen") === col("__max_ls") && col("__rn") === 1)
-      .drop("__max_ls")
-    nonFrag.unionByName(frag)
-      .withColumn("first_seen", col("__min_fs"))
-      .drop("__rn", "__min_fs")
-  }
+  private def canonicalizeWindowTwin(df: DataFrame): DataFrame =
+    graft.tools.SkewStress.canonicalizeWindowTwin(df)
 
   private def rowSet(df: DataFrame): Set[String] =
     df.collect().map(_.mkString("|")).toSet
@@ -110,6 +87,34 @@ class SkewStressSpec extends SparkSpec {
     assert(got.count() == want.count())
     // idempotence survives the restructure
     assert(rowSet(MergeDedupe.canonicalize(got)) == rowSet(got))
+  }
+
+  test("A1 aggregation form matches the window twin when last_seen is null") {
+    import spark.implicits._
+    // The window order is `last_seen.desc` = desc_NULLS_LAST, but a bare
+    // -unix_micros(null) stays null and struct ordering sorts null fields
+    // FIRST — so the recency struct must map null to Long.MaxValue or a
+    // null-timestamp duplicate would shadow (and then, via the tie-keep
+    // filter, kill) its whole id. Rows built via Row so the Timestamp
+    // column is genuinely null (the case-class helper can't express it).
+    val rnd = new scala.util.Random(99)
+    val base = (0 until 600).map { i =>
+      val e = s"e${rnd.nextInt(3)}"
+      val p = s"p${rnd.nextInt(2)}"
+      val f = rnd.nextInt(3) match { case 0 => ""; case n => s"f$n" }
+      val v = s"v${rnd.nextInt(4)}"
+      val ls = if (rnd.nextInt(3) == 0) None else Some(rnd.nextInt(3).toLong * 1000)
+      stmt(e, p, v, f, s"$e-$p-$f-$v", ls.getOrElse(0L), 0L)
+        .copy(last_seen = ls.map(ts).orNull)
+    }
+    val df = base.toDS().toDF()
+    val got = MergeDedupe.canonicalize(df)
+    val want = canonicalizeWindowTwin(df)
+    assert(rowSet(got) == rowSet(want))
+    assert(got.count() == want.count())
+    // the non-null row must be the survivor wherever one exists
+    val survivors = got.filter(col("fragment") =!= "").collect()
+    assert(survivors.nonEmpty)
   }
 
   test("A4 two-phase assembly equals the reference-exact row fold on randomized input") {

@@ -165,4 +165,27 @@ class DrainRewriteSpec extends graft.SparkSpec {
       DrainRewrite.decide(spark, spark, legacy.toString, singleBatch = true))
     assert(old.getMessage.contains("holds no resumable stream state"))
   }
+
+  test("a twin failure under runClaimed releases the claim — the retry drains cleanly") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-drain-abort")
+      .toAbsolutePath.toString + "/c1"
+    assert(DrainRewrite.decide(spark, spark, ckpt, singleBatch = true) ==
+      DrainRewrite.BatchDrain)
+    // transient twin failure (executor loss, disk full): the claim must
+    // not survive it, or the checkpoint is bricked behind delete-to-retry
+    // instructions until an operator hand-deletes the marker
+    val boom = intercept[RuntimeException](
+      DrainRewrite.runClaimed(spark, ckpt, "fp") {
+        throw new RuntimeException("twin lost an executor")
+      })
+    assert(boom.getMessage.contains("twin lost an executor"))
+    // the retry decides cleanly (no marker left), runs, and commits
+    assert(DrainRewrite.decide(spark, spark, ckpt, singleBatch = true) ==
+      DrainRewrite.BatchDrain)
+    assert(DrainRewrite.runClaimed(spark, ckpt, "fp") { 42 } == 42)
+    // ...after which the checkpoint is SPENT as usual
+    val spent = intercept[IllegalStateException](
+      DrainRewrite.decide(spark, spark, ckpt, singleBatch = true))
+    assert(spent.getMessage.contains("holds no resumable stream state"))
+  }
 }
