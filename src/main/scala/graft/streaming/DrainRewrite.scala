@@ -68,6 +68,23 @@ object DrainRewrite {
   private def fs(ss: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(ss.sessionState.newHadoopConf())
 
+  /** Is the rewrite flag on in `parent`'s conf? Lenient boolean parse:
+    * Spark operators routinely write 1/0/on/off, and a misspelling must
+    * name the key instead of crashing opaquely (String.toBoolean) or
+    * silently picking a default. Public for callers whose drain guard is
+    * NOT a durable checkpoint — st9's one-shot twin runs under its own
+    * lake lock + exactly-once batch protocol, so it consults only the
+    * flag and never claims a marker (its checkpoint is a throwaway UUID
+    * no other run can observe).
+    */
+  def enabled(parent: SparkSession): Boolean =
+    parent.conf.get(FlagKey, "true").trim.toLowerCase match {
+      case "true" | "1" | "on" | "yes" => true
+      case "false" | "0" | "off" | "no" => false
+      case other => throw new IllegalArgumentException(
+        s"$FlagKey must be a boolean (true/false/1/0/on/off), got '$other'")
+    }
+
   /** Decide how to drain `checkpoint`. Throws on a marker-bearing
     * checkpoint (spent or concurrently claimed — see class doc). A
     * BatchDrain decision has already CLAIMED the marker atomically:
@@ -84,17 +101,11 @@ object DrainRewrite {
     // lenient boolean parse: Spark operators routinely write 1/0/on/off,
     // and a misspelling must name the key instead of crashing opaquely
     // (String.toBoolean) or silently picking a default
-    val enabled = parent.conf.get(FlagKey, "true").trim.toLowerCase match {
-      case "true" | "1" | "on" | "yes" => true
-      case "false" | "0" | "off" | "no" => false
-      case other => throw new IllegalArgumentException(
-        s"$FlagKey must be a boolean (true/false/1/0/on/off), got '$other'")
-    }
     val offsets = new org.apache.hadoop.fs.Path(root, "offsets")
     val hasSparkState =
       try f.exists(offsets) && f.listStatus(offsets).nonEmpty
       catch { case _: java.io.FileNotFoundException => false }
-    if (enabled && singleBatch && !hasSparkState) {
+    if (enabled(parent) && singleBatch && !hasSparkState) {
       // atomic claim: create-exclusive is the decide/commit race guard.
       // Two concurrent drains both reach this point having seen no
       // marker and no offsets; exactly one claim succeeds, the other

@@ -119,21 +119,21 @@ object NearDupStream {
     graft.lake.FsOps.mkdirs(fs, statePath)
     graft.lake.Locks.withLock(fs, statePath) {
     ExactlyOnceBatches.reconcile(spark, stateDir, outDir)
-    val ckpt = s"${graft.functions.F.stageRoot(spark)}/ckpt-$name"
-    val twin = batchTwin.filter(_ =>
-      DrainRewrite.decide(spark, spark, ckpt,
-        singleBatch = true) == DrainRewrite.BatchDrain)
+    // the twin path consults only the FLAG — no checkpoint marker
+    // protocol. The checkpoint here is a throwaway per-run UUID nobody
+    // else can observe, so a claim would protect nothing: double-drain
+    // safety is the lake lock above (one drain per state dir at a time)
+    // and torn-batch safety is ExactlyOnceBatches' reconcile/commit.
+    val twin = batchTwin.filter(_ => DrainRewrite.enabled(spark))
     twin match {
       case Some(batch) =>
         // same function, same batch key as the stream's first batch,
-        // same protocol writes — see class doc. A failure mid-batch
-        // releases the drain claim; the batch's OWN torn writes are
-        // reconciled by ExactlyOnceBatches on the retry.
-        DrainRewrite.runClaimed(spark, ckpt, outDir) {
-          processBatch(spark, batch, s"$name-0", idCol, textCol,
-            stateDir, outDir, k, rowsPerBand, shingle)
-        }
+        // same protocol writes — see class doc; a crash mid-batch is
+        // reconciled by ExactlyOnceBatches on the retry
+        processBatch(spark, batch, s"$name-0", idCol, textCol,
+          stateDir, outDir, k, rowsPerBand, shingle)
       case None =>
+        val ckpt = s"${graft.functions.F.stageRoot(spark)}/ckpt-$name"
         val emitted = spark.sparkContext.longAccumulator(name)
         val q = docs.writeStream
           .queryName(name)
