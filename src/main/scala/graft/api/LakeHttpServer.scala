@@ -67,10 +67,13 @@ class LakeHttpServer(spark: SparkSession, lakeRoot: String, port: Int = 0,
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   // small fixed pool: handlers run Spark jobs; oversubscribing the driver
   // with hundreds of concurrent actions helps nothing
-  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+  server.setExecutor(pool)
 
   def start(): Int = { server.createContext("/", router); server.start(); boundPort }
-  def stop(): Unit = server.stop(0)
+  // the pool's threads are non-daemon: without the shutdown an embedding
+  // CLI/test that stops the server still cannot exit the JVM
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
   def boundPort: Int = server.getAddress.getPort
 
   private def repo(ds: String): LakeRepository = {
@@ -135,10 +138,11 @@ class LakeHttpServer(spark: SparkSession, lakeRoot: String, port: Int = 0,
     (method, rest) match {
       case ("POST", List("entities", "flush")) =>
         // reference contract: return the COUNT of flushed statements
-        // (entities.py:18-22), not the store version the drain yields
-        val r = repo(ds)
-        val n = r.journal.count()
-        r.flush()
+        // (entities.py:18-22), not the store version the drain yields.
+        // The count comes from the drain itself — a pre-drain count()
+        // would claim quarantined rows as flushed and miss rows staged
+        // between the count and the drain
+        val (_, n) = repo(ds).flushCounted()
         plain(ex, 200, n.toString)
       case ("POST", List("entities", "merge")) =>
         val grace = bodyJson(ex).flatMap(j => intField(j, "grace_period_days"))
@@ -176,10 +180,15 @@ class LakeHttpServer(spark: SparkSession, lakeRoot: String, port: Int = 0,
         // the stream COMPLETES, so a mid-stream disconnect aborts before
         // the delete and the retry re-reads everything — rows can be
         // re-delivered but never lost (strictly safer than a
-        // yield-as-you-delete loop, which loses undelivered rows).
+        // yield-as-you-delete loop, which loses undelivered rows). The
+        // snapshot PINS the file set: the delete covers exactly the
+        // files streamed, so rows staged concurrently (another handler
+        // thread serving journal/bulk mid-stream) are never discarded
+        // undelivered.
         val r = repo(ds)
-        ndjson(ex, stagedRows(ds))
-        r.journal.clear()
+        val (files, df) = r.journal.snapshot()
+        ndjson(ex, rowsJson(df))
+        r.journal.clearFiles(files)
       case ("GET", List("journal", "count")) =>
         plain(ex, 200, repo(ds).journal.count().toString)
       case ("DELETE", List("journal", "clear")) =>
@@ -190,8 +199,10 @@ class LakeHttpServer(spark: SparkSession, lakeRoot: String, port: Int = 0,
       // same app, main.py:66-76): PUT body → checksum; GET/HEAD by
       // checksum. Content-addressed, so PUT is idempotent.
       case ("PUT", List("archive")) =>
-        val bytes = ex.getRequestBody.readAllBytes()
-        plain(ex, 200, datasetArchive(ds).put(bytes))
+        // streamed to a spool file while hashing — a multi-GB blob (or 4
+        // concurrent ones, one per handler thread) must not materialize
+        // as byte[]s on the driver
+        plain(ex, 200, datasetArchive(ds).putStream(ex.getRequestBody))
       case ("GET", List("archive", checksum)) =>
         datasetArchive(ds).get(checksum) match {
           case Some(bytes) => respond(ex, 200, "application/octet-stream", bytes)
@@ -291,7 +302,10 @@ class LakeHttpServer(spark: SparkSession, lakeRoot: String, port: Int = 0,
   }
 
   private def stagedRows(ds: String): Iterator[String] =
-    repo(ds).journal.staged().select(Statement.columns.map(col): _*)
+    rowsJson(repo(ds).journal.staged())
+
+  private def rowsJson(df: org.apache.spark.sql.DataFrame): Iterator[String] =
+    df.select(Statement.columns.map(col): _*)
       .toLocalIterator.asScala.map(statementJson)
 
   // ---- operations ----
@@ -431,10 +445,6 @@ class LakeHttpServer(spark: SparkSession, lakeRoot: String, port: Int = 0,
     Option(n.get(f)).filterNot(_.isNull).map(_.asInt)
 
   private def iso(t: Timestamp): String = t.toInstant.toString
-  private def parseTs(s: String): Timestamp =
-    try Timestamp.from(java.time.Instant.parse(s))
-    catch { case _: Exception => Timestamp.valueOf(s.replace("T", " ").stripSuffix("Z")) }
-
   private def plain(ex: HttpExchange, code: Int, body: String): Unit =
     respond(ex, code, "text/plain; charset=utf-8", body.getBytes(UTF_8))
   private def json(ex: HttpExchange, code: Int, body: String): Unit =

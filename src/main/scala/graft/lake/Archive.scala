@@ -37,6 +37,35 @@ class Archive(fs: FileSystem, root: Path) {
     new Path(root, Archive.blobRel(checksum)).getParent
   }
 
+  /** Streaming put: spools the body to a temp file while hashing, then
+    * renames it into its content address — driver memory stays O(buffer)
+    * regardless of blob size. The HTTP PUT route uses this; the byte[]
+    * overload would buffer a multi-GB upload whole on the driver.
+    * Idempotent per content like [[put]].
+    */
+  def putStream(in: java.io.InputStream): String = {
+    FsOps.mkdirs(fs, root)
+    val spool = new Path(root, s".upload-${java.util.UUID.randomUUID()}.tmp")
+    val md = MessageDigest.getInstance("SHA-256")
+    val out = fs.create(spool, true)
+    try {
+      val buf = new Array[Byte](256 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) { md.update(buf, 0, n); out.write(buf, 0, n); n = in.read(buf) }
+    } finally out.close()
+    val checksum = md.digest().map(b => f"${b & 0xff}%02x").mkString
+    try {
+      val dir = keyPath(checksum)
+      val blob = new Path(dir, "blob")
+      if (!fs.exists(blob)) {
+        fs.mkdirs(dir)
+        if (!fs.rename(spool, blob) && !fs.exists(blob))
+          throw new IllegalStateException(s"archive write race at $blob")
+      }
+      checksum
+    } finally fs.delete(spool, false) // no-op when the rename consumed it
+  }
+
   /** Store a blob; returns its checksum. Idempotent per content. */
   def put(bytes: Array[Byte]): String = {
     val checksum = checksumOf(bytes)

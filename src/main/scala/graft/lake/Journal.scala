@@ -86,12 +86,23 @@ class Journal(spark: SparkSession, rootStr: String) {
   /** Read the staged (not yet drained) rows — the journal's live content.
     * Empty-schema DataFrame when nothing is staged.
     */
-  def staged(): DataFrame = {
-    val files = stagedFiles()
-    if (files.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Statement.schema)
-    else spark.read.schema(Statement.schema).parquet(files.map(_.toString): _*)
+  def staged(): DataFrame = snapshot()._2
+
+  /** A PINNED snapshot of the staging dir: the DataFrame reads exactly
+    * the returned file list, so a stream-then-delete consumer (the HTTP
+    * journal/flush route) can later [[clearFiles]] exactly what it
+    * streamed — files staged concurrently with the stream survive.
+    * Deleting via a fresh listing instead would silently discard rows
+    * that were never delivered to anyone.
+    */
+  def snapshot(): (Seq[String], DataFrame) = {
+    val files = stagedFiles().map(_.toString)
+    val df =
+      if (files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Statement.schema)
+      else spark.read.schema(Statement.schema).parquet(files: _*)
+    (files, df)
   }
 
   private val quarantine = new Path(root, "_malformed")
@@ -139,16 +150,6 @@ class Journal(spark: SparkSession, rootStr: String) {
       }, Duration.Inf)
   }
 
-  /** Split staged files into (readable, corrupt) by probing each parquet
-    * footer — the drain-time full probe (count() uses the incremental
-    * cache instead).
-    */
-  private def probeReadable(files: Seq[Path]): (Seq[Path], Seq[Path]) = {
-    val probed = probeCounts(files)
-    (probed.collect { case (f, Some(_)) => f },
-      probed.collect { case (f, None) => f })
-  }
-
   /** Rows a drain refuses to append: the fields every downstream operator
     * keys on must be present (the parquet twin of the reference's
     * unpack_statement failures — a wire row missing its key fields).
@@ -163,11 +164,21 @@ class Journal(spark: SparkSession, rootStr: String) {
     * storage/journal/base.py:193-196). Returns the number of rows
     * discarded — counted from parquet footers, no data scan.
     */
-  def clear(): Long = {
-    val files = stagedFiles()
+  def clear(): Long = clearFiles(stagedFiles().map(_.toString))
+
+  /** Delete exactly the named staged files (a prior [[snapshot]]'s list).
+    * Files staged after the snapshot are untouched. The discarded count
+    * is computed from the SAME list that gets deleted — a fresh count()
+    * here would include concurrently staged rows this call does not
+    * delete, misreporting them as discarded (and double-counting them on
+    * the next clear). Unreadable files are deleted but count 0 rows,
+    * matching count()'s exclusion.
+    */
+  def clearFiles(files: Seq[String]): Long = {
     if (files.isEmpty) return 0L
-    val n = count()
-    files.foreach { f => fs.delete(f, false); fileCounts.remove(f.getName) }
+    val paths = files.map(new Path(_))
+    val n = probeCounts(paths).flatMap(_._2).sum
+    paths.foreach { f => fs.delete(f, false); fileCounts.remove(f.getName) }
     n
   }
 
@@ -182,10 +193,22 @@ class Journal(spark: SparkSession, rootStr: String) {
     * the `_malformed` quarantine (logged, kept for forensics) and the
     * remaining rows drain normally.
     */
-  def drain(store: StatementStore): Long = {
+  def drain(store: StatementStore): Long = drainCounted(store)._1
+
+  /** [[drain]] plus the number of journal rows actually consumed into
+    * the store append: footer rows of the files drained, minus the rows
+    * quarantined as malformed (in-batch upsert duplicates ARE consumed,
+    * so they count). This is the figure the HTTP entities/flush contract
+    * reports — a pre-drain `count()` would claim quarantined rows as
+    * flushed and miss rows staged between the count and the drain.
+    */
+  def drainCounted(store: StatementStore): (Long, Long) = {
     val files = stagedFiles()
-    if (files.isEmpty) return store.version
-    val (readable, corrupt) = probeReadable(files)
+    if (files.isEmpty) return (store.version, 0L)
+    val probed = probeCounts(files)
+    val readable = probed.collect { case (f, Some(_)) => f }
+    val corrupt = probed.collect { case (f, None) => f }
+    val readableRows = probed.collect { case (_, Some(c)) => c }.sum
     if (corrupt.nonEmpty) {
       FsOps.mkdirs(fs, quarantine)
       corrupt.foreach { f =>
@@ -201,7 +224,7 @@ class Journal(spark: SparkSession, rootStr: String) {
         }
       }
     }
-    if (readable.isEmpty) return store.version
+    if (readable.isEmpty) return (store.version, 0L)
     val staged = spark.read.schema(Statement.schema).parquet(readable.map(_.toString): _*)
     val bad = staged.filter(!validRow)
     val badCount = bad.count()
@@ -225,6 +248,6 @@ class Journal(spark: SparkSession, rootStr: String) {
     val v = store.append(upserted)
     readable.foreach { f => fs.delete(f, false); fileCounts.remove(f.getName) }
     corrupt.foreach(f => fileCounts.remove(f.getName))
-    v
+    (v, readableRows - badCount)
   }
 }

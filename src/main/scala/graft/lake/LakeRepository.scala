@@ -49,6 +49,11 @@ class LakeRepository(val spark: SparkSession, val rootStr: String,
   /** Drain the journal into the statement store. */
   def flush(): Long = journal.drain(store)
 
+  /** [[flush]] plus the count of journal rows consumed (the figure the
+    * HTTP entities/flush contract returns).
+    */
+  def flushCounted(): (Long, Long) = journal.drainCounted(store)
+
   /** Tombstone every live statement of an entity — stored AND still
     * staged in the journal (an unflushed re-import must not survive its
     * own delete). The journal drain bumps `last_seen = deleted_at` (F7)

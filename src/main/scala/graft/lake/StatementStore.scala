@@ -266,9 +266,18 @@ class StatementStore(val spark: SparkSession, val rootStr: String, val shards: I
       val fresh = writeStaged(merged, Seq(
         col("entity_id"), col("fragment"), col("prop"), col("id"), col("last_seen").desc),
         preClustered = true)
-      dirtyKeys.foreach(tags.delete)
-      Manifest.commit(fs, root, (liveSet -- dirtyFiles) ++ fresh, "merge",
+      val v = Manifest.commit(fs, root, (liveSet -- dirtyFiles) ++ fresh, "merge",
         (liveStats -- dirtyFiles) ++ statsFor(fresh))
+      // dirt is consumed only AFTER the commit lands — same crash-safe
+      // ordering as append ("a lost commit leaves dirt"): a crash between
+      // write and commit must leave the stamps so the next merge retries;
+      // deleting first would orphan the rewrite AND erase the only record
+      // that these partitions still need merging (live would serve
+      // duplicates until an unrelated append re-dirtied them). A crash
+      // AFTER commit but before the deletes merely leaves stale stamps —
+      // the next merge rewrites already-clean partitions once (idempotent).
+      dirtyKeys.foreach(tags.delete)
+      v
     }
 
   /** Default bin-pack target: 128 MiB output files — the conventional
@@ -492,11 +501,24 @@ class StatementStore(val spark: SparkSession, val rootStr: String, val shards: I
         org.apache.hadoop.fs.FileUtil.copy(
           fs, new Path(root, f), dfs, new Path(dest, f), false, conf)
       Manifest.commit(dfs, dest, files, "clone", stats)
+      // carry the dirty stamps: a clone of an UNMERGED source must stay
+      // mergeable — without its dirt, clone.merge() finds nothing to do
+      // and live serves pre-merge duplicates forever. The source's
+      // current stamps are exact for a clone of the current version; a
+      // clone of a HISTORICAL version whose dirt a later merge already
+      // consumed may still need merge(force = true) (documented: stamps
+      // are not versioned, only data files are).
+      val destTags = new Tags(dfs, dest)
+      for (k <- tags.list("dirty/"); v <- tags.get(k)) destTags.put(k, v)
     }
     new StatementStore(spark, destRoot, shards)
   }
 
   def vacuum(keepVersions: Int = 2): Seq[String] = Locks.withLock(fs, root) {
+    // keepVersions = 0 would compute an empty retained set and delete
+    // EVERY data file and manifest — a typo must not destroy the table
+    require(keepVersions >= 1,
+      s"vacuum(keepVersions = $keepVersions): must retain at least the current version")
     val current = version
     // pinned versions are always inside the retention window — a pin
     // extends the window back to the oldest pinned snapshot

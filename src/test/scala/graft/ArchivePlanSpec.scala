@@ -29,6 +29,22 @@ class ArchivePlanSpec extends SparkSpec {
     assert(archive.publicUrl("https://x/files", c1).contains(s"/${c1.take(2)}/"))
   }
 
+  test("archive putStream: same address as the byte put, spool never left behind") {
+    val dir = Files.createTempDirectory("graft-archive-stream").toString
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val archive = new Archive(fs, root)
+    val payload = "streamed blob éé".getBytes("UTF-8")
+    val cs = archive.putStream(new java.io.ByteArrayInputStream(payload))
+    assert(cs == archive.put(payload)) // identical content address
+    assert(archive.get(cs).map(_.toSeq).contains(payload.toSeq))
+    // idempotent on re-upload; the hashing spool is always cleaned up
+    assert(archive.putStream(new java.io.ByteArrayInputStream(payload)) == cs)
+    val leftovers = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith(".upload-"))
+    assert(leftovers.isEmpty, leftovers.mkString(","))
+  }
+
   test("crawl archives files and routes mimetypes to document schemas") {
     val src = Files.createTempDirectory("graft-src")
     Files.createDirectories(src.resolve("sub"))

@@ -711,4 +711,78 @@ class StoreSpec extends SparkSpec {
       store, threshold = 3)
     assert(journal.count() == 0 && store.raw.count() == 3)
   }
+
+  test("journal snapshot pins the file set: clearFiles spares concurrently staged rows") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-journal-snap").toString
+    val journal = new Journal(spark, dir)
+    val s = Statement("0", "idA", "e1", "ds", "thing", "o1", None, "Person",
+      "name", "string", "Alice", None, None, external = false,
+      ts("2024-01-01 00:00:00"), ts("2024-01-01 00:00:00"), "", None)
+    journal.write(Seq(s, s.copy(id = "idB")).toDS().toDF())
+    journal.write(Seq(s.copy(id = "idC")).toDS().toDF())
+    val (files, df) = journal.snapshot()
+    assert(df.count() == 3)
+    // a writer stages MORE rows while the snapshot's consumer streams —
+    // the HTTP journal/flush shape; the delete must cover exactly the
+    // snapshot, or the late rows are discarded without ever being served
+    journal.write(Seq(s.copy(id = "idD")).toDS().toDF())
+    assert(journal.clearFiles(files) == 3L)
+    assert(journal.count() == 1L)
+    assert(journal.staged().collect().map(_.getAs[String]("id")).toSet == Set("idD"))
+    // full clear reports and removes the remainder
+    assert(journal.clear() == 1L)
+    assert(journal.count() == 0L)
+  }
+
+  test("drainCounted reports rows consumed, excluding quarantined rows") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-journal-dcount").toString
+    val store = new StatementStore(spark, dir, shards = 4)
+    val journal = new Journal(spark, dir)
+    val good = Statement("0", "idA", "e1", "ds", "thing", "o1", None, "Person",
+      "name", "string", "Alice", None, None, external = false,
+      ts("2024-01-01 00:00:00"), ts("2024-01-01 00:00:00"), "", None)
+    // 3 staged rows, one malformed (empty id): flushed must be 2 — a
+    // pre-drain count() would have claimed 3
+    journal.write(Seq(good, good.copy(id = "", value = "NoId")).toDS().toDF())
+    journal.write(Seq(good.copy(id = "idB", entity_id = "e2")).toDS().toDF())
+    val (v, flushed) = journal.drainCounted(store)
+    assert(v == store.version)
+    assert(flushed == 2L)
+    assert(store.raw.count() == 2)
+    // empty journal: zero consumed, version unchanged
+    assert(journal.drainCounted(store) == (store.version, 0L))
+  }
+
+  test("clone of an unmerged source carries its dirty stamps; clone.merge() cleans it") {
+    val dir = Files.createTempDirectory("graft-clone-dirty").toString
+    val store = new StatementStore(spark, dir, shards = 4)
+    // two appends of overlapping ids → pre-merge duplicates + dirt
+    store.append(mkStatements(20, "o1", "2024-01-02 00:00:00"))
+    store.append(mkStatements(20, "o1", "2024-02-02 00:00:00"))
+    assert(store.tags.list("dirty/").nonEmpty)
+    val cloneDir = Files.createTempDirectory("graft-clone-dirty-dest").toString
+    val clone = store.cloneAt(cloneDir)
+    // the stamps traveled: without them clone.merge() would no-op and
+    // clone.live would serve the pre-merge duplicates forever
+    assert(clone.tags.list("dirty/").nonEmpty)
+    clone.merge()
+    store.merge()
+    assert(clone.live.count() == store.live.count())
+    assert(clone.raw.count() == store.raw.count())
+    // merged clone holds one survivor per id
+    val perId = clone.raw.groupBy(col("id")).count().filter(col("count") > 1).count()
+    assert(perId == 0)
+  }
+
+  test("vacuum rejects keepVersions < 1") {
+    val dir = Files.createTempDirectory("graft-vacuum-guard").toString
+    val store = new StatementStore(spark, dir, shards = 4)
+    store.append(mkStatements(5, "o1", "2024-01-02 00:00:00"))
+    val e = intercept[IllegalArgumentException](store.vacuum(keepVersions = 0))
+    assert(e.getMessage.contains("keepVersions"))
+    // nothing was deleted
+    assert(store.raw.count() == 5)
+  }
 }
