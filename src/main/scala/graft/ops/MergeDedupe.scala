@@ -27,22 +27,33 @@ import org.apache.spark.sql.functions._
   * `first_seen`, so re-imports never look new. The result is idempotent:
   * `dedupe(dedupe(df)) == dedupe(df)`.
   *
-  * Execution shape: the non-fragment branch keeps its windows — their
-  * partition key INCLUDES the statement id, so group size is the
-  * physical-duplicate multiplicity of one identical fact (bounded by
-  * appends-since-last-compaction; every merge collapses it back to 1 —
-  * an operational constant, never data scale). The FRAGMENT branch has
-  * no window at all: the reference's data model makes mega-groups
-  * routine (bucket=pages puts one statement per page on one entity —
-  * docs/architecture.md:99, logic/parquet.py:253), and a window
-  * partitioned by the supersession-group key would funnel a hot
-  * (entity, prop, fragment) group through ONE task's sort. Instead the
-  * per-id pick is a `min_by` over a recency sort key (a declarative
-  * aggregate — hot groups collapse map-side before the shuffle), group
-  * stats are a second tiny aggregation over the per-id survivors, and
-  * the tie-keep joins back on the group key (AQE broadcasts the group
-  * table when small, skew-splits the join otherwise). No driver-side
-  * state; scales with executor count.
+  * Execution shape: ONE scan, ONE exchange, window functions in a single
+  * sort pass per branch. This is a MEASURED choice between two forms:
+  *
+  *  - The window form (this code). Its group-stats windows partition by
+  *    the supersession-group key, so a pathological hot
+  *    (entity, prop, fragment) group sorts through one task. The
+  *    reference's own per-entity envelope bounds that group: a
+  *    pages-bucket mega-entity carries one statement per PAGE under
+  *    DISTINCT fragments (docs/architecture.md:99, logic/parquet.py:253),
+  *    so a million-row single-(prop, fragment) group requires a single
+  *    fragment emitting a million values for one prop — outside the
+  *    reference's write envelope. tools/SkewStress measures the cost
+  *    when it IS violated: ~4× on a synthetic 4M-row single group.
+  *
+  *  - The aggregation form (kept in tools/SkewStress as
+  *    `canonicalizeAggForm`, proved row-equal in SkewStressSpec): per-id
+  *    `min_by` + group-stats aggregation + tie-keep join. Skew-safe
+  *    (declarative aggs collapse map-side), but its diamond over the
+  *    full-width scan costs a second scan + extra exchanges on EVERY
+  *    merge: measured 1.5-3.6× slower across the store lifecycle
+  *    queries at bench ×10 (s3 3.6×, cdf1 2.6×, a3 1.7×, a1 1.5×) on
+  *    realistic non-skewed data — the common case.
+  *
+  * Paying 1.5-3.6× on every real merge to insure against a shape the
+  * data model already bounds is the wrong trade; the window form is
+  * production, the aggregation form stays as the documented fallback for
+  * stores that violate the envelope.
   */
 object MergeDedupe {
 
@@ -74,54 +85,26 @@ object MergeDedupe {
       .withColumn("__min_fs", min(col("first_seen")).over(wNf))
       .filter(col("__rn") === 1)
 
-    // Fragment branch: NO window anywhere — a hot (entity,prop,fragment)
-    // group (1M values emitted under one fragment) would sort through one
-    // task. Instead:
-    //  1. per-id survivor pick as min_by over a recency SORT KEY — a
-    //     declarative aggregate, so the hot group collapses map-side to
-    //     one partial per input partition before the 7-key shuffle (the
-    //     shuffle carries ~distinct ids, not raw duplicates);
-    //  2. supersession-group stats as a separate aggregation STRAIGHT
-    //     OFF the raw fragment rows (not off step 1's output — that
-    //     subtree is consumed with different column prunings, so Spark
-    //     would compute the heavy min_by twice instead of reusing the
-    //     exchange): a pruned 8-column scan + map-combined max/min;
-    //  3. tie-keep as a join back on the 6-part group key (AQE
-    //     broadcasts the group table when small, skew-splits otherwise).
-    // Dropped duplicates still contribute first_seen: step 2 reads the
-    // PRE-filter rows, so its group min sees every physical row.
-    val fragKeyNames = Seq("shard", "bucket", "origin", "entity_id", "prop", "fragment")
-    val fragRows = df.filter(col("fragment") =!= "")
-    // byRecency as ONE min-orderable struct (lexicographic field order =
-    // the tiebreak order): timestamps negate for DESC, with null mapped
-    // to Long.MaxValue because plain `.desc` is desc_NULLS_LAST — a bare
-    // -unix_micros(null) would stay null and struct ordering sorts null
-    // fields FIRST, silently inverting the window form for null
-    // timestamps; string fields are ASC with nulls first, which IS
-    // struct ordering's null semantics (proved equal to the window form
-    // on randomized colliding input in SkewStressSpec, including null
-    // last_seen and null-tiebreak collisions).
-    val recencyKey = struct(
-      when(col("last_seen").isNull, lit(Long.MaxValue))
-        .otherwise(-unix_micros(col("last_seen"))).as("k_ls"),
-      when(col("deleted_at").isNull, lit(Long.MaxValue))
-        .otherwise(-unix_micros(col("deleted_at"))).as("k_del"),
-      col("value").as("k_val"),
-      col("lang").as("k_lang"),
-      col("original_value").as("k_orig"))
-    val perId = fragRows
-      .groupBy((fragKeyNames :+ "id").map(col): _*)
-      .agg(min_by(struct(fragRows.columns.map(col): _*), recencyKey).as("__row"))
-      .select(col("__row.*"))
-    val groupStats = fragRows.groupBy(fragKeyNames.map(col): _*)
-      .agg(max(col("last_seen")).as("__max_ls"),
-        min(col("first_seen")).as("__min_fs"))
-    val frag = perId
-      .join(groupStats, fragKeyNames)
-      .filter(col("last_seen") === col("__max_ls"))
+    // Fragment branch: one sort pass computes the supersession-group
+    // stats (max last_seen, min first_seen over PRE-filter rows — dropped
+    // duplicates still witness first_seen) and the per-id survivor rank.
+    // Both windows share the clustering the merge driver already
+    // provides, so the whole branch is one scan + one exchange — see the
+    // class doc for the measured choice of this form over the skew-safe
+    // aggregation form (tools/SkewStress.canonicalizeAggForm).
+    val fragKeys = (grain ++ Seq("entity_id", "prop", "fragment")).map(col)
+    val idKeys = fragKeys :+ col("id")
+    val wGroup = Window.partitionBy(fragKeys: _*)
+    val wIdOrd = Window.partitionBy(idKeys: _*).orderBy(byRecency: _*)
+    val frag = df.filter(col("fragment") =!= "")
+      .withColumn("__max_ls", max(col("last_seen")).over(wGroup))
+      .withColumn("__min_fs", min(col("first_seen")).over(wGroup))
+      .withColumn("__rn", row_number().over(wIdOrd))
+      .filter(col("last_seen") === col("__max_ls") && col("__rn") === 1)
       .drop("__max_ls")
 
-    nonFrag.drop("__rn").unionByName(frag)
+    nonFrag.unionByName(frag)
+      .drop("__rn")
       .withColumn("first_seen", col("__min_fs"))
       .drop("__min_fs")
   }

@@ -14,17 +14,20 @@ import graft.ops.{EntityAssembly, MergeDedupe}
   * docs/architecture.md:99, logic/parquet.py:253; plus the pathological
   * single (entity, prop, fragment) group), run through
   *
-  *  - A1 merge ([[MergeDedupe.canonicalize]], aggregation-form group
-  *    stats) vs its window-form twin (the pre-round-14 shape whose hot
-  *    group sorts through one task), and
+  *  - A1 merge ([[MergeDedupe.canonicalize]], one-pass window form —
+  *    production) vs [[canonicalizeAggForm]], the skew-safe aggregation
+  *    alternative (per-id min_by + group-stats agg + tie-keep join), and
   *  - A4 assembly ([[EntityAssembly.assemble]], two-phase per-prop fold)
   *    vs the one-phase `mapGroups(toVector)` twin that buffers every raw
   *    statement row of the entity in one task's heap.
   *
   * Prints one JSON line with wall seconds per (operator, fixture, form)
-  * so the straggler-vs-distributed claim is a measured artifact row, not
-  * a plan-read argument. SkewStressSpec proves both forms EQUAL; this
-  * tool measures why the distributed form is the production one.
+  * so both sides of the MergeDedupe class-doc trade are measured rows:
+  * the aggregation form wins only on the pathological single-group
+  * fixture; on realistic shapes its extra scan + exchanges cost
+  * 1.5-3.6× across the store lifecycle (bench ×10), which is why the
+  * window form is production and this form is the documented fallback.
+  * SkewStressSpec proves both forms EQUAL.
   *
   * Usage: runMain graft.tools.SkewStress [rows] (default 1000000)
   */
@@ -32,12 +35,17 @@ object SkewStress {
 
   private def ts(ms: Long) = new Timestamp(1700000000000L + ms)
 
-  /** Pre-round-14 A1 (window-form group statistics). Shared with
-    * SkewStressSpec, where it is the semantics reference the production
-    * aggregation form must equal — ONE definition so the tool's
-    * measurement and the spec's equality proof can never drift apart.
+  /** The skew-safe AGGREGATION form of A1 (round-14's experiment): per-id
+    * survivor via `min_by` over a recency sort key, supersession-group
+    * stats as a declarative aggregation off the raw rows, tie-keep join
+    * back. Hot groups collapse map-side, so no single-task sort — but the
+    * diamond over the full-width scan costs a second scan + exchanges on
+    * every merge (measured 1.5-3.6× on realistic shapes; see
+    * MergeDedupe's class doc). Shared with SkewStressSpec, where it is
+    * proved row-equal to the production window form — ONE definition so
+    * the tool's measurement and the spec's equality proof cannot drift.
     */
-  def canonicalizeWindowTwin(df: DataFrame): DataFrame = {
+  def canonicalizeAggForm(df: DataFrame): DataFrame = {
     val grain = Seq("shard", "bucket", "origin")
     val byRecency = Seq(col("last_seen").desc, col("deleted_at").desc_nulls_last,
       col("value"), col("lang").asc_nulls_first,
@@ -49,23 +57,39 @@ object SkewStress {
       .withColumn("__min_fs", min(col("first_seen")).over(
         Window.partitionBy(nonFragKeys: _*)))
       .filter(col("__rn") === 1)
-    val fragKeys = (grain ++ Seq("entity_id", "prop", "fragment")).map(col)
-    val frag = df.filter(col("fragment") =!= "")
-      .withColumn("__max_ls", max(col("last_seen")).over(
-        Window.partitionBy(fragKeys: _*)))
-      .withColumn("__min_fs", min(col("first_seen")).over(
-        Window.partitionBy(fragKeys: _*)))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy((fragKeys :+ col("id")): _*).orderBy(byRecency: _*)))
-      .filter(col("last_seen") === col("__max_ls") && col("__rn") === 1)
+      .drop("__rn")
+    val fragKeyNames = Seq("shard", "bucket", "origin", "entity_id", "prop", "fragment")
+    val fragRows = df.filter(col("fragment") =!= "")
+    // byRecency as ONE min-orderable struct: timestamps negate for DESC
+    // with null mapped to Long.MaxValue (plain `.desc` is
+    // desc_NULLS_LAST, but a null struct field would sort FIRST);
+    // strings are ASC with nulls first = struct ordering's own null rule
+    val recencyKey = struct(
+      when(col("last_seen").isNull, lit(Long.MaxValue))
+        .otherwise(-unix_micros(col("last_seen"))).as("k_ls"),
+      when(col("deleted_at").isNull, lit(Long.MaxValue))
+        .otherwise(-unix_micros(col("deleted_at"))).as("k_del"),
+      col("value").as("k_val"),
+      col("lang").as("k_lang"),
+      col("original_value").as("k_orig"))
+    val perId = fragRows
+      .groupBy((fragKeyNames :+ "id").map(col): _*)
+      .agg(min_by(struct(fragRows.columns.map(col): _*), recencyKey).as("__row"))
+      .select(col("__row.*"))
+    val groupStats = fragRows.groupBy(fragKeyNames.map(col): _*)
+      .agg(max(col("last_seen")).as("__max_ls"),
+        min(col("first_seen")).as("__min_fs"))
+    val frag = perId
+      .join(groupStats, fragKeyNames)
+      .filter(col("last_seen") === col("__max_ls"))
       .drop("__max_ls")
     nonFrag.unionByName(frag)
       .withColumn("first_seen", col("__min_fs"))
-      .drop("__rn", "__min_fs")
+      .drop("__min_fs")
   }
 
   /** Pre-round-14 A4 (one-phase fold over raw rows in one task).
-    * Shared with SkewStressSpec — see [[canonicalizeWindowTwin]].
+    * Shared with SkewStressSpec — see [[canonicalizeAggForm]].
     */
   def assembleOnePhaseTwin(live: DataFrame) = {
     val spark = live.sparkSession
@@ -151,10 +175,10 @@ object SkewStress {
     val out = new StringBuilder
     out ++= s"""{"rows":$n,"reps":$reps,"a1":{"""
     out ++= fixtures.keys.toSeq.sorted.map { m =>
-      val (agg, nAgg) = time(MergeDedupe.canonicalize(fixtures(m)).count())
-      val (win, nWin) = time(canonicalizeWindowTwin(fixtures(m)).count())
+      val (win, nWin) = time(MergeDedupe.canonicalize(fixtures(m)).count())
+      val (agg, nAgg) = time(canonicalizeAggForm(fixtures(m)).count())
       require(nAgg == nWin, s"a1 $m: $nAgg != $nWin")
-      s""""$m":{"agg_form_sec":${fmt(agg)},"window_twin_sec":${fmt(win)},"survivors":$nAgg}"""
+      s""""$m":{"window_form_sec":${fmt(win)},"agg_form_sec":${fmt(agg)},"survivors":$nAgg}"""
     }.mkString(",")
     out ++= s"""},"a4":{"""
     out ++= fixtures.keys.toSeq.sorted.map { m =>

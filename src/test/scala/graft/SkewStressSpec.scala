@@ -15,11 +15,12 @@ import graft.ops.{EntityAssembly, MergeDedupe}
   * logic/parquet.py:253), so A1's supersession-group statistics and A4's
   * entity fold must not funnel a million-row group through one task.
   *
-  * The skew-proof shapes (A1: groupBy+join for group stats; A4:
-  * two-phase per-(entity,prop) fold) are proved EQUAL to their
-  * straggler-prone originals here — the originals live on in this spec
-  * as the semantics twins, exercised on randomized colliding inputs.
-  * The measured straggler-vs-distributed numbers live in the
+  * A1 ships the one-pass WINDOW form (the measured winner on realistic
+  * shapes — see MergeDedupe's class doc) with the skew-safe aggregation
+  * form kept as a proved-equal fallback (tools/SkewStress
+  * .canonicalizeAggForm); A4 ships the two-phase per-(entity,prop) fold
+  * proved equal to the one-phase row fold. Both equalities are exercised
+  * here on randomized colliding inputs; the measured numbers live in the
   * SKEW_STRESS artifact (tools/SkewStress).
   */
 class SkewStressSpec extends SparkSpec {
@@ -38,18 +39,19 @@ class SkewStressSpec extends SparkSpec {
       first_seen = ts(firstSeen), last_seen = ts(lastSeen),
       fragment = fragment, deleted_at = deletedAt.map(ts))
 
-  /** The pre-round-14 A1: window-form group statistics (the shape whose
-    * hot (entity,prop,fragment) group sorts through ONE task) — the
-    * semantics reference, defined ONCE on the measuring tool so the
-    * spec's equality proof and SkewStress's timings can never drift.
+  /** The skew-safe AGGREGATION form of A1 (the documented fallback for
+    * stores that violate the reference's per-entity envelope — see
+    * MergeDedupe's class doc for the measured trade) — defined ONCE on
+    * the measuring tool so the spec's equality proof and SkewStress's
+    * timings can never drift.
     */
-  private def canonicalizeWindowTwin(df: DataFrame): DataFrame =
-    graft.tools.SkewStress.canonicalizeWindowTwin(df)
+  private def canonicalizeAggForm(df: DataFrame): DataFrame =
+    graft.tools.SkewStress.canonicalizeAggForm(df)
 
   private def rowSet(df: DataFrame): Set[String] =
     df.collect().map(_.mkString("|")).toSet
 
-  test("A1 aggregation-form canonicalize equals the window twin on randomized colliding input") {
+  test("A1 production window form equals the skew-safe aggregation form on randomized colliding input") {
     import spark.implicits._
     val rnd = new scala.util.Random(14)
     // heavy collisions: 5 entities × 3 props × 4 fragments (incl ''),
@@ -77,7 +79,7 @@ class SkewStressSpec extends SparkSpec {
     }
     val df = rows.toDS().toDF()
     val got = MergeDedupe.canonicalize(df)
-    val want = canonicalizeWindowTwin(df)
+    val want = canonicalizeAggForm(df)
     // names+types exact; nullability is allowed to relax (the min_by
     // struct round-trip marks fields nullable — parquet reads are
     // always-nullable in Spark, so the lake path never observes it)
@@ -89,14 +91,12 @@ class SkewStressSpec extends SparkSpec {
     assert(rowSet(MergeDedupe.canonicalize(got)) == rowSet(got))
   }
 
-  test("A1 aggregation form matches the window twin when last_seen is null") {
+  test("A1 window form matches the aggregation form when last_seen is null") {
     import spark.implicits._
-    // The window order is `last_seen.desc` = desc_NULLS_LAST, but a bare
-    // -unix_micros(null) stays null and struct ordering sorts null fields
-    // FIRST — so the recency struct must map null to Long.MaxValue or a
-    // null-timestamp duplicate would shadow (and then, via the tie-keep
-    // filter, kill) its whole id. Rows built via Row so the Timestamp
-    // column is genuinely null (the case-class helper can't express it).
+    // The window order is `last_seen.desc` = desc_NULLS_LAST; the agg
+    // form's recency struct must map null to Long.MaxValue to match (a
+    // bare -unix_micros(null) stays null and struct ordering sorts null
+    // fields FIRST, which would shadow and then kill the whole id).
     val rnd = new scala.util.Random(99)
     val base = (0 until 600).map { i =>
       val e = s"e${rnd.nextInt(3)}"
@@ -109,7 +109,7 @@ class SkewStressSpec extends SparkSpec {
     }
     val df = base.toDS().toDF()
     val got = MergeDedupe.canonicalize(df)
-    val want = canonicalizeWindowTwin(df)
+    val want = canonicalizeAggForm(df)
     assert(rowSet(got) == rowSet(want))
     assert(got.count() == want.count())
     // the non-null row must be the survivor wherever one exists
