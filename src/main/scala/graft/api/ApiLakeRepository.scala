@@ -89,10 +89,22 @@ class ApiLakeRepository(baseUrl: String, val dataset: String,
     * [[JournalWire.ChunkRows]]-sized bodies so a large import never
     * materializes as one client-side string.
     */
+  /** The server's key mode, fetched once from `GET config`: the client
+    * explodes entities locally, so it must use the SAME id recipe as the
+    * server's embedded writes (md5 native vs sha1 ftm-compat) — a
+    * mismatched recipe ships ids the server stores verbatim, and wire
+    * imports then never collapse with embedded imports of the same
+    * entity. Older servers without the route fall back to the native
+    * recipe (their own default).
+    */
+  private lazy val serverFtmCompat: Boolean =
+    try mapper.readTree(get("config")).path("ftm_compat").asBoolean(false)
+    catch { case _: Exception => false }
+
   def addEntities(entities: Seq[EntityPayload], origin: String = "default",
       now: Timestamp = new Timestamp(System.currentTimeMillis() / 1000 * 1000)): Long = {
-    postChunked(Explode.explodeLocalBatch(entities, dataset, origin, now)
-      .iterator.map(statementLine))
+    postChunked(Explode.explodeLocalBatch(entities, dataset, origin, now,
+      ftmCompat = serverFtmCompat).iterator.map(statementLine))
     entities.size.toLong
   }
 

@@ -165,6 +165,17 @@ class LakeHttpServer(spark: SparkSession, lakeRoot: String, port: Int = 0,
       case ("GET", List("entities", "statements", "version")) =>
         // reference returns `v or 0` — an uncommitted store reads as 0
         plain(ex, 200, math.max(0L, repo(ds).store.version).toString)
+      case ("GET", List("config")) =>
+        // the write-path contract a wire client must match: clients
+        // explode entities locally, so they need the server's key mode
+        // (graft.ftm-compat-keys) or their statement ids never collapse
+        // with embedded imports
+        val r = repo(ds)
+        val o = mapper.createObjectNode()
+        o.put("dataset", ds)
+        o.put("shards", r.store.shards)
+        o.put("ftm_compat", graft.functions.Hashing.ftmCompat(spark))
+        json(ex, 200, o.toString)
       case ("DELETE", List("entities", id)) =>
         plain(ex, 200, repo(ds).deleteEntity(id).toString)
       case ("POST", List("journal", "bulk")) =>

@@ -79,6 +79,15 @@ class StatementStore(val spark: SparkSession, val rootStr: String, val shards: I
     * (the same pruning a Delta-style CDF gets from its log). Both sides
     * stay plain file scans, so pushdown applies to any caller filter.
     */
+  /** [[cdf]] from `vOld` to the CURRENT version, or None when `vOld`'s
+    * manifest has been vacuumed away (the caller must fall back to a
+    * non-version-exact discovery). The diff exports use this for exact
+    * changed-entity discovery.
+    */
+  def cdfSince(vOld: Long): Option[DataFrame] =
+    if (!Manifest.presentVersions(fs, root).contains(vOld)) None
+    else Some(cdf(vOld, version))
+
   def cdf(vOld: Long, vNew: Long): DataFrame = {
     val oldFiles = Manifest.liveFiles(fs, root, vOld)
     val newFiles = Manifest.liveFiles(fs, root, vNew)

@@ -45,6 +45,27 @@ object Diff {
   def tsLabel(ms: Long): String = fmt.format(new java.util.Date(ms))
   def parseLabel(label: String): Long = fmt.parse(label).getTime
 
+  /** Advance a diff's `{label}:{version}` state AND pin the recorded
+    * version: the next diff's discovery reads the CDF between the two
+    * manifests, and without the pin a routine optimize()'s vacuum
+    * (keepVersions = 2, while one make cycle can commit 2+ versions)
+    * expires the base manifest — silently degrading every subsequent
+    * diff to the lossy clock-window fallback. The re-pin moves the
+    * retention window forward with the state; the pin survives vacuum
+    * by design (S7).
+    */
+  private def advanceState(store: StatementStore, key: String,
+      pinName: String, label: String, v: Long): Unit = {
+    store.tags.put(key, s"$label:$v")
+    try store.pin(pinName, v)
+    catch { case e: IllegalArgumentException =>
+      // version already expired (shouldn't happen for the current
+      // version, but a diff of a pinned historical read could race a
+      // vacuum) — the next diff falls back to the clock window and logs
+      System.err.println(s"[diff] could not pin v$v for $pinName: ${e.getMessage}")
+    }
+  }
+
   private val StateKey = "diffs/entities-current"
 
   /** Pure classification of changed entities against a watermark:
@@ -62,6 +83,16 @@ object Diff {
     val changed = changedSource.getOrElse(raw)
       .filter(col("first_seen") >= since || col("deleted_at") >= since)
       .select("entity_id").distinct()
+    classifyIds(raw, changed, since)
+  }
+
+  /** [[classify]] with an EXPLICIT changed-id set — the version-exact
+    * discovery path ([[graft.lake.StatementStore.cdfSince]]) supplies ids
+    * from the manifests' file delta; `since` is used only to label ADD vs
+    * MOD (an entity born before the window existed in a previous diff).
+    */
+  def classifyIds(raw: DataFrame, changed: DataFrame,
+      since: Column): DataFrame = {
     val scoped = raw.join(changed, Seq("entity_id"), "left_semi")
     val stillLive = MergeDedupe.live(scoped)
       .select("entity_id").distinct().withColumn("__live", lit(1))
@@ -117,6 +148,8 @@ object Diff {
       .write.mode("overwrite").json(dir)
 
   private val DocStateKey = "diffs/documents-current"
+  private val StatePin = "diff-entities"
+  private val DocStatePin = "diff-documents"
 
   /** Documents diff (reference repository/documents.py:131-173): CSV rows
     * with an `op` column — ADD for documents whose `contentHash` changed
@@ -136,10 +169,13 @@ object Diff {
 
     store.tags.get(DocStateKey) match {
       case None =>
-        val d = Documents.documentsTable(store.live, publicUrlPrefix)
+        // canonical read (A1 at read time), matching the incremental
+        // branch: on an unmerged store the windowless live view still
+        // carries superseded duplicate rows
+        val d = Documents.documentsTable(store.canonical, publicUrlPrefix)
           .withColumn("op", lit("ADD"))
         Exports.singleFileCsv(d, dest, sortCol = "id")
-        store.tags.put(DocStateKey, s"$label:$v")
+        advanceState(store, DocStateKey, DocStatePin, label, v)
         Some(label)
 
       case Some(state) =>
@@ -148,20 +184,35 @@ object Diff {
         val sinceTs = new java.sql.Timestamp(parseLabel(lastLabel))
         val since = lit(sinceTs)
         val raw = store.raw
-        // changed document ids: contentHash statements touched in the
-        // window (reference _get_changed_ids(prop="contentHash")) — the
-        // discovery scan is zone-map-pruned to files committed since
-        val changed = graft.functions.F.materialize(store.rawChangedSince(sinceTs)
-          .filter((col("first_seen") >= since || col("deleted_at") >= since) &&
-            col("prop") === "contentHash" && col("schema").isin(docSchemas: _*))
+        // changed document ids: contentHash statements whose physical
+        // rows changed between the two manifest versions (reference
+        // _get_changed_ids(prop="contentHash")) — version-exact CDF
+        // discovery for the same reason as the entities diff (a
+        // clock-window drops late-committed old-timestamp rows forever);
+        // timestamp fallback only when vacuum expired lastV's manifest
+        val changed = graft.functions.F.materialize(store.cdfSince(lastV.toLong)
+          .getOrElse {
+            System.err.println(s"[diff] manifest v$lastV vacuumed; " +
+              "falling back to timestamp-window discovery for this diff")
+            store.rawChangedSince(sinceTs)
+              .filter(col("first_seen") >= since || col("deleted_at") >= since)
+          }
+          .filter(col("prop") === "contentHash" && col("schema").isin(docSchemas: _*))
           .select("entity_id").distinct())
         if (changed.isEmpty) {
-          store.tags.put(DocStateKey, s"$label:$v")
+          advanceState(store, DocStateKey, DocStatePin, label, v)
           return None
         }
         val scopedLive = MergeDedupe.live(
           raw.join(changed, Seq("entity_id"), "left_semi"))
-        val present = Documents.documentsTable(scopedLive, publicUrlPrefix)
+        // folder-path resolution must see the FOLDER entities — the
+        // changed-id scope contains only contentHash-bearing documents
+        // (Folder is excluded from docSchemas), so without an explicit
+        // folder source every ADD row's `path` would be null while the
+        // full documents.csv export carries real paths
+        val folderLive = MergeDedupe.live(raw.filter(col("schema") === "Folder"))
+        val present = Documents.documentsTable(scopedLive, publicUrlPrefix,
+          folderSource = Some(folderLive))
         val adds = present.withColumn("op", lit("ADD"))
         val dels = changed
           .join(present.select(col("id").as("entity_id")), Seq("entity_id"), "left_anti")
@@ -175,7 +226,7 @@ object Diff {
             lit(null).cast("string").as("public_url"),
             lit("DEL").as("op"))
         Exports.singleFileCsv(adds.unionByName(dels), dest, sortCol = "id")
-        store.tags.put(DocStateKey, s"$label:$v")
+        advanceState(store, DocStateKey, DocStatePin, label, v)
         Some(label)
     }
   }
@@ -192,10 +243,14 @@ object Diff {
 
     store.tags.get(StateKey) match {
       case None =>
-        // initial diff: full entity export wrapped in ADD envelopes
-        val ents = EntityAssembly.assemble(store.live).toDF()
+        // initial diff: full entity export wrapped in ADD envelopes —
+        // from the CANONICAL read, matching the incremental branch (the
+        // windowless live view would ship superseded values when the
+        // diff runs on an unmerged store; the incrementals would then
+        // never correct entities that stop changing)
+        val ents = EntityAssembly.assemble(store.canonical).toDF()
         writeDelta(entityFlat(ents, lit("ADD")), dir)
-        store.tags.put(StateKey, s"$label:$v")
+        advanceState(store, StateKey, StatePin, label, v)
         Some(label)
 
       case Some(state) =>
@@ -204,10 +259,30 @@ object Diff {
         val sinceTs = new java.sql.Timestamp(parseLabel(lastLabel))
         val since = lit(sinceTs)
         val raw = store.raw
-        val ops = graft.functions.F.materialize(
-          classify(raw, since, Some(store.rawChangedSince(sinceTs))))
+        // Discovery is VERSION-exact, not clock-windowed: entity ids from
+        // the CDF between the two manifests (symmetric-difference files
+        // only). A `first_seen >= since` window would permanently drop
+        // rows committed after the last diff but carrying older
+        // timestamps — a journal drained later, or client clock skew —
+        // because the version gate advances while the row filter excludes
+        // them from every future window. CDF discovery catches them (they
+        // live in files added since lastV); identical rows in merge
+        // rewrites cancel in the set difference, so the worst case is an
+        // at-least-once MOD for an entity whose canonical content did not
+        // change — never a lost change. `since` still labels ADD vs MOD.
+        // Fallback: if vacuum expired lastV's manifest, use the
+        // clock-window discovery (the pre-CDF behavior) rather than fail.
+        val changedIds = store.cdfSince(lastV.toLong)
+          .map(_.select("entity_id").distinct())
+        val ops = graft.functions.F.materialize(changedIds match {
+          case Some(ids) => classifyIds(raw, ids, since)
+          case None =>
+            System.err.println(s"[diff] manifest v$lastV vacuumed; " +
+              "falling back to timestamp-window discovery for this diff")
+            classify(raw, since, Some(store.rawChangedSince(sinceTs)))
+        })
         if (ops.isEmpty) {
-          store.tags.put(StateKey, s"$label:$v")
+          advanceState(store, StateKey, StatePin, label, v)
           return None
         }
         val liveChanged = MergeDedupe.live(
@@ -218,7 +293,7 @@ object Diff {
         val flat = entityFlat(ents, col("op"))
           .unionByName(delFlat(ops.filter(col("op") === "DEL")))
         writeDelta(flat, dir)
-        store.tags.put(StateKey, s"$label:$v")
+        advanceState(store, StateKey, StatePin, label, v)
         Some(label)
     }
   }

@@ -40,21 +40,17 @@ object Documents {
       val st = it.next()
       val rel = st.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/")
       if (st.isFile && include(rel)) {
+        // streamed into the archive spool while hashing — a multi-GB
+        // crawled file must not materialize as a byte[] on the driver
+        // (size comes from the FileStatus, not a buffered copy)
         val in = fs.open(st.getPath)
-        val bytes = try {
-          val buf = new java.io.ByteArrayOutputStream()
-          val b = new Array[Byte](64 * 1024)
-          var n = in.read(b)
-          while (n >= 0) { buf.write(b, 0, n); n = in.read(b) }
-          buf.toByteArray
-        } finally in.close()
-        val checksum = archive.put(bytes)
+        val checksum = try archive.putStream(in) finally in.close()
         val name = st.getPath.getName
         val mime = mimeFor(name)
         val parentRel = rel.split('/').dropRight(1).mkString("/")
         val parent = if (parentRel.isEmpty) "" else folderId(parentRel.split('/').last, parentRel)
         out += CrawledFile(fileId(rel, checksum), name, rel, checksum,
-          bytes.length.toLong, mime, FtmModel.schemaForMime(mime), parent)
+          st.getLen, mime, FtmModel.schemaForMime(mime), parent)
       }
     }
     out.toList
@@ -122,7 +118,8 @@ object Documents {
     * aggregation keyed on entity_id. Folder path resolution runs over the
     * folder entities only — a tiny fraction of a document corpus.
     */
-  def documentsTable(live: DataFrame, publicUrlPrefix: Option[String] = None): DataFrame = {
+  def documentsTable(live: DataFrame, publicUrlPrefix: Option[String] = None,
+      folderSource: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.functions.{col, min, when, first, concat_ws, lit}
     val docSchemas = (FtmModel.descendants("Document") - "Folder").toSeq
     def prop(p: String) = min(when(col("prop") === p, col("value")))
@@ -136,11 +133,13 @@ object Documents {
         prop("contentHash").as("content_hash"),
         prop("parent").as("parent"))
       .filter(col("content_hash").isNotNull)
-    val folders = live.filter(col("schema") === "Folder")
+    // folderSource: callers whose `live` view is scoped to a subset of
+    // documents (the incremental diff) must supply the folder entities
+    // separately, or path resolution silently finds nothing
+    val folders = folderSource.getOrElse(live).filter(col("schema") === "Folder")
       .groupBy(col("entity_id").as("id"))
       .agg(prop("fileName").as("name"), prop("parent").as("parent"))
     val paths = resolvePaths(folders).withColumnRenamed("id", "parent")
-      .withColumnRenamed("path", "path")
     val withPath = docs.join(paths, Seq("parent"), "left_outer")
     val withUrl = publicUrlPrefix match {
       case Some(prefix) => withPath.withColumn("public_url",

@@ -73,7 +73,7 @@ object Explode {
           entity_id = entityId, dataset = dataset, bucket = bucket,
           origin = origin, source = None, schema = e.schema, prop = prop,
           prop_type = propType, value = cleanValue, original_value = None,
-          lang = None, // the Spark path nulls both branches of lang0 too
+          lang = None, // entity payload values carry no language (Spark path matches)
           external = false, first_seen = now, last_seen = now,
           fragment = "", deleted_at = None)
       }
@@ -132,11 +132,10 @@ object Explode {
         val propType = FtmModel.propTypes(prop)
         val cleanValue =
           if (propType == "entity") stripNamespace(value) else value
-        (entityId, e.schema, bucket, prop, propType, cleanValue,
-          if (FtmModel.nonLinguistic(propType)) null else "")
+        (entityId, e.schema, bucket, prop, propType, cleanValue)
       }
       propRows
-    }.toDF("entity_id", "schema", "bucket", "prop", "prop_type", "value", "lang0")
+    }.toDF("entity_id", "schema", "bucket", "prop", "prop_type", "value")
 
     val keyed = rows.select(
       shardOf(col("entity_id")).as("shard"),
@@ -151,7 +150,11 @@ object Explode {
       col("prop_type"),
       col("value"),
       lit(null).cast("string").as("original_value"),
-      when(col("lang0") === "", lit(null)).otherwise(col("lang0")).cast("string").as("lang"),
+      // an entity payload's property values are plain strings — no
+      // per-value language exists on this path (the reference's explode
+      // emits lang=None for the same reason); language-bearing rows
+      // arrive only via the statements CSV/wire sources
+      lit(null).cast("string").as("lang"),
       lit(false).as("external"),
       lit(now).as("first_seen"),
       lit(now).as("last_seen"),

@@ -97,18 +97,33 @@ object Make {
     }
     gated("documents.csv") {
       // reference short-circuits document-free datasets with one cheap
-      // count before any per-partition work (documents.py:118-123)
+      // count before any per-partition work (documents.py:118-123) — but
+      // only datasets that NEVER had documents: once the artifact exists,
+      // an all-documents-deleted dataset must still rewrite it (now
+      // empty) and run the diff so downstream mirrors receive the DELs,
+      // instead of serving the stale previous table forever
       val docs = Documents.documentsTable(store.live, publicUrlPrefix)
-      if (!docs.isEmpty) {
-        Exports.singleFileCsv(docs, s"$outDir/documents.csv$suffix",
+      val dest = s"$outDir/documents.csv$suffix"
+      val hconf = store.spark.sessionState.newHadoopConf()
+      val destPath = new org.apache.hadoop.fs.Path(dest)
+      val hadDocs = destPath.getFileSystem(hconf).exists(destPath)
+      if (!docs.isEmpty || hadDocs) {
+        Exports.singleFileCsv(docs, dest,
           sortCol = "id", compression = compression)
         Diff.exportDocumentsDiff(store, outDir, publicUrlPrefix)
       }
     }
     gated("statistics.json") {
-      Stats.facets(store.live)
-        .coalesce(1)
-        .write.mode("overwrite").json(s"$outDir/statistics.json")
+      // one genuine FILE (index.json advertises it as a resource a
+      // mirror can fetch — a Spark part-file directory 404s there).
+      // Facet cardinality is bounded by the model's schema/country sets,
+      // so the driver-side write is O(facets), not O(data)
+      val lines = Stats.facets(store.live).toJSON.collect().sorted
+      val p = new org.apache.hadoop.fs.Path(s"$outDir/statistics.json")
+      val sfs = p.getFileSystem(store.spark.sessionState.newHadoopConf())
+      val out = sfs.create(p, true)
+      try out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+      finally out.close()
     }
     gated("index.json") {
       writeIndex(store, outDir, datasetName, publicUrlPrefix)
@@ -136,15 +151,23 @@ object Make {
     val artifacts = Seq("statements.csv", "entities.ftm.json", "documents.csv")
       .flatMap(a => Seq(a, s"$a.gz", s"$a.zst")).appended("statistics.json")
       .filter(a => outFs.exists(new org.apache.hadoop.fs.Path(outPath, a)))
-    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    val resources = artifacts.map { a =>
-      val url = publicUrlPrefix.map(p => s"${p.stripSuffix("/")}/$a")
-      s"""{"name":${q(a)},"path":${q(a)}${url.map(u => s""","url":${q(u)}""").getOrElse("")}}"""
-    }.mkString("[", ",", "]")
-    val schemata = facets.map { case (s, n) => s"${q(s)}:$n" }.mkString("{", ",", "}")
-    val json =
-      s"""{"name":${q(datasetName)},"version":${store.version},"entity_count":$entityCount,"schemata":$schemata,"resources":$resources}"""
+    // Jackson, not hand-rolled string escaping: a dataset name or URL
+    // carrying a control character must still produce parseable JSON
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val rootNode = mapper.createObjectNode()
+    rootNode.put("name", datasetName)
+    rootNode.put("version", store.version)
+    rootNode.put("entity_count", entityCount)
+    val schemataNode = rootNode.putObject("schemata")
+    facets.foreach { case (s, n) => schemataNode.put(s, n) }
+    val resourcesNode = rootNode.putArray("resources")
+    artifacts.foreach { a =>
+      val res = resourcesNode.addObject()
+      res.put("name", a)
+      res.put("path", a)
+      publicUrlPrefix.foreach(p => res.put("url", s"${p.stripSuffix("/")}/$a"))
+    }
     val out = outFs.create(new org.apache.hadoop.fs.Path(outPath, "index.json"), true)
-    try out.write(json.getBytes("UTF-8")) finally out.close()
+    try out.write(mapper.writeValueAsBytes(rootNode)) finally out.close()
   }
 }

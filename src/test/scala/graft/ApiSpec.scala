@@ -197,4 +197,36 @@ class ApiSpec extends SparkSpec {
         s"http://127.0.0.1:$port", Some(("k-123", "s-456"))).contains("authds"))
     } finally server.stop()
   }
+
+  test("wire clients adopt the server's key mode via GET config") {
+    val root2 = Files.createTempDirectory("graft-api-compat").toString
+    val cat = new Catalog(spark, root2)
+    cat.ensureDataset("compatds", shards = 4)
+    val srv = new LakeHttpServer(spark, root2, apiCreds = None)
+    val p = srv.start()
+    def cfgBody(): String = client.send(
+      HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:$p/compatds/_api/config")).GET().build(),
+      HttpResponse.BodyHandlers.ofString()).body
+    try {
+      // native mode: config reports it
+      assert(cfgBody().contains("\"ftm_compat\":false"), cfgBody())
+      spark.conf.set("graft.ftm-compat-keys", "true")
+      try {
+        assert(cfgBody().contains("\"ftm_compat\":true"))
+        // a compat-mode server must receive compat ids from the client
+        // explode, or wire imports never collapse with embedded imports
+        val api = new graft.api.ApiLakeRepository(s"http://127.0.0.1:$p", "compatds")
+        api.addEntities(Seq(graft.ops.Explode.EntityPayload(
+          "e-compat", "Person", Map("name" -> Seq("Jane")))))
+        val staged = new graft.lake.Journal(spark,
+          cat.datasetPath("compatds").toString).staged()
+        val ids = staged.filter(org.apache.spark.sql.functions.col("prop") === "name")
+          .select("id").collect().map(_.getString(0)).toSet
+        val want = graft.functions.Hashing.ftmStatementKeyLocal(
+          "compatds", "e-compat", "name", "Jane")
+        assert(ids == Set(want), s"wire id $ids != embedded compat id $want")
+      } finally spark.conf.unset("graft.ftm-compat-keys")
+    } finally srv.stop()
+  }
 }

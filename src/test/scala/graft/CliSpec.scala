@@ -82,15 +82,21 @@ class CliSpec extends SparkSpec {
     assert(res.startsWith("done=1"), res)
     assert(Files.readString(dl.resolve("doc.txt")) == "cli crawl body")
 
-    // snapshot pins + clone round-trip through the CLI
+    // snapshot pins + clone round-trip through the CLI. The earlier
+    // `make` left its diff-state pin behind — VISIBLE by design, so an
+    // operator can see what holds vacuum retention — so listings are
+    // compared modulo that standing pin.
+    def userPins(): Set[String] =
+      cli(root, "snapshot", "ls", "clitest")().linesIterator
+        .filterNot(_.startsWith("diff-")).toSet
     val pv = cli(root, "snapshot", "pin", "clitest", "stable")().toLong
-    assert(cli(root, "snapshot", "ls", "clitest")() == s"stable\t$pv")
+    assert(userPins() == Set(s"stable\t$pv"))
     val cdir = Files.createTempDirectory("graft-cli-clone").toString
     assert(cli(root, "snapshot", "clone", "clitest", "--dest", cdir)()
       == s"cloned to $cdir")
     assert(new java.io.File(s"$cdir/_graft/manifest").exists())
     assert(cli(root, "snapshot", "unpin", "clitest", "stable")() == "unpinned stable")
-    assert(cli(root, "snapshot", "ls", "clitest")() == "")
+    assert(userPins() == Set.empty)
   }
 
   test("cli remote mode: --api drives the full group set over the wire") {

@@ -131,4 +131,66 @@ class DiffSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(ops == Map("d1" -> "ADD", "d2" -> "DEL"))
   }
+
+  test("diff discovery is version-exact: late-committed rows with old timestamps are not lost") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-diff-late").toString
+    val out = Files.createTempDirectory("graft-diff-late-out").toString
+    val store = new StatementStore(spark, dir, shards = 4)
+    store.append(Seq(stmt("id-e1", "e1", "Alice", "",
+      "2024-01-01 00:00:00", "2024-01-01 00:00:00")).toDS().toDF())
+    val l1 = Diff.exportDiff(store, out, ts("2024-06-01 00:00:00").getTime)
+    assert(l1.nonEmpty)
+    // e2 COMMITS after the first diff but carries first_seen BEFORE its
+    // label — the journal-drained-later / clock-skew shape. A clock-window
+    // discovery passes the version gate, excludes the row, advances the
+    // state, and the change is lost from every future diff; the CDF
+    // discovery must surface it.
+    store.append(Seq(stmt("id-e2", "e2", "Bob", "",
+      "2024-03-01 00:00:00", "2024-03-01 00:00:00")).toDS().toDF())
+    val l2 = Diff.exportDiff(store, out, ts("2024-08-01 00:00:00").getTime)
+    assert(l2.nonEmpty, "late-committed change produced no diff — lost")
+    val delta = spark.read.json(s"$out/diffs/entities.ftm.json/${l2.get}.delta.json")
+    val ids = delta.select("entity.id").collect().map(_.getString(0)).toSet
+    assert(ids == Set("e2"))
+  }
+
+  test("documents diff ADD rows resolve folder paths despite the changed-id scope") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-docdiff-path").toString
+    val out = Files.createTempDirectory("graft-docdiff-path-out").toString
+    val store = new StatementStore(spark, dir, shards = 4)
+    val sum1 = "33" * 32
+    val sum2 = "44" * 32
+    def docIn(entity: String, checksum: String, parent: String) = Seq(
+      stmt(s"id-$entity-name", entity, s"$entity.txt", "",
+        "2024-01-01 00:00:00", "2024-01-01 00:00:00", prop = "fileName"),
+      stmt(s"id-$entity-hash-$checksum", entity, checksum, "",
+        "2024-01-01 00:00:00", "2024-01-01 00:00:00", prop = "contentHash"),
+      stmt(s"id-$entity-parent", entity, parent, "",
+        "2024-01-01 00:00:00", "2024-01-01 00:00:00", prop = "parent"))
+      .map(_.copy(schema = "PlainText", bucket = "document"))
+    val folder = Seq(
+      stmt("id-f1-name", "f1", "reports", "",
+        "2024-01-01 00:00:00", "2024-01-01 00:00:00", prop = "fileName"))
+      .map(_.copy(schema = "Folder", bucket = "document"))
+    store.append((docIn("d1", sum1, "f1") ++ folder).toDS().toDF())
+    assert(Diff.exportDocumentsDiff(store, out, None,
+      ts("2024-06-01 00:00:00").getTime).nonEmpty)
+    // content change → incremental diff; its scoped live view holds only
+    // the changed DOCUMENT, so folder paths must come from the explicit
+    // folder source or every ADD row ships path=null
+    store.append(Seq(stmt(s"id-d1-hash-$sum2", "d1", sum2, "",
+      "2024-07-01 00:00:00", "2024-07-01 00:00:00", prop = "contentHash")
+      .copy(schema = "PlainText", bucket = "document")).toDS().toDF())
+    val l2 = Diff.exportDocumentsDiff(store, out, None,
+      ts("2024-08-01 00:00:00").getTime)
+    assert(l2.nonEmpty)
+    val delta = spark.read.option("header", "true")
+      .csv(s"$out/diffs/documents.csv/${l2.get}.diff.csv")
+    val row = delta.filter(col("id") === "d1").collect().head
+    assert(row.getAs[String]("op") == "ADD")
+    assert(row.getAs[String]("path") == "reports",
+      s"folder path not resolved in the diff: ${row.mkString("|")}")
+  }
 }

@@ -411,12 +411,10 @@ class StreamingMakeSpec extends SparkSpec {
       assert(sha(s"$outStream/$ds/$a") == sha(s"$outBatch/$ds/$a"),
         s"artifact $ds/$a differs between streamed and batch ingestion")
     }
-    // statistics.json (spark json dir): same line set either route
-    def statLines(root: String, ds: String): Set[String] = {
-      val d = new java.io.File(s"$root/$ds/statistics.json")
-      d.listFiles().filter(_.getName.endsWith(".json"))
-        .flatMap(f => scala.io.Source.fromFile(f).getLines()).toSet
-    }
+    // statistics.json (single JSON-lines file): same line set either route
+    def statLines(root: String, ds: String): Set[String] =
+      scala.io.Source.fromFile(s"$root/$ds/statistics.json")
+        .getLines().filter(_.nonEmpty).toSet
     for (ds <- Seq("alpha", "beta"))
       assert(statLines(outStream, ds) == statLines(outBatch, ds))
     // the catalog index lists both datasets in both lakes
@@ -489,5 +487,24 @@ class StreamingMakeSpec extends SparkSpec {
       .withColumn("id", org.apache.spark.sql.functions.lit("idB"))
       .withColumn("entity_id", org.apache.spark.sql.functions.lit("e2")))
     assert(Make.make(store, journal, out).nonEmpty)
+
+    // deleting the LAST document must still rewrite documents.csv (now
+    // empty) and publish the DEL diff — the document-free short-circuit
+    // applies only to datasets that never built the artifact, or mirrors
+    // would keep serving the stale table forever
+    import org.apache.spark.sql.functions.{col, lit => flit}
+    journal.write(stmts.filter(col("entity_id") === "doc1")
+      .withColumn("deleted_at",
+        flit(ts("2024-09-01 00:00:00")).cast("timestamp"))
+      .withColumn("last_seen", flit(ts("2024-09-01 00:00:00")).cast("timestamp")))
+    assert(Make.make(store, journal, out).contains("documents.csv"))
+    val emptied = spark.read.option("header", "true").csv(s"$out/documents.csv")
+    assert(emptied.count() == 0)
+    val diffDir = new java.io.File(s"$out/diffs/documents.csv")
+    val lastDiff = diffDir.listFiles().map(_.getName).sorted.last
+    val delRows = spark.read.option("header", "true")
+      .csv(s"$out/diffs/documents.csv/$lastDiff")
+      .filter(col("op") === "DEL").collect()
+    assert(delRows.map(_.getAs[String]("id")).toSet == Set("doc1"))
   }
 }
