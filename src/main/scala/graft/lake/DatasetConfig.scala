@@ -18,24 +18,39 @@ object DatasetConfig {
 
   private def dir(root: Path) = new Path(root, "_graft/config")
 
+  /** Persist the config under the table fence: the load-check-save is a
+    * read-modify-write (the shards immutability check and the snapshot
+    * version counter both race without it — two concurrent
+    * ensureDataset(8) / ensureDataset(16) calls would BOTH pass the
+    * check and last-writer-wins). The live `config` file is replaced
+    * atomically (write-aside + rename), so a concurrent load() sees
+    * either the old or the new complete file, never a torn one whose
+    * missing `shards` key silently defaults to 16.
+    */
   def save(fs: FileSystem, root: Path, cfg: DatasetConfig): Unit = {
     require(cfg.name.matches("[a-z0-9][a-z0-9_-]*"), s"invalid dataset name: ${cfg.name}")
     require(cfg.shards > 0, "shards must be positive")
-    load(fs, root).foreach { existing =>
-      require(existing.shards == cfg.shards,
-        s"shards is immutable after first write: ${existing.shards} != ${cfg.shards}")
-    }
-    val d = dir(root)
-    fs.mkdirs(d)
-    val version = fs.listStatus(d).count(_.getPath.getName.startsWith("config-v"))
-    val body = Seq(
-      s"name=${cfg.name}",
-      s"shards=${cfg.shards}",
-      s"compression=${cfg.compression}",
-      s"publicUrlPrefix=${cfg.publicUrlPrefix.getOrElse("")}").mkString("\n")
-    for (p <- Seq(new Path(d, "config"), new Path(d, f"config-v$version%06d"))) {
-      val out = fs.create(p, true)
-      try out.write(body.getBytes("UTF-8")) finally out.close()
+    Locks.withLock(fs, root) {
+      load(fs, root).foreach { existing =>
+        require(existing.shards == cfg.shards,
+          s"shards is immutable after first write: ${existing.shards} != ${cfg.shards}")
+      }
+      val d = dir(root)
+      fs.mkdirs(d)
+      val version = fs.listStatus(d).count(_.getPath.getName.startsWith("config-v"))
+      val body = Seq(
+        s"name=${cfg.name}",
+        s"shards=${cfg.shards}",
+        s"compression=${cfg.compression}",
+        s"publicUrlPrefix=${cfg.publicUrlPrefix.getOrElse("")}").mkString("\n")
+      // the versioned snapshot is a fresh name (plain write is fine);
+      // the LIVE file is replaced atomically
+      val snap = new Path(d, f"config-v$version%06d")
+      FsOps.writeSmall(fs, snap, body.getBytes("UTF-8"))
+      val tmp = new Path(d, s".config.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      FsOps.writeSmall(fs, tmp, body.getBytes("UTF-8"))
+      if (!FsOps.renameReplace(fs, tmp, new Path(d, "config")))
+        throw new java.io.IOException(s"could not publish config under $d")
     }
   }
 

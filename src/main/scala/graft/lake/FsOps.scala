@@ -68,11 +68,57 @@ object FsOps {
         } catch { case _: java.io.IOException => false }
     }
 
+  /** Atomic NO-CLOBBER file rename: true iff `src` moved to `dst` AND
+    * `dst` did not already exist. This is the commit primitive — manifest
+    * versions, delta-log entries, and quarantine names all rely on
+    * "rename returns false when the destination exists" to detect races.
+    * POSIX rename(2) (and thus NIO ATOMIC_MOVE) silently REPLACES an
+    * existing destination, which would make every such guard a silent
+    * data-destroying no-op on local FS — so the local branch claims the
+    * destination with a hard link first (createLink fails atomically
+    * with FileAlreadyExists when dst exists; when two claimants link the
+    * same src, exactly one wins the subsequent source unlink), then
+    * removes the source. Files only — no caller renames directories.
+    * Hadoop FileSystem.rename already refuses an existing destination.
+    */
   def rename(fs: FileSystem, src: Path, dst: Path): Boolean = nio(fs, src) match {
     case Some(ns) =>
-      try { Files.move(ns, Paths.get(dst.toUri.getPath), StandardCopyOption.ATOMIC_MOVE); true }
-      catch { case _: java.io.IOException => false }
+      val nd = Paths.get(dst.toUri.getPath)
+      try {
+        Files.createLink(nd, ns)
+        try { Files.delete(ns); true }
+        catch {
+          // another claimant of the SAME src already unlinked it: it
+          // won; drop our own leftover link so no stray copy remains
+          case _: java.nio.file.NoSuchFileException =>
+            try Files.deleteIfExists(nd)
+            catch { case _: java.io.IOException => () }
+            false
+        }
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: java.io.IOException => false
+      }
     case None => fs.rename(src, dst)
+  }
+
+  /** Atomic REPLACE rename: moves `src` over `dst`, clobbering any
+    * previous content — the control-file update primitive (dataset
+    * config, job status): readers see either the old or the new complete
+    * file, never a truncated one. Distinct from [[rename]] on purpose:
+    * commits must refuse an existing destination, state updates must
+    * replace it.
+    */
+  def renameReplace(fs: FileSystem, src: Path, dst: Path): Boolean = nio(fs, src) match {
+    case Some(ns) =>
+      try {
+        Files.move(ns, Paths.get(dst.toUri.getPath),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        true
+      } catch { case _: java.io.IOException => false }
+    case None =>
+      fs.delete(dst, false)
+      fs.rename(src, dst)
   }
 
   def setMtime(fs: FileSystem, p: Path, ts: Long): Unit = nio(fs, p) match {

@@ -70,7 +70,14 @@ class JobRepository(val spark: SparkSession, rootStr: String, val jobType: Strin
       s"running=${job.running}",
       s"exc=${job.exc.map(_.replace("\n", " ")).getOrElse("")}",
       s"tookMs=${job.tookMs}").mkString("\n")
-    FsOps.writeSmall(fs, fileOf(job.runId), body.getBytes("UTF-8"))
+    // write-aside + atomic replace: put() is called repeatedly during a
+    // long run while monitors poll get() on the same file — an in-place
+    // truncate-and-write would expose torn lines whose throwing parses
+    // (Instant.parse, toLong) crash the status endpoint
+    val tmp = new Path(dir, s".${job.runId}.tmp")
+    FsOps.writeSmall(fs, tmp, body.getBytes("UTF-8"))
+    if (!FsOps.renameReplace(fs, tmp, fileOf(job.runId)))
+      throw new java.io.IOException(s"could not publish job status ${job.runId}")
   }
 
   def get(runId: String): Option[JobRun] = {
@@ -85,24 +92,32 @@ class JobRepository(val spark: SparkSession, rootStr: String, val jobType: Strin
         }
       }.toMap
     } finally in.close()
-    def inst(k: String) = props.get(k).filter(_.nonEmpty).map(Instant.parse)
+    // tolerant parses: the atomic-replace write keeps files whole, but a
+    // file from an older writer (or a torn non-atomic filesystem) must
+    // degrade to defaults, not crash the status endpoint
+    def inst(k: String) = props.get(k).filter(_.nonEmpty)
+      .flatMap(v => scala.util.Try(Instant.parse(v)).toOption)
+    def num(k: String) = props.get(k)
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption).getOrElse(0L)
     Some(JobRun(
       runId = props.getOrElse("runId", runId),
       jobType = props.getOrElse("jobType", jobType),
       started = inst("started"), stopped = inst("stopped"),
       lastUpdated = inst("lastUpdated"),
-      pending = props.getOrElse("pending", "0").toLong,
-      done = props.getOrElse("done", "0").toLong,
-      errors = props.getOrElse("errors", "0").toLong,
-      running = props.getOrElse("running", "false").toBoolean,
+      pending = num("pending"),
+      done = num("done"),
+      errors = num("errors"),
+      running = props.get("running").exists(_.trim == "true"),
       exc = props.get("exc").filter(_.nonEmpty),
-      tookMs = props.getOrElse("tookMs", "0").toLong))
+      tookMs = num("tookMs")))
   }
 
   /** All run ids for this job type, ascending (oldest first). */
   def list(): Seq[String] =
     if (!fs.exists(dir)) Nil
-    else fs.listStatus(dir).map(_.getPath.getName.stripSuffix(".properties"))
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.endsWith(".properties")) // skip crash-orphaned .tmp spools
+      .map(_.stripSuffix(".properties"))
       .toSeq.sorted
 
   /** Latest run, by the timestamp embedded in the run id (reference

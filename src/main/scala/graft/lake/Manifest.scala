@@ -51,10 +51,11 @@ object Manifest {
     * suffix is the file's data-skipping statistic.
     */
   def liveFiles(fs: FileSystem, root: Path, version: Long = -1L): Set[String] =
-    rawLines(fs, root, version).map(_.split('\t')(0)).toSet
+    liveState(fs, root, version)._1
 
-  /** One-read combined view: (live files, zone maps) at `version` — commit
-    * paths need both and should not parse the manifest file twice.
+  /** One-read combined view: (live files, zone maps) at `version` — the
+    * ONE manifest-line parser; [[liveFiles]] and [[liveStats]] are views
+    * of it so a format change cannot silently diverge the three.
     */
   def liveState(fs: FileSystem, root: Path, version: Long = -1L): (Set[String], Map[String, Long]) = {
     val lines = rawLines(fs, root, version)
@@ -72,12 +73,7 @@ object Manifest {
     * (entries only for files whose stats are known).
     */
   def liveStats(fs: FileSystem, root: Path, version: Long = -1L): Map[String, Long] =
-    rawLines(fs, root, version).flatMap { line =>
-      line.split('\t') match {
-        case Array(p, s) => scala.util.Try(p -> s.toLong).toOption
-        case _ => None
-      }
-    }.toMap
+    liveState(fs, root, version)._2
 
   /** Commit a new version with the given complete live-file set and
     * optional per-file zone maps. Caller must hold the table fence.

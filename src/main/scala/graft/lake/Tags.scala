@@ -11,8 +11,13 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   */
 class Tags(fs: FileSystem, root: Path) {
 
-  private def pathOf(key: String): Path =
+  private def pathOf(key: String): Path = {
+    // '=' is mangled to '~' for hive-style-path safety; a key containing
+    // a literal '~' would collide with a mangled '=' twin (pin "env=prod"
+    // silently overwriting pin "env~prod"), so '~' is rejected outright
+    require(!key.contains('~'), s"tag keys may not contain '~': $key")
     new Path(new Path(root, "_graft/tags"), key.replace('=', '~'))
+  }
 
   def touch(key: String, ts: Long = System.currentTimeMillis()): Unit = {
     val p = pathOf(key)
@@ -43,12 +48,16 @@ class Tags(fs: FileSystem, root: Path) {
 
   def delete(key: String): Unit = fs.delete(pathOf(key), false)
 
-  /** Keys under a directory-shaped prefix (e.g. `pins/`) — one listing. */
+  /** Keys under a directory-shaped prefix (e.g. `pins/`) — one listing.
+    * File names are un-mangled back to their key form ('~' → '=', the
+    * inverse of [[pathOf]]) so keys() and [[list]] agree: a pin created
+    * as "env=prod" must list as "env=prod" from both APIs.
+    */
   def keys(prefix: String): Seq[String] = {
     val d = new Path(new Path(root, "_graft/tags"), prefix)
     if (!fs.exists(d)) Nil
     else fs.listStatus(d).filter(_.isFile)
-      .map(s => prefix + s.getPath.getName).toSeq.sorted
+      .map(s => prefix + s.getPath.getName.replace('~', '=')).toSeq.sorted
   }
 
   /** True when `target` exists and is at least as new as every dependency

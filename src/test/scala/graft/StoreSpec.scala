@@ -785,4 +785,99 @@ class StoreSpec extends SparkSpec {
     // nothing was deleted
     assert(store.raw.count() == 5)
   }
+
+  test("FsOps.rename refuses an existing destination; renameReplace clobbers") {
+    import graft.lake.FsOps
+    val dir = Files.createTempDirectory("graft-fsops").toString
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def p(n: String) = new org.apache.hadoop.fs.Path(root, n)
+    def read(n: String) = {
+      val in = fs.open(p(n))
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    FsOps.writeSmall(fs, p("a"), "A".getBytes)
+    FsOps.writeSmall(fs, p("b"), "B".getBytes)
+    // POSIX rename(2) silently replaces — the commit primitive must NOT:
+    // manifest versions / delta-log entries / quarantine names all rely
+    // on false-on-existing to detect races instead of destroying data
+    assert(!FsOps.rename(fs, p("a"), p("b")))
+    assert(read("b") == "B" && read("a") == "A") // both intact
+    assert(FsOps.rename(fs, p("a"), p("c")))
+    assert(read("c") == "A" && !fs.exists(p("a")))
+    // the state-update primitive DOES replace, atomically
+    FsOps.writeSmall(fs, p("d"), "D".getBytes)
+    assert(FsOps.renameReplace(fs, p("d"), p("b")))
+    assert(read("b") == "D" && !fs.exists(p("d")))
+  }
+
+  test("lock release is ownership-checked: a stolen fence is not deleted by the old holder") {
+    import graft.lake.Locks
+    val dir = Files.createTempDirectory("graft-lock-own").toString
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val lp = new org.apache.hadoop.fs.Path(root, ".LOCK")
+    Locks.withLock(fs, root) {
+      // simulate a TTL steal while we hold: a thief replaced the fence
+      // with its own token — our release must leave it alone or a third
+      // writer gets in under the thief's feet
+      fs.delete(lp, false)
+      graft.lake.FsOps.writeSmall(fs, lp, "pid=999 token=thief".getBytes("UTF-8"))
+      1
+    }
+    assert(Locks.isLocked(fs, root), "old holder deleted the thief's live fence")
+    Locks.unlock(fs, root)
+    assert(!Locks.isLocked(fs, root))
+  }
+
+  test("a stale lock with a FRESH heartbeat sidecar is not stolen (object-store setTimes no-op)") {
+    import graft.lake.Locks
+    val dir = Files.createTempDirectory("graft-lock-hbside").toString
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val lp = new org.apache.hadoop.fs.Path(root, ".LOCK")
+    val hp = new org.apache.hadoop.fs.Path(root, ".LOCK.hb")
+    // lock file mtime far in the past (a filesystem whose setTimes is a
+    // no-op never advances it) — but the holder's sidecar is FRESH
+    graft.lake.FsOps.writeSmall(fs, lp, "pid=1 token=live-holder".getBytes("UTF-8"))
+    graft.lake.FsOps.setMtime(fs, lp, System.currentTimeMillis() - 3600 * 1000)
+    graft.lake.FsOps.writeSmall(fs, hp, "ts=now".getBytes("UTF-8"))
+    val denied = intercept[IllegalStateException](
+      Locks.withLock(fs, root, maxRetries = 2, staleAfterMs = 1000) { 1 })
+    assert(denied.getMessage.contains("could not acquire"))
+    assert(Locks.isLocked(fs, root), "live-heartbeat fence was stolen")
+    // once the sidecar also goes stale, the steal proceeds
+    graft.lake.FsOps.setMtime(fs, hp, System.currentTimeMillis() - 3600 * 1000)
+    assert(Locks.withLock(fs, root, maxRetries = 4, staleAfterMs = 1000) { 42 } == 42)
+    assert(!Locks.isLocked(fs, root))
+  }
+
+  test("tags: keys() round-trips '=' in names; '~' is rejected; listing APIs agree") {
+    val dir = Files.createTempDirectory("graft-tags-mangle").toString
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val tags = new graft.lake.Tags(fs, root)
+    tags.put("pins/env=prod", "3")
+    assert(tags.keys("pins/") == Seq("pins/env=prod"))
+    assert(tags.list("pins/") == Seq("pins/env=prod"))
+    assert(tags.get("pins/env=prod").contains("3"))
+    // '~' would collide with the mangled '=' twin — rejected outright
+    intercept[IllegalArgumentException](tags.put("pins/env~prod", "4"))
+  }
+
+  test("job status survives torn/garbage files and skips crash-orphaned spools") {
+    val dir = Files.createTempDirectory("graft-jobs-torn").toString
+    val jobs = new graft.lake.JobRepository(spark, dir, "TestJob")
+    val id = jobs.newRunId()
+    // a torn write from an older non-atomic writer: truncated number and
+    // timestamp — get() must degrade to defaults, not crash the endpoint
+    val f = java.nio.file.Paths.get(dir, "_graft/jobs/TestJob")
+    java.nio.file.Files.createDirectories(f)
+    java.nio.file.Files.write(f.resolve(s"$id.properties"),
+      s"runId=$id\npending=\nstarted=2026-08-1".getBytes("UTF-8"))
+    java.nio.file.Files.write(f.resolve(s".${id}.tmp"), "garbage".getBytes("UTF-8"))
+    val got = jobs.get(id).get
+    assert(got.pending == 0L && got.started.isEmpty)
+    assert(jobs.list() == Seq(id)) // the .tmp spool never lists as a run
+  }
 }
