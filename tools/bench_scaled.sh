@@ -83,13 +83,17 @@ out = {
              'size (gr4 alone is 319 s/rep at x10); Spark runs them fine — '
              'see the spark-f100 run for their absolute times.'),
     'x1_denominator_note': (
-        'the x1 aggregate ratio is the noisiest number in this artifact: '
-        'its oracle denominator is tiny and host-sensitive (16.4 s this '
-        'round vs 53.1 s in round 12 on IDENTICAL data and queries — a '
-        '3.2x swing the embedded calibrations bracket), while the Spark '
-        'side is stable round-over-round (44.3 s vs 47.9 s). The '
-        'x10/x100 ratios, whose denominators are minutes not seconds, '
-        'are the scale signal.'),
+        'the x1 aggregate ratio is the noisiest number in this '
+        'artifact: its oracle denominator is tiny and host-sensitive '
+        '(16.6 s this round, 16.4 s in round 13, 53.1 s in round 12 on '
+        'IDENTICAL data and queries — a 3.2x swing the embedded '
+        'calibrations bracket), while the Spark side is stable '
+        'round-over-round (45.5 / 44.3 / 47.9 s). The x10/x100 ratios, '
+        'whose denominators are minutes, are the scale signal; the x100 '
+        'oracle denominator itself swung 697 s this round vs 1166 s in '
+        'round 13 (same queries, same data recipe), which is why '
+        'cross-round ratio deltas must be read against the '
+        'calibrations, not at face value.'),
     'split_size_note': (
         'maxPartitionBytes A/B (round 11, SPARK_GRAFT_MAX_PARTITION_BYTES '
         'override): full 142-query suite at sf0.1 = 97.9 s (16m) vs 93.1 s '
@@ -99,45 +103,39 @@ out = {
         'row-group-granular parallelism on medium single-file scans; real '
         'deployments tune via the env override.'),
     'streaming_drain_note': (
-        'st5/sk3 are streaming drains whose batch twins (rj1/aj1, sk1) are '
-        'IN this query set, so the parity claim is measured per factor. '
-        'ROUND 13: one-shot drains now take the DrainRewrite fast path '
-        '(graft.streaming.DrainRewrite, default-on, '
-        'spark.graft.stream.drainRewrite): a fresh-checkpoint SINGLE-batch '
-        'AvailableNow drain of an inner stream-stream join (or a linear '
-        'sketch aggregate) provably equals its batch twin — matches form '
-        'inside the one batch, the watermark only evicts state afterwards; '
-        'CMS cells are linear — so the drain executes the batch plan and '
-        'marks the checkpoint spent (any rerun fails loudly; prior Spark '
-        'state, rate-capped multi-batch sources, or the flag off keep the '
-        'stateful plan, whose exactly-once resume is untouched and '
-        'spec-gated for row+schema equality with the rewrite). The '
-        'numbers in this artifact measure the rewrite path, and they '
-        'close the streaming tax in WALL TIME: at x100 st5 runs 1.83 s — '
-        'the same band as batch twin rj1 (1.61 s) — down from 6.47 s '
-        'stateful in round 12; sk3 runs 2.17 s, FASTER than batch twin '
-        'sk1 (2.45 s), down from 3.18 s. The residual ratios (st5 2.67x, '
-        'sk3 4.16x at x100, both falling monotonically from 28x/48x at '
-        'x1) are ORACLE-shape artifacts, not engine cost: st5/sk3 happen '
-        'to have sub-second DuckDB twins (0.69 s / 0.52 s at x100) where '
-        'rj1/sk1 oracles take 7.0 s / 1.98 s for the same-band Spark '
-        'work — sk1 itself, a plain batch query, reads 15.9x at x1 and '
-        '1.24x at x100 against its own oracle. The '
-        'STATEFUL floor the rewrite bought back, metrics-backed by '
-        'graft.tools.DrainProfile (which pins the flag off; round-12 '
-        'StreamingQueryProgress decomposition, warm reps): at sf0.1 st5 '
-        'wall 4.84 s = 0.85 s stream machinery + 3.99 s trigger, with 7.2 '
-        'task-sec state update + 8.3 task-sec commit buffering 39,673 '
-        'rows; at x100 st5 wall 8.86 s with 3,967,300 state rows (1.04 GB) '
-        '= 41.7 task-sec update inside a 7.4 s addBatch — the stateful '
-        'drain IS the state-store insert of the full in-window set, '
-        'mandated by resumable exactly-once but pure waste for a one-shot '
-        'drain; sk3 stateful wall 4.02 s at x100 = 1.5 s lifecycle + '
-        '2.3 s addBatch with ZERO store rows. Measured levers that did '
-        'NOT close it (round 11): state partitions 8/16/32 -> '
-        '6.5/6.7/5.7 s; RocksDB+changelog -> 21.4 s (write amplification; '
-        'stays right only for always-on state >> heap, via '
-        'SPARK_GRAFT_STATE_STORE=rocksdb).'),
+        'st5/sk3 are streaming drains whose batch twins (rj1/aj1, sk1) '
+        'are IN this query set, so the parity claim is measured per '
+        'factor. One-shot drains take the DrainRewrite fast path (round '
+        '13; graft.streaming.DrainRewrite, default-on, '
+        'spark.graft.stream.drainRewrite): a fresh-checkpoint '
+        'SINGLE-batch AvailableNow drain of an inner stream-stream join '
+        '(or a linear sketch aggregate) provably equals its batch twin, '
+        'so the drain executes the batch plan and marks the checkpoint '
+        'spent; prior Spark state, rate-capped multi-batch sources, or '
+        'the flag off keep the stateful plan, whose exactly-once resume '
+        'is untouched and spec-gated for row+schema equality with the '
+        'rewrite. Round 14 measurements: at x100 st5 runs 1.99 s wall, '
+        'INSIDE batch twin rj1\'s band (2.13 s, 0.30x), and sk3 runs '
+        '2.42 s, FASTER than batch twin sk1 (2.76 s, 1.44x). The '
+        'residual ratios (st5 3.2x, sk3 4.4x at x100) are ORACLE-shape '
+        'artifacts, not engine cost: st5/sk3 happen to have sub-second '
+        'DuckDB twins (0.63 s / 0.55 s at x100) where rj1/sk1 oracles '
+        'take 7.2 s / 1.9 s for the same-band Spark work. The stateful '
+        'floor for resumable deployments stays metrics-documented via '
+        'graft.tools.DrainProfile.'),
+    'merge_form_note': (
+        'ROUND 14: A1 merge is deliberately the one-pass WINDOW form. '
+        'The skew-safe aggregation alternative (per-id min_by + '
+        'group-stats agg + tie-keep join, kept proved-equal in '
+        'tools/SkewStress.canonicalizeAggForm) was measured 1.5-3.6x '
+        'slower across the store lifecycle at x10 (s3 23.4 s vs 6.5 s) '
+        'because its diamond over the full-width scan defeats exchange '
+        'reuse — while the single-task-sort straggler it insures '
+        'against needs a million-row single (entity,prop,fragment) '
+        'group, outside the reference\'s per-entity write envelope '
+        '(pages-bucket mega-entities spread one statement per DISTINCT '
+        'fragment). Post-revert x100: s3 0.93x, a1 0.27x, tt2 0.14x, '
+        'cdf1 0.25x, a3 0.55x.'),
     'scales': scales}
 json.dump(out, open('BENCH_scaled.json', 'w'), indent=1)
 open('BENCH_scaled.json', 'a').write('\n')
