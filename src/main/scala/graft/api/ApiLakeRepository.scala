@@ -97,9 +97,23 @@ class ApiLakeRepository(baseUrl: String, val dataset: String,
     * entity. Older servers without the route fall back to the native
     * recipe (their own default).
     */
-  private lazy val serverFtmCompat: Boolean =
-    try mapper.readTree(get("config")).path("ftm_compat").asBoolean(false)
-    catch { case _: Exception => false }
+  private lazy val serverFtmCompat: Boolean = {
+    // only an identifiable missing route (404 — an old server without
+    // `GET config`) selects the native-recipe fallback; transport/auth
+    // failures RETHROW instead of being cached as false, or a transient
+    // connection blip on first use would permanently pick the wrong key
+    // recipe against an ftm-compat server (a lazy val that throws is
+    // re-attempted on next access, so nothing is cached from a failed
+    // probe)
+    val res = client.send(rb(url("config")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    if (res.statusCode == 404) false
+    else {
+      require(res.statusCode / 100 == 2,
+        s"api error ${res.statusCode} probing config: ${res.body.take(500)}")
+      mapper.readTree(res.body).path("ftm_compat").asBoolean(false)
+    }
+  }
 
   def addEntities(entities: Seq[EntityPayload], origin: String = "default",
       now: Timestamp = new Timestamp(System.currentTimeMillis() / 1000 * 1000)): Long = {

@@ -96,7 +96,24 @@ object JournalWire {
       deleted_at = str("deleted_at").map(parseTs))
   }
 
-  private[api] def parseTs(s: String): Timestamp =
-    try Timestamp.from(java.time.Instant.parse(s))
-    catch { case _: Exception => Timestamp.valueOf(s.replace("T", " ").stripSuffix("Z")) }
+  /** Wire timestamps are UTC regardless of the driver's zone (reference
+    * treats every timestamp as UTC — helpers/statements.py:30-40,
+    * tests/test_utc.py): instant forms (`...Z`) and offset forms
+    * (`...+02:00`) parse to their absolute instant; NAIVE forms are
+    * interpreted as UTC, never the JVM default zone — otherwise the same
+    * wire text would order differently across differently-zoned drivers
+    * and flip last-writer-wins in the journal drain.
+    */
+  private[api] def parseTs(s: String): Timestamp = {
+    val t = s.trim
+    try Timestamp.from(java.time.Instant.parse(t))
+    catch { case _: Exception =>
+      try Timestamp.from(java.time.OffsetDateTime.parse(t).toInstant)
+      catch { case _: Exception =>
+        val naive = t.replace(" ", "T").stripSuffix("Z")
+        Timestamp.from(java.time.LocalDateTime.parse(naive)
+          .toInstant(java.time.ZoneOffset.UTC))
+      }
+    }
+  }
 }

@@ -46,15 +46,19 @@ class Archive(fs: FileSystem, root: Path) {
   def putStream(in: java.io.InputStream): String = {
     FsOps.mkdirs(fs, root)
     val spool = new Path(root, s".upload-${java.util.UUID.randomUUID()}.tmp")
-    val md = MessageDigest.getInstance("SHA-256")
-    val out = fs.create(spool, true)
+    // the spool delete guards the WHOLE body, copy loop included: a
+    // client disconnect mid-PUT aborts the request-body read, and
+    // without the outer finally each failed upload would leave an
+    // .upload-*.tmp in the archive root forever
     try {
-      val buf = new Array[Byte](256 * 1024)
-      var n = in.read(buf)
-      while (n >= 0) { md.update(buf, 0, n); out.write(buf, 0, n); n = in.read(buf) }
-    } finally out.close()
-    val checksum = md.digest().map(b => f"${b & 0xff}%02x").mkString
-    try {
+      val md = MessageDigest.getInstance("SHA-256")
+      val out = fs.create(spool, true)
+      try {
+        val buf = new Array[Byte](256 * 1024)
+        var n = in.read(buf)
+        while (n >= 0) { md.update(buf, 0, n); out.write(buf, 0, n); n = in.read(buf) }
+      } finally out.close()
+      val checksum = md.digest().map(b => f"${b & 0xff}%02x").mkString
       val dir = keyPath(checksum)
       val blob = new Path(dir, "blob")
       if (!fs.exists(blob)) {

@@ -82,10 +82,14 @@ class Catalog(val spark: SparkSession, val rootStr: String) {
       compression: String = "gzip",
       publicUrlPrefix: Option[String] = None): DatasetConfig = {
     val p = datasetPath(name)
+    // fast path outside the lock; the create path re-loads UNDER the
+    // config lock, so two racing ensures can't both decide "absent" and
+    // double-create (the loser sees the winner's config and returns it)
     DatasetConfig.load(fs, p).getOrElse {
-      val cfg = DatasetConfig(name, shards, compression, publicUrlPrefix)
-      DatasetConfig.save(fs, p, cfg)
-      cfg
+      DatasetConfig.update(fs, p) {
+        case Some(existing) => existing
+        case None => DatasetConfig(name, shards, compression, publicUrlPrefix)
+      }
     }
   }
 
@@ -98,13 +102,19 @@ class Catalog(val spark: SparkSession, val rootStr: String) {
       compression: Option[String] = None,
       publicUrlPrefix: Option[Option[String]] = None): DatasetConfig = {
     val p = datasetPath(name)
-    val existing = DatasetConfig.load(fs, p).getOrElse(
-      throw new IllegalArgumentException(s"no such dataset: $name"))
-    val updated = existing.copy(
-      compression = compression.getOrElse(existing.compression),
-      publicUrlPrefix = publicUrlPrefix.getOrElse(existing.publicUrlPrefix))
-    DatasetConfig.save(fs, p, updated)
-    updated
+    // pre-check before taking the lock, so a typo'd name fails without
+    // minting a lock directory under a ghost dataset path
+    if (DatasetConfig.load(fs, p).isEmpty)
+      throw new IllegalArgumentException(s"no such dataset: $name")
+    // the merge itself runs lock→load→copy→save: loading outside the
+    // lock would let two concurrent field updates both read the same
+    // base and the second silently erase the first's change
+    DatasetConfig.update(fs, p) {
+      case None => throw new IllegalArgumentException(s"no such dataset: $name")
+      case Some(existing) => existing.copy(
+        compression = compression.getOrElse(existing.compression),
+        publicUrlPrefix = publicUrlPrefix.getOrElse(existing.publicUrlPrefix))
+    }
   }
 
   /** Statement-store handle for a dataset, shard count from its config
@@ -134,13 +144,17 @@ class Catalog(val spark: SparkSession, val rootStr: String) {
     */
   def index(): DataFrame = {
     import spark.implicits._
+    // the config load re-probes each listed name: a dataset destroyed
+    // between the listing and its probe is SKIPPED, not a crash for the
+    // whole catalog pass (enumerate-then-stat is inherently racy)
     parProbe(listDatasets()) { name =>
       val p = datasetPath(name)
-      val cfg = DatasetConfig.load(fs, p).get
-      val version = Manifest.currentVersion(fs, p)
-      (name, cfg.shards, cfg.compression, cfg.publicUrlPrefix.getOrElse(""),
-        version, DatasetConfig.versions(fs, p))
-    }.toDF("dataset", "shards", "compression", "public_url_prefix",
+      DatasetConfig.load(fs, p).map { cfg =>
+        val version = Manifest.currentVersion(fs, p)
+        (name, cfg.shards, cfg.compression, cfg.publicUrlPrefix.getOrElse(""),
+          version, DatasetConfig.versions(fs, p))
+      }
+    }.flatten.toDF("dataset", "shards", "compression", "public_url_prefix",
       "store_version", "config_versions")
   }
 
@@ -151,24 +165,35 @@ class Catalog(val spark: SparkSession, val rootStr: String) {
     * config). Returns the written path.
     */
   def writeIndex(): String = {
-    // config strings are user-supplied (publicUrlPrefix especially) —
-    // escape them or one quote breaks the whole catalog.json
-    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    val entries = parProbe(listDatasets()) { name =>
+    // Jackson, not hand-rolled escaping: config strings are
+    // user-supplied (publicUrlPrefix especially) and a control
+    // character a quote-only escaper misses breaks the whole file
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val rootNode = mapper.createObjectNode()
+    val arr = rootNode.putArray("datasets")
+    // mid-probe deletions skip their entry rather than failing the pass
+    parProbe(listDatasets()) { name =>
       val p = datasetPath(name)
-      val cfg = DatasetConfig.load(fs, p).get
-      val version = Manifest.currentVersion(fs, p)
-      val fields = Seq(
-        "\"name\":" + q(name),
-        "\"shards\":" + cfg.shards,
-        "\"compression\":" + q(cfg.compression),
-        "\"version\":" + version) ++
-        cfg.publicUrlPrefix.map(u => "\"url\":" + q(u))
-      fields.mkString("{", ",", "}")
+      DatasetConfig.load(fs, p).map(cfg =>
+        (name, cfg, Manifest.currentVersion(fs, p)))
+    }.flatten.foreach { case (name, cfg, version) =>
+      val o = arr.addObject()
+      o.put("name", name)
+      o.put("shards", cfg.shards)
+      o.put("compression", cfg.compression)
+      o.put("version", version)
+      cfg.publicUrlPrefix.foreach(u => o.put("url", u))
     }
-    val body = s"""{"datasets":[${entries.mkString(",")}],"updated_at":"${java.time.Instant.now()}"}"""
+    rootNode.put("updated_at", java.time.Instant.now().toString)
+    // publish atomically (write-aside + rename): a reader polling
+    // catalog.json sees the old or the new complete file, never a torn
+    // prefix of a half-flushed write
     val out = new Path(root, "catalog.json")
-    FsOps.writeSmall(fs, out, body.getBytes("UTF-8"))
+    val tmp = new Path(root,
+      s".catalog.json.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    FsOps.writeSmall(fs, tmp, mapper.writeValueAsBytes(rootNode))
+    if (!FsOps.renameReplace(fs, tmp, out))
+      throw new java.io.IOException(s"could not publish catalog.json under $root")
     out.toString
   }
 
@@ -218,8 +243,19 @@ class Catalog(val spark: SparkSession, val rootStr: String) {
         }
         name -> attempt
       }
-      outcomes.collectFirst { case (n, scala.util.Failure(e)) =>
-        throw new RuntimeException(s"makeAll failed for dataset $n", e)
+      val failures = outcomes.collect { case (n, scala.util.Failure(e)) => (n, e) }
+      if (failures.nonEmpty) {
+        // every dataset got its attempt — surface ALL failures, not just
+        // the first (the rest ride along as suppressed exceptions), and
+        // leave the run's counters truthful before the umbrella fails.
+        // run()'s catch bumps errors once more on the rethrow, so the
+        // recorded total lands exactly on the failed-dataset count.
+        h.save(pending = 0L, errors = (failures.size - 1).toLong)
+        val ex = new RuntimeException(
+          s"makeAll failed for ${failures.size}/${names.size} dataset(s): " +
+            failures.map(_._1).mkString(", "), failures.head._2)
+        failures.drop(1).foreach { case (_, e) => ex.addSuppressed(e) }
+        throw ex
       }
       writeIndex()
     }

@@ -97,9 +97,40 @@ object FsOps {
         }
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
-        case _: java.io.IOException => false
+        case _: UnsupportedOperationException =>
+          // filesystem without hard links (createLink throws this, NOT
+          // IOException) — degrade to the check+move approximation
+          renameNoClobberFallback(ns, nd)
+        case _: java.io.IOException =>
+          // "false" means "destination exists" to every commit caller —
+          // only answer that when it is actually true. Some link-less
+          // filesystems fail createLink with a bare IOException; fall
+          // back rather than fail every manifest commit opaquely.
+          if (Files.exists(nd)) false else renameNoClobberFallback(ns, nd)
       }
     case None => fs.rename(src, dst)
+  }
+
+  /** No-clobber rename for filesystems WITHOUT hard-link support:
+    * exists-check + ATOMIC_MOVE. Weaker than the link-claim protocol —
+    * a racer can slip between the check and the move (POSIX/NIO atomic
+    * move replaces silently) — documented trade: correctness of the
+    * common path over a vanishingly thin race on an already-degraded
+    * filesystem. A move failure with the destination absent is a real
+    * IO error and must surface, not masquerade as a lost race.
+    */
+  private def renameNoClobberFallback(ns: java.nio.file.Path,
+      nd: java.nio.file.Path): Boolean = {
+    if (Files.exists(nd)) return false
+    try { Files.move(ns, nd, StandardCopyOption.ATOMIC_MOVE); true }
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case e: java.io.IOException =>
+        if (Files.exists(nd)) false
+        else throw new java.io.IOException(
+          s"no-clobber rename fallback failed moving $ns -> $nd " +
+            "(filesystem without hard-link support)", e)
+    }
   }
 
   /** Atomic REPLACE rename: moves `src` over `dst`, clobbering any

@@ -106,7 +106,13 @@ object Make {
       val dest = s"$outDir/documents.csv$suffix"
       val hconf = store.spark.sessionState.newHadoopConf()
       val destPath = new org.apache.hadoop.fs.Path(dest)
-      val hadDocs = destPath.getFileSystem(hconf).exists(destPath)
+      val destFs = destPath.getFileSystem(hconf)
+      // probe ALL suffix variants, not just the current compression's:
+      // if the setting changed since the artifact was written (gzip →
+      // none), an emptied dataset must still rewrite and emit DELs
+      // instead of serving the stale old-suffix file forever
+      val hadDocs = Seq("", ".gz", ".zst").exists(s =>
+        destFs.exists(new org.apache.hadoop.fs.Path(s"$outDir/documents.csv$s")))
       if (!docs.isEmpty || hadDocs) {
         Exports.singleFileCsv(docs, dest,
           sortCol = "id", compression = compression)

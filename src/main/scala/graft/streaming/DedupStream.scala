@@ -57,7 +57,9 @@ private[streaming] object ExactlyOnceBatches {
     val commitsDir = new org.apache.hadoop.fs.Path(stateDir, "_commits")
     val cfs = commitsDir.getFileSystem(spark.sessionState.newHadoopConf())
     graft.lake.FsOps.mkdirs(cfs, commitsDir)
-    cfs.create(new org.apache.hadoop.fs.Path(commitsDir, s"__batch=$batchKey"), true).close()
+    graft.lake.FsOps.writeSmall(cfs,
+      new org.apache.hadoop.fs.Path(commitsDir, s"__batch=$batchKey"),
+      Array.emptyByteArray)
     graft.lake.Locks.heartbeat(cfs, new org.apache.hadoop.fs.Path(stateDir))
   }
 
@@ -138,15 +140,21 @@ object DedupStream {
     ExactlyOnceBatches.reconcile(spark, stateDir, outDir)
     val q = docs.writeStream
       .queryName(name)
-      .option("checkpointLocation", s"${graft.functions.F.stageRoot(spark)}/ckpt-$name")
+      .option("checkpointLocation", graft.functions.F.stageTempPath(spark, "ckpt"))
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // run-scoped batch key: a replayed micro-batch (same run, same id)
         // lands on the SAME partition, a fresh run (new name) never
         // collides with an old run's partitions
         val batchKey = s"$name-$batchId"
+        // coalesce BEFORE fingerprinting: null text must fingerprint to
+        // the empty-doc key, not to a null key — null keys never match
+        // the state left_anti, so null-text docs would be re-admitted on
+        // every run while the in-batch window (null-safe partitionBy)
+        // collapses them, and the two paths would disagree
         val fp = batch
-          .withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
+          .withColumn("__fp",
+            TextFunctions.fingerprint(coalesce(col(textCol), lit(""))))
           // in-batch exact dedupe: keep the smallest id per fingerprint
           .withColumn("__rn", row_number().over(
             org.apache.spark.sql.expressions.Window
@@ -162,10 +170,11 @@ object DedupStream {
           case None => fp
         }
         // stage the novel set once; both writes read it back instead of
-        // re-running the anti-join per sink
-        val staged = graft.functions.F.materialize(
-          novel.withColumn("__batch", lit(batchKey)))
-        emitted.add(staged.count())
+        // re-running the anti-join per sink. The emit count rides the
+        // stage write via observe — no extra count() job per micro-batch.
+        val (staged, novelCount) = graft.functions.F.materializeObserved(
+          novel.withColumn("__batch", lit(batchKey)), count(lit(1)))
+        emitted.add(novelCount)
         ExactlyOnceBatches.writePartition(staged.select("__fp", "__batch"), stateDir)
         ExactlyOnceBatches.writePartition(staged.drop("__fp"), outDir)
         ExactlyOnceBatches.commitMarker(spark, stateDir, batchKey)

@@ -61,7 +61,7 @@ object EventStream {
       // host's disk has bursty metadata latency; a cluster deployment
       // sets spark.graft.stage.dir to shared storage
       .option("checkpointLocation",
-        s"${graft.functions.F.stageRoot(ss)}/ckpt-$name")
+        graft.functions.F.stageTempPath(ss, "ckpt"))
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -104,7 +104,7 @@ object EventStream {
       .format("memory")
       .queryName(name)
       .option("checkpointLocation",
-        s"${graft.functions.F.stageRoot(ss)}/ckpt-$name")
+        graft.functions.F.stageTempPath(ss, "ckpt"))
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -160,7 +160,7 @@ object EventStream {
     val ss = StreamConf.streamSessionFor(spark, dir)
     val name = s"graft_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val ckpt = checkpoint.getOrElse(
-      s"${graft.functions.F.stageRoot(ss)}/ckpt-$name")
+      graft.functions.F.stageTempPath(ss, "ckpt"))
     val batch = ss.read.parquet(s"$dir/events.parquet")
     // the file source below sets no maxFilesPerTrigger/maxBytesPerTrigger,
     // so AvailableNow drains it in ONE data batch — the singleBatch
@@ -277,7 +277,7 @@ object EventStream {
       .format("memory")
       .queryName(name)
       .option("checkpointLocation",
-        s"${graft.functions.F.stageRoot(ss)}/ckpt-$name")
+        graft.functions.F.stageTempPath(ss, "ckpt"))
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -386,7 +386,7 @@ object EventStream {
       .format("memory")
       .queryName(name)
       .option("checkpointLocation",
-        s"${graft.functions.F.stageRoot(ss)}/ckpt-$name")
+        graft.functions.F.stageTempPath(ss, "ckpt"))
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

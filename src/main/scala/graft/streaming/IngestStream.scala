@@ -36,7 +36,7 @@ object IngestStream {
     val q = stream.writeStream
       .queryName(name)
       .option("checkpointLocation",
-        s"${graft.functions.F.stageRoot(spark)}/ckpt-$name")
+        graft.functions.F.stageTempPath(spark, "ckpt"))
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         journal.writeAutoFlush(batch, store, flushRows)

@@ -133,7 +133,7 @@ object NearDupStream {
         processBatch(spark, batch, s"$name-0", idCol, textCol,
           stateDir, outDir, k, rowsPerBand, shingle)
       case None =>
-        val ckpt = s"${graft.functions.F.stageRoot(spark)}/ckpt-$name"
+        val ckpt = graft.functions.F.stageTempPath(spark, "ckpt")
         val emitted = spark.sparkContext.longAccumulator(name)
         val q = docs.writeStream
           .queryName(name)

@@ -74,7 +74,7 @@ object SketchStream {
     val ss = StreamConf.streamSessionFor(spark, dir)
     val batch = ss.read.parquet(s"$dir/events.parquet")
     val name = s"graft_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val ckpt = s"${graft.functions.F.stageRoot(ss)}/ckpt-$name"
+    val ckpt = graft.functions.F.stageTempPath(ss, "ckpt")
     // ONE-SHOT drains take the [[DrainRewrite]] fast path: the round-12
     // DrainProfile decomposition showed this drain's residual cost is
     // pure stream lifecycle (ZERO state-store rows — the cells live in
@@ -145,7 +145,7 @@ object SketchStream {
       .format("memory")
       .queryName(name)
       .option("checkpointLocation",
-        s"${graft.functions.F.stageRoot(ss)}/ckpt-$name")
+        graft.functions.F.stageTempPath(ss, "ckpt"))
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

@@ -157,4 +157,87 @@ class CatalogSpec extends SparkSpec {
         "ds")
     }
   }
+
+  test("index/writeIndex skip a dataset destroyed between listing and probe") {
+    // enumerate-then-stat is inherently racy: a dataset deleted mid-probe
+    // must drop out of the pass, not crash the whole catalog index.
+    // Simulated deterministically by forcing the stale listing.
+    val cat = new Catalog(spark, Files.createTempDirectory("graft-cat-race").toString) {
+      override def listDatasets(): Seq[String] = Seq("alpha", "vanished")
+    }
+    cat.ensureDataset("alpha", shards = 4)
+    val idx = cat.index().collect()
+    assert(idx.map(_.getString(0)).toSeq == Seq("alpha"))
+    val body = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(new java.net.URI(new org.apache.hadoop.fs.Path(
+        cat.writeIndex()).toUri.toString).getPath)), "UTF-8")
+    assert(body.contains("\"name\":\"alpha\"") && !body.contains("vanished"))
+  }
+
+  test("catalog.json escapes hostile config strings and parses back") {
+    val cat = new Catalog(spark, Files.createTempDirectory("graft-cat-esc").toString)
+    // a URL carrying a quote, backslash and a control character must not
+    // break the published JSON (hand-rolled escapers miss the control char)
+    val hostile = "https://example.org/\"x\\yz"
+    cat.ensureDataset("alpha", shards = 2, publicUrlPrefix = Some(hostile))
+    val written = cat.writeIndex()
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(new java.net.URI(
+        new org.apache.hadoop.fs.Path(written).toUri.toString).getPath))
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+    assert(node.path("datasets").get(0).path("url").asText() == hostile)
+  }
+
+  test("concurrent ensureDataset: exactly one creation wins, no snapshot churn") {
+    val cat = new Catalog(spark, Files.createTempDirectory("graft-cat-race2").toString)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val results = Await.result(Future.traverse((0 until 8).toList)(i =>
+      Future(cat.ensureDataset("alpha", shards = 4 + (i % 2) * 4))), Duration.Inf)
+    // every caller sees the single winner's config (shards immutable)
+    assert(results.map(_.shards).distinct.size == 1)
+    val fs = new org.apache.hadoop.fs.Path(cat.rootStr)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // one creation snapshot — re-ensures skip the write entirely
+    assert(graft.lake.DatasetConfig.versions(fs, cat.datasetPath("alpha")) == 1)
+    cat.ensureDataset("alpha", shards = 32)
+    assert(graft.lake.DatasetConfig.versions(fs, cat.datasetPath("alpha")) == 1)
+  }
+
+  test("concurrent updateDataset merges run lock-serialized: no lost update") {
+    val cat = new Catalog(spark, Files.createTempDirectory("graft-cat-race3").toString)
+    cat.ensureDataset("alpha", shards = 2)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    // two field-disjoint updates racing: load-outside-lock would let the
+    // loser write back the winner's field at its stale value
+    Await.result(Future.sequence(Seq(
+      Future(cat.updateDataset("alpha", compression = Some("zstd"))),
+      Future(cat.updateDataset("alpha",
+        publicUrlPrefix = Some(Some("https://example.org/d")))))), Duration.Inf)
+    val fin = cat.ensureDataset("alpha")
+    assert(fin.compression == "zstd")
+    assert(fin.publicUrlPrefix.contains("https://example.org/d"))
+  }
+
+  test("makeAll surfaces every dataset failure, not just the first") {
+    val cat = new Catalog(spark, Files.createTempDirectory("graft-cat-fail").toString)
+    cat.ensureDataset("alpha", shards = 2)
+    cat.ensureDataset("beta", shards = 2)
+    cat.store("alpha").append(mkStatements(4))
+    cat.store("beta").append(mkStatements(4))
+    // outRoot is a FILE: every per-dataset export fails to create its dir
+    val out = Files.createTempFile("graft-cat-fail-out", ".blk").toString
+    val ex = intercept[RuntimeException](cat.makeAll(out))
+    assert(ex.getMessage.contains("2/2"))
+    assert(ex.getSuppressed.length == 1) // second failure rides along
+    // the umbrella run records the per-dataset failure count
+    val run = new graft.lake.JobRepository(spark, cat.rootStr, "CatalogMakeJob")
+      .latest().get
+    assert(!run.running && run.errors == 2 && run.pending == 0)
+  }
 }

@@ -119,6 +119,32 @@ class StreamingMakeSpec extends SparkSpec {
     assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L, 6L))
   }
 
+  test("streaming dedupe: null text dedupes across runs like in-batch (no null-key bypass)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val base = Files.createTempDirectory("graft-dedupstream-null").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def feed(dir: String, docs: (Long, String)*) =
+      docs.toSeq.toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    def stream(dir: String) = spark.readStream.schema(schema).parquet(dir)
+    // run 1: two null-text docs + one real — the in-batch window
+    // collapses the nulls to one; its fingerprint must reach the state
+    // table as a JOINABLE key (null keys never match a left_anti, so an
+    // un-coalesced fingerprint would re-admit null docs on every run)
+    feed(s"$base/feed1", 1L -> null, 2L -> null, 3L -> "alpha beta")
+    val n1 = graft.streaming.DedupStream.run(spark, stream(s"$base/feed1"),
+      "doc_id", "text", s"$base/state", s"$base/out")
+    assert(n1 == 2) // doc 1 (null representative) + doc 3
+    // run 2: another null-text doc and a seen doc — both suppressed
+    feed(s"$base/feed2", 4L -> null, 5L -> "alpha beta")
+    val n2 = graft.streaming.DedupStream.run(spark, stream(s"$base/feed2"),
+      "doc_id", "text", s"$base/state", s"$base/out")
+    assert(n2 == 0)
+    assert(spark.read.parquet(s"$base/out").select("doc_id").as[Long]
+      .collect().toSet == Set(1L, 3L))
+  }
+
   test("streaming dedupe recovers docs from a crashed run's orphaned state partition") {
     import spark.implicits._
     import org.apache.spark.sql.types._
