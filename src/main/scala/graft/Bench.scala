@@ -159,9 +159,23 @@ object Bench {
       else "null"
     val calAfter = calibrate()
     val loadAfter = loadavg()
+    // Committed quiet-host reference for the probe: the judge-measured
+    // idle band on this host is 0.245–0.290 s, stable across rounds. A
+    // run whose probe (min of the before/after brackets — min, so one
+    // stall spike can't condemn a quiet run) exceeds 1.5× that reference
+    // is stamped hot_host: twice now a loaded host produced a
+    // round-over-round "regression" that was pure external load, and the
+    // artifact itself must carry that provenance instead of relying on a
+    // reader to cross-check the probe by hand.
+    val QuietProbeSec = 0.27
+    val probeMin = math.min(calBefore, calAfter)
+    val hotHost = probeMin > QuietProbeSec * 1.5
     val calJson =
       "{\"probe\":\"range200M_sum_mod97\",\"before_sec\":" + fmt(calBefore) +
         ",\"after_sec\":" + fmt(calAfter) +
+        ",\"quiet_ref_sec\":" + fmt(QuietProbeSec) +
+        ",\"probe_ratio\":" + fmt(probeMin / QuietProbeSec) +
+        ",\"hot_host\":" + hotHost +
         ",\"loadavg_before\":\"" + loadBefore + "\"" +
         ",\"loadavg_after\":\"" + loadAfter + "\"}"
     val fullLine =
@@ -201,6 +215,14 @@ object Bench {
           throw new IllegalArgumentException(
             s"SPARK_GRAFT_ROUND must be a round number (digits only), got '$round'")
         if (only.isEmpty && sfDir.contains(roundSf)) {
+          // hot-host runs STILL stamp (refusing would lose the round's
+          // per-query history entirely) but the artifact carries
+          // hot_host:true in its calibration, and the run says so out
+          // loud — a cross-round total comparison must check that flag
+          if (hotHost) System.err.println(
+            s"[bench] HOT HOST: calibration probe ${fmt(probeMin)}s > " +
+              s"1.5x quiet reference ${fmt(QuietProbeSec)}s — this " +
+              "round-stamped total is not comparable to quiet-host rounds")
           try java.nio.file.Files.write(
             java.nio.file.Paths.get(s"BENCH_full_r$round.json"),
             (fullLine + "\n").getBytes("UTF-8"))
@@ -219,7 +241,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${times.size},"reps":$reps,"noise":$noise,"failed":$failedJson,"queries":$slowest,"queries_file":"${outFile.toAbsolutePath}"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${times.size},"reps":$reps,"hot_host":$hotHost,"noise":$noise,"failed":$failedJson,"queries":$slowest,"queries_file":"${outFile.toAbsolutePath}"}""")
     spark.stop()
   }
 }

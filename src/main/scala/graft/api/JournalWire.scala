@@ -111,8 +111,13 @@ object JournalWire {
       try Timestamp.from(java.time.OffsetDateTime.parse(t).toInstant)
       catch { case _: Exception =>
         val naive = t.replace(" ", "T").stripSuffix("Z")
-        Timestamp.from(java.time.LocalDateTime.parse(naive)
+        try Timestamp.from(java.time.LocalDateTime.parse(naive)
           .toInstant(java.time.ZoneOffset.UTC))
+        catch { case _: java.time.DateTimeException =>
+          // totality contract (PropertySpec): junk from the network maps
+          // to IllegalArgumentException → a clean 400, never a 500
+          throw new IllegalArgumentException(s"invalid timestamp: `$s`")
+        }
       }
     }
   }

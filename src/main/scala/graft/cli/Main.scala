@@ -47,7 +47,8 @@ import graft.ops.Explode
   * live view registered as `statements`, where the reference hands the
   * parquet to DuckDB), `make`/`export`/`optimize`/`unlock`
   * (cli/maintenance.py), `archive` (cli/archive.py), `serve` (the S14
-  * HTTP app). The zfs group is host-infrastructure, not engine surface.
+  * HTTP app), `zfs init` (cli/zfs.py — Spark-free host provisioning
+  * through an injectable external agent, [[graft.lake.Zfs]]).
   *
   * All streaming IO is line-oriented NDJSON on stdin/stdout via
   * `toLocalIterator`, so piping a million entities through the CLI holds
@@ -59,6 +60,8 @@ object Main {
 
   def main(args: Array[String]): Unit = {
     val (flags, pos) = parseArgs(args.toList)
+    // host-ops groups: no lake root, no server, no SparkSession
+    if (runHostOps(flags, pos)) return
     // remote mode (reference: GRAFT/FTM lake URI may be an http[s] URL —
     // core/api.py delegates every repository call over the wire): no
     // SparkSession on the client, the server's driver runs the jobs
@@ -71,6 +74,25 @@ object Main {
     val spark = graft.Sessions.local("graft-cli")
     try run(spark, lakeRoot, flags, pos)
     finally spark.stop()
+  }
+
+  /** Spark-free host-infrastructure groups (reference cli/zfs.py):
+    * `zfs init <ds> [--pool <zpool>] [--agent <cmd>]` provisions the
+    * dataset's tuned ZFS hierarchy through the external agent command
+    * ([[graft.lake.Zfs]]). Returns true when the args were handled here.
+    */
+  private[graft] def runHostOps(flags: Map[String, String],
+      pos: List[String]): Boolean = pos match {
+    case "zfs" :: "init" :: ds :: Nil =>
+      val pool = flags.get("pool").orElse(sys.env.get("GRAFT_ZFS_POOL"))
+        .getOrElse(fail("--pool <zpool> or GRAFT_ZFS_POOL required"))
+      val agent = flags.get("agent").map(_.trim.split("\\s+").toSeq)
+        .getOrElse(graft.lake.Zfs.defaultAgent)
+      graft.lake.Zfs.ensureDataset(pool, ds, agent).foreach(println)
+      true
+    case "zfs" :: _ =>
+      fail("usage: zfs init <dataset> [--pool <zpool>] [--agent <cmd>]")
+    case _ => false
   }
 
   /** The CLI groups that make sense against a remote lakehouse, routed

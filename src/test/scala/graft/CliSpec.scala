@@ -171,6 +171,51 @@ class CliSpec extends SparkSpec {
     assert(csv.contains("inner/deep"), csv)
   }
 
+  test("cli zfs init: tuned hierarchy provisioned through the injectable agent") {
+    val dir = Files.createTempDirectory("graft-zfs")
+    val log = dir.resolve("calls.log")
+    val script = dir.resolve("fake-agent.sh")
+    Files.write(script,
+      ("#!/bin/sh\necho \"$@\" >> " + log.toString + "\n").getBytes("UTF-8"))
+    script.toFile.setExecutable(true)
+    val out = new ByteArrayOutputStream()
+    Console.withOut(new PrintStream(out, true, "UTF-8")) {
+      val (flags, pos) = graft.cli.Main.parseArgs(List(
+        "zfs", "init", "alpha", "--pool", "tank", "--agent", script.toString))
+      assert(graft.cli.Main.runHostOps(flags, pos))
+    }
+    // parent + archive + statements, announced in order
+    assert(out.toString("UTF-8").trim.linesIterator.toSeq == Seq(
+      "tank/alpha", "tank/alpha/archive", "tank/alpha/statements"))
+    val calls = new String(Files.readAllBytes(log), "UTF-8").trim.linesIterator.toSeq
+    assert(calls.size == 3)
+    // reference property sets (core/zfs.py:37-54): parent packs dnodes,
+    // statements turns ZFS compression off under 1M records (parquet is
+    // already ZSTD inside), archive compresses hard at 128K
+    assert(calls(0) == "create -p -o atime=off -o xattr=sa -o dnodesize=auto tank/alpha")
+    assert(calls(1).contains("-o recordsize=128K") && calls(1).contains("-o compression=zstd-9")
+      && calls(1).endsWith("tank/alpha/archive"))
+    assert(calls(2).contains("-o recordsize=1M") && calls(2).contains("-o compression=off")
+      && calls(2).endsWith("tank/alpha/statements"))
+    // re-init is an ensure: same commands again (the -p create is the
+    // idempotence, matching the reference's cached ensure)
+    graft.lake.Zfs.ensureDataset("tank", "alpha", Seq(script.toString))
+    assert(new String(Files.readAllBytes(log), "UTF-8").trim
+      .linesIterator.size == 6)
+    // validation at the boundary: hostile names never reach the agent
+    assertThrows[IllegalArgumentException](
+      graft.lake.Zfs.createCommands("tank", "../evil"))
+    assertThrows[IllegalArgumentException](
+      graft.lake.Zfs.createCommands("-o", "alpha"))
+    // an agent failure surfaces its exit code and output
+    val bad = dir.resolve("bad-agent.sh")
+    Files.write(bad, "#!/bin/sh\necho boom\nexit 3\n".getBytes("UTF-8"))
+    bad.toFile.setExecutable(true)
+    val ex = intercept[RuntimeException](
+      graft.lake.Zfs.ensureDataset("tank", "alpha", Seq(bad.toString)))
+    assert(ex.getMessage.contains("exit 3") && ex.getMessage.contains("boom"))
+  }
+
   private def cliBytes(root: String, args: String*): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     val old = System.out
