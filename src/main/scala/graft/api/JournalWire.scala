@@ -98,27 +98,12 @@ object JournalWire {
 
   /** Wire timestamps are UTC regardless of the driver's zone (reference
     * treats every timestamp as UTC — helpers/statements.py:30-40,
-    * tests/test_utc.py): instant forms (`...Z`) and offset forms
-    * (`...+02:00`) parse to their absolute instant; NAIVE forms are
-    * interpreted as UTC, never the JVM default zone — otherwise the same
-    * wire text would order differently across differently-zoned drivers
-    * and flip last-writer-wins in the journal drain.
+    * tests/test_utc.py): instant and offset forms parse to their
+    * absolute instant; NAIVE forms are interpreted as UTC, never the JVM
+    * default zone — otherwise the same wire text would order differently
+    * across differently-zoned drivers and flip last-writer-wins in the
+    * journal drain. Junk maps to IllegalArgumentException (clean 400).
     */
-  private[api] def parseTs(s: String): Timestamp = {
-    val t = s.trim
-    try Timestamp.from(java.time.Instant.parse(t))
-    catch { case _: Exception =>
-      try Timestamp.from(java.time.OffsetDateTime.parse(t).toInstant)
-      catch { case _: Exception =>
-        val naive = t.replace(" ", "T").stripSuffix("Z")
-        try Timestamp.from(java.time.LocalDateTime.parse(naive)
-          .toInstant(java.time.ZoneOffset.UTC))
-        catch { case _: java.time.DateTimeException =>
-          // totality contract (PropertySpec): junk from the network maps
-          // to IllegalArgumentException → a clean 400, never a 500
-          throw new IllegalArgumentException(s"invalid timestamp: `$s`")
-        }
-      }
-    }
-  }
+  private[api] def parseTs(s: String): Timestamp =
+    graft.functions.F.parseUtcTimestamp(s)
 }

@@ -13,6 +13,31 @@ object F {
     */
   def epochMs(c: Column): Column = unix_millis(c.cast("timestamp"))
 
+  /** Parse a timestamp STRING as UTC regardless of the JVM default zone
+    * — the engine-wide convention (the session is pinned UTC; reference
+    * treats every timestamp as UTC). Accepts instant forms (`...Z`),
+    * offset forms (`+02:00`), and naive `T`/space forms, which are
+    * interpreted as UTC: a default-zone parse (`Timestamp.valueOf`)
+    * would make the same text mean different instants on
+    * differently-zoned drivers. Junk throws IllegalArgumentException
+    * (the wire boundary maps it to a clean 400).
+    */
+  def parseUtcTimestamp(s: String): java.sql.Timestamp = {
+    val t = s.trim
+    try java.sql.Timestamp.from(java.time.Instant.parse(t))
+    catch { case _: Exception =>
+      try java.sql.Timestamp.from(java.time.OffsetDateTime.parse(t).toInstant)
+      catch { case _: Exception =>
+        val naive = t.replace(" ", "T").stripSuffix("Z")
+        try java.sql.Timestamp.from(java.time.LocalDateTime.parse(naive)
+          .toInstant(java.time.ZoneOffset.UTC))
+        catch { case _: java.time.DateTimeException =>
+          throw new IllegalArgumentException(s"invalid timestamp: `$s`")
+        }
+      }
+    }
+  }
+
   /** F4 columnar twin of [[graft.ops.Explode.stripNamespace]]: drop a
     * trailing `.sig` namespace; ids with no dot, a leading dot only, or
     * nothing before the dot pass through unchanged.

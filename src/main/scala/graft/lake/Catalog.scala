@@ -185,15 +185,10 @@ class Catalog(val spark: SparkSession, val rootStr: String) {
       cfg.publicUrlPrefix.foreach(u => o.put("url", u))
     }
     rootNode.put("updated_at", java.time.Instant.now().toString)
-    // publish atomically (write-aside + rename): a reader polling
-    // catalog.json sees the old or the new complete file, never a torn
-    // prefix of a half-flushed write
+    // atomic publish: a reader polling catalog.json sees the old or the
+    // new complete file, never a torn prefix of a half-flushed write
     val out = new Path(root, "catalog.json")
-    val tmp = new Path(root,
-      s".catalog.json.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-    FsOps.writeSmall(fs, tmp, mapper.writeValueAsBytes(rootNode))
-    if (!FsOps.renameReplace(fs, tmp, out))
-      throw new java.io.IOException(s"could not publish catalog.json under $root")
+    FsOps.publishSmall(fs, out, mapper.writeValueAsBytes(rootNode))
     out.toString
   }
 

@@ -47,6 +47,21 @@ object FsOps {
         try out.write(bytes) finally out.close()
     }
 
+  /** Atomically PUBLISH a small file readers poll (index/statistics/
+    * catalog JSON, protocol markers): write-aside to a dot-tmp sibling,
+    * then replace-rename over `dst` — a reader sees the old or the new
+    * complete file, never a torn prefix of a half-flushed write.
+    */
+  def publishSmall(fs: FileSystem, dst: Path, bytes: Array[Byte]): Unit = {
+    val tmp = new Path(dst.getParent,
+      s".${dst.getName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    writeSmall(fs, tmp, bytes)
+    try {
+      if (!renameReplace(fs, tmp, dst))
+        throw new java.io.IOException(s"could not publish $dst")
+    } finally fs.delete(tmp, false) // no-op when the rename consumed it
+  }
+
   /** Atomic create-if-absent (the lock fence primitive): true iff this
     * caller created the file. Atomic on local FS (O_EXCL), HDFS
     * (create w/o overwrite), and conditional-put object stores.

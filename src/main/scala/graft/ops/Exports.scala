@@ -158,23 +158,33 @@ object Exports {
     val fs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = fs.listStatus(new Path(partsDir))
       .map(_.getPath).filter(_.getName.startsWith("part-")).sortBy(_.getName)
-    val rawOut = fs.create(destPath, true)
-    val out: java.io.OutputStream = compression match {
-      case "gzip" | "gz" => new java.util.zip.GZIPOutputStream(rawOut)
-      case "zstd" | "zst" => new com.github.luben.zstd.ZstdOutputStream(rawOut)
-      case _ => rawOut
-    }
+    // concat into a dot-tmp sibling and publish with a replace-rename:
+    // mirrors fetch these artifacts by name, and a direct overwrite
+    // would expose a torn prefix during the write — worse, a crash
+    // mid-concat would leave a corrupt file that LOOKS complete
+    val tmp = new Path(destPath.getParent,
+      s".${destPath.getName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     try {
-      header.foreach(h => out.write(h.getBytes("UTF-8")))
-      val buf = new Array[Byte](256 * 1024)
-      files.foreach { f =>
-        val in = fs.open(f)
-        try {
-          var n = in.read(buf)
-          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-        } finally in.close()
+      val rawOut = fs.create(tmp, true)
+      val out: java.io.OutputStream = compression match {
+        case "gzip" | "gz" => new java.util.zip.GZIPOutputStream(rawOut)
+        case "zstd" | "zst" => new com.github.luben.zstd.ZstdOutputStream(rawOut)
+        case _ => rawOut
       }
-    } finally out.close()
+      try {
+        header.foreach(h => out.write(h.getBytes("UTF-8")))
+        val buf = new Array[Byte](256 * 1024)
+        files.foreach { f =>
+          val in = fs.open(f)
+          try {
+            var n = in.read(buf)
+            while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+          } finally in.close()
+        }
+      } finally out.close()
+      if (!graft.lake.FsOps.renameReplace(fs, tmp, destPath))
+        throw new java.io.IOException(s"could not publish $dest")
+    } finally fs.delete(tmp, false) // no-op when the rename consumed it
     fs.delete(new Path(partsDir), true)
   }
 }

@@ -127,9 +127,9 @@ object Make {
       val lines = Stats.facets(store.live).toJSON.collect().sorted
       val p = new org.apache.hadoop.fs.Path(s"$outDir/statistics.json")
       val sfs = p.getFileSystem(store.spark.sessionState.newHadoopConf())
-      val out = sfs.create(p, true)
-      try out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
-      finally out.close()
+      // atomic publish: mirrors poll this artifact by name
+      graft.lake.FsOps.publishSmall(sfs, p,
+        lines.mkString("", "\n", "\n").getBytes("UTF-8"))
     }
     gated("index.json") {
       writeIndex(store, outDir, datasetName, publicUrlPrefix)
@@ -173,7 +173,10 @@ object Make {
       res.put("path", a)
       publicUrlPrefix.foreach(p => res.put("url", s"${p.stripSuffix("/")}/$a"))
     }
-    val out = outFs.create(new org.apache.hadoop.fs.Path(outPath, "index.json"), true)
-    try out.write(mapper.writeValueAsBytes(rootNode)) finally out.close()
+    // atomic publish: index.json is the catalog entry mirrors poll —
+    // never expose a torn prefix mid-write
+    graft.lake.FsOps.publishSmall(outFs,
+      new org.apache.hadoop.fs.Path(outPath, "index.json"),
+      mapper.writeValueAsBytes(rootNode))
   }
 }

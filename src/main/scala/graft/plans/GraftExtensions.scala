@@ -150,7 +150,11 @@ object GraftExtensions {
 
   private[plans] def changedSincePlan(args: Seq[Expression]): LogicalPlan = {
     val path = String.valueOf(litValue(args.head))
-    val cutoff = java.sql.Timestamp.valueOf(String.valueOf(litValue(args(1))))
+    // UTC parse, not Timestamp.valueOf: the cutoff literal must denote
+    // the same instant on every driver regardless of its default zone
+    // (the session — and the stored last_seen instants — are UTC)
+    val cutoff = graft.functions.F.parseUtcTimestamp(
+      String.valueOf(litValue(args(1))))
     val spark = org.apache.spark.sql.SparkSession.active
     new graft.lake.StatementStore(spark, path)
       .rawChangedSince(cutoff).queryExecution.analyzed

@@ -180,7 +180,6 @@ object DrainRewrite {
     val root = new org.apache.hadoop.fs.Path(checkpoint)
     val f = fs(ss, root)
     graft.lake.FsOps.mkdirs(f, root)
-    val out = f.create(new org.apache.hadoop.fs.Path(root, MarkerName), true)
     // JSON-escape the caller-supplied fingerprint (paths can legally
     // carry quotes/backslashes) so the marker always parses
     val esc = fingerprint.flatMap {
@@ -189,9 +188,10 @@ object DrainRewrite {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
-    try out.write(
+    // atomic publish over the CLAIMED marker: a crash mid-write must
+    // leave the parseable claim, not a torn prefix of "committed"
+    graft.lake.FsOps.publishSmall(f, new org.apache.hadoop.fs.Path(root, MarkerName),
       s"""{"drained_by":"batch-rewrite","state":"committed","source":"$esc"}\n"""
         .getBytes("UTF-8"))
-    finally out.close()
   }
 }

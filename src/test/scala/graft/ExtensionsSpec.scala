@@ -87,6 +87,14 @@ class ExtensionsSpec extends SparkSpec {
     assert(changed.inputFiles.length <
       spark.sql(s"SELECT * FROM graft_table('$dir')").inputFiles.length)
     assert(changed.count() == 2L) // the o2 commit's rows only
+    // cutoff literals are UTC by contract (naive == Z == offset form, on
+    // any driver zone): the offset spelling of the same instant must
+    // select the same rows — Timestamp.valueOf would have rejected it
+    // and parsed the naive form in the driver's zone
+    assert(spark.sql(s"SELECT * FROM graft_changed_since('$dir', " +
+      "'2024-01-02T14:00:00+02:00')").count() == 2L)
+    assert(spark.sql(s"SELECT * FROM graft_changed_since('$dir', " +
+      "'2024-01-02T12:00:00Z')").count() == 2L)
   }
 
   test("graft.<dataset> relations resolve to the catalog's live view") {
