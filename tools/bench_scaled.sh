@@ -99,10 +99,14 @@ out = {
         'round-over-round (45.5 / 44.3 / 47.9 s). MITIGATION (round '
         '15): the x1 oracle now runs min-of-4 reps (oracle_reps per '
         'scale entry), so a single stalled rep can no longer set the '
-        'denominator. The x10/x100 ratios, whose denominators are '
-        'minutes, remain the scale signal; cross-round ratio deltas '
-        'must still be read against the calibrations, not at face '
-        'value.'),
+        'denominator. Measured: three consecutive x1-only runs gave '
+        'spark/oracle/ratio 56.5/24.9/2.27 (hot window, spark probe '
+        '0.31-0.33s), 44.0/15.1/2.91 and 43.5/14.7/2.97 — the two '
+        'comparable runs agree within 1-3%, and the hot outlier is '
+        'identifiable from its embedded calibrations. The x10/x100 '
+        'ratios, whose denominators are minutes, remain the scale '
+        'signal; cross-round ratio deltas must still be read against '
+        'the calibrations, not at face value.'),
     'split_size_note': (
         'maxPartitionBytes A/B (round 11, SPARK_GRAFT_MAX_PARTITION_BYTES '
         'override): full 142-query suite at sf0.1 = 97.9 s (16m) vs 93.1 s '
