@@ -67,11 +67,23 @@ object FtmQuery {
     case NotNullOp => c.isNotNull
   }
 
+  /** Comparators that read `values.head`: these need ≥1 value or the
+    * compile crashes with NoSuchElement instead of a clean reject. IN /
+    * NOT IN accept an empty set (well-defined: matches nothing /
+    * everything), NULL checks carry no values at all.
+    */
+  private val ScalarOps: Set[Comparator] =
+    Set(EqOp, NotOp, GteOp, LteOp, GtOp, LtOp, LikeOp)
+
   private def validate(q: Query): Unit = {
     val leaves = q.statementFilters.size + q.propFilters.size
     require(leaves <= MaxFilterLeaves, s"too many filter leaves: $leaves")
-    (q.statementFilters.map(_.values) ++ q.propFilters.map(_.values)).foreach { vs =>
+    val leafOps = q.statementFilters.map(m => (m.field, m.op, m.values)) ++
+      q.propFilters.map(p => (p.prop, p.op, p.values))
+    leafOps.foreach { case (k, op, vs) =>
       require(vs.size <= MaxInValues, s"too many IN values: ${vs.size}")
+      require(!ScalarOps.contains(op) || vs.nonEmpty,
+        s"comparator $op on `$k` needs a value")
     }
   }
 

@@ -238,9 +238,19 @@ object Rql {
     var q = Query()
     leaves.foreach { case Call(name, args) =>
       val op = comparatorOf(name)
+      // arity validated BEFORE indexing: `eq()` / `eq(k)` / `eq(k, ())`
+      // must be the 400 path (IllegalArgumentException) like every other
+      // malformed wire input — args.head / args(1) / vs.head would throw
+      // NoSuchElement/IndexOutOfBounds, which the HTTP layer maps to
+      // 404/500 and the totality fuzz rejects
+      val wantArgs = if (op == NullOp || op == NotNullOp) 1 else 2
+      require(args.size == wantArgs,
+        s"$name() takes $wantArgs argument(s), got ${args.size}")
       val k = key(args.head)
       val vs = if (op == NullOp || op == NotNullOp) Seq.empty[String]
         else values(args(1))
+      require(op == NullOp || op == NotNullOp || vs.nonEmpty,
+        s"$name() needs at least one value for `$k`")
       (k, op) match {
         case ("origin", EqOp) => q = q.copy(origin = Some(vs.head))
         case ("schema", EqOp) | ("schemata", EqOp) =>
