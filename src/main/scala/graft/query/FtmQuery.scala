@@ -67,13 +67,19 @@ object FtmQuery {
     case NotNullOp => c.isNotNull
   }
 
-  /** Comparators that read `values.head`: these need ≥1 value or the
-    * compile crashes with NoSuchElement instead of a clean reject. IN /
-    * NOT IN accept an empty set (well-defined: matches nothing /
-    * everything), NULL checks carry no values at all.
+  /** The ONE value-arity spec per comparator, shared by [[validate]] and
+    * [[Rql.parse]] so the wire and programmatic layers cannot drift:
+    * scalar comparators read `values.head` and take EXACTLY one value
+    * (more would be silently dropped — worse than a reject); IN/NOT-IN
+    * take any number including zero (empty is well-defined: matches
+    * nothing / everything, and `render` round-trips it); NULL checks
+    * carry none. `None` = unconstrained.
     */
-  private val ScalarOps: Set[Comparator] =
-    Set(EqOp, NotOp, GteOp, LteOp, GtOp, LtOp, LikeOp)
+  def requiredValues(op: Comparator): Option[Int] = op match {
+    case NullOp | NotNullOp => Some(0)
+    case InOp | NotInOp => None
+    case _ => Some(1)
+  }
 
   private def validate(q: Query): Unit = {
     val leaves = q.statementFilters.size + q.propFilters.size
@@ -82,8 +88,8 @@ object FtmQuery {
       q.propFilters.map(p => (p.prop, p.op, p.values))
     leafOps.foreach { case (k, op, vs) =>
       require(vs.size <= MaxInValues, s"too many IN values: ${vs.size}")
-      require(!ScalarOps.contains(op) || vs.nonEmpty,
-        s"comparator $op on `$k` needs a value")
+      requiredValues(op).foreach(n => require(vs.size == n,
+        s"comparator $op on `$k` takes exactly $n value(s), got ${vs.size}"))
     }
   }
 

@@ -239,22 +239,34 @@ object Rql {
     leaves.foreach { case Call(name, args) =>
       val op = comparatorOf(name)
       // arity validated BEFORE indexing: `eq()` / `eq(k)` / `eq(k, ())`
-      // must be the 400 path (IllegalArgumentException) like every other
-      // malformed wire input — args.head / args(1) / vs.head would throw
-      // NoSuchElement/IndexOutOfBounds, which the HTTP layer maps to
-      // 404/500 and the totality fuzz rejects
-      val wantArgs = if (op == NullOp || op == NotNullOp) 1 else 2
+      // / `eq(k, (a, b))` must be the 400 path (IllegalArgumentException)
+      // like every other malformed wire input — args.head / args(1) /
+      // vs.head would throw NoSuchElement/IndexOutOfBounds (mapped to
+      // 404/500), and a scalar comparator handed a tuple would silently
+      // drop every value after the first. The per-comparator value
+      // arity is FtmQuery.requiredValues — the same spec validate()
+      // enforces on programmatic queries, so wire and API never drift
+      // (empty IN tuples stay legal on both: render emits them).
+      val isNullCheck = op == NullOp || op == NotNullOp
+      val wantArgs = if (isNullCheck) 1 else 2
       require(args.size == wantArgs,
         s"$name() takes $wantArgs argument(s), got ${args.size}")
       val k = key(args.head)
-      val vs = if (op == NullOp || op == NotNullOp) Seq.empty[String]
-        else values(args(1))
-      require(op == NullOp || op == NotNullOp || vs.nonEmpty,
-        s"$name() needs at least one value for `$k`")
+      val vs = if (isNullCheck) Seq.empty[String] else values(args(1))
+      FtmQuery.requiredValues(op).foreach(n => require(vs.size == n,
+        s"$name() takes exactly $n value(s), got ${vs.size}"))
       (k, op) match {
         case ("origin", EqOp) => q = q.copy(origin = Some(vs.head))
         case ("schema", EqOp) | ("schemata", EqOp) =>
           q = q.copy(schemata = Some(vs.head))
+        case ("schema", _) | ("schemata", _) =>
+          // non-eq schema predicates are EXACT column filters on the
+          // physical `schema` column (in/ne/null/...): only eq carries
+          // the descendant-expanding semantics of the dedicated slot.
+          // Falling through to a P filter here would compile
+          // col("prop") === "schema" — no statement has that prop, so
+          // the query would silently return an empty page
+          q = q.copy(statementFilters = q.statementFilters :+ M("schema", op, vs))
         case _ if ReservedFields.contains(k) =>
           q = q.copy(statementFilters = q.statementFilters :+ M(k, op, vs))
         case _ =>

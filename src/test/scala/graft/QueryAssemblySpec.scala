@@ -143,6 +143,24 @@ class QueryAssemblySpec extends SparkSpec {
     assert(q2.propFilters == Seq(P("click", GteOp, Seq("50"))))
     // single leaf without and()
     assert(Rql.parse("eq(name,Bob)").propFilters == Seq(P("name", EqOp, Seq("Bob"))))
+
+    // non-eq schema predicates are EXACT column filters on the physical
+    // schema column (only eq expands descendants via the dedicated
+    // slot) — NOT a property filter on a prop literally named "schema",
+    // which would silently match nothing
+    val q3 = Rql.parse("and(in(schema,(Person,Company)),ne(schemata,Thing))")
+    assert(q3.schemata.isEmpty && q3.propFilters.isEmpty)
+    assert(q3.statementFilters == Seq(
+      M("schema", InOp, Seq("Person", "Company")), M("schema", NotOp, Seq("Thing"))))
+    // wrong-arity calls are the clean reject path, and a scalar
+    // comparator never silently drops tuple values
+    for (bad <- Seq("eq()", "eq(name)", "eq(origin,())", "eq(name,(a,b))",
+        "null(a,b)", "in(name)"))
+      assertThrows[IllegalArgumentException](Rql.parse(bad))
+    // empty IN is legal (matches nothing) and round-trips
+    val q4 = Rql.parse("in(dataset,())")
+    assert(q4.statementFilters == Seq(M("dataset", InOp, Seq.empty)))
+    assert(Rql.parse(Rql.render(q4)) == q4)
     // malformed input fails loudly, like the reference's 422 path
     intercept[IllegalArgumentException](Rql.parse("and(eq(name,Bob)") )
     intercept[IllegalArgumentException](Rql.parse("or(eq(a,b),eq(c,d))"))
