@@ -94,7 +94,11 @@ object Documents {
     * here; the schema routing goes through FtmModel.schemaForMime).
     */
   def mimeFor(name: String): String = {
-    val ext = name.substring(name.lastIndexOf('.') + 1).toLowerCase
+    // a dot-less name has NO extension: without the guard, a file
+    // literally named "pdf" would read its whole name as the extension
+    // and route a non-PDF blob into the Pages ingest path
+    val dot = name.lastIndexOf('.')
+    val ext = if (dot < 0) "" else name.substring(dot + 1).toLowerCase
     ext match {
       case "pdf" => "application/pdf"
       case "txt" | "text" => "text/plain"
@@ -120,13 +124,22 @@ object Documents {
     */
   def documentsTable(live: DataFrame, publicUrlPrefix: Option[String] = None,
       folderSource: Option[DataFrame] = None): DataFrame = {
-    import org.apache.spark.sql.functions.{col, min, when, first, concat_ws, lit}
+    import org.apache.spark.sql.functions.{col, collect_set, min, when, concat_ws, lit, udf}
     val docSchemas = (FtmModel.descendants("Document") - "Folder").toSeq
     def prop(p: String) = min(when(col("prop") === p, col("value")))
+    // schema resolution matches A4 entity assembly (FtmModel.mostSpecific
+    // over the entity's schema set): a nondeterministic first() would
+    // flap the byte-reproducible documents.csv between identical runs
+    // whenever an entity carries statements under two document schemas,
+    // and disagree with the assembled entity. Evaluated once per
+    // DOCUMENT ENTITY on the post-aggregation row, not per statement —
+    // outside any corpus-scan hot path.
+    val mostSpecificSchema =
+      udf((ss: scala.collection.immutable.Seq[String]) => FtmModel.mostSpecific(ss.toSet))
     val docs = live.filter(col("schema").isin(docSchemas: _*))
       .groupBy(col("entity_id").as("id"))
       .agg(
-        first(col("schema")).as("schema"),
+        mostSpecificSchema(collect_set(col("schema"))).as("schema"),
         prop("fileName").as("file_name"),
         prop("mimeType").as("mime_type"),
         prop("fileSize").as("size"),
@@ -164,23 +177,38 @@ object Documents {
     * (path, checksum) list partitions across the cluster and each task
     * copies its files via the Hadoop FS API — the fan-out is the
     * cluster's aggregate IO bandwidth, not a driver loop. Traversal-unsafe
-    * names are rejected in-task (the reference validates names at the
-    * boundary the same way, tests/test_security_origin_checksum_validation.py).
+    * names are skipped in-task (counted + logged, nothing written outside
+    * the target; name validation mirrors the reference's boundary checks,
+    * tests/test_security_origin_checksum_validation.py) — one hostile
+    * imported filename must not abort the export for every other document.
     */
   def downloadArchive(docs: DataFrame, archiveRoot: String,
       targetRoot: String): (Long, Long) = {
-    import org.apache.spark.sql.functions.{col, concat_ws, lit}
+    import org.apache.spark.sql.functions.{col, concat_ws, countDistinct, min}
     val spark = docs.sparkSession
     val done = spark.sparkContext.longAccumulator("graft_download_done")
     val skipped = spark.sparkContext.longAccumulator("graft_download_skipped")
+    // executor tasks must see the SESSION'S Hadoop conf: a bare
+    // `new Configuration()` drops every spark.hadoop.* setting —
+    // object-store credentials, registered fs implementations — so the
+    // job would fail auth on a real deployment while passing locally
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
     docs
       .filter(col("content_hash").isNotNull && col("file_name").isNotNull)
       .select(
         concat_ws("/", col("path"), col("file_name")).as("rel"),
         col("content_hash"))
-      .distinct()
+      // ONE writer per destination path, deterministically: two documents
+      // resolving to the same rel with DIFFERENT hashes would race the
+      // rename and the loser would be miscounted as "already present" on
+      // some runs and win on others — pick the smallest hash (stable
+      // across runs) and log the collision in-task
+      .groupBy(col("rel")).agg(
+        min(col("content_hash")).as("content_hash"),
+        countDistinct(col("content_hash")).as("__nhash"))
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = serConf.value
         val aroot = new org.apache.hadoop.fs.Path(archiveRoot)
         val troot = new org.apache.hadoop.fs.Path(targetRoot)
         val afs = aroot.getFileSystem(conf)
@@ -189,41 +217,53 @@ object Documents {
         rows.foreach { r =>
           val rel = r.getString(0)
           val checksum = r.getString(1)
+          if (r.getLong(2) > 1) System.err.println(
+            s"[download] $rel: ${r.getLong(2)} conflicting checksums share " +
+              "this path — exporting the smallest")
           // path traversal guard: document names come from imported data.
           // '..' segments climb out of targetRoot; a ':' anywhere makes
           // Hadoop Path read the name as a scheme-qualified URI whose
           // absolute part REPLACES targetRoot on resolution
-          // (new Path(troot, "file:/etc/x") ignores troot) — reject both,
-          // then verify the resolved path really stayed a descendant
-          require(!rel.split('/').contains("..") && !rel.startsWith("/")
-              && !rel.contains(":"),
-            s"unsafe document path: $rel")
-          val dest = new org.apache.hadoop.fs.Path(troot, rel)
-          require(dest.toString.startsWith(troot.toString + "/"),
-            s"unsafe document path resolution: $rel")
-          if (tfs.exists(dest)) skipped.add(1)
-          else {
-            val src = new org.apache.hadoop.fs.Path(aroot, graft.lake.Archive.blobRel(checksum))
-            tfs.mkdirs(dest.getParent)
-            // write-then-rename: a killed task never leaves a torn file
-            // that a retry (or a later run's exists-check) would trust
-            val tmp = new org.apache.hadoop.fs.Path(dest.getParent,
-              s".${dest.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-            val in = afs.open(src)
-            try {
-              val out = tfs.create(tmp, true)
+          // (new Path(troot, "file:/etc/x") ignores troot). An unsafe
+          // name is SKIPPED, not fatal: one hostile (or merely
+          // colon-carrying) imported filename must not permanently abort
+          // the whole archive export for everyone
+          val safe = !rel.split('/').contains("..") && !rel.startsWith("/") &&
+            !rel.contains(":")
+          if (!safe) {
+            System.err.println(s"[download] skipping unsafe document path: $rel")
+            skipped.add(1)
+          } else {
+            val dest = new org.apache.hadoop.fs.Path(troot, rel)
+            // post-resolution escape after the guard would be a code bug,
+            // not bad data — this one stays fatal
+            require(dest.toString.startsWith(troot.toString + "/"),
+              s"unsafe document path resolution: $rel")
+            if (tfs.exists(dest)) skipped.add(1)
+            else {
+              val src = new org.apache.hadoop.fs.Path(aroot, graft.lake.Archive.blobRel(checksum))
+              tfs.mkdirs(dest.getParent)
+              // write-then-rename: a killed task never leaves a torn file
+              // that a retry (or a later run's exists-check) would trust;
+              // the outer finally reclaims the spool on ANY failure (a
+              // missing blob, a mid-copy IO error) instead of littering
+              // the user-visible target tree with dot-tmp files per retry
+              val tmp = new org.apache.hadoop.fs.Path(dest.getParent,
+                s".${dest.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
               try {
-                var n = in.read(buf)
-                while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-              } finally out.close()
-            } finally in.close()
-            if (tfs.rename(tmp, dest)) done.add(1)
-            else if (tfs.exists(dest)) {
-              // a concurrent task won the race: its copy is the download,
-              // ours is a leftover — clean it and count a skip, not a done
-              tfs.delete(tmp, false)
-              skipped.add(1)
-            } else throw new IllegalStateException(s"download rename failed: $rel")
+                val in = afs.open(src)
+                try {
+                  val out = tfs.create(tmp, true)
+                  try {
+                    var n = in.read(buf)
+                    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+                  } finally out.close()
+                } finally in.close()
+                if (tfs.rename(tmp, dest)) done.add(1)
+                else if (tfs.exists(dest)) skipped.add(1) // concurrent winner
+                else throw new IllegalStateException(s"download rename failed: $rel")
+              } finally tfs.delete(tmp, false) // no-op when the rename consumed it
+            }
           }
         }
       }
@@ -259,34 +299,43 @@ object Documents {
       col("name").as("__pname"), col("parent").as("__pparent"))
 
     // close ancestor paths to the root over the parents-only table:
-    // anc(id) = root-to-node path of that parent node. Per-iteration state
-    // is re-staged so lineage stays one join deep; cycles stop extending
-    // once the hop budget is spent and resolve with the accumulated path.
-    // The initial state is a projection of the staged parents table (no
-    // separate stage write), and the walk-count check rides each
-    // iteration's staged output — no standalone pre-loop jobs.
-    var anc = parents.select(
+    // anc(id) = root-to-node path of that parent node. Per-iteration
+    // state is re-staged so lineage stays one join deep; cycles stop
+    // extending once the hop budget is spent and resolve with the
+    // accumulated path. Resolved rows LEAVE the loop: each round stages
+    // only the still-walking frontier (that round's real work), so a
+    // deep hierarchy pays O(frontier) stage IO per level instead of
+    // re-writing every already-resolved path at every depth. The
+    // resolved slices are filters over the per-round stage tables —
+    // flat lineage, one parquet read each — unioned once at the end;
+    // the walk count rides each stage write (observe), one job per
+    // round, no standalone pre-loop jobs.
+    val resolvedParts = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    val initial = parents.select(
       col("id"), col("name").cast("string").as("path"), col("parent").as("cursor"))
+    resolvedParts += initial.filter(!hasCursor)
+    var frontier = initial.filter(hasCursor)
     var depth = 0
     var walking = Long.MaxValue
     while (depth < maxDepth && walking > 0) {
-      // the walk count rides the stage write (observe) — one job per
-      // round, not write + count
       val (staged, stillWalking) = F.materializeObserved(
-        anc.filter(hasCursor)
+        frontier
           .join(lookup, Seq("cursor"), "left_outer")
           .withColumn("path",
             when(col("__pname").isNotNull, concat(col("__pname"), lit("/"), col("path")))
               .otherwise(col("path")))
           .withColumn("cursor",
             when(col("__pname").isNotNull, col("__pparent")).otherwise(lit(null)))
-          .drop("__pname", "__pparent")
-          .unionByName(anc.filter(!hasCursor)),
+          .drop("__pname", "__pparent"),
         sum(when(hasCursor, 1L).otherwise(0L)))
-      anc = staged
+      resolvedParts += staged.filter(!hasCursor)
+      frontier = staged.filter(hasCursor)
       walking = stillWalking
       depth += 1
     }
+    // hop-budget-exhausted cycle rows resolve with their accumulated
+    // path, exactly as before — they ride along as the final slice
+    val anc = (resolvedParts.toSeq :+ frontier).reduce(_ unionByName _)
 
     // every node resolves with a single join against the closed ancestor
     // paths — no per-level pass over the corpus; AQE broadcasts the closed

@@ -10,9 +10,12 @@ import org.apache.spark.sql.types.StructType
   * Distributed artifacts are directories of part files, each
   * range-partitioned and internally sorted by `entity_id` — the
   * entity-contiguous layout downstream consumers rely on. Part file k
-  * covers an entity range strictly before part k+1, so `cat part-*` in
-  * filename order IS the reference's single sorted file; a driver-side
-  * concat is only needed when one literal file is demanded.
+  * covers an entity range strictly before part k+1. For the JSON-lines
+  * flavor, `cat part-*` in numeric part order IS the reference's single
+  * sorted file; the CSV flavor writes a header into EVERY part (the
+  * directory reads back as one table via [[csvImport]]'s header mode),
+  * so a literal single sorted file comes from [[singleFileCsv]] /
+  * [[singleFileJson]], which concatenate header-less parts driver-side.
   */
 object Exports {
 
@@ -156,8 +159,16 @@ object Exports {
     import org.apache.hadoop.fs.Path
     val destPath = new Path(dest)
     val fs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // NUMERIC task order, not lexicographic name order: past 99999
+    // partitions Spark emits part-100000…, which sorts by name BEFORE
+    // part-99999 and would silently interleave entity ranges out of
+    // order in the "sorted" artifact
     val files = fs.listStatus(new Path(partsDir))
-      .map(_.getPath).filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      .map(_.getPath).filter(_.getName.startsWith("part-"))
+      .sortBy { p =>
+        val digits = p.getName.drop(5).takeWhile(_.isDigit)
+        (if (digits.isEmpty) Long.MaxValue else digits.toLong, p.getName)
+      }
     // concat into a dot-tmp sibling and publish with a replace-rename:
     // mirrors fetch these artifacts by name, and a direct overwrite
     // would expose a torn prefix during the write — worse, a crash

@@ -87,12 +87,16 @@ class ArchivePlanSpec extends SparkSpec {
     val (done2, skip2) = Documents.downloadArchive(docs, arDir.toString, target.toString)
     assert((done2, skip2) == (0L, 2L))
 
-    // traversal-unsafe names fail loud, nothing is written outside target
-    val evil = Seq(("d3", "pwned.txt", c1, "../escape"))
-      .toDF("id", "file_name", "content_hash", "path")
-    intercept[org.apache.spark.SparkException] {
+    // traversal-unsafe names are SKIPPED (counted, logged), nothing is
+    // written outside target — and one hostile imported filename must
+    // not abort the export for every other document in the batch
+    val evil = Seq(
+      ("d3", "pwned.txt", c1, "../escape"),
+      ("d5", "ok.txt", c2, "fine")).toDF("id", "file_name", "content_hash", "path")
+    val (done3, skip3) =
       Documents.downloadArchive(evil, arDir.toString, target.toString)
-    }
+    assert((done3, skip3) == (1L, 1L)) // the safe sibling still lands
+    assert(new String(Files.readAllBytes(target.resolve("fine/ok.txt"))) == "other bytes")
     assert(!Files.exists(target.getParent.resolve("escape/pwned.txt")))
 
     // scheme-qualified names would make Hadoop Path resolution REPLACE
@@ -100,10 +104,23 @@ class ArchivePlanSpec extends SparkSpec {
     // the ':' reject closes that bypass of the '..' check
     val evilScheme = Seq(("d4", s"file:$arDir/evil-scheme.txt", c1, null))
       .toDF("id", "file_name", "content_hash", "path")
-    intercept[org.apache.spark.SparkException] {
+    val (done4, skip4) =
       Documents.downloadArchive(evilScheme, arDir.toString, target.toString)
-    }
+    assert((done4, skip4) == (0L, 1L))
     assert(!Files.exists(java.nio.file.Paths.get(s"$arDir/evil-scheme.txt")))
+
+    // same destination path claimed by two different checksums: exactly
+    // one deterministic winner (smallest hash), the loser is a logged
+    // conflict — never a nondeterministic race across runs
+    val clash = Seq(
+      ("d6", "dup.txt", c1, "clash"),
+      ("d7", "dup.txt", c2, "clash")).toDF("id", "file_name", "content_hash", "path")
+    val (done5, _) =
+      Documents.downloadArchive(clash, arDir.toString, target.toString)
+    assert(done5 == 1L)
+    val want = new String(
+      (if (c1 < c2) "hello world" else "other bytes").getBytes)
+    assert(new String(Files.readAllBytes(target.resolve("clash/dup.txt"))) == want)
   }
 
   test("resolvePaths walks parent chains and survives cycles") {
