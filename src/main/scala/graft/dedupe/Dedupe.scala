@@ -88,6 +88,12 @@ object Dedupe {
     * keys — documents sharing any (band, bucket) are near-dup candidates.
     */
   def bandRows(sig: DataFrame, idCol: String, k: Int, rowsPerBand: Int): DataFrame = {
+    // validated, not silent: rowsPerBand > k would reduce over ZERO bands
+    // (an unexplained empty.reduce crash), and a non-dividing rowsPerBand
+    // would silently ignore the trailing signature columns — lower LSH
+    // recall than the caller configured, with no sign anything was dropped
+    require(rowsPerBand >= 1 && k >= rowsPerBand && k % rowsPerBand == 0,
+      s"rowsPerBand must divide k: k=$k rowsPerBand=$rowsPerBand")
     val bands = k / rowsPerBand
     (0 until bands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"mh$j"))
@@ -362,9 +368,17 @@ object Dedupe {
         col("a.__tok") === col("b.__tok") && col("a.__grp") < col("b.__grp"))
       .groupBy(col("a.__grp").as("src_a"), col("b.__grp").as("src_b"))
       .agg(count(lit(1)).as("n_common"))
-    inter
-      .join(broadcast(sz.select(col("__grp").as("src_a"), col("__n").as("n_a"))), Seq("src_a"))
-      .join(broadcast(sz.select(col("__grp").as("src_b"), col("__n").as("n_b"))), Seq("src_b"))
+    // EVERY unordered group pair gets a row, as documented: disjoint
+    // sources must report overlap 0, not silently vanish from the matrix
+    // (a mixture-weight consumer reading "no row" as "no data" is wrong
+    // either way). The pair skeleton is the size table self-joined —
+    // #groups² rows, broadcast-bounded like the size lookups
+    val pairs = sz.select(col("__grp").as("src_a"), col("__n").as("n_a"))
+      .join(broadcast(sz.select(col("__grp").as("src_b"), col("__n").as("n_b"))),
+        col("src_a") < col("src_b"))
+    pairs
+      .join(inter, Seq("src_a", "src_b"), "left_outer")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
       .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("n_common"),
         (col("n_common").cast("double") / col("n_a").cast("double")).as("containment_a"),
         (col("n_common").cast("double") / col("n_b").cast("double")).as("containment_b"),

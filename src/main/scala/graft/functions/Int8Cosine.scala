@@ -36,6 +36,12 @@ case class Int8Cosine(qa: Expression, qb: Expression,
 
   override def prettyName: String = "int8_cosine"
 
+  /** A ZERO norm (all-zero codes — the documented zero-vector case)
+    * scores 0.0, never 0/0 = NaN, which would rank above every real
+    * neighbor in desc top-k windows. Overflow is unreachable here:
+    * int8 norms are ≤ 127²·dim, so `na * nb` fits a long at any
+    * realistic dimensionality.
+    */
   override def nullSafeEval(a: Any, b: Any, n1: Any, n2: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
@@ -43,7 +49,10 @@ case class Int8Cosine(qa: Expression, qb: Expression,
     var dot = 0L
     var i = 0
     while (i < n) { dot += xs.getByte(i).toLong * ys.getByte(i).toLong; i += 1 }
-    dot.toDouble / math.sqrt((n1.asInstanceOf[Long] * n2.asInstanceOf[Long]).toDouble)
+    val na = n1.asInstanceOf[Long]
+    val nb = n2.asInstanceOf[Long]
+    if (na == 0L || nb == 0L) 0.0
+    else dot.toDouble / math.sqrt((na * nb).toDouble)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -57,7 +66,8 @@ case class Int8Cosine(qa: Expression, qb: Expression,
          |for (int $i = 0; $i < $n; $i++) {
          |  $dot += (long) $a.getByte($i) * (long) $b.getByte($i);
          |}
-         |${ev.value} = (double) $dot / java.lang.Math.sqrt((double) ($n1 * $n2));
+         |${ev.value} = ($n1 == 0L || $n2 == 0L) ? 0.0
+         |  : (double) $dot / java.lang.Math.sqrt((double) ($n1 * $n2));
        """.stripMargin
     })
 

@@ -35,6 +35,16 @@ case class QuantizedCosine(qa: Expression, qb: Expression,
 
   override def prettyName: String = "quantized_cosine"
 
+  /** Denominator rules (shared with [[graft.similarity.Similarity.cosineOf]]
+    * and the SQL oracle's integer path, which both stay bit-equal):
+    *  - a ZERO norm scores 0.0, never 0/0 = NaN — Spark orders NaN above
+    *    every double, so one zero/padded vector would otherwise rank as
+    *    the #1 neighbor of every query in every desc top-k window;
+    *  - the `na * nb` product stays a LONG (the oracle-exact path) while
+    *    it fits, and falls back to the double product only past the
+    *    overflow boundary — unnormalized large-norm embeddings would
+    *    otherwise wrap negative and sqrt to NaN.
+    */
   override def nullSafeEval(a: Any, b: Any, n1: Any, n2: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
@@ -42,7 +52,16 @@ case class QuantizedCosine(qa: Expression, qb: Expression,
     var dot = 0L
     var i = 0
     while (i < n) { dot += xs.getLong(i) * ys.getLong(i); i += 1 }
-    dot.toDouble / math.sqrt((n1.asInstanceOf[Long] * n2.asInstanceOf[Long]).toDouble)
+    val na = n1.asInstanceOf[Long]
+    val nb = n2.asInstanceOf[Long]
+    if (na == 0L || nb == 0L) 0.0
+    else {
+      val p = na * nb
+      val denom =
+        if (p / na == nb) math.sqrt(p.toDouble)
+        else math.sqrt(na.toDouble * nb.toDouble)
+      dot.toDouble / denom
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -50,13 +69,21 @@ case class QuantizedCosine(qa: Expression, qb: Expression,
       val dot = ctx.freshName("dot")
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
+      val p = ctx.freshName("p")
       s"""
          |long $dot = 0L;
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |for (int $i = 0; $i < $n; $i++) {
          |  $dot += $a.getLong($i) * $b.getLong($i);
          |}
-         |${ev.value} = (double) $dot / java.lang.Math.sqrt((double) ($n1 * $n2));
+         |if ($n1 == 0L || $n2 == 0L) {
+         |  ${ev.value} = 0.0;
+         |} else {
+         |  long $p = $n1 * $n2;
+         |  ${ev.value} = (double) $dot / (($p / $n1 == $n2)
+         |    ? java.lang.Math.sqrt((double) $p)
+         |    : java.lang.Math.sqrt((double) $n1 * (double) $n2));
+         |}
        """.stripMargin
     })
 

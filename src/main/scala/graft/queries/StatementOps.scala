@@ -813,8 +813,9 @@ object StatementOps {
     "srch2_entity_search" ->
       s"""WITH dstmts AS (${graft.lake.DocumentStatements.SQL}),
          |corpus AS (
-         |  SELECT entity_id, value AS text FROM dstmts
-         |  WHERE prop = 'bodyText' AND deleted_at IS NULL),
+         |  SELECT entity_id, string_agg(DISTINCT value, ' ' ORDER BY value) AS text
+         |  FROM dstmts WHERE prop = 'bodyText' AND deleted_at IS NULL
+         |  GROUP BY entity_id),
          |d AS (SELECT entity_id, len(ws) AS dl,
          |    len(list_filter(ws, w -> w = 'spark')) AS tf1,
          |    len(list_filter(ws, w -> w = 'vector')) AS tf2,

@@ -1481,14 +1481,17 @@ object TrainingData {
         |       FROM (SELECT source, ws, unnest(generate_series(1, len(ws)-2)) AS i
         |             FROM toks WHERE len(ws) >= 3)),
         |sz AS (SELECT source, COUNT(*) AS n FROM st GROUP BY source),
-        |inter AS (SELECT a.source AS sa, b.source AS sb, COUNT(*) AS n_common
+        |inter AS (SELECT a.source AS sa, b.source AS sb, COUNT(*) AS nc
         |          FROM st a JOIN st b ON a.g = b.g AND a.source < b.source
-        |          GROUP BY 1,2)
-        |SELECT sa AS src_a, sb AS src_b, za.n AS n_a, zb.n AS n_b, n_common,
-        |  CAST(n_common AS DOUBLE)/CAST(za.n AS DOUBLE) AS containment_a,
-        |  CAST(n_common AS DOUBLE)/CAST(zb.n AS DOUBLE) AS containment_b,
-        |  CAST(n_common AS DOUBLE)/CAST(za.n + zb.n - n_common AS DOUBLE) AS jaccard
-        |FROM inter JOIN sz za ON sa = za.source JOIN sz zb ON sb = zb.source
+        |          GROUP BY 1,2),
+        |pairs AS (SELECT za.source AS sa, zb.source AS sb, za.n AS n_a, zb.n AS n_b
+        |          FROM sz za JOIN sz zb ON za.source < zb.source)
+        |SELECT p.sa AS src_a, p.sb AS src_b, p.n_a, p.n_b,
+        |  COALESCE(i.nc, 0) AS n_common,
+        |  CAST(COALESCE(i.nc, 0) AS DOUBLE)/CAST(p.n_a AS DOUBLE) AS containment_a,
+        |  CAST(COALESCE(i.nc, 0) AS DOUBLE)/CAST(p.n_b AS DOUBLE) AS containment_b,
+        |  CAST(COALESCE(i.nc, 0) AS DOUBLE)/CAST(p.n_a + p.n_b - COALESCE(i.nc, 0) AS DOUBLE) AS jaccard
+        |FROM pairs p LEFT JOIN inter i ON p.sa = i.sa AND p.sb = i.sb
         |ORDER BY src_a, src_b""".stripMargin,
     "hyb1_rrf_fusion" ->
       s"""WITH $qCte,
@@ -1571,7 +1574,7 @@ object TrainingData {
         |  len(string_split(text,' ')) AS n_tokens,
         |  len(list_distinct(string_split(text,' '))) AS n_distinct,
         |  CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / CAST(len(string_split(text,' ')) AS DOUBLE) AS ttr,
-        |  CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio,
+        |  CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio,
         |  CAST(len(list_filter(string_split(text,' '), t -> t IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'))) AS DOUBLE)
         |    / CAST(len(string_split(text,' ')) AS DOUBLE) AS stopword_ratio,
         |  CAST(0.5 AS DOUBLE) * (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / CAST(len(string_split(text,' ')) AS DOUBLE))
@@ -1581,7 +1584,7 @@ object TrainingData {
       """SELECT doc_id,
         |  length(text) AS n_chars_measured,
         |  len(string_split(text,' ')) AS n_tokens,
-        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_subwords
+        |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_subwords
         |FROM documents ORDER BY doc_id""".stripMargin,
     "t4_fingerprint" ->
       """SELECT doc_id,
@@ -1595,9 +1598,12 @@ object TrainingData {
         |        + (('0x'||substr(md5(ws[i+1]),1,8))::BIGINT)*64
         |        + (('0x'||substr(md5(ws[i+2]),1,8))::BIGINT)) % 1000003)) AS r
         |  FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents))
-        |SELECT doc_id,
-        |  array_to_string(list_sort(list_distinct(list(r)))[1:8], ',') AS sketch
-        |FROM rolls WHERE r IS NOT NULL GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |SELECT d.doc_id, COALESCE(s.sketch, '') AS sketch
+        |FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN (
+        |  SELECT doc_id,
+        |    array_to_string(list_sort(list_distinct(list(r)))[1:8], ',') AS sketch
+        |  FROM rolls WHERE r IS NOT NULL GROUP BY doc_id) s USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "d1_exact_dup" ->
       """SELECT md5(array_to_string((string_split(text,' '))[1:5], ' ')) AS dup_key,
         |  COUNT(*) AS group_size,

@@ -368,6 +368,10 @@ object Similarity {
       col(blockCol).cast("int").as("block"),
       col(idCol).cast("long").as("id"),
       col("__q"), col("__n"))
+      // a null block (an unassigned vector from an upstream left join) or
+      // null id has no pair semantics — skip it instead of killing the
+      // job with the tuple encoder's null-in-non-nullable-field error
+      .filter(col("block").isNotNull && col("id").isNotNull)
       .as[(Int, Long, Array[Long], Long)]
     p.groupByKey(_._1)
       .flatMapGroups { (block, rows) =>
@@ -446,7 +450,17 @@ object Similarity {
     var dot = 0L
     var i = 0
     while (i < qa.length) { dot += qa(i) * qb(i); i += 1 }
-    dot.toDouble / math.sqrt((na * nb).toDouble)
+    // zero-norm → 0.0 (never NaN), long-exact product while it fits,
+    // double product past the overflow boundary — the same rules as the
+    // codegen kernel, kept bit-identical (see QuantizedCosine)
+    if (na == 0L || nb == 0L) 0.0
+    else {
+      val p = na * nb
+      val denom =
+        if (p / na == nb) math.sqrt(p.toDouble)
+        else math.sqrt(na.toDouble * nb.toDouble)
+      dot.toDouble / denom
+    }
   }
 
   // ---- Product quantization (Jégou et al. 2011, "Product Quantization

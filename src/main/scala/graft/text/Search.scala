@@ -91,8 +91,13 @@ object Search {
   def fromLive(live: DataFrame, textProp: String, terms: Seq[String],
       k: Int): DataFrame =
     bm25TopK(
-      live.filter(col("prop") === textProp)
-        .select(col("entity_id"), col("value").as("__text")),
+      // ONE document per entity: multi-valued props are the FtM norm, and
+      // scoring each statement row separately would inflate N/df and let
+      // one entity occupy several top-k slots. The entity's doc is its
+      // distinct values joined in sorted order (deterministic bytes)
+      live.filter(col("prop") === textProp && col("value").isNotNull)
+        .groupBy(col("entity_id"))
+        .agg(concat_ws(" ", sort_array(collect_set(col("value")))).as("__text")),
       "entity_id", "__text", terms, k)
 
   /** Per-document top-`k` terms by tf-idf (keyword extraction). The idf
@@ -155,7 +160,13 @@ object Search {
     val pairs = docs.select(
       explode(split(col(textCol), " ")).as("term"), col(idCol).as("__doc"))
     val partial = pairs
-      .groupBy(col("term"), pmod(col("__doc"), lit(salts.toLong)).as("__salt"))
+      // salt by HASH of the doc id, not the id itself: pmod on a string
+      // id casts to null, collapsing every doc into one salt group — the
+      // exact hot-term single-task concentration the salt exists to
+      // prevent. Any deterministic salt partitions the doc space, so df
+      // (partial distinct-counts add) and the smallest-cap postings are
+      // unchanged
+      .groupBy(col("term"), pmod(xxhash64(col("__doc")), lit(salts.toLong)).as("__salt"))
       .agg(collect_set(col("__doc")).as("__set"))
       .select(col("term"), size(col("__set")).cast("long").as("__pc"),
         slice(sort_array(col("__set")), 1, cap).as("__pl"))

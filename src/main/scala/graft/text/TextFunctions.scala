@@ -21,6 +21,15 @@ object TextFunctions {
   /** Distinct n-word shingles (default 3): the discriminative term set for
     * MinHash/Jaccard near-dup detection. Short texts (< n tokens) yield a
     * single shingle covering the whole text.
+    *
+    * SHORT-DOC SEMANTICS DIFFER from [[graft.dedupe.Dedupe.shingleRows]],
+    * deliberately: this columnar form pads a short doc to one whole-text
+    * shingle (so exact short duplicates still collide), while the
+    * row-grain `shingleRows` yields NO rows for it (short docs carry no
+    * near-dup signal and stay out of the LSH candidate space). Signatures
+    * and verification for one pipeline must be built through the SAME
+    * entry point — mixing them silently drops short docs from one side
+    * of the candidate join.
     */
   def shingles(text: Column, n: Int = 3): Column = {
     val toks = tokens(text)
@@ -32,7 +41,10 @@ object TextFunctions {
   /** BPE-ish subword count: alpha runs, digit runs, and single other chars.
     * A cheap proxy for LLM token budgeting at corpus scale.
     */
-  val SubwordPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+  // case-insensitive letter runs: fingerprint() lowercases because
+  // mixed-case input is expected, so counting every CAPITAL as a
+  // separate "other" char would misread ordinary prose as markup
+  val SubwordPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
 
   def subwordCount(text: Column): Column = regexp_count(text, lit(SubwordPattern))
 
@@ -40,7 +52,7 @@ object TextFunctions {
     * values flag markup/noise documents.
     */
   def punctRatio(text: Column): Column =
-    regexp_count(text, lit("[^a-z0-9 ]")).cast("double") / length(text).cast("double")
+    regexp_count(text, lit("[^a-zA-Z0-9 ]")).cast("double") / length(text).cast("double")
 
   /** Tiny English stopword list for the density heuristic — natural prose
     * sits in a mid band; keyword-stuffed or non-linguistic text falls out
@@ -78,13 +90,20 @@ object TextFunctions {
     val h0 = graft.dedupe.Dedupe.tokenHash(col("__w"))
     val h1 = graft.dedupe.Dedupe.tokenHash(lead(col("__w"), 1).over(w))
     val h2 = graft.dedupe.Dedupe.tokenHash(lead(col("__w"), 2).over(w))
-    toks
+    val sketches = toks
       .withColumn("__roll", (h0 * 4096L + h1 * 64L + h2) % P)
       .filter(col("__roll").isNotNull)
       .groupBy(col(idCol))
       .agg(array_join(transform(
         slice(sort_array(collect_set(col("__roll"))), 1, k),
         _.cast("string")), ",").as("sketch"))
+    // EVERY document gets a sketch row: a doc under 3 tokens has no
+    // trigram window, and silently emitting nothing would drop it from
+    // any inner-joined fuzzy-match coverage — it carries the EMPTY
+    // sketch instead (overlaps with nothing, present in the table)
+    docs.select(col(idCol)).distinct()
+      .join(sketches, Seq(idCol), "left_outer")
+      .na.fill("", Seq("sketch"))
   }
 
   /** Type-token ratio — low values flag boilerplate/repetition. */

@@ -517,11 +517,15 @@ class TrainingDataSpec extends SparkSpec {
     val out = Dedupe.groupShingleOverlap(df, "source", "doc_id", terms)
       .collect().map(r => (r.getString(0), r.getString(1)) ->
         (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(7))).toMap
-    // only overlapping pairs appear (inner join on the shingle)
-    assert(out.keySet == Set(("s1", "s2")))
+    // EVERY unordered pair appears — disjoint sources report overlap 0,
+    // they don't silently vanish from the matrix
+    assert(out.keySet == Set(("s1", "s2"), ("s1", "s3"), ("s2", "s3")))
     val (na, nb, common, contA, jac) = out(("s1", "s2"))
     assert(na == 2L && nb == 2L && common == 1L)
     assert(contA == 0.5 && jac == 1.0 / 3.0)
+    val (na13, nb13, common13, contA13, jac13) = out(("s1", "s3"))
+    assert(na13 == 2L && nb13 == 2L && common13 == 0L)
+    assert(contA13 == 0.0 && jac13 == 0.0)
   }
 
   test("PQ codes match a Scala brute-force twin; ADC is exact-integer; no shuffle") {
