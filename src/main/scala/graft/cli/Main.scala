@@ -86,7 +86,7 @@ object Main {
     case "zfs" :: "init" :: ds :: Nil =>
       val pool = flags.get("pool").orElse(sys.env.get("GRAFT_ZFS_POOL"))
         .getOrElse(fail("--pool <zpool> or GRAFT_ZFS_POOL required"))
-      val agent = flags.get("agent").map(_.trim.split("\\s+").toSeq)
+      val agent = flags.get("agent").map(graft.lake.Zfs.tokenize)
         .getOrElse(graft.lake.Zfs.defaultAgent)
       graft.lake.Zfs.ensureDataset(pool, ds, agent).foreach(println)
       true

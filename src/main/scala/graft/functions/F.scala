@@ -75,16 +75,36 @@ object F {
     * block-manager cache path is erratically slow. At cluster scale this
     * is the same pattern as a checkpoint/stage table in a pipeline DAG.
     */
+  // Exit-time reclamation for stage scratch paths: ONE shutdown hook
+  // draining a shared list, registered on first use. A hook per path
+  // (the previous shape) retains a Thread per stageTempPath call — a
+  // long-lived serve process running many streaming drains accumulates
+  // them unboundedly. Each entry carries its own Hadoop conf so the
+  // delete resolves the path's filesystem the way the writer did
+  // (shared-FS schemes included), even after the session is stopped.
+  private val stageTempPaths =
+    new java.util.concurrent.ConcurrentLinkedQueue[
+      (String, org.apache.hadoop.conf.Configuration)]
+  private lazy val stageTempHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      var e = stageTempPaths.poll()
+      while (e != null) {
+        scala.util.Try {
+          val p = new org.apache.hadoop.fs.Path(e._1)
+          p.getFileSystem(e._2).delete(p, true)
+        }
+        e = stageTempPaths.poll()
+      }
+    }))
+
   /** Allocate a session-scoped scratch path under the stage root and
     * register exit-time reclamation via the path's own filesystem (works
     * for shared-FS schemes, not just file:).
     */
   def stageTempPath(spark: SparkSession, prefix: String): String = {
     val tmp = s"${stageRoot(spark)}/$prefix-${java.util.UUID.randomUUID().toString}"
-    Runtime.getRuntime.addShutdownHook(new Thread(() => scala.util.Try {
-      val p = new org.apache.hadoop.fs.Path(tmp)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-    }))
+    stageTempHook
+    stageTempPaths.add((tmp, spark.sparkContext.hadoopConfiguration))
     tmp
   }
 

@@ -51,10 +51,16 @@ class Catalog(val spark: SparkSession, val rootStr: String) {
   private def parProbe[A, B](items: Seq[A],
       pool: scala.concurrent.ExecutionContext = FsOps.driverIoPool)(
       f: A => B): Seq[B] = {
-    import scala.concurrent.{Await, Future}
-    implicit val ec: scala.concurrent.ExecutionContext = pool
-    Await.result(Future.traverse(items)(a => Future(f(a))),
-      scala.concurrent.duration.Duration.Inf)
+    // bounded, not Duration.Inf: a single hung object-store probe must
+    // surface as a timeout NAMING the stuck dataset instead of hanging
+    // listDatasets/index/makeAll forever with no diagnostic. The budget
+    // covers the whole batch (probes run concurrently on the pool, so
+    // wall time is ~the slowest probe, not the sum).
+    val timeoutSec = spark.conf.getOption("spark.graft.catalog.probeTimeoutSec")
+      .map(_.toLong).getOrElse(600L)
+    FsOps.awaitAll(items,
+      scala.concurrent.duration.Duration(timeoutSec, "s"),
+      (a: A) => String.valueOf(a), pool)(f)
   }
 
   /** Names of all datasets under the root that have a config, sorted

@@ -25,6 +25,36 @@ object FsOps {
         t
       }))
 
+  /** Map `f` over `items` on `pool`, preserving order, with a DEADLINE:
+    * one hung filesystem probe (an object store that never answers) must
+    * fail with a diagnostic NAMING the stuck item, not hang the driver
+    * forever on an unbounded await. The timeout is a shared budget for
+    * the whole batch — items are awaited in order against the remaining
+    * time, so the first item still pending at the deadline is reported
+    * (items completing under it cost nothing extra).
+    */
+  def awaitAll[A, B](items: Seq[A], timeout: scala.concurrent.duration.Duration,
+      label: A => String,
+      pool: scala.concurrent.ExecutionContext = driverIoPool)(f: A => B): Seq[B] = {
+    import scala.concurrent.{Await, Future}
+    implicit val ec: scala.concurrent.ExecutionContext = pool
+    val futs = items.map(a => a -> Future(f(a)))
+    val deadline =
+      if (timeout.isFinite) System.nanoTime() + timeout.toNanos else Long.MaxValue
+    futs.map { case (a, fut) =>
+      val remaining = deadline - System.nanoTime()
+      try Await.result(fut,
+        if (deadline == Long.MaxValue) scala.concurrent.duration.Duration.Inf
+        else scala.concurrent.duration.Duration.fromNanos(math.max(remaining, 0L)))
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          throw new java.util.concurrent.TimeoutException(
+            s"driver IO probe timed out after $timeout waiting on `${label(a)}` " +
+              "(raise spark.graft.catalog.probeTimeoutSec if the store is just slow)")
+      }
+    }
+  }
+
   private def nio(fs: FileSystem, p: Path): Option[NioPath] =
     if (fs.getScheme == "file") Some(Paths.get(p.toUri.getPath)) else None
 

@@ -58,13 +58,38 @@ object Zfs {
       cmd(s"$base/statements", Statements.toProps))
   }
 
+  /** Shell-style tokenization for agent command strings: whitespace
+    * splits, single or double quotes group — so an agent binary living
+    * at a path with spaces (`'/opt/my tools/agent' --sudo`) is
+    * expressible. No escapes, no expansion: the string is tokenized,
+    * never handed to a shell. An unterminated quote throws rather than
+    * silently swallowing the rest of the command.
+    */
+  def tokenize(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    val cur = new StringBuilder
+    var quote: Char = 0
+    var inTok = false
+    s.foreach { c =>
+      if (quote != 0) {
+        if (c == quote) quote = 0 else cur += c
+      } else if (c == '\'' || c == '"') { quote = c; inTok = true }
+      else if (c.isWhitespace) {
+        if (inTok) { out += cur.result(); cur.clear(); inTok = false }
+      } else { cur += c; inTok = true }
+    }
+    require(quote == 0, s"unterminated quote in agent command: `$s`")
+    if (inTok) out += cur.result()
+    out.toList
+  }
+
   /** Agent command from the environment (`GRAFT_ZFS_AGENT`, may carry
-    * its own arguments), defaulting to the reference's external
-    * `zfs-agent` binary on PATH.
+    * its own arguments; quotes group tokens — see [[tokenize]]),
+    * defaulting to the reference's external `zfs-agent` binary on PATH.
     */
   def defaultAgent: Seq[String] =
     sys.env.get("GRAFT_ZFS_AGENT").map(_.trim).filter(_.nonEmpty)
-      .map(_.split("\\s+").toSeq).getOrElse(Seq("zfs-agent"))
+      .map(tokenize).getOrElse(Seq("zfs-agent"))
 
   /** Create the dataset's tuned ZFS hierarchy under `pool` by running
     * each create through the agent command (reference

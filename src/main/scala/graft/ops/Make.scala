@@ -73,6 +73,22 @@ object Make {
       case "zstd" | "zst" => ".zst"
       case _ => ""
     }
+    // after a successful rewrite at the CURRENT suffix, drop the other
+    // suffix variants of the same artifact: when the compression setting
+    // changes (gzip → none), the new file lands at the new name while the
+    // old-suffix variant would otherwise stay on disk forever — a mirror
+    // still fetching the old name would receive stale content with no
+    // error. Delete-after-publish keeps the window where NO variant
+    // exists at zero (the new artifact is already live when the stale
+    // names disappear).
+    def dropStaleVariants(base: String): Unit = {
+      val hconf = store.spark.sessionState.newHadoopConf()
+      Seq("", ".gz", ".zst").filterNot(_ == suffix).foreach { s =>
+        val p = new org.apache.hadoop.fs.Path(s"$base$s")
+        val fs = p.getFileSystem(hconf)
+        if (fs.exists(p)) fs.delete(p, false)
+      }
+    }
     // the whole export pass runs under job lifecycle tracking (reference
     // operation/make.py wraps exports in an ExportJob run): a crashed
     // make leaves an inspectable failed run with the exception captured,
@@ -85,11 +101,13 @@ object Make {
       Exports.singleFileCsv(
         store.raw.select(graft.model.Statement.columns.map(col): _*),
         s"$outDir/statements.csv$suffix", compression = compression)
+      dropStaleVariants(s"$outDir/statements.csv")
     }
     gated("entities.ftm.json") {
       Exports.singleFileJson(
         EntityAssembly.assemble(store.live).toDF(),
         s"$outDir/entities.ftm.json$suffix", "id", compression = compression)
+      dropStaleVariants(s"$outDir/entities.ftm.json")
       // incremental diff rides the entities export (reference
       // _export_entities: export + export_diff); stateful — initial run
       // emits the full ADD copy, later runs only the window's ADD/MOD/DEL
@@ -116,6 +134,7 @@ object Make {
       if (!docs.isEmpty || hadDocs) {
         Exports.singleFileCsv(docs, dest,
           sortCol = "id", compression = compression)
+        dropStaleVariants(s"$outDir/documents.csv")
         Diff.exportDocumentsDiff(store, outDir, publicUrlPrefix)
       }
     }

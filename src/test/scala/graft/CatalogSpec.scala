@@ -240,4 +240,29 @@ class CatalogSpec extends SparkSpec {
       .latest().get
     assert(!run.running && run.errors == 2 && run.pending == 0)
   }
+
+  test("catalog-wide probes are deadline-bounded and name the stuck dataset") {
+    import scala.concurrent.duration.Duration
+    // the helper behind Catalog.parProbe (spark.graft.catalog.probeTimeoutSec):
+    // a probe that never answers — a hung object-store round trip — must
+    // surface as a timeout naming the stuck item, not hang the driver
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    try {
+      val ex = intercept[java.util.concurrent.TimeoutException] {
+        graft.lake.FsOps.awaitAll(
+          Seq("fast_a", "stuck_b", "fast_c"), Duration(300, "ms"), identity[String]) {
+          name => if (name == "stuck_b") gate.await(); name.toUpperCase }
+      }
+      assert(ex.getMessage.contains("stuck_b"), ex.getMessage)
+      assert(ex.getMessage.contains("probeTimeoutSec"), ex.getMessage)
+    } finally gate.countDown() // unblock the pool thread
+    // under the deadline, results come back complete and in order
+    assert(graft.lake.FsOps.awaitAll(
+      Seq("a", "b", "c"), Duration(30, "s"), identity[String])(_.toUpperCase) ==
+      Seq("A", "B", "C"))
+    // and the wired default is generous, not accidentally zero
+    val cat = new Catalog(spark, Files.createTempDirectory("graft-cat-to").toString)
+    cat.ensureDataset("alpha", shards = 2)
+    assert(cat.listDatasets() == Seq("alpha"))
+  }
 }

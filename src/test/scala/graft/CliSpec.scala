@@ -216,6 +216,41 @@ class CliSpec extends SparkSpec {
     assert(ex.getMessage.contains("exit 3") && ex.getMessage.contains("boom"))
   }
 
+  test("zfs agent tokenization: quoted paths with spaces survive, junk rejected") {
+    import graft.lake.Zfs.tokenize
+    // plain whitespace split
+    assert(tokenize("zfs-agent --sudo") == Seq("zfs-agent", "--sudo"))
+    assert(tokenize("  zfs-agent  ") == Seq("zfs-agent"))
+    // quotes group: a binary path containing spaces is expressible
+    assert(tokenize("'/opt/my tools/agent' --sudo") ==
+      Seq("/opt/my tools/agent", "--sudo"))
+    assert(tokenize("\"/opt/my tools/agent\" -v") ==
+      Seq("/opt/my tools/agent", "-v"))
+    // adjacent quoted/unquoted segments concatenate (shell semantics)
+    assert(tokenize("pre'fix suf'fix") == Seq("prefix suffix"))
+    // empty quoted token is a real (empty) argument
+    assert(tokenize("a '' b") == Seq("a", "", "b"))
+    // unterminated quote throws instead of silently eating the tail
+    assertThrows[IllegalArgumentException](tokenize("'/opt/agent --sudo"))
+
+    // end to end: an agent living at a path with a space, passed quoted
+    // through the CLI flag, is invoked correctly
+    val dir = Files.createTempDirectory("graft-zfs sp")
+    val log = dir.resolve("calls.log")
+    val script = dir.resolve("fake agent.sh")
+    Files.write(script,
+      ("#!/bin/sh\necho \"$@\" >> '" + log.toString + "'\n").getBytes("UTF-8"))
+    script.toFile.setExecutable(true)
+    Console.withOut(new PrintStream(new ByteArrayOutputStream(), true, "UTF-8")) {
+      val (flags, pos) = graft.cli.Main.parseArgs(List(
+        "zfs", "init", "alpha", "--pool", "tank",
+        "--agent", "'" + script.toString + "'"))
+      assert(graft.cli.Main.runHostOps(flags, pos))
+    }
+    val calls = new String(Files.readAllBytes(log), "UTF-8").trim.linesIterator.toSeq
+    assert(calls.size == 3 && calls.head.endsWith("tank/alpha"), calls)
+  }
+
   private def cliBytes(root: String, args: String*): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     val old = System.out
