@@ -112,16 +112,27 @@ object Dedupe {
       maxBucket: Int = 10000): DataFrame = {
     val spark = banded.sparkSession
     import spark.implicits._
+    // a dropped bucket is never silent: the skip counters surface how
+    // many groups (and member rows) the cap discarded — see SkipStats
+    val (skB, skR) = graft.functions.SkipStats.pair(spark, "lsh")
     banded.select(col(idCol), col("band"), col("bucket")).as[(Long, Int, String)]
       .groupByKey { case (_, band, bucket) => (band, bucket) }
-      .flatMapGroups { (_: (Int, String), rows: Iterator[(Long, Int, String)]) =>
+      .flatMapGroups { (key: (Int, String), rows: Iterator[(Long, Int, String)]) =>
         // take(cap+1) BEFORE toArray: an over-cap bucket is detected from
         // the first cap+1 rows and never materialized in task memory —
-        // the remainder of the group iterator is simply left unconsumed
-        // (same bound as Xref.candidates / Similarity.nearDupPairs). A
-        // mega-bucket at 100 TB is a skip, not an OOM.
+        // the remainder of the group iterator is only COUNTED, never
+        // stored (same bound as Xref.candidates /
+        // Similarity.nearDupPairs). A mega-bucket at 100 TB is a
+        // counted skip, not an OOM.
         val ids = rows.map(_._1).take(maxBucket + 1).toArray
-        if (ids.length > maxBucket) Iterator.empty
+        if (ids.length > maxBucket) {
+          var extra = 0L
+          rows.foreach(_ => extra += 1)
+          skB.add(1); skR.add(ids.length + extra)
+          System.err.println(s"[dedupe] LSH bucket band=${key._1} over cap " +
+            s"($maxBucket): ${ids.length + extra} rows skipped")
+          Iterator.empty
+        }
         else {
           java.util.Arrays.sort(ids)
           for {
@@ -214,6 +225,7 @@ object Dedupe {
       maxBucket: Int = 10000): DataFrame = {
     val spark = sig0.sparkSession
     import spark.implicits._
+    val (skB, skR) = graft.functions.SkipStats.pair(spark, "simhash")
     sig0.select(col(idCol).cast("long"), col("simhash"),
       explode(sequence(lit(0), lit(3))).as("__band"))
       .withColumn("__byte", expr("(simhash >> (__band * 8)) & 255"))
@@ -223,9 +235,18 @@ object Dedupe {
         val band = key._1
         // bounded materialization: take(cap+1) detects an over-cap bucket
         // from its first cap+1 rows without pulling the rest into memory
-        // (see bucketPairs) — a hot byte-bucket is skipped, never an OOM
+        // (see bucketPairs) — a hot byte-bucket is a counted skip
+        // (SkipStats), never an OOM
         val docs = rows.map(r => (r._1, r._2)).take(maxBucket + 1).toArray
-        if (docs.length > maxBucket) Iterator.empty
+        if (docs.length > maxBucket) {
+          var extra = 0L
+          rows.foreach(_ => extra += 1)
+          skB.add(1); skR.add(docs.length + extra)
+          System.err.println(s"[dedupe] SimHash bucket band=$band " +
+            s"byte=${key._2} over cap ($maxBucket): " +
+            s"${docs.length + extra} rows skipped")
+          Iterator.empty
+        }
         else {
           java.util.Arrays.sort(docs,
             java.util.Comparator.comparingLong((p: (Long, Long)) => p._1))
@@ -422,14 +443,31 @@ object Dedupe {
     * (the component's min member id) per document: the canonical-pick
     * step of a dedup pipeline ("keep one doc per duplicate cluster").
     *
-    * Min-label propagation: every node starts labeled with itself; each
-    * round takes the min of its own and its neighbors' labels, with the
-    * label state re-staged per round — flat lineage, no plan growth,
-    * every round one join + one aggregation (the large-scale connected-
-    * components shape). Converges in diameter rounds; duplicate clusters
-    * have tiny diameters, and `maxRounds` bounds adversarial chains.
+    * Min-label propagation with LABEL SHORTCUTTING: every node starts
+    * labeled with itself; each round takes the min of its own and its
+    * neighbors' labels, and from round `shortcutFrom` on additionally
+    * replaces each label by ITS label (pointer doubling) — so the
+    * propagation frontier roughly doubles per round and a diameter-d
+    * component converges in O(log d) rounds instead of d. Duplicate
+    * clusters (tiny diameters) converge inside the plain-propagation
+    * prefix with a plan identical to the pre-shortcut form; the doubling
+    * only engages on long-chain shapes (ownership chains in the general
+    * entity graph). Label state is re-staged per round — flat lineage,
+    * no plan growth; a plain round is one join + one map-side-combinable
+    * min, a shortcut round adds one join against the (small) label
+    * table.
+    *
+    * The output is the FIXPOINT (label = component min — monotone
+    * decreasing, bounded by the component min, stable once reached), so
+    * it is independent of which round schedule got there. Non-convergence
+    * at `maxRounds` is never silent: it throws by default
+    * (`failOnNonConvergence=false` downgrades to a stderr warning and
+    * returns the partial labels) — with 16 doubling rounds that means
+    * components of diameter beyond ~2^12, a data-quality signal in any
+    * dedup corpus, not a workload.
     */
-  def dupClusters(pairs: DataFrame, maxRounds: Int = 16): DataFrame = {
+  def dupClusters(pairs: DataFrame, maxRounds: Int = 16,
+      shortcutFrom: Int = 4, failOnNonConvergence: Boolean = true): DataFrame = {
     import graft.functions.F
     // the "star": both edge directions plus a self-loop per node. The
     // self-loop makes every round a single join + single aggregation — the
@@ -445,19 +483,43 @@ object Dedupe {
     var changed = 1L
     var round = 1
     while (changed > 0 && round < maxRounds) {
+      val prop = star.join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("lbl")).as("lbl"),
+          min(when(col("dst") === col("src"), col("lbl"))).as("__old"))
+      val stepped =
+        if (round + 1 >= shortcutFrom) {
+          // shortcut: label := label's label. Every label is a node id
+          // (a min over star dst ids, all of which carry a self-loop and
+          // therefore a label row), so the lookup always hits; the
+          // left+coalesce is belt-and-braces. Staged first so the
+          // self-referential lookup reads one computed table instead of
+          // recomputing the propagation join twice.
+          val p = F.materialize(prop)
+          p.join(
+            p.select(col("id").as("lbl"), col("lbl").as("__lbl2")),
+            Seq("lbl"), "left_outer")
+            .select(col("id"),
+              coalesce(col("__lbl2"), col("lbl")).as("lbl"), col("__old"))
+        } else prop
       // the convergence count rides the stage write itself (observe) —
       // one job per round, no separate aggregate over the staged parquet
       val (next, chg) = F.materializeObserved(
-        star.join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
-          .groupBy(col("src").as("id"))
-          .agg(min(col("lbl")).as("lbl"),
-            min(when(col("dst") === col("src"), col("lbl"))).as("__old"))
+        stepped
           .withColumn("__chg", (col("lbl") =!= col("__old")).cast("long"))
           .drop("__old"),
         sum(col("__chg")))
       changed = chg
       labels = next.drop("__chg")
       round += 1
+    }
+    if (changed > 0) {
+      val msg = s"connected components did not converge in $maxRounds " +
+        s"rounds ($changed labels still moving) — component diameter " +
+        "exceeds the doubling schedule's reach; raise maxRounds or " +
+        "inspect the pair graph for pathological chains"
+      if (failOnNonConvergence) throw new IllegalStateException(msg)
+      else System.err.println(s"[dedupe] WARNING: $msg")
     }
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }

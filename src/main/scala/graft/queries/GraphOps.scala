@@ -70,13 +70,16 @@ object GraphOps {
     EntityGraph.pageRank(csEdges(spark, dir), iters = 3)
       .orderBy(col("node"))
 
-  /** gr4: connected components — min-label propagation to fixpoint over
-    * the undirected graph, reusing the dedupe clusterer (same algorithm,
-    * same scale shape: one join + one map-side-combinable min per round,
-    * label state re-staged, no driver graph). The oracle replays exactly
-    * `maxRounds` chained rounds: labels are STABLE once converged, so the
-    * early-exiting Spark loop and the always-16-round SQL agree bit for
-    * bit whether convergence lands at round 3 or never.
+  /** gr4: connected components — min-label propagation (with label
+    * shortcutting from round 4, see [[graft.dedupe.Dedupe.dupClusters]])
+    * over the undirected graph, reusing the dedupe clusterer (same scale
+    * shape: one join + one map-side-combinable min per round, label state
+    * re-staged, no driver graph). Oracle parity is a FIXPOINT argument:
+    * the Spark loop runs to convergence (non-convergence throws, never
+    * silently truncates), and the converged labels are exactly
+    * (node → component min id) regardless of round schedule — the same
+    * value the oracle's 16 chained propagation rounds compute on this
+    * graph (which converges well inside them).
     */
   def gr4Components(spark: SparkSession, dir: String): DataFrame =
     graft.dedupe.Dedupe.dupClusters(
@@ -224,8 +227,10 @@ object GraphOps {
         |  UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
         |SELECT node, COUNT(*) AS n_tri FROM corners GROUP BY 1 ORDER BY 1""".stripMargin,
     "gr4_components" -> {
-      // Dedupe.dupClusters runs at most 16 rounds (round 1 fused into
-      // init) — generate the same 16 rounds as chained CTEs
+      // 16 chained propagation rounds reach the fixpoint on this graph;
+      // the Spark side converges to the same fixpoint (shortcutting only
+      // changes HOW FAST, and non-convergence throws instead of
+      // returning a partial labeling the oracle couldn't mirror)
       val rounds = (1 to 15).map { i =>
         s"""l$i AS (SELECT s.src AS node, MIN(l.lbl) AS lbl
            |  FROM star s JOIN l${i - 1} l ON l.node = s.dst GROUP BY s.src)""".stripMargin

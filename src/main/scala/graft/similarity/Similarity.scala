@@ -364,6 +364,7 @@ object Similarity {
       threshold: Double, maxBlock: Int = DefaultMaxBlock): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    val (skB, skR) = graft.functions.SkipStats.pair(spark, "embed")
     val p = prepared(emb, idCol).select(
       col(blockCol).cast("int").as("block"),
       col(idCol).cast("long").as("id"),
@@ -376,7 +377,16 @@ object Similarity {
     p.groupByKey(_._1)
       .flatMapGroups { (block, rows) =>
         val vs0 = rows.take(maxBlock + 1).toArray
-        if (vs0.length > maxBlock) Iterator.empty
+        if (vs0.length > maxBlock) {
+          // counted, never silent (SkipStats): a degenerate mega-block
+          // capping recall must leave a trace in the run's metrics
+          var extra = 0L
+          rows.foreach(_ => extra += 1)
+          skB.add(1); skR.add(vs0.length + extra)
+          System.err.println(s"[similarity] block $block over cap " +
+            s"($maxBlock): ${vs0.length + extra} rows skipped")
+          Iterator.empty
+        }
         else {
           val vs = vs0.sortBy(_._2)
           for {
@@ -419,14 +429,23 @@ object Similarity {
     // clusters past the block cap skip the prune (everything kept) rather
     // than exploding O(n²) in one task — at scale, size `nlist` so the
     // expected cluster is far below the cap; a cap-breaching cluster is a
-    // quantizer-degeneracy signal, not a workload
+    // quantizer-degeneracy signal, not a workload, and it is COUNTED
+    // (SkipStats "semdedup") so the degeneracy is visible in metrics
+    val (skB, skR) = graft.functions.SkipStats.pair(spark, "semdedup")
     val dropped = assigned.select(
       col("__cid").cast("int"), col(idCol).cast("long"), col("__q"), col("__n"))
       .as[(Int, Long, Array[Long], Long)]
       .groupByKey(_._1)
-      .flatMapGroups { (_, rows) =>
+      .flatMapGroups { (cid, rows) =>
         val vs0 = rows.take(DefaultMaxBlock + 1).toArray
-        if (vs0.length > DefaultMaxBlock) Iterator.empty
+        if (vs0.length > DefaultMaxBlock) {
+          var extra = 0L
+          rows.foreach(_ => extra += 1)
+          skB.add(1); skR.add(vs0.length + extra)
+          System.err.println(s"[similarity] semdedup cluster $cid over cap " +
+            s"($DefaultMaxBlock): prune skipped, all kept")
+          Iterator.empty
+        }
         else {
           val vs = vs0.sortBy(_._2)
           for {

@@ -269,6 +269,29 @@ class TrainingDataSpec extends SparkSpec {
     assert(keep == Set(1L, 10L))
   }
 
+  test("dupClusters: diameter-40 chain converges inside 16 rounds via label shortcutting") {
+    import spark.implicits._
+    import graft.dedupe.Dedupe
+    // a 41-node path 0-1-2-...-40: plain min-label propagation needs 40
+    // rounds (the old silent-mislabel shape); the doubling schedule
+    // reaches the far end in ~7 — the long-ownership-chain case of the
+    // general entity graph
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedupe.dupClusters(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 41 && got.values.forall(_ == 0L), got)
+    // non-convergence is surfaced, never silent: with shortcutting pushed
+    // out of reach and a tight cap, the same chain throws...
+    val ex = intercept[IllegalStateException](
+      Dedupe.dupClusters(chain, maxRounds = 4, shortcutFrom = 99))
+    assert(ex.getMessage.contains("did not converge"), ex.getMessage)
+    // ...and the opt-out returns partial labels with a warning instead
+    val partial = Dedupe.dupClusters(chain, maxRounds = 4, shortcutFrom = 99,
+      failOnNonConvergence = false).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(partial(40L) > 0L) // far end provably not yet at the fixpoint
+  }
+
   test("TokenHash: fused kernel equals the conv(substring(md5)) recipe on both eval paths") {
     import spark.implicits._
     import graft.functions.TokenHash
