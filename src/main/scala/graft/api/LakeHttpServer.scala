@@ -383,7 +383,6 @@ class LakeHttpServer(spark: SparkSession, lakeRoot: String, port: Int = 0,
         val uri = strField(body, "uri").getOrElse(
           throw new IllegalArgumentException("CrawlJob needs `uri`"))
         val srcPath = new org.apache.hadoop.fs.Path(uri)
-        val fs = srcPath.getFileSystem(spark.sessionState.newHadoopConf())
         val include = strField(body, "glob") match {
           case Some(glob) =>
             val m = java.nio.file.FileSystems.getDefault
@@ -393,8 +392,10 @@ class LakeHttpServer(spark: SparkSession, lakeRoot: String, port: Int = 0,
             val prefix = strField(body, "prefix").getOrElse("")
             (rel: String) => rel.startsWith(prefix)
         }
-        val crawled = graft.ops.Documents.crawl(
-          fs, srcPath, datasetArchive(ds), include)
+        val crawled = graft.ops.Documents.crawlDistributed(
+          spark, srcPath,
+          new org.apache.hadoop.fs.Path(catalog.datasetPath(ds), "archive").toString,
+          include)
         val session = spark
         import session.implicits._
         r.addEntities(graft.ops.Documents.crawlPayloads(crawled).toDS(),

@@ -272,7 +272,6 @@ object Main {
         val src = flags.getOrElse("src", fail("crawl needs --src DIR"))
         val r = repo(ds)
         val srcPath = new org.apache.hadoop.fs.Path(src)
-        val fs = srcPath.getFileSystem(spark.sessionState.newHadoopConf())
         val include = flags.get("include") match {
           case Some(glob) =>
             val m = java.nio.file.FileSystems.getDefault
@@ -280,8 +279,10 @@ object Main {
             (rel: String) => m.matches(java.nio.file.Paths.get(rel))
           case None => (_: String) => true
         }
-        val crawled = graft.ops.Documents.crawl(
-          fs, srcPath, archive(spark, cat, ds), include)
+        val crawled = graft.ops.Documents.crawlDistributed(
+          spark, srcPath,
+          new org.apache.hadoop.fs.Path(cat.datasetPath(ds), "archive").toString,
+          include)
         import spark.implicits._
         r.addEntities(graft.ops.Documents.crawlPayloads(crawled).toDS(),
           origin = flags.getOrElse("origin", "crawl"))

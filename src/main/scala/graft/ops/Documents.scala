@@ -26,34 +26,102 @@ object Documents {
       id: String, fileName: String, path: String, checksum: String,
       size: Long, mimeType: String, schema: String, parentId: String)
 
-  /** S16: walk a filesystem prefix, archive every file, and emit File
-    * entity descriptors routed to FtM document schemas by extension-based
-    * mime sniffing. Listing is driver-side (cheap metadata); blob IO and
-    * downstream statement explode are distributed jobs.
+  /** One listed file awaiting archive: absolute URI (openable from any
+    * node), dataset-relative path, and size from the listing metadata.
     */
-  def crawl(fs: FileSystem, src: Path, archive: graft.lake.Archive,
-      include: String => Boolean = _ => true): Seq[CrawledFile] = {
-    val out = scala.collection.mutable.ListBuffer.empty[CrawledFile]
+  case class CrawlTask(uri: String, rel: String, size: Long)
+
+  /** The driver-side LISTING half of a crawl: cheap recursive metadata
+    * walk, `include` applied to the relative path. Blob IO happens in
+    * [[crawl]] (driver loop, small trees) or [[crawlDistributed]]
+    * (executor fan-out, the 100 TB path).
+    */
+  def listCrawl(fs: FileSystem, src: Path,
+      include: String => Boolean = _ => true): Seq[CrawlTask] = {
+    val out = scala.collection.mutable.ListBuffer.empty[CrawlTask]
     val it = fs.listFiles(src, true)
     val base = src.toUri.getPath
     while (it.hasNext) {
       val st = it.next()
       val rel = st.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/")
-      if (st.isFile && include(rel)) {
-        // streamed into the archive spool while hashing — a multi-GB
-        // crawled file must not materialize as a byte[] on the driver
-        // (size comes from the FileStatus, not a buffered copy)
-        val in = fs.open(st.getPath)
-        val checksum = try archive.putStream(in) finally in.close()
-        val name = st.getPath.getName
-        val mime = mimeFor(name)
-        val parentRel = rel.split('/').dropRight(1).mkString("/")
-        val parent = if (parentRel.isEmpty) "" else folderId(parentRel.split('/').last, parentRel)
-        out += CrawledFile(fileId(rel, checksum), name, rel, checksum,
-          st.getLen, mime, FtmModel.schemaForMime(mime), parent)
-      }
+      if (st.isFile && include(rel))
+        out += CrawlTask(st.getPath.toString, rel, st.getLen)
     }
     out.toList
+  }
+
+  /** Entity descriptor for one archived file (shared by both crawl
+    * forms): mime from the extension, FtM schema from the mime, parent
+    * folder id from the relative path.
+    */
+  private def describe(rel: String, size: Long, checksum: String): CrawledFile = {
+    val name = rel.split('/').last
+    val mime = mimeFor(name)
+    val parentRel = rel.split('/').dropRight(1).mkString("/")
+    val parent =
+      if (parentRel.isEmpty) "" else folderId(parentRel.split('/').last, parentRel)
+    CrawledFile(fileId(rel, checksum), name, rel, checksum,
+      size, mime, FtmModel.schemaForMime(mime), parent)
+  }
+
+  /** S16: walk a filesystem prefix, archive every file, and emit File
+    * entity descriptors routed to FtM document schemas by extension-based
+    * mime sniffing. This is the SINGLE-NODE form (the reference's own
+    * loop, operation/crawl.py:91-172): every blob streams through the
+    * caller's process. Use [[crawlDistributed]] when the tree is big —
+    * same result set, cluster-aggregate IO bandwidth.
+    */
+  def crawl(fs: FileSystem, src: Path, archive: graft.lake.Archive,
+      include: String => Boolean = _ => true): Seq[CrawledFile] =
+    listCrawl(fs, src, include).map { t =>
+      // streamed into the archive spool while hashing — a multi-GB
+      // crawled file must not materialize as a byte[] on the driver
+      // (size comes from the FileStatus, not a buffered copy)
+      val in = fs.open(new Path(t.uri))
+      val checksum = try archive.putStream(in) finally in.close()
+      describe(t.rel, t.size, checksum)
+    }
+
+  /** [[crawl]] with the blob IO fanned out across the cluster: the
+    * driver keeps the cheap metadata listing, then the (path) list
+    * partitions across executors and each task streams its files into
+    * the content-addressed archive — hash-and-spool runs where the task
+    * runs, so ingest bandwidth is the cluster's aggregate, not one
+    * driver NIC (the mirror image of [[downloadArchive]]'s fan-out).
+    * Tasks ship the SESSION'S Hadoop conf (credentials, fs impls) the
+    * same way downloadArchive does; concurrent puts of the same content
+    * are safe — the archive's spool-then-rename publish is idempotent
+    * per checksum, whichever task wins the rename. `include` runs on the
+    * driver during listing, so it needn't be serializable.
+    *
+    * Returns the same CrawledFile set as [[crawl]], sorted by path (the
+    * result is entity METADATA — O(files), driver-collectable; the blob
+    * bytes never leave the executors).
+    */
+  def crawlDistributed(spark: org.apache.spark.sql.SparkSession, src: Path,
+      archiveRoot: String, include: String => Boolean = _ => true,
+      maxTasks: Int = 0): Seq[CrawledFile] = {
+    val fs = src.getFileSystem(spark.sessionState.newHadoopConf())
+    val tasks = listCrawl(fs, src, include)
+    if (tasks.isEmpty) return Nil
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val slices = math.max(1, math.min(
+      if (maxTasks > 0) maxTasks else spark.sparkContext.defaultParallelism * 2,
+      tasks.size))
+    spark.sparkContext.parallelize(tasks, slices)
+      .mapPartitions { ts =>
+        val conf = serConf.value
+        val aroot = new Path(archiveRoot)
+        val archive = new graft.lake.Archive(aroot.getFileSystem(conf), aroot)
+        ts.map { t =>
+          val p = new Path(t.uri)
+          val in = p.getFileSystem(conf).open(p)
+          val checksum = try archive.putStream(in) finally in.close()
+          describe(t.rel, t.size, checksum)
+        }
+      }
+      .collect().toSeq.sortBy(_.path)
   }
 
   /** Crawled files (+ their ancestor directories as Folder entities,

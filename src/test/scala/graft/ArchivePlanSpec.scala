@@ -66,6 +66,77 @@ class ArchivePlanSpec extends SparkSpec {
       Documents.fileId("a.txt", crawled("a.txt").checksum))
   }
 
+  test("crawlDistributed: executor fan-out yields the driver loop's exact result set") {
+    // a multi-file tree with nesting, an include filter, and duplicate
+    // content (two paths, one blob — the content address dedupes)
+    val src = Files.createTempDirectory("graft-src-dist")
+    Files.createDirectories(src.resolve("sub/deep"))
+    Files.write(src.resolve("a.txt"), "alpha".getBytes)
+    Files.write(src.resolve("sub/b.pdf"), "%PDF-1.4 fake".getBytes)
+    Files.write(src.resolve("sub/deep/c.txt"), "alpha".getBytes) // dup content
+    Files.write(src.resolve("skip.bin"), "excluded".getBytes)
+    val include = (rel: String) => !rel.endsWith(".bin")
+
+    // driver path
+    val ar1 = Files.createTempDirectory("graft-ar-drv")
+    val fs = new Path(ar1.toString).getFileSystem(spark.sessionState.newHadoopConf())
+    val viaDriver = Documents.crawl(
+      fs, new Path(src.toString), new Archive(fs, new Path(ar1.toString)), include)
+
+    // distributed path, forced across several tasks
+    val ar2 = Files.createTempDirectory("graft-ar-dist")
+    val viaCluster = Documents.crawlDistributed(
+      spark, new Path(src.toString), ar2.toString, include, maxTasks = 3)
+
+    // identical CrawledFile sets — ids, checksums, schemas, parents
+    assert(viaCluster.toSet == viaDriver.toSet,
+      s"driver=${viaDriver.toSet} cluster=${viaCluster.toSet}")
+    assert(viaCluster.map(_.path) == viaCluster.map(_.path).sorted)
+    assert(viaCluster.size == 3 && !viaCluster.exists(_.path == "skip.bin"))
+    // both archives hold the same blobs (dup content → one address)
+    val archive2 = new Archive(
+      new Path(ar2.toString).getFileSystem(spark.sessionState.newHadoopConf()),
+      new Path(ar2.toString))
+    viaCluster.foreach(f => assert(archive2.exists(f.checksum), f.path))
+    assert(viaCluster.map(_.checksum).distinct.size == 2)
+    // no spool litter from the concurrent executor puts
+    val litter = new java.io.File(ar2.toString).list().filter(_.startsWith(".upload-"))
+    assert(litter.isEmpty, litter.mkString(","))
+  }
+
+  test("archive fence: concurrent putStream of the same content is race-safe") {
+    val dir = Files.createTempDirectory("graft-archive-race").toString
+    val root = new Path(dir)
+    val payload = ("the same blob " * 1000).getBytes("UTF-8")
+    // 8 writers, each with its OWN Archive handle (the executor shape),
+    // all publishing the same content address concurrently: exactly one
+    // rename wins, every caller gets the checksum, no torn blob, no
+    // leftover spools
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val gate = new java.util.concurrent.CyclicBarrier(8)
+    val futs = (1 to 8).map { _ =>
+      scala.concurrent.Future {
+        val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+        val a = new Archive(fs, root)
+        gate.await()
+        a.putStream(new java.io.ByteArrayInputStream(payload))
+      }
+    }
+    val checksums = scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(futs),
+      scala.concurrent.duration.Duration(60, "s"))
+    pool.shutdown()
+    assert(checksums.distinct.size == 1)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val archive = new Archive(fs, root)
+    assert(archive.get(checksums.head).map(_.toSeq).contains(payload.toSeq))
+    val litter = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith(".upload-"))
+    assert(litter.isEmpty, litter.mkString(","))
+  }
+
   test("downloadArchive copies blobs to nice paths, skips existing, rejects traversal") {
     import spark.implicits._
     val arDir = Files.createTempDirectory("graft-dl-ar")
