@@ -110,6 +110,70 @@ object GraphOps {
       .orderBy(col("node"))
   }
 
+  /** The FtM-native edge source for gr8: a real [[graft.lake.StatementStore]]
+    * holding entity-REFERENCE statements (`prop_type='entity'`, the
+    * interval-schema shape Aleph expands along — reference
+    * model/statement.py), built once per (session, sf-dir) from the star
+    * schema: each Order entity references its customer (one statement per
+    * order) and its suppliers (one per distinct (order, supplier) —
+    * lineitem repeats collapse in the merge's content-hash dedupe, which
+    * is the point: the lake→graph seam includes the merge). A non-entity
+    * decoy prop (`total`, prop_type `number`) rides along so the edge
+    * filter has something real to exclude.
+    */
+  private val stagedEntityStore = new graft.functions.SessionScoped[String]
+
+  private def entityStoreRoot(spark: SparkSession, dir: String): String =
+    stagedEntityStore.getOrCompute(spark, s"$dir#gr8") {
+      import graft.functions.Hashing
+      val tmp = graft.functions.F.stageTempPath(spark, "entity-store")
+      val store = new graft.lake.StatementStore(spark, tmp,
+        graft.lake.EventStatements.Shards)
+      val ts = lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+      val dataset = lit("graph_ds")
+      def stmt(entityId: org.apache.spark.sql.Column, prop: String,
+          propType: String, value: org.apache.spark.sql.Column) = Seq(
+        Hashing.shardOf(entityId, graft.lake.EventStatements.Shards).as("shard"),
+        Hashing.statementKey(dataset, entityId, lit(prop), value).as("id"),
+        entityId.as("entity_id"), dataset.as("dataset"),
+        lit("interval").as("bucket"), lit("graph").as("origin"),
+        lit(null).cast("string").as("source"), lit("Order").as("schema"),
+        lit(prop).as("prop"), lit(propType).as("prop_type"),
+        value.as("value"), lit(null).cast("string").as("original_value"),
+        lit(null).cast("string").as("lang"), lit(false).as("external"),
+        ts.as("first_seen"), ts.as("last_seen"),
+        lit(null).cast("timestamp").as("deleted_at"), lit("").as("fragment"))
+      val orders = graft.Tables.orders(spark, dir)
+      val li = graft.Tables.lineitem(spark, dir)
+      val cust = orders.select(stmt(concat(lit("o"), col("o_orderkey")),
+        "customer", "entity", concat(lit("c"), col("o_custkey"))): _*)
+      val supp = li.select(stmt(concat(lit("o"), col("l_orderkey")),
+        "supplier", "entity", concat(lit("s"), col("l_suppkey"))): _*)
+      val decoy = orders.select(stmt(concat(lit("o"), col("o_orderkey")),
+        "total", "number", col("o_totalprice").cast("string")): _*)
+      store.append(cust.unionByName(supp).unionByName(decoy))
+      store.merge()
+      tmp
+    }
+
+  /** gr8: degree profile over edges read FROM THE LAKE ITSELF — live
+    * view → `prop_type='entity'` statements → (entity, referenced
+    * entity) edges → per-node degree. Exercises the production seam the
+    * other graph queries presuppose (their edge artifacts are staged
+    * projections): store append + merge + snapshot-isolated live read +
+    * the entity-prop filter, end to end. Edge distinctness comes from
+    * the merge's content-hash dedupe (one live statement per (entity,
+    * prop, value)), so no extra distinct shuffle is spent re-proving it.
+    */
+  def gr8EntityEdges(spark: SparkSession, dir: String): DataFrame = {
+    val store = new graft.lake.StatementStore(spark,
+      entityStoreRoot(spark, dir), graft.lake.EventStatements.Shards)
+    val edges = store.live
+      .filter(col("prop_type") === "entity")
+      .select(col("entity_id").as("src"), col("value").as("dst"))
+    EntityGraph.degrees(edges).orderBy(col("node"))
+  }
+
   /** gr7: 3-core of the thresholded co-supplier projection — iterative
     * peeling with early exit, capped at 8 rounds (the cap is part of the
     * operator contract and the oracle replays exactly 8; on a graph that
@@ -122,6 +186,7 @@ object GraphOps {
       .orderBy(col("node"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gr8_entity_edges" -> (gr8EntityEdges _),
     "gr7_kcore" -> (gr7KCore _),
     "gr1_degree" -> (gr1Degree _),
     "gr2_expand" -> (gr2Expand _),
@@ -136,6 +201,18 @@ object GraphOps {
       |und AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // gr8 replays the lake's net effect: the merge collapses repeated
+    // (order, supplier) lineitem statements to one live edge (DISTINCT),
+    // order→customer is unique per order already, the number-typed decoy
+    // prop is excluded by the entity filter
+    "gr8_entity_edges" ->
+      """WITH ee AS (
+        |  SELECT 'o'||o_orderkey AS src, 'c'||o_custkey AS dst FROM orders
+        |  UNION ALL
+        |  SELECT DISTINCT 'o'||l_orderkey, 's'||l_suppkey FROM lineitem),
+        |und AS (SELECT src, dst FROM ee UNION ALL SELECT dst AS src, src AS dst FROM ee)
+        |SELECT src AS node, COUNT(*) AS degree FROM und
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "gr1_degree" ->
       s"""WITH $edgesCte
          |SELECT src AS node, COUNT(*) AS degree FROM und
