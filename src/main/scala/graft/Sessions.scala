@@ -35,6 +35,16 @@ object Sessions {
       // cluster with 128 MB row groups isn't pinned to 8x task counts.
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"))
+      // Partitioned-store reads (16-shard × bucket × origin layouts) list
+      // 64-128 leaf dirs; above this threshold Spark launches a whole
+      // distributed LISTING JOB (~0.2-1 s of fixed job overhead per read)
+      // where a driver-side listing of local dirs is sub-millisecond.
+      // 512 keeps every store read driver-side here; an object-store
+      // deployment with tens of thousands of partition dirs should lower
+      // it back toward the 32 default (remote listing IS worth a job
+      // there), hence the env override.
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        sys.env.getOrElse("SPARK_GRAFT_LIST_JOB_THRESHOLD", "512"))
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.parquet.compression.codec",
         sys.env.getOrElse("SPARK_GRAFT_CODEC", "zstd"))

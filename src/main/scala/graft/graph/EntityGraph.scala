@@ -28,6 +28,29 @@ import graft.functions.F
   */
 object EntityGraph {
 
+  /** Size gate for the executor-local fast paths: every input's
+    * optimizer size estimate (for staged parquet / plain scans this is
+    * the actual file size — driver metadata, no job) must fit under
+    * `spark.graft.graph.localBytes` (default 32 MB ≈ 2-3M zstd edge
+    * rows, the same working-set band as kCore's 2M-edge gate). Non-scan
+    * inputs carry conservative (over-)estimates, so the gate fails
+    * safe toward the distributed path. At 100 TB the staged edge
+    * artifacts are orders of magnitude past the gate.
+    */
+  private[graft] def smallEnoughForLocal(inputs: Seq[DataFrame]): Boolean = {
+    val conf = inputs.head.sparkSession.conf
+    val localBytes =
+      conf.get("spark.graft.graph.localBytes", (32L << 20).toString).toLong
+    inputs.forall(
+      _.queryExecution.optimizedPlan.stats.sizeInBytes <= localBytes)
+  }
+
+  private def rankSchema(e0: DataFrame) =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", e0.schema("src").dataType),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.LongType)))
+
   /** Distinct directed edge list (src, dst) from the order fact chain:
     * customer `c<custkey>` → supplier `s<suppkey>` for every distinct
     * (custkey, suppkey) with at least one lineitem between them.
@@ -80,6 +103,27 @@ object EntityGraph {
     // staged file twice (cheap columnar read), and the staged bytes are
     // half of what writing the undirected table would cost.
     val e0 = F.materializeIfNeeded(edges)
+    // Observed-small fast path (kCore's localPeel precedent): when edges
+    // AND seeds measure small by driver-side file-size metadata, the
+    // whole per-hop loop (join + distinct + anti-join + stage write per
+    // hop) collapses to ONE executor-local BFS task over a tagged union
+    // of edge and seed rows — identical min-hop output by construction.
+    // At scale the byte gate fails and the staged frontier loop below
+    // runs unchanged.
+    val nodeType = e0.schema("src").dataType
+    if (smallEnoughForLocal(Seq(e0, seeds)) &&
+        GraphLocal.orderingFor(nodeType).isDefined) {
+      val tagged = e0.select(col("src"), col("dst"), lit(false).as("__seed"))
+        .unionAll(seeds.select(col("node").as("src"),
+          lit(null).cast(nodeType).as("dst"), lit(true).as("__seed")))
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", nodeType),
+        org.apache.spark.sql.types.StructField("hop",
+          org.apache.spark.sql.types.IntegerType)))
+      return tagged.coalesce(1)
+        .mapPartitions(it => GraphLocal.localBfs(it, maxHops))(
+          org.apache.spark.sql.Encoders.row(outSchema))
+    }
     val und = undirected(e0)
     val seed0 = F.materialize(
       seeds.select(col("node")).distinct().withColumn("hop", lit(0)))
@@ -131,6 +175,18 @@ object EntityGraph {
     // the upstream join+distinct would be inlined and re-executed up to
     // four times in the edgesDeg job.
     val e0 = F.materializeIfNeeded(edges)
+    // Observed-small fast path: the integer-exact recurrence (Long sums,
+    // truncating division — associative, order-free) replays bit-identically
+    // in one executor-local task, skipping the edgesDeg stage write and
+    // the per-iteration join chain (see GraphLocal.localPageRank). The
+    // byte gate is driver metadata on the staged/scanned file; at scale
+    // the distributed iteration below runs unchanged.
+    if (smallEnoughForLocal(Seq(e0)) &&
+        GraphLocal.orderingFor(e0.schema("src").dataType).isDefined) {
+      return e0.select(col("src"), col("dst")).coalesce(1)
+        .mapPartitions(it => GraphLocal.localPageRank(it, iters, seeded = false))(
+          org.apache.spark.sql.Encoders.row(rankSchema(e0)))
+    }
     val und = undirected(e0)
     val deg = degrees(e0).withColumnRenamed("degree", "d")
     // (src, dst, d_src) staged once — reused by every iteration
@@ -184,6 +240,20 @@ object EntityGraph {
     val S = 1000000000L
     val base = S * 15L / 100L
     val e0 = F.materializeIfNeeded(edges)
+    // same observed-small single-task replay as pageRank, with the seed
+    // set riding the same tagged union the BFS fast path uses (seeds
+    // outside the node set drop out exactly like the distributed
+    // node-set join)
+    if (smallEnoughForLocal(Seq(e0, seeds)) &&
+        GraphLocal.orderingFor(e0.schema("src").dataType).isDefined) {
+      val nodeType = e0.schema("src").dataType
+      val tagged = e0.select(col("src"), col("dst"), lit(false).as("__seed"))
+        .unionAll(seeds.select(col("node").as("src"),
+          lit(null).cast(nodeType).as("dst"), lit(true).as("__seed")))
+      return tagged.coalesce(1)
+        .mapPartitions(it => GraphLocal.localPageRank(it, iters, seeded = true))(
+          org.apache.spark.sql.Encoders.row(rankSchema(e0)))
+    }
     val und = undirected(e0)
     val deg = degrees(e0).withColumnRenamed("degree", "d")
     val edgesDeg = F.materialize(

@@ -144,6 +144,78 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  // force the distributed branch of the observed-small fast paths by
+  // zeroing the byte gate, restore after — the local/distributed pairs
+  // must agree bit for bit (GraphLocal's contract)
+  private def forcedDistributed[A](body: => A): A = {
+    spark.conf.set("spark.graft.graph.localBytes", "0")
+    try body finally spark.conf.set("spark.graft.graph.localBytes",
+      (32L << 20).toString)
+  }
+
+  private def pseudoRandomEdges(n: Int, nodes: Int, seed: Int = 7) = {
+    val rnd = new scala.util.Random(seed)
+    (1 to n).map { _ =>
+      (s"n${rnd.nextInt(nodes)}", s"n${rnd.nextInt(nodes)}")
+    }.distinct.filter(p => p._1 != p._2).toDF("src", "dst")
+  }
+
+  test("expand local fast path == forced-distributed frontier BFS") {
+    val e = pseudoRandomEdges(300, 80)
+    val seeds = Seq("n1", "n17", "n999").toDF("node") // n999 isolated seed
+    def run(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    for (hops <- Seq(0, 1, 3)) {
+      val local = run(EntityGraph.expand(e, seeds, hops))
+      val dist = forcedDistributed(run(EntityGraph.expand(e, seeds, hops)))
+      assert(local === dist, s"maxHops=$hops")
+    }
+  }
+
+  test("pageRank/PPR local fast paths == forced-distributed iteration") {
+    val e = pseudoRandomEdges(300, 80)
+    val seeds = Seq("n3", "n44", "n999").toDF("node") // n999 outside graph
+    def m(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val prLocal = m(EntityGraph.pageRank(e, iters = 3))
+    val prDist = forcedDistributed(m(EntityGraph.pageRank(e, iters = 3)))
+    assert(prLocal === prDist)
+    val pprLocal = m(EntityGraph.personalizedPageRank(e, seeds, iters = 3))
+    val pprDist =
+      forcedDistributed(m(EntityGraph.personalizedPageRank(e, seeds, iters = 3)))
+    assert(pprLocal === pprDist)
+  }
+
+  test("dupClusters local union-find == forced-distributed propagation") {
+    // long chain (diameter 40, exercises the shortcutting schedule) plus
+    // a pseudo-random blob and a two-node island
+    val chain = (0 until 40).map(i => (f"c$i%03d", f"c${i + 1}%03d"))
+    val rnd = new scala.util.Random(3)
+    val blob = (1 to 120).map(_ => (s"b${rnd.nextInt(30)}", s"b${rnd.nextInt(30)}"))
+      .filter(p => p._1 != p._2)
+    val pairs = (chain ++ blob ++ Seq(("zz1", "zz2"))).toDF("id_a", "id_b")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val local = run(graft.dedupe.Dedupe.dupClusters(pairs))
+    val dist = forcedDistributed(run(graft.dedupe.Dedupe.dupClusters(pairs)))
+    assert(local === dist)
+    assert(local.filter(_._1.startsWith("c")).map(_._2) === Set("c000"))
+  }
+
+  test("dupClusters local min matches Spark's UTF8 binary string order") {
+    // U+FFFD (UTF-8 EF BF BD) vs U+10000 (F0 90 80 80): Java
+    // String.compareTo ranks the surrogate pair FIRST (0xD800 < 0xFFFD),
+    // UTF8String binary order ranks U+FFFD first — the component min must
+    // be the UTF8-binary one on both branches
+    val pairs = Seq(("𐀀", "�")).toDF("id_a", "id_b")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val local = run(graft.dedupe.Dedupe.dupClusters(pairs))
+    val dist = forcedDistributed(run(graft.dedupe.Dedupe.dupClusters(pairs)))
+    assert(local === dist)
+    assert(local.forall(_._2 == "�"))
+  }
+
   test("co-supplier projection is canonical and thresholded") {
     val e = EntityGraph.coSupplierEdges(spark, sf001, minCoOrders = 2)
     assert(e.filter(col("src") >= col("dst")).count() === 0L)

@@ -280,16 +280,26 @@ class TrainingDataSpec extends SparkSpec {
     val got = Dedupe.dupClusters(chain).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size == 41 && got.values.forall(_ == 0L), got)
-    // non-convergence is surfaced, never silent: with shortcutting pushed
-    // out of reach and a tight cap, the same chain throws...
-    val ex = intercept[IllegalStateException](
-      Dedupe.dupClusters(chain, maxRounds = 4, shortcutFrom = 99))
-    assert(ex.getMessage.contains("did not converge"), ex.getMessage)
-    // ...and the opt-out returns partial labels with a warning instead
-    val partial = Dedupe.dupClusters(chain, maxRounds = 4, shortcutFrom = 99,
-      failOnNonConvergence = false).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(partial(40L) > 0L) // far end provably not yet at the fixpoint
+    // the cap/convergence surface belongs to the DISTRIBUTED branch (the
+    // observed-small local union-find always converges) — force it by
+    // zeroing the fast-path byte gate
+    spark.conf.set("spark.graft.graph.localBytes", "0")
+    try {
+      val distGot = Dedupe.dupClusters(chain).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(distGot === got) // the two branches agree at the fixpoint
+      // non-convergence is surfaced, never silent: with shortcutting pushed
+      // out of reach and a tight cap, the same chain throws...
+      val ex = intercept[IllegalStateException](
+        Dedupe.dupClusters(chain, maxRounds = 4, shortcutFrom = 99))
+      assert(ex.getMessage.contains("did not converge"), ex.getMessage)
+      // ...and the opt-out returns partial labels with a warning instead
+      val partial = Dedupe.dupClusters(chain, maxRounds = 4, shortcutFrom = 99,
+        failOnNonConvergence = false).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(partial(40L) > 0L) // far end provably not yet at the fixpoint
+    } finally spark.conf.set("spark.graft.graph.localBytes",
+      (32L << 20).toString)
   }
 
   test("TokenHash: fused kernel equals the conv(substring(md5)) recipe on both eval paths") {
