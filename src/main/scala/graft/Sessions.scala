@@ -45,6 +45,15 @@ object Sessions {
       // there), hence the env override.
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
         sys.env.getOrElse("SPARK_GRAFT_LIST_JOB_THRESHOLD", "512"))
+      // The generated-class cache defaults to 100 entries; a session
+      // running the whole query registry produces several hundred
+      // codegen units per pass, so every re-execution recompiles every
+      // stage (measured: the cdf1 scan job drops 5.6 s → 0.5 s once its
+      // generated classes are cache-hits). Static conf, driver-memory
+      // bounded (generated classes are small); any long-lived
+      // many-query session wants this, not just the bench.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.parquet.compression.codec",
         sys.env.getOrElse("SPARK_GRAFT_CODEC", "zstd"))

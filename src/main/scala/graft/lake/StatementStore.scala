@@ -27,6 +27,18 @@ class StatementStore(val spark: SparkSession, val rootStr: String, val shards: I
   private val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
   val tags = new Tags(fs, root)
 
+  // phase timing for the optimization loop (SPARK_GRAFT_STORE_TIMING=1):
+  // separates the write jobs from the driver-side commit protocol
+  private val storeTiming = sys.env.contains("SPARK_GRAFT_STORE_TIMING")
+  private def timed[A](name: String)(body: => A): A =
+    if (!storeTiming) body
+    else {
+      val t0 = System.nanoTime()
+      val r = body
+      System.err.println(f"[store-timing] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.3fs")
+      r
+    }
+
   def version: Long = Manifest.currentVersion(fs, root)
 
   /** S1: raw physical rows of a snapshot — tombstones and pre-merge
@@ -163,7 +175,7 @@ class StatementStore(val spark: SparkSession, val rootStr: String, val shards: I
       .sortWithinPartitions((Statement.partitionColumns.map(col) ++ sortCols): _*)
       .write.partitionBy(Statement.partitionColumns: _*)
     compression.foreach(c => writer.option("compression", c))
-    writer.mode("overwrite").parquet(stage.toString)
+    timed("staged write job")(writer.mode("overwrite").parquet(stage.toString))
     val stageBase = stage.toUri.getPath.stripSuffix("/")
     val moves = scala.collection.mutable.ArrayBuffer.empty[(Path, Path, String)]
     val it = fs.listFiles(stage, true)
@@ -185,13 +197,13 @@ class StatementStore(val spark: SparkSession, val rootStr: String, val shards: I
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = FsOps.driverIoPool
-    Await.result(
+    timed("staged moves")(Await.result(
       Future.traverse(moves.toSeq) { case (src, dest, rel) =>
         Future {
           if (!FsOps.rename(fs, src, dest))
             throw new IllegalStateException(s"staged write move failed: $rel")
         }
-      }, Duration.Inf)
+      }, Duration.Inf))
     fs.delete(stage, true)
     moves.map(_._3).toSet
   }
@@ -207,7 +219,7 @@ class StatementStore(val spark: SparkSession, val rootStr: String, val shards: I
     * time), merged with the carried-over files' existing entries so a
     * commit never degrades older files' skipping stats.
     */
-  private def statsFor(fresh: Set[String]): Map[String, Long] = {
+  private def statsFor(fresh: Set[String]): Map[String, Long] = timed("footer stats") {
     val conf = spark.sessionState.newHadoopConf()
     // footer opens are independent driver-side IO — run them on a bounded
     // pool (serial opens dominate commit latency once a batch spans many
@@ -221,7 +233,7 @@ class StatementStore(val spark: SparkSession, val rootStr: String, val shards: I
       }, Duration.Inf).flatten.toMap
   }
 
-  def append(df: DataFrame): Long = Locks.withLock(fs, root) {
+  def append(df: DataFrame): Long = timed("append lock+commit")(Locks.withLock(fs, root) {
     val fresh = writeStaged(df,
       Statement.appendSortColumns.map(col) :+ col("last_seen").desc)
     // one dirty stamp per append (a batch file listing the touched
@@ -229,10 +241,10 @@ class StatementStore(val spark: SparkSession, val rootStr: String, val shards: I
     // that's one object-store PUT per commit instead of hundreds
     tags.put(s"dirty/${java.util.UUID.randomUUID().toString}",
       fresh.map(partitionOf).toSeq.sorted.mkString("\n"))
-    val (liveSet, liveStats) = Manifest.liveState(fs, root)
-    Manifest.commit(fs, root, liveSet ++ fresh, "append",
-      liveStats ++ statsFor(fresh))
-  }
+    val (liveSet, liveStats) = timed("manifest liveState")(Manifest.liveState(fs, root))
+    timed("manifest commit")(Manifest.commit(fs, root, liveSet ++ fresh, "append",
+      liveStats ++ statsFor(fresh)))
+  })
 
   /** Default tombstone grace: 30 days, like the reference
     * (core/settings.py:31) — tombstones younger than this survive the

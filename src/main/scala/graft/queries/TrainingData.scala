@@ -560,20 +560,36 @@ object TrainingData {
     */
   def tok2BpeMerges(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.F
+    // Job-count shape: the naive form recomputed each round's top-pair
+    // aggregation in the final summary action (the broadcast inside the
+    // merge plan AND the report read it) and ran separate count() scans
+    // for the before/after token totals — 22 jobs for two rounds. Now
+    // the 1-row winner is STAGED once per round and re-read by both
+    // consumers, and both totals ride the merge job itself as observe
+    // metrics (input-node count = before, output count = after), so a
+    // round is exactly two jobs: top-pair aggregate + merge write.
     val t0 = posTokens(spark, dir)
-    val (m1, top1) = graft.text.Bpe.mergeRound(t0)
-    val t1 = F.materialize(m1)
-    val (m2, top2) = graft.text.Bpe.mergeRound(t1)
-    val t2 = F.materialize(m2)
-    def cnt(df: DataFrame, n: String) = df.agg(count(lit(1)).as(n))
-    def summary(r: Int, top: DataFrame, before: DataFrame, after: DataFrame) =
-      top.crossJoin(cnt(before, "__nb")).crossJoin(cnt(after, "__na"))
-        .select(lit(r).as("round"),
-          concat_ws(" ", col("a"), col("b")).as("pair"),
-          col("n_pair"),
-          (col("__nb") - col("__na")).as("n_merged"),
-          col("__na").as("tokens_after"))
-    summary(1, top1, t0, t1).unionByName(summary(2, top2, t1, t2))
+    def round(toks: DataFrame): (DataFrame, DataFrame, Long, Long) = {
+      val top = F.materialize(graft.text.Bpe.topPair(toks))
+      val obsIn = org.apache.spark.sql.Observation()
+      val merged = graft.text.Bpe.applyMerge(
+        toks.observe(obsIn, count(lit(1)).as("nb")), top)
+      val (staged, na) = F.materializeObserved(merged, count(lit(1)))
+      val nb = obsIn.get("nb") match {
+        case null => 0L
+        case n: Number => n.longValue()
+      }
+      (staged, top, nb, na)
+    }
+    val (t1, top1, nb1, na1) = round(t0)
+    val (_, top2, nb2, na2) = round(t1)
+    def summary(r: Int, top: DataFrame, nb: Long, na: Long) =
+      top.select(lit(r).as("round"),
+        concat_ws(" ", col("a"), col("b")).as("pair"),
+        col("n_pair"),
+        lit(nb - na).as("n_merged"),
+        lit(na).as("tokens_after"))
+    summary(1, top1, nb1, na1).unionByName(summary(2, top2, nb2, na2))
       .orderBy(col("round"))
   }
 

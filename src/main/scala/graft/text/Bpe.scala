@@ -45,13 +45,31 @@ object Bpe {
     * to interpret merged units).
     */
   def mergeRound(toks: DataFrame): (DataFrame, DataFrame) = {
+    val top = topPair(toks)
+    (applyMerge(toks, top), top)
+  }
+
+  /** The round's winning adjacent pair: 1 row (a, b, n_pair), tie-broken
+    * (count desc, a, b); empty when the corpus has no adjacent pair.
+    */
+  def topPair(toks: DataFrame): DataFrame = {
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val cum = byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withNext = toks.withColumn("__nx", lead(col("w"), 1).over(byDoc))
-    val top = withNext.filter(col("__nx").isNotNull)
+    toks.withColumn("__nx", lead(col("w"), 1).over(byDoc))
+      .filter(col("__nx").isNotNull)
       .groupBy(col("w").as("a"), col("__nx").as("b"))
       .agg(count(lit(1)).as("n_pair"))
       .orderBy(col("n_pair").desc, col("a"), col("b")).limit(1)
+  }
+
+  /** Greedily merge occurrences of the (1-row) winning pair `top` —
+    * split from the pair count so a caller can STAGE the winner once
+    * and reuse it (tok2 reads it again for its summary report; without
+    * staging, the full pair aggregation re-runs in every consumer).
+    */
+  def applyMerge(toks: DataFrame, top: DataFrame): DataFrame = {
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val cum = byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withNext = toks.withColumn("__nx", lead(col("w"), 1).over(byDoc))
     // LEFT broadcast join, not crossJoin: when the corpus has no adjacent
     // pair at all, `top` is empty and a crossJoin would silently drop
     // every token — a left join keeps the stream intact (and hash-joins
@@ -69,11 +87,10 @@ object Bpe {
       .withColumn("__sel", col("__m") && col("__rr") % 2 === 1)
       .withColumn("__consumed",
         coalesce(lag(col("__sel"), 1).over(byDoc), lit(false)))
-    val merged = selected.filter(!col("__consumed"))
+    selected.filter(!col("__consumed"))
       .select(col("doc_id"),
         row_number().over(byDoc).as("pos"),
         when(col("__sel"), concat_ws("+", col("w"), col("__nx")))
           .otherwise(col("w")).as("w"))
-    (merged, top)
   }
 }
