@@ -912,8 +912,12 @@ object TrainingData {
     * consume them. Integer ppm with truncating div — oracle-exact.
     */
   def t10Novelty(spark: SparkSession, dir: String): DataFrame = {
-    val sh = graft.functions.F.materialize(
-      Dedupe.shingleRows(docs(spark, dir), "doc_id", "text", n = 3))
+    // the session-staged distinct 3-gram table (the same rows this
+    // operator staged privately before — shingleRows(n=3) is distinct by
+    // default): the dictionary build and the join consume ONE staged
+    // artifact shared with g1/d2/d11 instead of re-exploding and
+    // re-writing the corpus per invocation
+    val sh = docShingleRows(spark, dir)
     val dict = sh.groupBy(col("__tok")).agg(count(lit(1)).as("__nd"))
     sh.join(dict, Seq("__tok"))
       .groupBy(col("doc_id"))

@@ -328,13 +328,22 @@ object Similarity {
           array_sort(collect_list(struct(col("__dim"), col("__m")))),
           x => x.getField("__m")).as("__qk"))
         .withColumn("__nk", dotQ(col("__qk"), col("__qk")))
-      cents = graft.functions.F.materialize(
-        cents.select(col("__cid"),
-            col("__qk").as("__qk0"), col("__nk").as("__nk0"))
-          .join(fresh, Seq("__cid"), "left_outer")
-          .select(col("__cid"),
-            coalesce(col("__qk"), col("__qk0")).as("__qk"),
-            coalesce(col("__nk"), col("__nk0")).as("__nk")))
+      val next = cents.select(col("__cid"),
+          col("__qk").as("__qk0"), col("__nk").as("__nk0"))
+        .join(fresh, Seq("__cid"), "left_outer")
+        .select(col("__cid"),
+          coalesce(col("__qk"), col("__qk0")).as("__qk"),
+          coalesce(col("__nk"), col("__nk0")).as("__nk"))
+      // The trained quantizer is DRIVER state in any k-means: nlist rows
+      // by construction (bounded like the facet-list collects), so ship
+      // it between iterations as a LocalRelation — one bounded collect
+      // instead of a parquet write+read round-trip per iteration, and
+      // every downstream broadcast(cents) starts from local rows instead
+      // of a staged scan job. Values are identical; sorted by __cid so
+      // the relation is deterministic.
+      val rows = next.collect().sortBy(r => String.valueOf(r.get(0))).toSeq
+      cents = next.sparkSession.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, next.schema)
     }
     cents
   }
