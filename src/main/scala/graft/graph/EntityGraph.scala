@@ -37,13 +37,25 @@ object EntityGraph {
     * safe toward the distributed path. At 100 TB the staged edge
     * artifacts are orders of magnitude past the gate.
     */
-  private[graft] def smallEnoughForLocal(inputs: Seq[DataFrame]): Boolean = {
+  private[graft] def smallEnoughForLocal(inputs: Seq[DataFrame],
+      confKey: String = "spark.graft.graph.localBytes",
+      defaultBytes: Long = 32L << 20): Boolean = {
     val conf = inputs.head.sparkSession.conf
-    val localBytes =
-      conf.get("spark.graft.graph.localBytes", (32L << 20).toString).toLong
+    val localBytes = conf.get(confKey,
+      conf.get("spark.graft.graph.localBytes", defaultBytes.toString)).toLong
     inputs.forall(
       _.queryExecution.optimizedPlan.stats.sizeInBytes <= localBytes)
   }
+
+  /** The rank kernels do `iters×` more single-task work per edge than
+    * union-find/BFS, and the distributed iteration parallelizes that
+    * work well — measured crossover on this class of graph: local wins
+    * at ~2 MB of staged edges (1.0 s vs 1.6-3.0 s), loses 2× at ~30 MB
+    * (6.6 s vs 3.0 s at ×10). 8 MB keeps the win and cedes the loss;
+    * override via spark.graft.graph.localBytes.rank.
+    */
+  private val RankLocalKey = "spark.graft.graph.localBytes.rank"
+  private val RankLocalDefault = 8L << 20
 
   private def rankSchema(e0: DataFrame) =
     org.apache.spark.sql.types.StructType(Seq(
@@ -181,7 +193,7 @@ object EntityGraph {
     // the per-iteration join chain (see GraphLocal.localPageRank). The
     // byte gate is driver metadata on the staged/scanned file; at scale
     // the distributed iteration below runs unchanged.
-    if (smallEnoughForLocal(Seq(e0)) &&
+    if (smallEnoughForLocal(Seq(e0), RankLocalKey, RankLocalDefault) &&
         GraphLocal.orderingFor(e0.schema("src").dataType).isDefined) {
       return e0.select(col("src"), col("dst")).coalesce(1)
         .mapPartitions(it => GraphLocal.localPageRank(it, iters, seeded = false))(
@@ -244,7 +256,7 @@ object EntityGraph {
     // set riding the same tagged union the BFS fast path uses (seeds
     // outside the node set drop out exactly like the distributed
     // node-set join)
-    if (smallEnoughForLocal(Seq(e0, seeds)) &&
+    if (smallEnoughForLocal(Seq(e0, seeds), RankLocalKey, RankLocalDefault) &&
         GraphLocal.orderingFor(e0.schema("src").dataType).isDefined) {
       val nodeType = e0.schema("src").dataType
       val tagged = e0.select(col("src"), col("dst"), lit(false).as("__seed"))
