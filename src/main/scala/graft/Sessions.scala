@@ -64,6 +64,20 @@ object Sessions {
       // (hdfs://, s3a://) are unaffected by fs.file.impl.
       .config("spark.hadoop.fs.file.impl", "graft.lake.FastLocalFileSystem")
       .config("spark.ui.enabled", "false")
+    // A/B experiment hook: arbitrary conf overrides without a code edit
+    // (e.g. SPARK_GRAFT_EXTRA_CONF="spark.graft.graph.localBytes=0" to
+    // force the distributed branch of an observed-small fast path for a
+    // before/after plan dump or a gate-crossover sweep). Applied LAST so
+    // they win over the defaults above; production deployments pass real
+    // conf files instead.
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(';')).map(_.trim).filter(_.nonEmpty)
+      .foreach { kv =>
+        val i = kv.indexOf('=')
+        require(i > 0, s"SPARK_GRAFT_EXTRA_CONF entry is not key=value: $kv")
+        b.config(kv.take(i).trim, kv.drop(i + 1).trim)
+      }
+    b
   }
 
   def local(appName: String): SparkSession = {
