@@ -15,8 +15,23 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  // Schema cache: one footer-inference per (session, table path), reused
+  // by every later read as an explicit schema. Every query construction
+  // re-reads its base tables through here, and schema inference is a
+  // driver-side footer fetch+parse per call — pure fixed planning cost
+  // multiplied by the registry (a real catalog pins table schemas for
+  // exactly this reason; StatementStore already passes its own explicit
+  // schema). Metadata only — row data is never cached; keyed on the
+  // session so a restarted session re-infers.
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), org.apache.spark.sql.types.StructType]()
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent((spark, path),
+      { case (s, p) => s.read.parquet(p).schema })
+    spark.read.schema(schema).parquet(path)
+  }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "orders")
