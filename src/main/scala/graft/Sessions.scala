@@ -69,7 +69,10 @@ object Sessions {
     // force the distributed branch of an observed-small fast path for a
     // before/after plan dump or a gate-crossover sweep). Applied LAST so
     // they win over the defaults above; production deployments pass real
-    // conf files instead.
+    // conf files instead. Known limitation (debug hook, not a config
+    // surface): entries split on ';' with no escaping, so a conf VALUE
+    // containing a semicolon cannot be expressed here — it would split
+    // into a bogus entry and fail the key=value require below.
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
       .flatMap(_.split(';')).map(_.trim).filter(_.nonEmpty)
       .foreach { kv =>

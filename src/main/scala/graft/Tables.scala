@@ -21,15 +21,41 @@ object Tables {
   // driver-side footer fetch+parse per call — pure fixed planning cost
   // multiplied by the registry (a real catalog pins table schemas for
   // exactly this reason; StatementStore already passes its own explicit
-  // schema). Metadata only — row data is never cached; keyed on the
-  // session so a restarted session re-infers.
-  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), org.apache.spark.sql.types.StructType]()
+  // schema). Metadata only — row data is never cached. Sessions are held
+  // WEAKLY (a stopped session's entry — and its object graph — is
+  // GC-collectable; a restarted session re-infers), and the cache assumes
+  // base-table files are IMMUTABLE within a session: explicit-schema
+  // reads skip footer validation, so a tool that rewrites a table in
+  // place mid-session must call [[invalidate]] or it would read the new
+  // file through the stale schema (wrong/null columns, not an error).
+  private val schemaCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[
+        String, org.apache.spark.sql.types.StructType]]())
+
+  private def sessionSchemas(spark: SparkSession) = {
+    schemaCache.synchronized {
+      var m = schemaCache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[
+          String, org.apache.spark.sql.types.StructType]()
+        schemaCache.put(spark, m)
+      }
+      m
+    }
+  }
+
+  /** Drop the cached schema for `path` (all sessions) — for tools that
+    * rewrite a base-table parquet in place within a live session.
+    */
+  def invalidate(path: String): Unit = schemaCache.synchronized {
+    schemaCache.values.forEach(m => { m.remove(path); () })
+  }
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    val schema = schemaCache.computeIfAbsent((spark, path),
-      { case (s, p) => s.read.parquet(p).schema })
+    val schema = sessionSchemas(spark).computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
     spark.read.schema(schema).parquet(path)
   }
 

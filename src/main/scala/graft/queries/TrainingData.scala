@@ -569,6 +569,33 @@ object TrainingData {
     // metrics (input-node count = before, output count = after), so a
     // round is exactly two jobs: top-pair aggregate + merge write.
     val t0 = posTokens(spark, dir)
+    // Observed-small fast path (the GraphLocal precedent): greedy BPE is
+    // inherently sequential per document, so when the staged token table
+    // measures small (exact file bytes — driver metadata, no job) BOTH
+    // rounds run as ONE executor-local task over interned-int token
+    // arrays ([[graft.text.Bpe.localSummary]] — exactness argument and
+    // the parity-rule equivalence there; locked by a forced-distributed
+    // spec and the tok2 oracle). At 100 TB the token stream dwarfs the
+    // gate and the staged rounds below run unchanged.
+    if (F.isPlainScan(t0) && graft.graph.EntityGraph.smallEnoughForLocal(
+        Seq(t0), "spark.graft.text.localBytes", 32L << 20)) {
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("round",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("pair",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_pair",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_merged",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("tokens_after",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      return t0.select(col("doc_id"), col("pos"), col("w"))
+        .coalesce(1)
+        .mapPartitions(it => graft.text.Bpe.localSummary(it, 2))(
+          org.apache.spark.sql.Encoders.row(outSchema))
+        .orderBy(col("round"))
+    }
     def round(toks: DataFrame): (DataFrame, DataFrame, Long, Long) = {
       val top = F.materialize(graft.text.Bpe.topPair(toks))
       val obsIn = org.apache.spark.sql.Observation()

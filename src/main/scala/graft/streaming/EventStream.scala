@@ -22,35 +22,64 @@ import org.apache.spark.sql.types.DecimalType
   */
 object EventStream {
 
-  /** Tumbling 1-hour windows per event type — batch form. */
-  def windowAggBatch(events: DataFrame): DataFrame =
+  /** The shared windowed-aggregation body — ONE definition feeding the
+    * batch form, the streaming plan, and the drain-rewrite twin, so the
+    * three can't drift. Output: (w struct, event_type, n, total).
+    */
+  private def windowAggOf(events: DataFrame): DataFrame =
     events
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total"))
+
+  /** Tumbling 1-hour windows per event type — batch form. */
+  def windowAggBatch(events: DataFrame): DataFrame =
+    windowAggOf(events)
       .select(unix_millis(col("w.start")).as("window_ms"), col("event_type"),
         col("n"), col("total"))
 
   /** The same aggregation as a real Structured Streaming query: file
     * source → watermark → windowed agg → memory sink, drained with
     * Trigger.AvailableNow. Returns the finished result as a DataFrame.
+    *
+    * ONE-SHOT drains take the [[DrainRewrite]] fast path (same flag and
+    * preconditions as st5/sk3): a COMPLETE-mode aggregation drained from
+    * a fresh checkpoint in a single AvailableNow batch emits exactly the
+    * aggregation of that one batch — Complete mode outputs the full
+    * state every batch, the single batch IS the whole table, and the
+    * watermark never gates Complete output (it only evicts state after
+    * emission). count is exact and the DECIMAL(18,2) sum is exact (order
+    * never changes a decimal sum), so the twin is bit-identical. The
+    * stateful plan below runs unchanged for resumable deployments (prior
+    * Spark state, rate-capped sources, or the flag off) — a drain there
+    * pays the per-batch state-store commit machinery the rewrite exists
+    * to skip.
     */
   def windowAggStreaming(spark: SparkSession, dir: String): DataFrame = {
+    val project = (df: DataFrame) =>
+      df.select(unix_millis(col("w.start")).as("window_ms"), col("event_type"),
+        col("n"), col("total"))
+    // the checkpoint below is a THROWAWAY UUID no other run can observe,
+    // so there is no marker to claim/commit and nothing durable is
+    // emitted (the st9 precedent): the flag alone picks the plan, and
+    // the twin returns lazily — recompute is pure. The twin plans on the
+    // PARENT session (cached table schema, no clone): a batch aggregate
+    // needs no state-store sizing. The uncapped file source drains in
+    // one batch (the singleBatch precondition).
+    if (DrainRewrite.enabled(spark))
+      return project(windowAggOf(graft.Tables.events(spark, dir)))
     // state partitioning sized to KEY cardinality (windows × event types
     // — dozens) on a query-scoped session clone, never by mutating the
     // shared session conf (see [[StreamConf.streamSession]])
     val ss = StreamConf.streamSession(spark)
     val batch = ss.read.parquet(s"$dir/events.parquet")
+    val ckpt = graft.functions.F.stageTempPath(ss, "ckpt")
     val src = ss.readStream
       .schema(batch.schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
     val events = graft.Tables.normalizeTs(src)
-    val agg = events
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total"))
+    val agg = windowAggOf(events.withWatermark("ts", "1 hour"))
     val name = s"graft_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val q = agg.writeStream
       .outputMode(OutputMode.Complete())
@@ -60,14 +89,11 @@ object EventStream {
       // master): state-store commits are many tiny files and this
       // host's disk has bursty metadata latency; a cluster deployment
       // sets spark.graft.stage.dir to shared storage
-      .option("checkpointLocation",
-        graft.functions.F.stageTempPath(ss, "ckpt"))
+      .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    ss.table(name)
-      .select(unix_millis(col("w.start")).as("window_ms"), col("event_type"),
-        col("n"), col("total"))
+    project(ss.table(name))
   }
 
   /** STREAM-STATIC enrichment join: the event stream joined to the
@@ -81,30 +107,45 @@ object EventStream {
     * and the SQL twin is the oracle.
     */
   def streamStaticEnrich(spark: SparkSession, dir: String): DataFrame = {
+    // the enrichment body shared by the streaming plan and the
+    // drain-rewrite twin — one definition, no drift
+    def enrichAggOf(session: SparkSession, events: DataFrame): DataFrame = {
+      val dim = broadcast(
+        graft.Tables.customer(session, dir)
+          .select(col("c_custkey").as("user_id"), col("c_nationkey"))
+          .join(graft.Tables.nation(session, dir),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("user_id"), col("n_name")))
+      events.join(dim, Seq("user_id"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total"))
+    }
+    // ONE-SHOT drains take the [[DrainRewrite]] fast path: the join is
+    // STATELESS (per-batch hash join against the broadcast dimension) and
+    // the Complete-mode aggregate over a fresh-checkpoint single-batch
+    // drain equals the batch aggregate exactly (the one batch is the
+    // whole table; count and the decimal sum are order-exact). The
+    // checkpoint below is a throwaway UUID (st9 precedent: flag-only
+    // gate, no marker, lazy twin on the PARENT session — cached schemas,
+    // no clone); the uncapped file source drains in one batch.
+    if (DrainRewrite.enabled(spark))
+      return enrichAggOf(spark, graft.Tables.events(spark, dir))
     val ss = StreamConf.streamSession(spark)
     val batch = ss.read.parquet(s"$dir/events.parquet")
+    val ckpt = graft.functions.F.stageTempPath(ss, "ckpt")
     val src = graft.Tables.normalizeTs(
       ss.readStream
         .schema(batch.schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir))
-    val dim = broadcast(
-      graft.Tables.customer(ss, dir)
-        .select(col("c_custkey").as("user_id"), col("c_nationkey"))
-        .join(graft.Tables.nation(ss, dir),
-          col("c_nationkey") === col("n_nationkey"))
-        .select(col("user_id"), col("n_name")))
-    val agg = src.join(dim, Seq("user_id"))
-      .groupBy(col("n_name"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total"))
+    val agg = enrichAggOf(ss, src)
     val name = s"graft_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val q = agg.writeStream
       .outputMode(OutputMode.Complete())
       .format("memory")
       .queryName(name)
-      .option("checkpointLocation",
-        graft.functions.F.stageTempPath(ss, "ckpt"))
+      .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -248,6 +289,54 @@ object EventStream {
   case class SessionOut(user_id: Long, session_seq: Long, n_events: Long,
       start_ms: Long, end_ms: Long)
 
+  /** Drain-rewrite twin of the st6 single-batch drain: every session
+    * except each user's LAST. Exactness: a fresh-checkpoint AvailableNow
+    * drain with no source caps feeds the whole table to
+    * [[sessionizeStreaming]] as ONE batch, so each user's handler sees
+    * all their events, sorts by (ts, event_id) — the same total order as
+    * [[sessionizeBatch]]'s window — and emits every gap-closed session
+    * while the final one stays in state (NoTimeout: the trailing no-data
+    * batch fires no timeouts and emits nothing). Column order/types match
+    * the memory sink's [[SessionOut]] encoding (user_id/event_id are
+    * int64 in the source; a narrower source would be upcast by `.as[Ev]`,
+    * so the twin upcasts identically).
+    */
+  private[streaming] def closedSessionsBatch(events: DataFrame,
+      gapMinutes: Int): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    sessionizeBatch(events.select(col("user_id").cast("long").as("user_id"),
+        col("ts"), col("event_id").cast("long").as("event_id")), gapMinutes)
+      .withColumn("__mx", max(col("session_seq")).over(byUser))
+      .filter(col("session_seq") < col("__mx"))
+      .select(col("user_id"), col("session_seq"), col("n_events"),
+        col("start_ms"), col("end_ms"))
+  }
+
+  /** Drain-rewrite twin of the st7 single-batch drain: the sessions with
+    * `end + gap <= max event time`. Exactness: the data batch folds every
+    * event with the watermark still at its initial value (nothing
+    * closes), and the final AvailableNow batch runs with watermark
+    * `max(ts) − 0` (delay 0, ms-floored — `unix_millis` floors the same
+    * way the engine's event-time stats do); event-time timeouts fire for
+    * every group whose earliest open interval is closable, and each
+    * handler emits exactly its intervals with `end + gap <= wm`. The
+    * interval-merge fold is order-independent (1-D union under
+    * within-gap adjacency), so the folded intervals ARE the batch
+    * gaps-and-islands sessions. Output column order/types match the
+    * memory sink's [[SessionWin]] encoding.
+    */
+  private[streaming] def timedOutSessionsBatch(events: DataFrame,
+      gapMinutes: Int): DataFrame = {
+    val gapMs = gapMinutes * 60L * 1000
+    val ev = events.select(col("user_id").cast("long").as("user_id"),
+      col("ts"), col("event_id").cast("long").as("event_id"))
+    val wm = ev.agg(max(unix_millis(col("ts"))).as("__wm"))
+    sessionizeBatch(ev, gapMinutes)
+      .crossJoin(broadcast(wm)) // 1-row broadcast, never a real cartesian
+      .filter(col("end_ms") + lit(gapMs) <= col("__wm"))
+      .select(col("user_id"), col("n_events"), col("start_ms"), col("end_ms"))
+  }
+
   /** Drained file-source form of [[sessionizeStreaming]]: the stateful
     * flatMapGroupsWithState sessionizer run as a real streaming query
     * over the events table and collected from the memory sink. Emits
@@ -260,10 +349,21 @@ object EventStream {
     */
   def sessionizeStreamingFromDir(spark: SparkSession, dir: String,
       gapMinutes: Int): DataFrame = {
+    // ONE-SHOT drains take the [[DrainRewrite]] fast path: see
+    // [[closedSessionsBatch]] for the exactness argument. The stateful
+    // drain's cost at scale is the per-user state-store insert of the
+    // full user set, read back once — the same pure-drain waste st5's
+    // rewrite removes. Resumable deployments (flag off) keep the
+    // stateful plan. Throwaway UUID checkpoint (st9 precedent: flag-only
+    // gate, no marker, lazy twin on the PARENT session); uncapped file
+    // source ⇒ one data batch.
+    if (DrainRewrite.enabled(spark))
+      return closedSessionsBatch(graft.Tables.events(spark, dir), gapMinutes)
     // per-user session state: user cardinality grows with the corpus
     val ss = StreamConf.streamSessionFor(spark, dir)
     import ss.implicits._
     val batch = ss.read.parquet(s"$dir/events.parquet")
+    val ckpt = graft.functions.F.stageTempPath(ss, "ckpt")
     val src = graft.Tables.normalizeTs(
       ss.readStream
         .schema(batch.schema)
@@ -276,8 +376,7 @@ object EventStream {
       .outputMode(OutputMode.Append())
       .format("memory")
       .queryName(name)
-      .option("checkpointLocation",
-        graft.functions.F.stageTempPath(ss, "ckpt"))
+      .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -370,9 +469,17 @@ object EventStream {
     */
   def sessionizeStreamingEventTimeFromDir(spark: SparkSession, dir: String,
       gapMinutes: Int): DataFrame = {
+    // ONE-SHOT drains take the [[DrainRewrite]] fast path: see
+    // [[timedOutSessionsBatch]] for the exactness argument. Same scale
+    // rationale as st6 above; throwaway UUID checkpoint (st9 precedent:
+    // flag-only gate, no marker, lazy twin on the PARENT session);
+    // uncapped file source ⇒ one data batch.
+    if (DrainRewrite.enabled(spark))
+      return timedOutSessionsBatch(graft.Tables.events(spark, dir), gapMinutes)
     val ss = StreamConf.streamSessionFor(spark, dir)
     import ss.implicits._
     val batch = ss.read.parquet(s"$dir/events.parquet")
+    val ckpt = graft.functions.F.stageTempPath(ss, "ckpt")
     val src = graft.Tables.normalizeTs(
       ss.readStream
         .schema(batch.schema)
@@ -385,8 +492,7 @@ object EventStream {
       .outputMode(OutputMode.Append())
       .format("memory")
       .queryName(name)
-      .option("checkpointLocation",
-        graft.functions.F.stageTempPath(ss, "ckpt"))
+      .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

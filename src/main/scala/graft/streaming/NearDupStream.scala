@@ -88,9 +88,10 @@ object NearDupStream {
       .select(col(idCol)).distinct()
     val novel = b.join(
       dropState.unionByName(dropBatch).distinct(), Seq(idCol), "left_anti")
-    val staged = graft.functions.F.materialize(
-      novel.withColumn("__batch", lit(batchKey)))
-    val admitted = staged.count()
+    // admitted count rides the staging write as an observe metric — a
+    // separate count() job over the staged file would double the action
+    val (staged, admitted) = graft.functions.F.materializeObserved(
+      novel.withColumn("__batch", lit(batchKey)), count(lit(1)))
     // state records only ADMITTED docs' bands: the dedup set is what
     // passed, not what was seen
     val novelBands = bands

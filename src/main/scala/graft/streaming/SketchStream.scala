@@ -70,33 +70,32 @@ object SketchStream {
 
   def countMinStreaming(spark: SparkSession, dir: String,
       width: Int = 1024): DataFrame = {
-    // the per-batch pre-count shuffles by user_id — size it to the source
-    val ss = StreamConf.streamSessionFor(spark, dir)
-    val batch = ss.read.parquet(s"$dir/events.parquet")
-    val name = s"graft_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val ckpt = graft.functions.F.stageTempPath(ss, "ckpt")
     // ONE-SHOT drains take the [[DrainRewrite]] fast path: the round-12
     // DrainProfile decomposition showed this drain's residual cost is
     // pure stream lifecycle (ZERO state-store rows — the cells live in
     // the agg), plus the __batch partition round-trip. CMS linearity
     // makes the twin trivially exact: the single batch IS the table, so
     // its cell counts equal the batch build bit for bit, with no
-    // staging write or compaction read-back. The uncapped file source
-    // drains in one batch (the singleBatch precondition).
-    DrainRewrite.decide(spark, ss, ckpt, singleBatch = true) match {
-      case DrainRewrite.BatchDrain =>
-        return DrainRewrite.runClaimed(ss, ckpt, s"$dir/events.parquet") {
-          graft.functions.F.materialize(
-            cmsCells(graft.Tables.normalizeTs(batch), width))
-        }
-      case DrainRewrite.Stateful => ()
-    }
+    // staging write or compaction read-back. Throwaway UUID checkpoint
+    // (st9 precedent: flag-only gate, no marker, lazy twin on the
+    // PARENT session — cached schema, no clone); the uncapped file
+    // source drains in one batch (the singleBatch precondition).
+    if (DrainRewrite.enabled(spark))
+      return cmsCells(graft.Tables.events(spark, dir), width)
+    // the per-batch pre-count shuffles by user_id — size it to the source
+    val ss = StreamConf.streamSessionFor(spark, dir)
+    val batch = ss.read.parquet(s"$dir/events.parquet")
+    val name = s"graft_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val ckpt = graft.functions.F.stageTempPath(ss, "ckpt")
     val src = graft.Tables.normalizeTs(
       ss.readStream
         .schema(batch.schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir))
-    val stateDir = s"${graft.functions.F.stageRoot(ss)}/cms-$name"
+    // stageTempPath (not a bare stageRoot child): registers the state
+    // dir for exit-time cleanup — it only needs to outlive the drain's
+    // own read-back below
+    val stateDir = graft.functions.F.stageTempPath(ss, "cms")
     val q = src.writeStream
       .queryName(name)
       .option("checkpointLocation", ckpt)
@@ -129,8 +128,25 @@ object SketchStream {
     * bit-for-bit and the DuckDB oracle replays them.
     */
   def hllStreaming(spark: SparkSession, dir: String): DataFrame = {
+    // ONE-SHOT drains take the [[DrainRewrite]] fast path: the register
+    // update is a Complete-mode MAX aggregate, and a fresh-checkpoint
+    // single-batch AvailableNow drain emits exactly the aggregate of
+    // that one batch — which IS the table, so the registers equal the
+    // batch [[Sketches.hllRegisters]] build bit for bit (integer max is
+    // order-exact; max's duplicate-insensitivity is what made the
+    // streaming form stateless-safe in the first place). The stateful
+    // plan below runs unchanged for resumable deployments. Throwaway
+    // UUID checkpoint (st9 precedent: flag-only gate, no marker, lazy
+    // twin on the PARENT session); the uncapped file source drains in
+    // one batch (singleBatch).
+    if (DrainRewrite.enabled(spark))
+      return Sketches.hllRegisters(
+        graft.Tables.events(spark, dir)
+          .select(col("event_type"), col("user_id").cast("string").as("uid")),
+        "event_type", "uid")
     val ss = StreamConf.streamSession(spark)
     val batch = ss.read.parquet(s"$dir/events.parquet")
+    val ckpt = graft.functions.F.stageTempPath(ss, "ckpt")
     val src = graft.Tables.normalizeTs(
       ss.readStream
         .schema(batch.schema)
@@ -144,8 +160,7 @@ object SketchStream {
       .outputMode(OutputMode.Complete())
       .format("memory")
       .queryName(name)
-      .option("checkpointLocation",
-        graft.functions.F.stageTempPath(ss, "ckpt"))
+      .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

@@ -12,6 +12,12 @@ package graft.tools
   * without running a job — and finally executed. Reported: plan seconds,
   * execute seconds, plan node count (physical).
   *
+  * Caveat: plan_s = BUILD + plan. Query construction may itself run eager
+  * staging jobs (e.g. resolvePaths stages its parents table at build
+  * time), so for staged-pipeline queries the plan column includes that
+  * stage IO, not just Catalyst work — read it as "time before the final
+  * action starts", and check JobProfile when a staged query reads high.
+  *
   * Usage: runMain graft.tools.PlanProfile <sfDir> [query ...]
   *        (no query args = the whole registry)
   */
@@ -49,14 +55,17 @@ object PlanProfile {
           }
       }
     }
+    // share guard: both timings can round to zero on a trivial query —
+    // clamp the denominator so the column prints 0.000 instead of NaN
+    def share(tp: Double, te: Double): Double = tp / math.max(tp + te, 1e-9)
     println(f"${"query"}%-28s ${"plan_s"}%8s ${"exec_s"}%8s ${"plan/wall"}%9s ${"nodes"}%6s")
     rows.sortBy(-_._2).foreach { case (n, tp, te, nn) =>
-      println(f"$n%-28s ${fmt(tp)}%8s ${fmt(te)}%8s ${fmt(tp / (tp + te))}%9s $nn%6d")
+      println(f"$n%-28s ${fmt(tp)}%8s ${fmt(te)}%8s ${fmt(share(tp, te))}%9s $nn%6d")
     }
     val totP = rows.map(_._2).sum
     val totE = rows.map(_._3).sum
     println(s"== total plan=${fmt(totP)}s exec=${fmt(totE)}s " +
-      s"(plan share ${fmt(totP / (totP + totE))})")
+      s"(plan share ${fmt(share(totP, totE))})")
     spark.stop()
   }
 }

@@ -37,7 +37,8 @@ class PlanLintSpec extends SparkSpec {
     "cur5_dsir_weights" -> "single-row corpus/target token-total broadcast onto the 1024-bucket stats",
     "sim10_recall" -> "nlist-bounded centroids + bounded probe set broadcast (the IVF arm)",
     "cur6_curation_funnel" -> "single-row sqrt-allocation total broadcast onto #sources rows (cur4's shape)",
-    "ovl1_source_overlap" -> "#groups-bounded size-table self-join (the zero-overlap pair skeleton, ≤ groups² rows, both sides tiny)")
+    "ovl1_source_overlap" -> "#groups-bounded size-table self-join (the zero-overlap pair skeleton, ≤ groups² rows, both sides tiny)",
+    "st7_session_timeout" -> "single-row max-event-time (watermark) broadcast onto the per-session rows (the drain-rewrite twin's closability filter)")
 
   // name -> why the UNPARTITIONED window in this query's plan is bounded.
   // An unpartitioned WindowExec sorts its whole input through ONE

@@ -812,6 +812,63 @@ class TrainingDataSpec extends SparkSpec {
     assert(top2.select("a", "b").as[(String, String)].head() === (("m", "n")))
   }
 
+  test("BPE local kernel replays the distributed rounds bit for bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.F
+    // tok2's two-round summary computed the DISTRIBUTED way (the staged
+    // topPair/applyMerge loop — the exact plan the query runs past the
+    // byte gate)…
+    def distSummary(toks: org.apache.spark.sql.DataFrame): Seq[(Int, String, Long, Long, Long)] = {
+      var t = toks
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long, Long, Long)]
+      for (r <- 1 to 2) {
+        val top = F.materialize(graft.text.Bpe.topPair(t))
+        val nb = t.count()
+        val merged = F.materialize(graft.text.Bpe.applyMerge(t, top))
+        val na = merged.count()
+        out ++= top.select(lit(r), concat_ws(" ", col("a"), col("b")),
+            col("n_pair"), lit(nb - na), lit(na))
+          .as[(Int, String, Long, Long, Long)].collect()
+        t = merged
+      }
+      out.toSeq
+    }
+    // …vs the single-task kernel
+    def localSummary(toks: org.apache.spark.sql.DataFrame): Seq[(Int, String, Long, Long, Long)] = {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("round", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("pair", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_pair", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_merged", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("tokens_after", org.apache.spark.sql.types.LongType)))
+      toks.select(col("doc_id"), col("pos"), col("w")).coalesce(1)
+        .mapPartitions(it => graft.text.Bpe.localSummary(it, 2))(
+          org.apache.spark.sql.Encoders.row(schema))
+        .collect().map(r =>
+          (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    }
+    def check(rows: Seq[(Long, Int, String)]): Unit = {
+      val toks = rows.toDF("doc_id", "pos", "w")
+      assert(localSummary(toks) === distSummary(toks))
+    }
+    // greedy overlap runs + the winner feeding round 2
+    check(Seq((1L, 1, "a"), (1L, 2, "a"), (1L, 3, "a"), (1L, 4, "a"),
+      (1L, 5, "b"), (2L, 1, "a"), (2L, 2, "a"), (2L, 3, "b")))
+    // count tie decided by STRING order — U+FFFF (UTF-8 ef bf bf) sorts
+    // BELOW U+10000 (f0 90 80 80) in Spark's unsigned-byte order, while
+    // Java UTF-16 order says the opposite: pins the kernel's comparator
+    check(Seq((1L, 1, "𐀀"), (1L, 2, "z"),
+      (2L, 1, "￿"), (2L, 2, "z")))
+    // single-token docs only: no adjacent pair, zero summary rows
+    check(Seq((1L, 1, "solo"), (2L, 1, "alone")))
+    // second round exhausts: round 1 merges the only pair type completely
+    check(Seq((1L, 1, "x"), (1L, 2, "y"), (2L, 1, "x"), (2L, 2, "y")))
+    // multi-doc mixed: out-of-order pos ingestion, '+'-bearing tokens
+    check(Seq((3L, 2, "q"), (3L, 1, "p+r"), (3L, 3, "q"), (3L, 4, "q"),
+      (7L, 1, "p+r"), (7L, 2, "q"), (9L, 1, "lone")))
+  }
+
   test("MediaDecode: real PCM/BMP decode on hand-built byte fixtures") {
     import spark.implicits._
     def hx(s: String): Array[Byte] =

@@ -27,9 +27,12 @@ class DrainRewriteSpec extends graft.SparkSpec {
 
   test("sk3 rewrite drain equals the stateful foreachBatch drain exactly") {
     // generic getters + schema capture: the two paths must agree on the
-    // column TYPES as well as the values (the oracle hashes both)
+    // column NAMES and TYPES as well as the values (the oracle hashes
+    // both; nullability is NOT compared — the lazy twin's plan keeps
+    // non-null aggregate outputs where the stateful path's parquet
+    // round-trip erases them, and the oracle never sees nullability)
     def cells(df: org.apache.spark.sql.DataFrame): (String, Seq[(Long, Long, Long)]) =
-      (df.schema.treeString,
+      (df.schema.fields.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(","),
         df.collect().map(r => (Seq(0, 1, 2).map(i => r.get(i) match {
           case i: Int => i.toLong
           case l: Long => l
@@ -39,6 +42,89 @@ class DrainRewriteSpec extends graft.SparkSpec {
     assert(fast.nonEmpty)
     assert(fast == slow)
     assert(fastSchema == slowSchema)
+  }
+
+  // generic fast-vs-stateful comparator: same column names+types, same
+  // row multiset (both sides are then also pinned by the DuckDB oracle)
+  private def snap(df: org.apache.spark.sql.DataFrame): (Seq[(String, String)], Seq[String]) =
+    (df.schema.fields.map(f => (f.name, f.dataType.simpleString)).toSeq,
+      df.collect().map(_.toString).sorted.toSeq)
+  private def assertSameDrain(fast: org.apache.spark.sql.DataFrame,
+      slow: org.apache.spark.sql.DataFrame, allowEmpty: Boolean = false): Unit = {
+    val (fs, fr) = snap(fast)
+    val (ss, sr) = snap(slow)
+    assert(fs == ss)
+    assert(allowEmpty || fr.nonEmpty)
+    assert(fr == sr)
+  }
+
+  test("st0 rewrite drain equals the stateful Complete-mode window agg exactly") {
+    assertSameDrain(EventStream.windowAggStreaming(spark, sf001),
+      flagOff(EventStream.windowAggStreaming(spark, sf001)))
+  }
+
+  test("st8 rewrite drain equals the stateful enrichment drain exactly") {
+    assertSameDrain(EventStream.streamStaticEnrich(spark, sf001),
+      flagOff(EventStream.streamStaticEnrich(spark, sf001)))
+  }
+
+  test("sk5 rewrite drain equals the stateful HLL register drain exactly") {
+    assertSameDrain(SketchStream.hllStreaming(spark, sf001),
+      flagOff(SketchStream.hllStreaming(spark, sf001)))
+  }
+
+  test("st6 rewrite drain equals the stateful sessionizer exactly") {
+    assertSameDrain(EventStream.sessionizeStreamingFromDir(spark, sf001, 30),
+      flagOff(EventStream.sessionizeStreamingFromDir(spark, sf001, 30)))
+  }
+
+  test("st7 rewrite drain equals the stateful event-time-timeout sessionizer exactly") {
+    assertSameDrain(
+      EventStream.sessionizeStreamingEventTimeFromDir(spark, sf001, 30),
+      flagOff(EventStream.sessionizeStreamingEventTimeFromDir(spark, sf001, 30)))
+  }
+
+  test("st6/st7 twins match the stateful drains on adversarial session shapes") {
+    // boundary semantics the sf001 table may not exercise: ts ties broken
+    // by event_id, out-of-order file rows, a gap of EXACTLY the threshold
+    // (not a break — strictly-greater), a session ending exactly gap
+    // before the global max (st7: closes, end+gap <= wm), a user whose
+    // last event IS the global max (st7: stays open; st6: emitted unless
+    // it's their only session), and single-session users (st6: nothing)
+    import spark.implicits._
+    val gapMs = 30 * 60000L
+    val base = 1700000000000L
+    def ev(id: Long, uid: Long, t: Long) = (id, new java.sql.Timestamp(t), uid,
+      "click", 1.0, "{}")
+    val rows = Seq(
+      // user 1: two sessions; second ends exactly gap before max → both close in st7
+      ev(1, 1, base), ev(2, 1, base + 1000),
+      ev(3, 1, base + 1000 + gapMs + 1), // breaks (gap exceeded by 1ms)
+      // user 2: gap EXACTLY at threshold — same session (strictly greater breaks)
+      ev(4, 2, base), ev(5, 2, base + gapMs),
+      // user 3: ts tie with distinct event_ids, then the GLOBAL MAX event
+      ev(6, 3, base + 500), ev(7, 3, base + 500),
+      ev(8, 3, base + 2 * gapMs + 1000 + gapMs + 1), // their 2nd session holds the max
+      // user 4: single event (one session only)
+      ev(9, 4, base + 42)
+    )
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess-twin").toString
+    // write SHUFFLED so the stateful iterator sees out-of-order arrival;
+    // the drivers' pathGlobFilter matches a leaf FILE named
+    // events.parquet (the testdata layout), so promote the single part
+    // file to that name
+    scala.util.Random.shuffle(rows)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/__stage")
+    val part = new java.io.File(s"$dir/__stage").listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    assertSameDrain(EventStream.sessionizeStreamingFromDir(spark, dir, 30),
+      flagOff(EventStream.sessionizeStreamingFromDir(spark, dir, 30)))
+    assertSameDrain(
+      EventStream.sessionizeStreamingEventTimeFromDir(spark, dir, 30),
+      flagOff(EventStream.sessionizeStreamingEventTimeFromDir(spark, dir, 30)))
   }
 
   test("a rewritten checkpoint is spent: reruns fail loudly, never re-emit") {
